@@ -1,0 +1,72 @@
+"""O1/M7 + SHUFFLE 1 — per-conversation grouping with salting, stable
+turn ordering, and the per-turn text-equality guard (SURVEY.md §2.6 O1,
+§2.2 M7, §4.3 skew row; BASELINE.json:6 "grouped per conv_id via ray.data
+groupby with explicit repartitioning and salting for skewed long
+conversations (preserving per-turn text equality under stable turn_idx
+ordering)").
+
+Salting: ``salt = turn_idx // SALT_CAP`` appends a deterministic sub-key so
+a pathologically long conversation splits into capped contiguous turn
+ranges instead of one straggler group.  Because the ranges are contiguous
+in turn_idx, any order-sensitive per-conversation fold (like the text
+digest below) can be computed per salted sub-group and combined in salt
+order — associativity restores whole-conversation semantics.
+
+Text-equality guard: digest(conv) = md5(concat of md5(text) in turn_idx
+order).  Computed on the raw input AND on any text-carrying stage output;
+equality proves per-turn byte-identity under stable ordering
+(BASELINE.json:15).  md5 (not blake2b) here because the DuckDB oracle must
+reproduce it in SQL: md5(string_agg(md5(text), '' ORDER BY turn_idx)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+SALT_CAP = 64  # max turns per salted sub-group
+
+
+def with_salt(ds: rd.Dataset, cap: int = SALT_CAP) -> rd.Dataset:
+    def add(batch: pa.Table) -> pa.Table:
+        salt = pc.cast(pc.divide(batch["turn_idx"], cap), pa.int32())
+        return batch.append_column("salt", salt)
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def sorted_conv_groups(ds: rd.Dataset, cap: int = SALT_CAP) -> rd.Dataset:
+    """Group by (conv_id, salt), stable-sort each group by turn_idx.
+    The shuffle unit is the salted sub-conversation."""
+    def sort_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("turn_idx", kind="mergesort")
+    return with_salt(ds, cap).groupby(["conv_id", "salt"]).map_groups(
+        sort_group, batch_format="pandas")
+
+
+def conv_digest(ds: rd.Dataset, cap: int = SALT_CAP) -> rd.Dataset:
+    """(conv_id, digest) — salted two-level md5 chain (see module doc)."""
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx", kind="mergesort")
+        concat = "".join(hashlib.md5(t.encode()).hexdigest()
+                         for t in g["text"])
+        return pd.DataFrame({
+            "conv_id": [g["conv_id"].iloc[0]],
+            "salt": [g["salt"].iloc[0]],
+            "partial": [concat],
+        })
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("salt", kind="mergesort")
+        digest = hashlib.md5("".join(g["partial"]).encode()).hexdigest()
+        return pd.DataFrame({"conv_id": [g["conv_id"].iloc[0]],
+                             "digest": [digest]})
+
+    partials = with_salt(ds.select_columns(["conv_id", "turn_idx", "text"]),
+                         cap).groupby(["conv_id", "salt"]).map_groups(
+        partial, batch_format="pandas")
+    return partials.groupby("conv_id").map_groups(final,
+                                                  batch_format="pandas")

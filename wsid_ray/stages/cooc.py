@@ -1,0 +1,175 @@
+"""G1/G2/G3 + M5/M6 — window co-occurrence counting, PMI/NPMI, pruning.
+
+Reference semantics [R, wsid/cooc.py; Bouma 2009 NPMI]: the probability
+space is per target term t — the N_t context windows of t are hyperedges;
+n_t(w) = #windows containing w (distinct per window), n_t(w,v) = #windows
+containing both.  pmi = ln(n_wv·N / (n_w·n_v)), npmi = pmi / −ln(n_wv/N),
+npmi ∈ [−1, 1].  Edges pruned at n_wv < cooc_min_count or npmi <= npmi_min.
+
+Distributed shape (SURVEY.md §2.5 G1/G2, ray_guide.md L154-158):
+**partial + final** — each ``map_batches`` call Counter-combines its batch
+locally and emits one row per key per batch, so the ``groupby`` shuffle
+(SHUFFLE 2, key=(term,w,v)) moves only partial counts, never windows.
+Window totals and window-unigram counts ride in the same shuffle encoded
+as (term, w, '') and (term, '', '') rows — one shuffle for all three
+count kinds.
+
+Scale note: the (term→N) and (term,w)→n_w lookup used by the NPMI stage is
+broadcast via ``ray.put`` because it is bounded by |gazetteer|×|vocab|
+(ray_guide.md L135-139).  With an unbounded vocabulary the same step is a
+hash-partitioned join of `pairs` with `unigrams` on (term, w) — see
+stages/joins.py for that primitive.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+PAIR_KIND = 2   # (term, w, v)
+UNI_KIND = 1    # (term, w, '')
+TOTAL_KIND = 0  # (term, '', '')
+
+
+def count_windows_batch(batch: pa.Table) -> pa.Table:
+    """Partial combiner: mentions/windows batch -> (term, w, v, n) rows."""
+    terms = batch["term"].to_pylist()
+    wins = batch["win_tokens"].to_pylist()
+    pairs: Counter = Counter()
+    unis: Counter = Counter()
+    totals: Counter = Counter()
+    for term, win in zip(terms, wins):
+        toks = sorted(set(win))
+        totals[term] += 1
+        for w in toks:
+            unis[(term, w)] += 1
+        for w, v in combinations(toks, 2):
+            pairs[(term, w, v)] += 1
+    t_col: list[str] = []
+    w_col: list[str] = []
+    v_col: list[str] = []
+    n_col: list[int] = []
+    for (term, w, v), n in pairs.items():
+        t_col.append(term); w_col.append(w); v_col.append(v); n_col.append(n)
+    for (term, w), n in unis.items():
+        t_col.append(term); w_col.append(w); v_col.append(""); n_col.append(n)
+    for term, n in totals.items():
+        t_col.append(term); w_col.append(""); v_col.append(""); n_col.append(n)
+    return pa.table({
+        "term": pa.array(t_col, type=pa.string()),
+        "w": pa.array(w_col, type=pa.string()),
+        "v": pa.array(v_col, type=pa.string()),
+        "n": pa.array(n_col, type=pa.int64()),
+    })
+
+
+def aggregate_counts(mentions: rd.Dataset) -> rd.Dataset:
+    """mentions (term, win_tokens, ...) -> summed (term, w, v, n) counts."""
+    partials = mentions.select_columns(["term", "win_tokens"]).map_batches(
+        count_windows_batch, batch_format="pyarrow", batch_size=8192)
+    return partials.groupby(["term", "w", "v"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
+def split_counts(counts: rd.Dataset):
+    """counts -> (totals_dict {term: N}, unigrams_dict {(term,w): n}, pairs_ds).
+
+    totals/unigrams are small (bounded by |gazetteer|·|vocab|) → driver
+    dicts for broadcast; pairs stay a Dataset.
+    """
+    small = counts.map_batches(
+        lambda t: t.filter(pc.equal(t["v"], "")),
+        batch_format="pyarrow").take_all()
+    totals: dict[str, int] = {}
+    unigrams: dict[tuple[str, str], int] = {}
+    for r in small:
+        if r["w"] == "":
+            totals[r["term"]] = r["n"]
+        else:
+            unigrams[(r["term"], r["w"])] = r["n"]
+    pairs = counts.map_batches(
+        lambda t: t.filter(pc.not_equal(t["v"], "")),
+        batch_format="pyarrow")
+    return totals, unigrams, pairs
+
+
+class NpmiWeighter:
+    """M5/M6 as an actor-pool stage: broadcast count dicts held in state.
+
+    ``totals_ref``/``unigrams_ref`` are ``ray.put`` object refs resolved
+    once per actor in ``__init__`` (ray_guide.md L135-139).
+    """
+
+    def __init__(self, totals_ref, unigrams_ref, min_count: int,
+                 npmi_min: float):
+        self.totals = ray.get(totals_ref)
+        self.unigrams = ray.get(unigrams_ref)
+        self.min_count = min_count
+        self.npmi_min = npmi_min
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_edges()
+        terms = batch["term"].to_pylist()
+        ws = batch["w"].to_pylist()
+        vs = batch["v"].to_pylist()
+        n_wv = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        N = np.array([self.totals[t] for t in terms], dtype=np.float64)
+        n_w = np.array([self.unigrams[(t, w)] for t, w in zip(terms, ws)],
+                       dtype=np.float64)
+        n_v = np.array([self.unigrams[(t, v)] for t, v in zip(terms, vs)],
+                       dtype=np.float64)
+        pmi = np.log(n_wv * N / (n_w * n_v))
+        denom = -np.log(n_wv / N)
+        # n_wv == N → denom 0 → define npmi = 1.0 (perfect co-occurrence)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            npmi = np.where(denom > 0, pmi / denom, 1.0)
+        out = pa.table({
+            "term": batch["term"],
+            "w": batch["w"],
+            "v": batch["v"],
+            "n": batch["n"],
+            "pmi": pa.array(pmi, type=pa.float64()),
+            "npmi": pa.array(npmi, type=pa.float64()),
+        })
+        keep = pc.and_(
+            pc.greater_equal(out["n"], self.min_count),
+            pc.greater(out["npmi"], self.npmi_min),
+        )
+        return out.filter(keep)
+
+
+def _empty_edges() -> pa.Table:
+    return pa.table({
+        "term": pa.array([], type=pa.string()),
+        "w": pa.array([], type=pa.string()),
+        "v": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+        "pmi": pa.array([], type=pa.float64()),
+        "npmi": pa.array([], type=pa.float64()),
+    })
+
+
+def cooc_edges(mentions: rd.Dataset, min_count: int, npmi_min: float) -> rd.Dataset:
+    """mentions -> pruned cooc_edges dataset (SHUFFLE 2 inside)."""
+    # materialize() pins only the aggregated counts (vocab-bounded, tiny
+    # relative to the input) so the two downstream consumers in
+    # split_counts don't re-run the counting shuffle.
+    counts = aggregate_counts(mentions).materialize()
+    totals, unigrams, pairs = split_counts(counts)
+    totals_ref = ray.put(totals)
+    unigrams_ref = ray.put(unigrams)
+    return pairs.map_batches(
+        NpmiWeighter,
+        fn_constructor_kwargs=dict(totals_ref=totals_ref,
+                                   unigrams_ref=unigrams_ref,
+                                   min_count=min_count, npmi_min=npmi_min),
+        batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4), num_cpus=1)

@@ -1,0 +1,111 @@
+"""D3 — distributed union-find / connected components (SURVEY.md §2.7).
+
+BASELINE.json:6 mandates canonicalisation "via a distributed union-find
+(groupby-aggregate merge rounds)".  Implemented join-free as the
+hash-to-min connected-components algorithm (Rastogi et al., "Finding
+Connected Components in Map-Reduce in Logarithmic Rounds", ICDE 2013 —
+public algorithm): the cluster state is an edge list (node, member);
+each round groups by node, computes m = min(members ∪ {node}) and re-emits
+(m, x) and (x, m) for every member x.  Converges in O(log d) rounds; each
+round is one groupby shuffle + one dedup shuffle, with a driver-side
+early-exit on a stable checksum of the edge set.
+
+Every node ends up connected to its component's minimum node, which serves
+as the component label.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Min
+
+MAX_ROUNDS = 16
+
+
+def _expand_group(g: pd.DataFrame) -> pd.DataFrame:
+    node = g["u"].iloc[0]
+    members = set(g["v"])
+    members.add(node)
+    m = min(members)
+    us, vs = [], []
+    for x in members:
+        if x == m:
+            continue
+        us.append(m); vs.append(x)
+        us.append(x); vs.append(m)
+    if not us:  # singleton
+        us, vs = [node], [node]
+    return pd.DataFrame({"u": us, "v": vs})
+
+
+def _dedup_edges(edges: rd.Dataset) -> rd.Dataset:
+    from .groups import distinct
+    return distinct(edges, ["u", "v"], num_buckets=16)
+
+
+def _checksum(edges: rd.Dataset) -> tuple[int, int]:
+    """(row_count, order-insensitive hash) of the edge set."""
+    import zlib
+    total = 0
+    n = 0
+    for b in edges.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for u, v in zip(b["u"].to_pylist(), b["v"].to_pylist()):
+            total = (total + zlib.crc32(f"{u}\x1f{v}".encode())) & 0xFFFFFFFF
+            n += 1
+    return n, total
+
+
+def connected_components(edges: rd.Dataset) -> rd.Dataset:
+    """edges (u:string, v:string) -> (node:string, comp:string) where comp
+    is the lexicographically smallest node of the component."""
+    # symmetrize + self loops
+    sym = edges.map_batches(
+        lambda t: pa.table({"u": pa.concat_arrays([t["u"].combine_chunks(),
+                                                   t["v"].combine_chunks()]),
+                            "v": pa.concat_arrays([t["v"].combine_chunks(),
+                                                   t["u"].combine_chunks()])}),
+        batch_format="pyarrow")
+    cur = _dedup_edges(sym).materialize()
+    prev_sum = _checksum(cur)
+    for _ in range(MAX_ROUNDS):
+        nxt = cur.groupby("u").map_groups(_expand_group,
+                                          batch_format="pandas")
+        nxt = _dedup_edges(nxt).materialize()
+        s = _checksum(nxt)
+        cur = nxt
+        if s == prev_sum:
+            break
+        prev_sum = s
+    comp = cur.groupby("u").aggregate(Min("v", alias_name="comp"))
+    return comp.map_batches(
+        lambda t: pa.table({
+            "node": t["u"],
+            "comp": pa.array([min(a, b) for a, b in
+                              zip(t["u"].to_pylist(), t["comp"].to_pylist())],
+                             type=pa.string()),
+        }), batch_format="pyarrow")
+
+
+def canonicalize(entity_kb_edges: rd.Dataset) -> rd.Dataset:
+    """(entity_id, kb_id) edges -> canon_map (entity_id, canon_id).
+
+    canon_id = lexicographically smallest *entity* node of the component
+    (kb: nodes link components but are not canonical ids themselves).
+    """
+    comps = connected_components(
+        entity_kb_edges.map_batches(
+            lambda t: pa.table({"u": t["entity_id"], "v": t["kb_id"]}),
+            batch_format="pyarrow"))
+
+    def per_comp(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = g["node"]
+        entities = sorted(n for n in nodes if not n.startswith("kb:"))
+        if not entities:
+            return pd.DataFrame({"entity_id": [], "canon_id": []})
+        canon = entities[0]
+        return pd.DataFrame({"entity_id": entities,
+                             "canon_id": [canon] * len(entities)})
+
+    return comps.groupby("comp").map_groups(per_comp, batch_format="pandas")
