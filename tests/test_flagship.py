@@ -1,0 +1,70 @@
+"""End-to-end: engine vs sequential oracle (P/R gate, BASELINE.json:14),
+planted-sense recovery, and the per-turn text-equality invariant
+(BASELINE.json:15)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from wsid_ray.fixtures import gt_mentions_path, transcript_files
+from wsid_ray.oracle import precision_recall, run_oracle
+from wsid_ray.pipelines.flagship import run_flagship
+from wsid_ray.sources.transcripts import read_transcripts
+from wsid_ray.stages.convgroup import conv_digest
+from wsid_ray.stages.tokenize import tokenize_batch
+
+
+@pytest.fixture(scope="module")
+def tiny_results():
+    oracle = run_oracle(transcript_files("tiny"))
+    art = run_flagship("tiny")
+    return oracle, art
+
+
+def test_triples_match_oracle(tiny_results):
+    oracle, art = tiny_results
+    eng = {(r["subj"], r["pred"], r["obj"])
+           for r in art.triples.take_all()}
+    p, r = precision_recall(eng, oracle["triples"])
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    assert p == 1.0 and r == 1.0  # shared determinism rules -> exact
+
+
+def test_mentions_match_oracle(tiny_results):
+    oracle, art = tiny_results
+    eng = {(m["conv_id"], m["turn_idx"], m["term"], m["span_start"],
+            m["sense_id"], m["entity_id"])
+           for m in art.linked_mentions.take_all()}
+    ora = {(m["conv_id"], m["turn_idx"], m["term"], m["span_start"],
+            m["sense_id"], m["entity_id"])
+           for m in oracle["mentions"]}
+    assert eng == ora
+
+
+def test_linked_senses_track_planted_kb(tiny_results):
+    """Each (term, sense_id) should map dominantly to one planted kb
+    entity — the induced senses separate the planted topics."""
+    _, art = tiny_results
+    gt = {(r["conv_id"], r["turn_idx"], r["term"]): r["kb_id"]
+          for r in pq.read_table(gt_mentions_path("tiny")).to_pylist()}
+    good = bad = 0
+    for m in art.linked_mentions.take_all():
+        key = (m["conv_id"], m["turn_idx"], m["term"])
+        if key not in gt or m["sense_id"] < 0:
+            continue
+        if m["kb_id"] == gt[key]:
+            good += 1
+        else:
+            bad += 1
+    assert good / max(1, good + bad) >= 0.9, (good, bad)
+
+
+def test_text_equality_invariant():
+    """digest(input) == digest(after tokenize stage) per conversation."""
+    raw = read_transcripts("tiny")
+    cooked = read_transcripts("tiny").map_batches(tokenize_batch,
+                                                  batch_format="pyarrow")
+    d_raw = {r["conv_id"]: r["digest"] for r in conv_digest(raw).take_all()}
+    d_cooked = {r["conv_id"]: r["digest"]
+                for r in conv_digest(cooked).take_all()}
+    assert d_raw == d_cooked
+    assert len(d_raw) == 8  # tiny has 8 conversations
