@@ -1,16 +1,20 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in wsid_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The primary input table — `transcripts` (BASELINE.json:15) — does not
+exist in /root/testdata, so it is synthesised deterministically per scale
+by wsid_ray.fixtures (seed=42, closed vocab; FIXTURES.md F1) under
+/tmp/wsid_ray_data.  SQL-checked transcript queries point DuckDB at the
+same generated parquet via read_parquet('<path>/*.parquet'); calling
+``queries()`` / ``oracle_sql()`` triggers (idempotent, atomic) generation
+so both sides always see identical bytes.
+
+Non-SQL-expressible stages (Chinese-Whispers induction, union-find
+canonicalisation, minhash, simhash, langid) are registered without oracle
+SQL → rows-only checks; their semantics are verified against the
+sequential reference-style oracle in tests/test_flagship.py (P/R gate).
 """
 
 from __future__ import annotations
@@ -20,25 +24,125 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on sf0.001-scale transcripts -> triples."""
+    from wsid_ray.runtime import configure
+    from wsid_ray.pipelines.flagship import flagship_triples
+    configure()
+    return flagship_triples("sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from wsid_ray.runtime import configure
+    from wsid_ray.fixtures import generate
+    from wsid_ray.pipelines.queries import QUERIES
+    configure()
+    generate("sf0.01")   # make sure the SQL side's parquet exists
+    return dict(QUERIES)
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _sql_token_expr(col: str = "text") -> str:
+    """DuckDB mirror of wsid_ray.stages.tokenize.tokenize_column."""
+    from wsid_ray.config import MIN_TOKEN_LEN, STOPWORDS
+    stop = ", ".join(f"'{s}'" for s in sorted(STOPWORDS))
+    return (f"list_filter(regexp_split_to_array(lower({col}), "
+            f"'[^a-z0-9_]+'), t -> length(t) >= {MIN_TOKEN_LEN} "
+            f"AND t NOT IN ({stop}))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from wsid_ray.config import GAZETTEER
+    from wsid_ray.fixtures import generate, transcripts_dir
+
+    generate("sf0.01")
+    tr = f"read_parquet('{transcripts_dir('sf0.01')}/*.parquet')"
+    tok = _sql_token_expr()
+    gaz = ", ".join(f"'{g}'" for g in sorted(GAZETTEER))
+
+    return {
+        "turn_counts": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   max(turn_idx) AS max_turn_idx
+            FROM {tr} GROUP BY conv_id
+        """,
+        "role_counts": f"""
+            SELECT role, count(*) AS n FROM {tr} GROUP BY role
+        """,
+        "unigram_counts": f"""
+            SELECT tok.token AS token, count(*) AS n
+            FROM (SELECT unnest({tok}) AS token FROM {tr}) tok
+            GROUP BY tok.token
+        """,
+        "mention_counts": f"""
+            SELECT tok.term AS term, count(*) AS n
+            FROM (SELECT unnest({tok}) AS term FROM {tr}) tok
+            WHERE tok.term IN ({gaz})
+            GROUP BY tok.term
+        """,
+        "conv_text_digest": f"""
+            SELECT conv_id,
+                   md5(string_agg(md5(text), '' ORDER BY turn_idx)) AS digest
+            FROM {tr} GROUP BY conv_id
+        """,
+        "orders_by_status": """
+            SELECT o_orderstatus, count(*) AS n FROM orders
+            GROUP BY o_orderstatus
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                       AS sum_base_cents,
+                   sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+                       AS BIGINT)) AS sum_disc_cents,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c.c_custkey, c.c_name, r.revenue_cents
+            FROM (SELECT o_custkey,
+                         sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                             AS revenue_cents
+                  FROM orders GROUP BY o_custkey) r
+            JOIN customer c ON c.c_custkey = r.o_custkey
+            ORDER BY r.revenue_cents DESC, c.c_custkey
+            LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n,
+                   sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+                       AS sum_value_cents
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                       w -> w <> '')) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string({tok}, ' ')) AS fingerprint
+            FROM documents
+        """,
+        "knn_cosine_topk": """
+            SELECT query_id, vec_id, score FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])), 6) AS score,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])) DESC,
+                               e.vec_id) AS rk
+                FROM embeddings e
+                CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                            WHERE vec_id < 5) q
+                WHERE e.vec_id <> q.vec_id)
+            WHERE rk <= 10
+        """,
+    }

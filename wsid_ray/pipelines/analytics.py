@@ -1,0 +1,137 @@
+"""Generic relational operators over the driver-provided TPC-H-ish tables
+(SURVEY.md §2.5/§2.6 patterns: partial+final aggregation, broadcast join,
+top-k, time-bucketed windows).
+
+Float determinism rule: any SQL-checked monetary/real sum is converted to
+integer cents per row with floor(x*100 + 0.5) (exact integer arithmetic in
+int64 — associative, so distributed order doesn't matter), mirrored
+verbatim in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Max, Sum
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100 + 0.5).astype(np.int64)
+
+
+def partial_count(ds: rd.Dataset, key_cols: list[str],
+                  out_name: str = "n") -> rd.Dataset:
+    """count(*) grouped by key_cols, pre-aggregated per batch so the
+    shuffle moves one row per key per batch (ray_guide.md L154-158)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key_cols, sort=True, observed=True).size()
+        out = out.rename(out_name).reset_index()
+        out[out_name] = out[out_name].astype("int64")
+        return out
+    partials = ds.select_columns(key_cols).map_batches(
+        partial, batch_format="pandas")
+    return partials.groupby(key_cols).aggregate(
+        Sum(out_name, alias_name=out_name))
+
+
+def turn_counts(transcripts: rd.Dataset) -> rd.Dataset:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=True).agg(
+            n_turns=("turn_idx", "size"), max_turn_idx=("turn_idx", "max"))
+        g = g.reset_index()
+        g["n_turns"] = g["n_turns"].astype("int64")
+        g["max_turn_idx"] = g["max_turn_idx"].astype("int32")
+        return g
+    partials = transcripts.select_columns(["conv_id", "turn_idx"]).map_batches(
+        partial, batch_format="pandas")
+    return partials.groupby("conv_id").aggregate(
+        Sum("n_turns", alias_name="n_turns"),
+        Max("max_turn_idx", alias_name="max_turn_idx"))
+
+
+def orders_by_status(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus"])
+    return partial_count(ds, ["o_orderstatus"])
+
+
+def pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-shaped: per (returnflag, linestatus) totals, integer-cent
+    arithmetic for the monetary sums."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["base_cents"] = _cents(df["l_extendedprice"].to_numpy())
+        df["disc_cents"] = _cents(
+            (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy())
+        df["qty"] = df["l_quantity"].astype("int64")
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_cents=("base_cents", "sum"),
+            sum_disc_cents=("disc_cents", "sum"),
+            n=("qty", "size"),
+        ).reset_index()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+        Sum("n", alias_name="n"))
+
+
+def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Revenue per customer (orders), top-k, broadcast-joined to customer
+    names (small side via ray.put — no shuffle join; SURVEY.md §2.4 J1)."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev_cents=_cents(df["o_totalprice"].to_numpy()))
+        g = df.groupby("o_custkey", sort=True)["rev_cents"].sum().reset_index()
+        return g.rename(columns={"rev_cents": "revenue_cents"})
+
+    per_cust = orders.map_batches(partial, batch_format="pandas") \
+        .groupby("o_custkey").aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"))
+    top = per_cust.sort(["revenue_cents", "o_custkey"],
+                        descending=[True, False]).limit(k).to_pandas()
+
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    names_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    names = ray.get(names_ref)
+    top["c_name"] = top["o_custkey"].map(names)
+    top = top.rename(columns={"o_custkey": "c_custkey"})
+    return top[["c_custkey", "c_name", "revenue_cents"]]
+
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour window per event_type (stream-shaped pattern,
+    ray_guide.md L187-198): count + integer-cent value sum."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hour=df["ts"].dt.floor("h"),
+                       value_cents=_cents(df["value"].to_numpy()))
+        g = df.groupby(["event_type", "hour"], sort=True).agg(
+            n=("value_cents", "size"),
+            sum_value_cents=("value_cents", "sum")).reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_value_cents", alias_name="sum_value_cents"))

@@ -1,0 +1,232 @@
+"""Engine-side implementations of every driver-checkable query
+(__ray_entry__.queries()).  Each function takes the driver's ``sf_dir``
+and returns a Dataset / DataFrame / Arrow table whose column NAMES AND
+TYPES match the oracle SQL in __ray_entry__.oracle_sql exactly (driver
+hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..config import DEFAULT_CONFIG, GAZETTEER
+from ..sources.transcripts import read_transcripts
+from ..stages.convgroup import conv_digest
+from ..stages.dedup import jaccard_pairs, minhash_candidates
+from ..stages.knn import knn_topk, read_embeddings
+from ..stages.textstats import (fingerprint_batch, langid_batch, quality_batch,
+                                read_documents, simhash_batch,
+                                token_counts_batch)
+from ..stages.tokenize import tokenize_batch, tokenize_column
+from . import analytics
+from .flagship import run_flagship
+
+CFG = DEFAULT_CONFIG
+
+
+# ---------------------------------------------------------------------------
+# transcripts table (synthesised, FIXTURES.md F1)
+# ---------------------------------------------------------------------------
+
+def q_turn_counts(sf_dir: str) -> rd.Dataset:
+    return analytics.turn_counts(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx"]))
+
+
+def q_role_counts(sf_dir: str) -> rd.Dataset:
+    return analytics.partial_count(
+        read_transcripts(sf_dir, columns=["role"]), ["role"])
+
+
+def _token_count(ds: rd.Dataset, gazetteer_only: bool,
+                 out_key: str) -> rd.Dataset:
+    gaz = pa.array(sorted(GAZETTEER), type=pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"])
+        flat = toks.flatten()
+        if gazetteer_only:
+            flat = flat.filter(pc.is_in(flat, value_set=gaz))
+        counted = pa.table({out_key: flat}).group_by(out_key).aggregate(
+            [(out_key, "count")])
+        return counted.rename_columns([out_key, "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(out_key).aggregate(Sum("n", alias_name="n"))
+
+
+def q_unigram_counts(sf_dir: str) -> rd.Dataset:
+    return _token_count(read_transcripts(sf_dir, columns=["text"]),
+                        gazetteer_only=False, out_key="token")
+
+
+def q_mention_counts(sf_dir: str) -> rd.Dataset:
+    return _token_count(read_transcripts(sf_dir, columns=["text"]),
+                        gazetteer_only=True, out_key="term")
+
+
+def q_conv_text_digest(sf_dir: str) -> rd.Dataset:
+    return conv_digest(read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# flagship KG pipeline stages (rows-only checks: CW/union-find are not
+# SQL-expressible; set-equality vs the sequential oracle is covered by
+# tests/test_flagship.py)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_CACHE: dict[str, object] = {}
+
+
+def _flagship(sf_dir: str):
+    """One flagship run per sf_dir per process — the four stage-inspection
+    queries below share its artifacts instead of recomputing the pipeline."""
+    if sf_dir not in _FLAGSHIP_CACHE:
+        _FLAGSHIP_CACHE[sf_dir] = run_flagship(sf_dir, CFG)
+    return _FLAGSHIP_CACHE[sf_dir]
+
+
+def q_cooc_edges(sf_dir: str) -> rd.Dataset:
+    from ..stages.cooc import cooc_edges
+    from .flagship import detect_mentions
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG)
+    edges = cooc_edges(mentions, CFG.cooc_min_count, CFG.npmi_min)
+    return edges.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("pmi"), "pmi",
+                               pc.round(t["pmi"], 6))
+                   .set_column(t.schema.get_field_index("npmi"), "npmi",
+                               pc.round(t["npmi"], 6)),
+        batch_format="pyarrow")
+
+
+def q_sense_inventory(sf_dir: str) -> pd.DataFrame:
+    art = _flagship(sf_dir)
+    df = pd.DataFrame(art.sense_inventory_rows)
+    if len(df):
+        df["weight"] = df["weight"].round(6)
+    return df
+
+
+def q_mentions_linked(sf_dir: str) -> rd.Dataset:
+    art = _flagship(sf_dir)
+    return art.linked_mentions.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("score"), "score",
+                               pc.round(t["score"], 6)),
+        batch_format="pyarrow")
+
+
+def q_canon_map(sf_dir: str) -> pd.DataFrame:
+    art = _flagship(sf_dir)
+    items = sorted(art.canon_map.items())
+    return pd.DataFrame({"entity_id": [k for k, _ in items],
+                         "canon_id": [v for _, v in items]})
+
+
+def q_triples(sf_dir: str) -> rd.Dataset:
+    return _flagship(sf_dir).triples
+
+
+# ---------------------------------------------------------------------------
+# generic relational operators (TPC-H-ish tables; SQL-checked)
+# ---------------------------------------------------------------------------
+
+def q_orders_by_status(sf_dir: str) -> rd.Dataset:
+    return analytics.orders_by_status(sf_dir)
+
+
+def q_pricing_summary(sf_dir: str) -> rd.Dataset:
+    return analytics.pricing_summary(sf_dir)
+
+
+def q_top_customers(sf_dir: str) -> pd.DataFrame:
+    return analytics.top_customers(sf_dir)
+
+
+def q_events_hourly(sf_dir: str) -> rd.Dataset:
+    return analytics.events_hourly(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# training-data operators (documents / embeddings; SQL-checked where
+# expressible)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_counts(sf_dir: str) -> rd.Dataset:
+    return read_documents(sf_dir).map_batches(token_counts_batch,
+                                              batch_format="pyarrow")
+
+
+def q_doc_quality(sf_dir: str) -> rd.Dataset:
+    return read_documents(sf_dir).map_batches(quality_batch,
+                                              batch_format="pyarrow")
+
+
+def q_doc_fingerprint(sf_dir: str) -> rd.Dataset:
+    return read_documents(sf_dir).map_batches(fingerprint_batch,
+                                              batch_format="pyarrow")
+
+
+def q_doc_langid(sf_dir: str) -> rd.Dataset:
+    return read_documents(sf_dir).map_batches(langid_batch,
+                                              batch_format="pyarrow")
+
+
+def q_doc_simhash(sf_dir: str) -> rd.Dataset:
+    return read_documents(sf_dir).map_batches(simhash_batch,
+                                              batch_format="pyarrow")
+
+
+def q_doc_minhash_candidates(sf_dir: str) -> rd.Dataset:
+    return minhash_candidates(read_documents(sf_dir))
+
+
+def q_doc_jaccard_pairs(sf_dir: str) -> rd.Dataset:
+    return jaccard_pairs(read_documents(sf_dir), threshold=0.5, shingle_k=3)
+
+
+def q_knn_cosine_topk(sf_dir: str) -> rd.Dataset:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    wanted = {0, 1, 2, 3, 4}
+    queries = {}
+    for r in t.to_pylist():
+        if r["vec_id"] in wanted:
+            queries[r["vec_id"]] = np.asarray(r["embedding"],
+                                              dtype=np.float64)
+    return knn_topk(read_embeddings(sf_dir), queries, k=10)
+
+
+QUERIES = {
+    "turn_counts": q_turn_counts,
+    "role_counts": q_role_counts,
+    "unigram_counts": q_unigram_counts,
+    "mention_counts": q_mention_counts,
+    "conv_text_digest": q_conv_text_digest,
+    "cooc_edges": q_cooc_edges,
+    "sense_inventory": q_sense_inventory,
+    "mentions_linked": q_mentions_linked,
+    "canon_map": q_canon_map,
+    "triples": q_triples,
+    "orders_by_status": q_orders_by_status,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "events_hourly": q_events_hourly,
+    "doc_token_counts": q_doc_token_counts,
+    "doc_quality": q_doc_quality,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_langid": q_doc_langid,
+    "doc_simhash": q_doc_simhash,
+    "doc_minhash_candidates": q_doc_minhash_candidates,
+    "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "knn_cosine_topk": q_knn_cosine_topk,
+}

@@ -85,6 +85,13 @@ TRIPLES = pa.schema([
 ])
 
 
+def conform(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Select schema columns in order and cast — pins Arrow types at sink
+    boundaries (pandas-produced blocks may carry ArrowDtype / object
+    columns that Ray's schema printer can't unify)."""
+    return table.select(schema.names).cast(schema)
+
+
 def assert_schema(table: pa.Table, expected: pa.Schema, stage: str) -> pa.Table:
     got = table.schema
     if [f.name for f in got] != [f.name for f in expected]:

@@ -47,26 +47,36 @@ def sorted_conv_groups(ds: rd.Dataset, cap: int = SALT_CAP) -> rd.Dataset:
         sort_group, batch_format="pandas")
 
 
-def conv_digest(ds: rd.Dataset, cap: int = SALT_CAP) -> rd.Dataset:
-    """(conv_id, digest) — salted two-level md5 chain (see module doc)."""
-    def partial(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx", kind="mergesort")
-        concat = "".join(hashlib.md5(t.encode()).hexdigest()
-                         for t in g["text"])
+def conv_digest(ds: rd.Dataset, cap: int = SALT_CAP,
+                num_buckets: int = 32) -> rd.Dataset:
+    """(conv_id, digest) — salted two-level md5 chain (see module doc).
+
+    One bucketed shuffle keyed hash(conv_id) (stages/groups.py), then a
+    vectorised per-bucket fold: md5 per turn, concat per (conv, salt) range
+    in turn order, concat partials in salt order, md5 the result.  The
+    two-level fold mirrors the salted design point: at 10^12-turn scale the
+    (conv_id, salt) partials become their own shuffle so a mega-conversation
+    never has to fit one task.
+    """
+    from .groups import bucketed_group_apply
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        df = df.assign(
+            h=[hashlib.md5(t.encode()).hexdigest() for t in df["text"]],
+            salt=(df["turn_idx"] // cap).astype("int32"))
+        part = (df.groupby(["conv_id", "salt"], sort=True)["h"]
+                  .agg("".join).reset_index())
+        fin = (part.sort_values(["conv_id", "salt"], kind="mergesort")
+                   .groupby("conv_id", sort=True)["h"].agg("".join)
+                   .reset_index())
         return pd.DataFrame({
-            "conv_id": [g["conv_id"].iloc[0]],
-            "salt": [g["salt"].iloc[0]],
-            "partial": [concat],
+            "conv_id": fin["conv_id"].astype("string[pyarrow]"),
+            "digest": pd.Series(
+                [hashlib.md5(s.encode()).hexdigest() for s in fin["h"]],
+                dtype="string[pyarrow]", index=fin.index),
         })
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("salt", kind="mergesort")
-        digest = hashlib.md5("".join(g["partial"]).encode()).hexdigest()
-        return pd.DataFrame({"conv_id": [g["conv_id"].iloc[0]],
-                             "digest": [digest]})
-
-    partials = with_salt(ds.select_columns(["conv_id", "turn_idx", "text"]),
-                         cap).groupby(["conv_id", "salt"]).map_groups(
-        partial, batch_format="pandas")
-    return partials.groupby("conv_id").map_groups(final,
-                                                  batch_format="pandas")
+    sel = ds.select_columns(["conv_id", "turn_idx", "text"])
+    return bucketed_group_apply(sel, ["conv_id"], fn,
+                                num_buckets=num_buckets)

@@ -1,0 +1,176 @@
+"""Deduplication operators for training-data pipelines (task spec):
+exact, MinHash+LSH near-dup, SimHash, n-gram Jaccard.  Each is expressed
+with the engine's primitives: vectorised ``map_batches`` for signatures,
+bucketed groupby shuffles for candidate generation, a verify stage for
+exactness.
+
+Scale notes (100 TB path):
+  * exact dedup — hash-partition on content hash; one shuffle of
+    (hash, doc_id) pairs only, never text (stages/groups.distinct).
+  * MinHash-LSH — shingle→minhash per batch (numpy), explode to
+    (band_id, band_hash) rows, groupby emits candidate pairs, pairwise
+    Jaccard verify only on candidates (ray_guide.md L165-169).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .groups import bucketed_group_apply
+from .tokenize import tokenize_column
+
+# deterministic universal-hash parameters for MinHash permutations
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def _shingles(tokens: list[str], k: int) -> set[int]:
+    if len(tokens) < k:
+        joined = " ".join(tokens)
+        return {int.from_bytes(hashlib.blake2b(
+            joined.encode(), digest_size=8).digest(), "big") >> 3} if tokens else set()
+    out = set()
+    for i in range(len(tokens) - k + 1):
+        s = " ".join(tokens[i:i + k])
+        out.add(int.from_bytes(hashlib.blake2b(
+            s.encode(), digest_size=8).digest(), "big") >> 3)
+    return out
+
+
+class MinHasher:
+    """Actor-pool stage: permutation params built once per actor."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3,
+                 num_bands: int = 16, seed: int = 42):
+        assert num_perm % num_bands == 0
+        self.a, self.b = _perm_params(num_perm, seed)
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.num_bands = num_bands
+        self.rows_per_band = num_perm // num_bands
+
+    def signature(self, tokens: list[str]) -> np.ndarray:
+        sh = _shingles(tokens, self.k)
+        if not sh:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
+        x = np.fromiter(sh, dtype=np.int64, count=len(sh))
+        # (num_perm, n_shingles) universal hashing, min per row
+        vals = (np.outer(self.a, x) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        """documents batch -> exploded (doc_id, band_id, band_hash) rows."""
+        toks = tokenize_column(t["text"]).to_pylist()
+        ids = t["doc_id"].to_pylist()
+        doc_col: list[int] = []
+        band_col: list[int] = []
+        hash_col: list[int] = []
+        for doc_id, ts in zip(ids, toks):
+            sig = self.signature(ts)
+            for band in range(self.num_bands):
+                chunk = sig[band * self.rows_per_band:
+                            (band + 1) * self.rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                doc_col.append(doc_id)
+                band_col.append(band)
+                hash_col.append(
+                    int.from_bytes(h, "big") & 0x7FFF_FFFF_FFFF_FFFF)
+        return pa.table({
+            "doc_id": pa.array(doc_col, type=pa.int64()),
+            "band_id": pa.array(band_col, type=pa.int32()),
+            "band_hash": pa.array(hash_col, type=pa.int64()),
+        })
+
+
+def minhash_candidates(docs: rd.Dataset, num_perm: int = 64,
+                       shingle_k: int = 3, num_bands: int = 16,
+                       num_buckets: int = 32) -> rd.Dataset:
+    """documents -> distinct candidate near-dup pairs (doc_a < doc_b)."""
+    bands = docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
+                                   num_bands=num_bands),
+        batch_format="pyarrow", batch_size=1024,
+        concurrency=(1, 4), num_cpus=1)
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=True):
+            ids = sorted(g["doc_id"].unique())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i]); out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
+
+    cands = bucketed_group_apply(bands, ["band_id", "band_hash"],
+                                 pairs_in_bucket, num_buckets=num_buckets)
+    from .groups import distinct
+    return distinct(cands, ["doc_a", "doc_b"], num_buckets=16)
+
+
+def jaccard_pairs(docs: rd.Dataset, threshold: float,
+                  shingle_k: int = 1) -> rd.Dataset:
+    """Exact n-gram Jaccard over all pairs via a broadcast of the (small)
+    shingle-set table; at scale, run it only on minhash_candidates.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold, rounded 6dp.
+    """
+    import ray
+
+    def shingle_set(ts: list[str]) -> list[str]:
+        if len(ts) < shingle_k:
+            return [" ".join(ts)] if ts else []
+        return sorted({" ".join(ts[i:i + shingle_k])
+                       for i in range(len(ts) - shingle_k + 1)})
+
+    def to_sets(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"]).to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "shingles": pa.array([shingle_set(ts) for ts in toks],
+                                 type=pa.list_(pa.string())),
+        })
+
+    sets = docs.map_batches(to_sets, batch_format="pyarrow").take_all()
+    table = {r["doc_id"]: frozenset(r["shingles"]) for r in sets}
+    ref = ray.put(table)
+
+    def score(t: pa.Table) -> pa.Table:
+        other = ray.get(ref)
+        a_col: list[int] = []
+        b_col: list[int] = []
+        j_col: list[float] = []
+        for r in t.to_pylist():
+            a = r["doc_id"]
+            sa = other[a]
+            for b, sb in other.items():
+                if b <= a or not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                if inter == 0:
+                    continue
+                j = inter / len(sa | sb)
+                if j >= threshold:
+                    a_col.append(a); b_col.append(b)
+                    j_col.append(round(j, 6))
+        return pa.table({
+            "doc_a": pa.array(a_col, type=pa.int64()),
+            "doc_b": pa.array(b_col, type=pa.int64()),
+            "jaccard": pa.array(j_col, type=pa.float64()),
+        })
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        score, batch_format="pyarrow")

@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (task spec): brute-force
+cosine top-k as the exact baseline, LSH-bucketed variant as the scale path.
+
+Brute force: the query matrix is broadcast once (``ray.put``); every batch
+does one float64 numpy matmul against it — vectorised, no shuffle, scales
+linearly with corpus blocks (ray_guide pattern: broadcast small side).
+
+float64 throughout so scores bit-match the DuckDB oracle
+(list_cosine_similarity computes in double); scores rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def read_embeddings(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+class BruteForceScorer:
+    """Per-batch matmul against the broadcast query matrix, keeping only
+    the per-batch top-k per query (the mergeable partial of global top-k),
+    so the shuffle moves O(k·queries·blocks) rows, not O(n·queries)."""
+
+    def __init__(self, queries_ref, k: int = 10, exclude_self: bool = True):
+        q = ray.get(queries_ref)              # {query_id: np.ndarray}
+        self.qids = sorted(q)
+        Q = np.stack([q[i] for i in self.qids])
+        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        X = _to_matrix(t["embedding"])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = Xn @ self.Qn.T                    # (batch, n_queries)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        qid_col: list[int] = []
+        vid_col: list[np.ndarray] = []
+        s_col: list[np.ndarray] = []
+        for qi, qid in enumerate(self.qids):
+            s = S[:, qi]
+            mask = np.ones(len(s), dtype=bool)
+            if self.exclude_self:
+                mask &= vids != qid
+            idx = np.nonzero(mask)[0]
+            if len(idx) > self.k:
+                # lexsort keeps the (-score, vec_id) tie-break exact at the
+                # k boundary, so partial+final top-k is deterministic
+                top = idx[np.lexsort((vids[idx], -s[idx]))[:self.k]]
+            else:
+                top = idx
+            qid_col.extend([qid] * len(top))
+            vid_col.append(vids[top])
+            s_col.append(s[top])  # full precision; rounded at final top-k
+        return pa.table({
+            "query_id": pa.array(qid_col, type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(vid_col) if vid_col else
+                               np.array([], dtype=np.int64), type=pa.int64()),
+            "score": pa.array(np.concatenate(s_col) if s_col else
+                              np.array([], dtype=np.float64),
+                              type=pa.float64()),
+        })
+
+
+def knn_topk(embeddings: rd.Dataset, query_vectors: dict[int, np.ndarray],
+             k: int = 10, exclude_self: bool = True) -> rd.Dataset:
+    """Exact cosine top-k per query. Deterministic tie-break:
+    (-score, vec_id)."""
+    ref = ray.put(query_vectors)
+    scored = embeddings.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k,
+                                   exclude_self=exclude_self),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 4), num_cpus=1)
+
+    import pandas as pd
+
+    def topk_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        out = df.groupby("query_id", sort=True).head(k).copy()
+        out["score"] = out["score"].round(6)
+        return out
+
+    from .groups import bucketed_group_apply
+    return bucketed_group_apply(scored, ["query_id"], topk_df,
+                                num_buckets=8)
+
+
+class LshBucketScorer:
+    """Scale path: random-hyperplane LSH prefilter, exact re-rank inside
+    matching buckets only.  Approximate: documents in non-matching buckets
+    are skipped (recall < 1) — use for corpus sizes where brute force is
+    infeasible; parameters (n_planes) trade recall for cost."""
+
+    def __init__(self, queries_ref, n_planes: int = 8, dim: int = 64,
+                 seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+        q = ray.get(queries_ref)
+        self.qids = sorted(q)
+        Q = np.stack([q[i] for i in self.qids])
+        self.Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        self.qsig = (self.Qn @ self.planes.T > 0).astype(np.uint8)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        X = _to_matrix(t["embedding"])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        xsig = (Xn @ self.planes.T > 0).astype(np.uint8)
+        qid_col = []
+        vid_col = []
+        s_col = []
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        for qi, qid in enumerate(self.qids):
+            match = (xsig == self.qsig[qi]).all(axis=1)
+            if not match.any():
+                continue
+            s = Xn[match] @ self.Qn[qi]
+            qid_col.extend([qid] * int(match.sum()))
+            vid_col.extend(vids[match].tolist())
+            s_col.extend(np.round(s, 6).tolist())
+        return pa.table({
+            "query_id": pa.array(qid_col, type=pa.int64()),
+            "vec_id": pa.array(vid_col, type=pa.int64()),
+            "score": pa.array(s_col, type=pa.float64()),
+        })

@@ -110,5 +110,8 @@ def dedup_triples(triples: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
                           kind="mergesort")
         return g.drop_duplicates(subset=["subj", "pred", "obj"],
                                  keep="first")
-    return bucketed_group_apply(triples, ["subj", "pred", "obj"], fn,
-                                num_buckets=num_buckets)
+    out = bucketed_group_apply(triples, ["subj", "pred", "obj"], fn,
+                               num_buckets=num_buckets)
+    from .. import schemas
+    return out.map_batches(lambda t: schemas.conform(t, schemas.TRIPLES),
+                           batch_format="pyarrow")
