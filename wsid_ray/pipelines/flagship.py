@@ -35,6 +35,8 @@ from ..stages.tokenize import tokenize_batch
 from ..stages.triples import dedup_triples, triples_from_mentions
 from ..stages.unionfind import canonicalize
 
+from ..runtime import pool_limits
+
 
 @dataclass
 class FlagshipArtifacts:
@@ -51,7 +53,7 @@ def detect_mentions(turns: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
         fn_constructor_kwargs=dict(window_size=cfg.window_size,
                                    gazetteer=cfg.gazetteer),
         batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, 8), num_cpus=1)
+        concurrency=pool_limits(), num_cpus=1)
 
 
 def induce_inventory(mentions: rd.Dataset, cfg: PipelineConfig) -> list[dict]:

@@ -33,6 +33,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from ..runtime import pool_limits
+
 PAIR_KIND = 2   # (term, w, v)
 UNI_KIND = 1    # (term, w, '')
 TOTAL_KIND = 0  # (term, '', '')
@@ -172,4 +174,4 @@ def cooc_edges(mentions: rd.Dataset, min_count: int, npmi_min: float) -> rd.Data
                                    unigrams_ref=unigrams_ref,
                                    min_count=min_count, npmi_min=npmi_min),
         batch_format="pyarrow", batch_size=65536,
-        concurrency=(1, 4), num_cpus=1)
+        concurrency=pool_limits(hi=4), num_cpus=1)

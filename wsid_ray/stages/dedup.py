@@ -24,6 +24,8 @@ import ray.data as rd
 from .groups import bucketed_group_apply
 from .tokenize import tokenize_column
 
+from ..runtime import pool_limits
+
 # deterministic universal-hash parameters for MinHash permutations
 _MERSENNE = (1 << 61) - 1
 
@@ -102,7 +104,7 @@ def minhash_candidates(docs: rd.Dataset, num_perm: int = 64,
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
                                    num_bands=num_bands),
         batch_format="pyarrow", batch_size=1024,
-        concurrency=(1, 4), num_cpus=1)
+        concurrency=pool_limits(hi=4), num_cpus=1)
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out_a: list[int] = []

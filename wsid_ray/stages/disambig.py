@@ -94,7 +94,10 @@ class SenseDisambiguator:
 
 
 def disambiguate(mentions_raw: rd.Dataset, inventory_ref,
-                 concurrency=(1, 8)) -> rd.Dataset:
+                 concurrency=None) -> rd.Dataset:
+    from ..runtime import pool_limits
+    if concurrency is None:
+        concurrency = pool_limits()
     return mentions_raw.map_batches(
         SenseDisambiguator,
         fn_constructor_kwargs=dict(inventory_ref=inventory_ref),

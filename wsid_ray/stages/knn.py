@@ -16,6 +16,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..runtime import pool_limits
+
 
 def _to_matrix(col) -> np.ndarray:
     return np.asarray(col.to_pylist(), dtype=np.float64)
@@ -82,7 +84,7 @@ def knn_topk(embeddings: rd.Dataset, query_vectors: dict[int, np.ndarray],
         fn_constructor_kwargs=dict(queries_ref=ref, k=k,
                                    exclude_self=exclude_self),
         batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, 4), num_cpus=1)
+        concurrency=pool_limits(hi=4), num_cpus=1)
 
     import pandas as pd
 
