@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark driver (SURVEY.md §6; BASELINE.md).
+
+Headline: the flagship KG-construction pipeline (read transcripts →
+tokenize → mentions → cooc/NPMI → Chinese Whispers → disambiguate →
+union-find → triples → dedup) over sf0.1-scale synthetic transcripts
+(~600k turns, FIXTURES.md F1), reported as wall seconds + triples/sec.
+Side queries time representative operators over the driver-provided
+tables in $GRAFT_SF_DIR.
+
+Prints ONE JSON line.  ``--scaling`` runs the headline twice in fresh
+processes at num_cpus=8 and num_cpus=32 on the same (pre-generated,
+page-warm) input and reports the N→4N scaling efficiency
+(BASELINE.json:14 two-cluster-size criterion, sandbox proxy).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    from wsid_ray.fixtures import transcript_files
+    # generate outside the timed region; one untimed read warms page cache
+    files = transcript_files(sf_dir)
+    for f in files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from wsid_ray.runtime import configure
+    configure()
+
+    from wsid_ray.oracle import precision_recall  # noqa: F401 (parity tooling)
+    from wsid_ray.pipelines.flagship import run_flagship
+
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    art = run_flagship(sf_dir)
+    n_triples = art.triples.count()
+    headline = time.time() - t0
+    queries["flagship_kg"] = round(headline, 3)
+
+    from wsid_ray.pipelines.queries import (q_conv_text_digest,
+                                            q_doc_minhash_candidates,
+                                            q_knn_cosine_topk,
+                                            q_pricing_summary,
+                                            q_unigram_counts)
+    side = {
+        "unigram_counts": q_unigram_counts,
+        "conv_text_digest": q_conv_text_digest,
+        "pricing_summary": q_pricing_summary,
+        "doc_minhash_candidates": q_doc_minhash_candidates,
+        "knn_cosine_topk": q_knn_cosine_topk,
+    }
+    for name, fn in side.items():
+        t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        queries[name] = round(time.time() - t0, 3)
+
+    n_turns = sum(1 for _ in ())  # filled from metadata below
+    import pyarrow.parquet as pq
+    n_turns = sum(pq.read_metadata(f).num_rows for f in files)
+
+    result = {
+        "metric": "flagship_kg_wall_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+        "num_cpus": num_cpus,
+        "n_turns": n_turns,
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / headline, 2),
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    # pre-generate transcripts so both children see warm, identical input
+    from wsid_ray.fixtures import transcript_files
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    transcript_files(sf_dir)
+
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = child(lo)
+    r_hi = child(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "triples_per_sec_8": r_lo["triples_per_sec"],
+        "triples_per_sec_32": r_hi["triples_per_sec"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

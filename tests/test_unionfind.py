@@ -28,13 +28,18 @@ def test_chain_converges_log_rounds():
     assert len(comps) == 13
 
 
-def test_canonicalize_excludes_kb_nodes():
+import pytest
+
+
+@pytest.mark.parametrize("threshold", [1_000_000, 0],
+                         ids=["driver-path", "distributed-path"])
+def test_canonicalize_excludes_kb_nodes(threshold):
     ekb = rd.from_arrow(pa.table({
         "entity_id": ["jaguars#0", "jaguar#1", "python#0"],
         "kb_id": ["kb:jag_animal", "kb:jag_animal", "kb:py_lang"],
     }))
     canon = {r["entity_id"]: r["canon_id"]
-             for r in canonicalize(ekb).take_all()}
+             for r in canonicalize(ekb, driver_threshold=threshold).take_all()}
     # alias + base share kb candidate -> merged; canon = min entity id
     assert canon["jaguars#0"] == "jaguar#1"
     assert canon["jaguar#1"] == "jaguar#1"

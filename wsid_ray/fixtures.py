@@ -80,15 +80,21 @@ SCALES: dict[str, dict] = {
     "tiny": {"n_convs": 8, "n_files": 1},
     "sf0.001": {"n_convs": 200, "n_files": 4},
     "sf0.01": {"n_convs": 2000, "n_files": 8},
-    "sf0.1": {"n_convs": 50_000, "n_files": 32},
+    # bench scale: ~4.8M turns / ~1 GB — large enough that a 32-CPU run is
+    # compute-bound rather than dispatch-bound (scaling-efficiency
+    # criterion); generated once, cached under DATA_ROOT.
+    "sf0.1": {"n_convs": 400_000, "n_files": 64},
 }
 
 DATA_ROOT = os.environ.get("WSID_RAY_DATA", "/tmp/wsid_ray_data")
-_GEN_VERSION = "v4"  # bump to invalidate caches when generation rules change
+_GEN_VERSION = "v6"  # bump to invalidate caches when generation rules change
 
 
 def _conv_rows(rng: random.Random, conv_i: int, skewed: bool):
-    """Generate one conversation's rows. Returns list of per-turn tuples."""
+    """Generate one conversation's rows. Returns list of per-turn tuples.
+
+    ``rng`` is a per-conversation stream seeded from (seed, conv_i) so
+    generation is deterministic AND file-parallel."""
     conv_id = f"conv{conv_i:06d}"
     n_turns = rng.randint(250, 350) if skewed else rng.randint(4, 14)
     base_ts = _T0 + timedelta(seconds=conv_i * 97)
@@ -103,6 +109,14 @@ def _conv_rows(rng: random.Random, conv_i: int, skewed: bool):
         if t % 7 == 3:
             role = "tool"
         tool = rng.choice(("search", "code", "browse")) if role == "tool" else ""
+        def filler_sentence() -> str:
+            # realistic turn length needs filler clauses; neutral vocab only
+            # so planted windows stay clean (filler is > W tokens away).
+            k = rng.randint(8, 14)
+            ws = rng.choices(NEUTRAL_VOCAB, k=k)
+            return f"{rng.choice(_CONNECTORS)} " + " ".join(ws)
+
+        parts: list[str] = []
         if rng.random() < 0.55:
             base = rng.choice(terms)
             kb_id = rng.choice(sorted(KB[base]))
@@ -113,8 +127,10 @@ def _conv_rows(rng: random.Random, conv_i: int, skewed: bool):
             vocab = SENSE_VOCAB[kb_id]
             w = [rng.choice(vocab) for _ in range(6)]
             c = [rng.choice(_CONNECTORS) for _ in range(3)]
-            text = (f"{c[0]} {w[0]} {w[1]} {c[1]} {w[2]} {surface} "
-                    f"{w[3]} {c[2]} {w[4]} {w[5]}")
+            if rng.random() < 0.5:
+                parts.append(filler_sentence() + " .")
+            parts.append(f"{c[0]} {w[0]} {w[1]} {c[1]} {w[2]} {surface} "
+                         f"{w[3]} {c[2]} {w[4]} {w[5]} .")
             gt.append((conv_id, t, surface, kb_id))
             if rng.random() < 0.18:
                 # second mention in the same turn -> co_mentioned_with pairs
@@ -122,14 +138,50 @@ def _conv_rows(rng: random.Random, conv_i: int, skewed: bool):
                 kb2 = rng.choice(sorted(KB[base2]))
                 v2 = SENSE_VOCAB[kb2]
                 w2 = [rng.choice(v2) for _ in range(4)]
-                text += (f" ; {w2[0]} {w2[1]} {base2} {w2[2]} {w2[3]}")
+                parts.append(f"{w2[0]} {w2[1]} {base2} {w2[2]} {w2[3]} .")
                 gt.append((conv_id, t, base2, kb2))
+            if rng.random() < 0.5:
+                parts.append(filler_sentence())
         else:
-            w = [rng.choice(NEUTRAL_VOCAB) for _ in range(5)]
-            text = f"{_CONNECTORS[t % 5]} {w[0]} {w[1]} {w[2]} {w[3]} {w[4]}"
+            parts.append(filler_sentence() + " .")
+            parts.append(filler_sentence())
+        text = " ".join(parts)
         ts = base_ts + timedelta(seconds=30 * t)
         rows.append((conv_id, t, role, text, tool, ts))
     return rows, gt
+
+
+def _gen_file(args) -> str:
+    """Generate one transcript part file (+ its gt part). Process-parallel
+    safe: every conversation gets its own seeded RNG stream."""
+    tmp, f_i, conv_lo, conv_hi, seed, skew_every = args
+    rows: list[tuple] = []
+    gt_all: list[tuple] = []
+    for conv_i in range(conv_lo, conv_hi):
+        rng = random.Random((seed << 24) ^ conv_i)
+        skewed = (conv_i % skew_every == skew_every - 1)
+        r, g = _conv_rows(rng, conv_i, skewed)
+        rows.extend(r)
+        gt_all.extend(g)
+    cols = list(zip(*rows))
+    table = pa.table({
+        "conv_id": pa.array(cols[0], type=pa.string()),
+        "turn_idx": pa.array(cols[1], type=pa.int32()),
+        "role": pa.array(cols[2], type=pa.string()),
+        "text": pa.array(cols[3], type=pa.string()),
+        "tool": pa.array(cols[4], type=pa.string()),
+        "ts": pa.array(cols[5], type=pa.timestamp("us")),
+    })
+    pq.write_table(table, os.path.join(tmp, "transcripts",
+                                       f"part-{f_i:04d}.parquet"))
+    gcols = list(zip(*gt_all)) if gt_all else [[], [], [], []]
+    pq.write_table(pa.table({
+        "conv_id": pa.array(gcols[0], type=pa.string()),
+        "turn_idx": pa.array(gcols[1], type=pa.int32()),
+        "term": pa.array(gcols[2], type=pa.string()),
+        "kb_id": pa.array(gcols[3], type=pa.string()),
+    }), os.path.join(tmp, f"gt-part-{f_i:04d}.parquet"))
+    return f_i
 
 
 def generate(scale: str, out_dir: str | None = None, seed: int = 42) -> str:
@@ -144,7 +196,6 @@ def generate(scale: str, out_dir: str | None = None, seed: int = 42) -> str:
     if os.path.exists(done_marker):
         return out_dir
 
-    rng = random.Random(seed)
     n_convs, n_files = spec["n_convs"], spec["n_files"]
     skew_every = 100  # ~1% of convs are long (skew knob)
 
@@ -153,38 +204,28 @@ def generate(scale: str, out_dir: str | None = None, seed: int = 42) -> str:
                            dir=os.path.dirname(out_dir) or "/tmp")
     try:
         os.makedirs(os.path.join(tmp, "transcripts"), exist_ok=True)
-        gt_all: list[tuple] = []
         convs_per_file = max(1, (n_convs + n_files - 1) // n_files)
-        conv_i = 0
+        jobs = []
         for f_i in range(n_files):
-            rows: list[tuple] = []
-            upper = min(n_convs, conv_i + convs_per_file)
-            while conv_i < upper:
-                skewed = (conv_i % skew_every == skew_every - 1)
-                r, g = _conv_rows(rng, conv_i, skewed)
-                rows.extend(r)
-                gt_all.extend(g)
-                conv_i += 1
-            if not rows:
+            lo = f_i * convs_per_file
+            hi = min(n_convs, lo + convs_per_file)
+            if lo >= hi:
                 break
-            cols = list(zip(*rows))
-            table = pa.table({
-                "conv_id": pa.array(cols[0], type=pa.string()),
-                "turn_idx": pa.array(cols[1], type=pa.int32()),
-                "role": pa.array(cols[2], type=pa.string()),
-                "text": pa.array(cols[3], type=pa.string()),
-                "tool": pa.array(cols[4], type=pa.string()),
-                "ts": pa.array(cols[5], type=pa.timestamp("us")),
-            })
-            pq.write_table(table, os.path.join(tmp, "transcripts",
-                                               f"part-{f_i:04d}.parquet"))
-        gcols = list(zip(*gt_all)) if gt_all else [[], [], [], []]
-        pq.write_table(pa.table({
-            "conv_id": pa.array(gcols[0], type=pa.string()),
-            "turn_idx": pa.array(gcols[1], type=pa.int32()),
-            "term": pa.array(gcols[2], type=pa.string()),
-            "kb_id": pa.array(gcols[3], type=pa.string()),
-        }), os.path.join(tmp, "gt_mentions.parquet"))
+            jobs.append((tmp, f_i, lo, hi, seed, skew_every))
+        if len(jobs) > 2:
+            from concurrent.futures import ProcessPoolExecutor
+            with ProcessPoolExecutor(max_workers=min(16, len(jobs))) as ex:
+                list(ex.map(_gen_file, jobs))
+        else:
+            for j in jobs:
+                _gen_file(j)
+        gt_parts = sorted(f for f in os.listdir(tmp)
+                          if f.startswith("gt-part-"))
+        gt = pa.concat_tables([pq.read_table(os.path.join(tmp, f))
+                               for f in gt_parts])
+        pq.write_table(gt, os.path.join(tmp, "gt_mentions.parquet"))
+        for f in gt_parts:
+            os.remove(os.path.join(tmp, f))
         with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write(f"scale={scale} seed={seed} convs={n_convs}\n")
         os.makedirs(os.path.dirname(out_dir), exist_ok=True)

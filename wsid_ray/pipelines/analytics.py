@@ -22,6 +22,20 @@ def _cents(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100 + 0.5).astype(np.int64)
 
 
+def bucketed_sum(partials: rd.Dataset, key_cols: list[str],
+                 sum_cols: list[str], num_buckets: int = 32) -> rd.Dataset:
+    """Final combine of per-batch partials — bucketed int-key shuffle
+    (stages/groups.py; much faster than Dataset.groupby on string keys)."""
+    from ..stages.groups import bucketed_group_apply
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key_cols, sort=False,
+                          as_index=False)[sum_cols].sum()
+
+    return bucketed_group_apply(partials, key_cols, combine,
+                                num_buckets=num_buckets)
+
+
 def partial_count(ds: rd.Dataset, key_cols: list[str],
                   out_name: str = "n") -> rd.Dataset:
     """count(*) grouped by key_cols, pre-aggregated per batch so the
@@ -33,8 +47,7 @@ def partial_count(ds: rd.Dataset, key_cols: list[str],
         return out
     partials = ds.select_columns(key_cols).map_batches(
         partial, batch_format="pandas")
-    return partials.groupby(key_cols).aggregate(
-        Sum(out_name, alias_name=out_name))
+    return bucketed_sum(partials, key_cols, [out_name])
 
 
 def turn_counts(transcripts: rd.Dataset) -> rd.Dataset:
@@ -47,9 +60,17 @@ def turn_counts(transcripts: rd.Dataset) -> rd.Dataset:
         return g
     partials = transcripts.select_columns(["conv_id", "turn_idx"]).map_batches(
         partial, batch_format="pandas")
-    return partials.groupby("conv_id").aggregate(
-        Sum("n_turns", alias_name="n_turns"),
-        Max("max_turn_idx", alias_name="max_turn_idx"))
+
+    from ..stages.groups import bucketed_group_apply
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", sort=False, as_index=False).agg(
+            n_turns=("n_turns", "sum"), max_turn_idx=("max_turn_idx", "max"))
+        g["max_turn_idx"] = g["max_turn_idx"].astype("int32")
+        return g
+
+    return bucketed_group_apply(partials, ["conv_id"], combine,
+                                num_buckets=32)
 
 
 def orders_by_status(sf_dir: str) -> rd.Dataset:
@@ -82,11 +103,9 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_cents", alias_name="sum_base_cents"),
-        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
-        Sum("n", alias_name="n"))
+    return bucketed_sum(partials, ["l_returnflag", "l_linestatus"],
+                        ["sum_qty", "sum_base_cents", "sum_disc_cents", "n"],
+                        num_buckets=4)
 
 
 def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -100,9 +119,9 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
         g = df.groupby("o_custkey", sort=True)["rev_cents"].sum().reset_index()
         return g.rename(columns={"rev_cents": "revenue_cents"})
 
-    per_cust = orders.map_batches(partial, batch_format="pandas") \
-        .groupby("o_custkey").aggregate(
-            Sum("revenue_cents", alias_name="revenue_cents"))
+    per_cust = bucketed_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"], ["revenue_cents"], num_buckets=16)
     top = per_cust.sort(["revenue_cents", "o_custkey"],
                         descending=[True, False]).limit(k).to_pandas()
 
@@ -132,6 +151,5 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
         return g
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(["event_type", "hour"]).aggregate(
-        Sum("n", alias_name="n"),
-        Sum("sum_value_cents", alias_name="sum_value_cents"))
+    return bucketed_sum(partials, ["event_type", "hour"],
+                        ["n", "sum_value_cents"], num_buckets=16)

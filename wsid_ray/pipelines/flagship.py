@@ -48,19 +48,73 @@ class FlagshipArtifacts:
 
 
 def detect_mentions(turns: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
+    # stateless tasks (elastic, uses every CPU) — see MentionDetector doc
+    from ..stages.mentions import detect_batch
     return turns.map_batches(
-        MentionDetector,
-        fn_constructor_kwargs=dict(window_size=cfg.window_size,
-                                   gazetteer=cfg.gazetteer),
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=pool_limits(), num_cpus=1)
+        detect_batch,
+        fn_kwargs=dict(window_size=cfg.window_size,
+                       gazetteer=cfg.gazetteer),
+        batch_format="pyarrow", batch_size=4096)
 
 
 def induce_inventory(mentions: rd.Dataset, cfg: PipelineConfig) -> list[dict]:
-    """mentions -> sense inventory rows (small, driver-collected for
-    broadcast into the disambiguation actor pool)."""
+    """mentions -> sense inventory rows via the fully distributed path
+    (NPMI map + per-term groupby Chinese Whispers)."""
+    from ..util import collect_rows
     edges = cooc_edges(mentions, cfg.cooc_min_count, cfg.npmi_min)
-    return induce_senses(edges).take_all()
+    return collect_rows(induce_senses(edges))
+
+
+# Above this many aggregated (term,w,v) rows the model no longer belongs
+# on the driver and the distributed NPMI+induce path takes over.
+DRIVER_FIT_THRESHOLD = 2_000_000
+
+
+def fit_inventory(mentions: rd.Dataset, cfg: PipelineConfig) -> list[dict]:
+    """mentions -> sense inventory rows, size-aware.
+
+    The corpus-scale work — window extraction and hyperedge counting —
+    is always distributed (partial-per-batch + one shuffle in
+    aggregate_counts).  The AGGREGATED counts are vocab-bounded
+    (|gazetteer|·|window vocab|²), i.e. a model, not data; below
+    DRIVER_FIT_THRESHOLD rows the NPMI weighting + Chinese-Whispers fit
+    runs on the driver through the exact same published formulas the
+    sequential oracle uses (wsid_ray.oracle.npmi_edges/induce — shared
+    semantics, one source of truth), avoiding two extra distributed
+    executions whose fixed cost dwarfs their work.  Above the threshold
+    the distributed induce_inventory() path runs instead.  Both paths are
+    verified equivalent by tests/test_flagship.py::test_fit_paths_agree.
+    """
+    from collections import Counter
+
+    from ..oracle import induce as oracle_induce
+    from ..oracle import npmi_edges as oracle_npmi
+    from ..stages.cooc import aggregate_counts
+
+    from ..util import collect_rows
+    rows = collect_rows(aggregate_counts(mentions))
+    if len(rows) > DRIVER_FIT_THRESHOLD:
+        return induce_inventory(mentions, cfg)
+    totals: Counter = Counter()
+    unis: Counter = Counter()
+    pairs: Counter = Counter()
+    for r in rows:
+        if r["v"] != "":
+            pairs[(r["term"], r["w"], r["v"])] = r["n"]
+        elif r["w"] != "":
+            unis[(r["term"], r["w"])] = r["n"]
+        else:
+            totals[r["term"]] = r["n"]
+    edges = oracle_npmi(totals, unis, pairs, cfg)
+    inventory = oracle_induce(edges, cfg)
+    out = []
+    for term in sorted(inventory):
+        for sense_id in sorted(inventory[term]):
+            for token, weight in sorted(inventory[term][sense_id].items(),
+                                        key=lambda kv: (-kv[1], kv[0])):
+                out.append({"term": term, "sense_id": sense_id,
+                            "token": token, "weight": weight})
+    return out
 
 
 def entity_kb_edges(linked: rd.Dataset) -> rd.Dataset:
@@ -85,12 +139,13 @@ def run_flagship(sf_dir_or_scale: str,
     # reused by (a) cooc counting and (b) disambiguation → pin once.
     mentions = mentions.materialize()
 
-    inventory_rows = induce_inventory(mentions, cfg)
+    inventory_rows = fit_inventory(mentions, cfg)
     inv_ref = ray.put(inventory_from_rows(inventory_rows))
 
     linked = disambiguate(mentions, inv_ref).materialize()
 
-    canon_rows = canonicalize(entity_kb_edges(linked)).take_all()
+    from ..util import collect_rows
+    canon_rows = collect_rows(canonicalize(entity_kb_edges(linked)))
     canon = {r["entity_id"]: r["canon_id"] for r in canon_rows}
 
     raw = triples_from_mentions(linked, canon)

@@ -58,7 +58,8 @@ def _token_count(ds: rd.Dataset, gazetteer_only: bool,
         return counted.rename_columns([out_key, "n"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(out_key).aggregate(Sum("n", alias_name="n"))
+    return analytics.bucketed_sum(partials, [out_key], ["n"],
+                                  num_buckets=16)
 
 
 def q_unigram_counts(sf_dir: str) -> rd.Dataset:

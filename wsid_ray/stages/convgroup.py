@@ -60,11 +60,20 @@ def conv_digest(ds: rd.Dataset, cap: int = SALT_CAP,
     """
     from .groups import bucketed_group_apply
 
+    def hash_turns(t: pa.Table) -> pa.Table:
+        """Per-turn md5 BEFORE the shuffle — the shuffle then moves
+        32-byte digests instead of full text (partial-fold pattern)."""
+        hs = [hashlib.md5(s.encode()).hexdigest()
+              for s in t["text"].to_pylist()]
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "h": pa.array(hs, type=pa.string()),
+        })
+
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        df = df.assign(
-            h=[hashlib.md5(t.encode()).hexdigest() for t in df["text"]],
-            salt=(df["turn_idx"] // cap).astype("int32"))
+        df = df.assign(salt=(df["turn_idx"] // cap).astype("int32"))
         part = (df.groupby(["conv_id", "salt"], sort=True)["h"]
                   .agg("".join).reset_index())
         fin = (part.sort_values(["conv_id", "salt"], kind="mergesort")
@@ -77,6 +86,7 @@ def conv_digest(ds: rd.Dataset, cap: int = SALT_CAP,
                 dtype="string[pyarrow]", index=fin.index),
         })
 
-    sel = ds.select_columns(["conv_id", "turn_idx", "text"])
-    return bucketed_group_apply(sel, ["conv_id"], fn,
+    hashed = ds.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+        hash_turns, batch_format="pyarrow")
+    return bucketed_group_apply(hashed, ["conv_id"], fn,
                                 num_buckets=num_buckets)

@@ -61,6 +61,9 @@ class SenseDisambiguator:
         inv = ray.get(inventory_ref)
         self.inventory = inv
         self.link = build_link_map(inv)
+        # pre-sorted (sense_id, vec) lists: no per-mention sort in the loop
+        self.sorted_senses = {term: sorted(senses.items())
+                              for term, senses in inv.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -71,14 +74,14 @@ class SenseDisambiguator:
         kb_ids: list[str] = []
         entity_ids: list[str] = []
         for i, (term, win) in enumerate(zip(terms, wins)):
-            senses = self.inventory.get(term)
+            senses = self.sorted_senses.get(term)
             best_sid, best_score = -1, MIN_LINK_SCORE
             if senses:
-                for sid in sorted(senses):
-                    vec = senses[sid]
+                for sid, vec in senses:
+                    get = vec.get
                     s = 0.0
                     for tok in win:
-                        s += vec.get(tok, 0.0)
+                        s += get(tok, 0.0)
                     if s > best_score:
                         best_sid, best_score = sid, s
             sense_ids[i] = best_sid
@@ -97,9 +100,10 @@ def disambiguate(mentions_raw: rd.Dataset, inventory_ref,
                  concurrency=None) -> rd.Dataset:
     from ..runtime import pool_limits
     if concurrency is None:
-        concurrency = pool_limits()
+        # the heavy mention-scale stage: give it up to half the CPUs
+        concurrency = pool_limits(frac=0.5, hi=16)
     return mentions_raw.map_batches(
         SenseDisambiguator,
         fn_constructor_kwargs=dict(inventory_ref=inventory_ref),
-        batch_format="pyarrow", batch_size=16384,
+        batch_format="pyarrow", batch_size=32768,
         concurrency=concurrency, num_cpus=1)

@@ -41,6 +41,20 @@ def induce_group(g: pd.DataFrame, top_k: int = SENSE_TOP_K) -> pd.DataFrame:
 
 
 def induce_senses(edges: rd.Dataset) -> rd.Dataset:
-    """cooc_edges -> sense_inventory (term, sense_id, token, weight)."""
-    return edges.groupby("term").map_groups(induce_group,
-                                            batch_format="pandas")
+    """cooc_edges -> sense_inventory (term, sense_id, token, weight).
+
+    Bucketed shuffle keyed hash(term): all edges of a term land in one
+    bucket; the per-bucket fn loops over its terms (cheap — each term
+    graph is vocab-bounded)."""
+    import pandas as pd
+
+    from .groups import bucketed_group_apply
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [induce_group(g) for _, g in df.groupby("term", sort=True)]
+        if not outs:
+            return pd.DataFrame(columns=["term", "sense_id", "token",
+                                         "weight"])
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_apply(edges, ["term"], per_bucket, num_buckets=16)

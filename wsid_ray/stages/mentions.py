@@ -25,13 +25,16 @@ from ..util import list_row_indices
 
 
 class MentionDetector:
-    """Actor-pool callable: turns_norm batch -> mentions_raw batch.
+    """Callable: turns_norm batch -> mentions_raw batch.
 
-    State (built once per actor): the gazetteer as an Arrow value set for
-    the vectorised ``is_in`` membership probe.  With a multi-word gazetteer
-    this would be an Aho-Corasick automaton over `text`; with the
-    single-token surface forms of the KB, token equality over the already
-    tokenised turns is exact and fully vectorised.
+    The lookup state (gazetteer as an Arrow value set for the vectorised
+    ``is_in`` probe; an Aho-Corasick automaton in the multi-word case) is
+    tiny, so the stage runs as STATELESS TASKS with a per-process memo
+    (``detect_batch`` below) rather than an actor pool: elastic tasks let
+    the transcript-scale tokenize+detect stage use every CPU instead of
+    being capped at the pool size — measurably better scaling at 32 CPUs.
+    Actor pools are reserved for heavy state (sense inventories, A2/A3 —
+    exactly as BASELINE.json:6 prescribes).
     """
 
     def __init__(self, window_size: int = WINDOW_SIZE,
@@ -54,15 +57,33 @@ class MentionDetector:
         rows = row_of[hit_idx]                # turn row per mention
         pos = (hit_idx - offsets[rows]).astype(np.int32)  # token pos in turn
 
-        flat_py = flat.to_pylist()
-        toks_start = offsets[rows]
-        toks_end = offsets[rows + 1]
+        # windows, fully vectorised (no per-token Python objects): for each
+        # mention the window is flat[lo:fi] ++ flat[fi+1:hi]; build the
+        # ragged index ranges with the repeat+cumsum trick and gather with
+        # one pc.take.
         W = self.window
-        win_tokens: list[list[str]] = []
-        for fi, s, e in zip(hit_idx, toks_start, toks_end):
-            lo = max(s, fi - W)
-            hi = min(e, fi + W + 1)
-            win_tokens.append(flat_py[lo:fi] + flat_py[fi + 1:hi])
+        lo = np.maximum(offsets[rows], hit_idx - W)
+        hi = np.minimum(offsets[rows + 1], hit_idx + W + 1)
+        starts = np.empty(2 * len(hit_idx), dtype=np.int64)
+        lens = np.empty(2 * len(hit_idx), dtype=np.int64)
+        starts[0::2] = lo
+        lens[0::2] = hit_idx - lo
+        starts[1::2] = hit_idx + 1
+        lens[1::2] = hi - hit_idx - 1
+        total = int(lens.sum())
+        if total:
+            cat = np.repeat(starts, lens)
+            resets = np.repeat(np.cumsum(lens) - lens, lens)
+            idx_all = cat + (np.arange(total) - resets)
+            win_values = pc.take(flat, pa.array(idx_all, type=pa.int64()))
+        else:
+            win_values = pa.array([], type=pa.string())
+        win_lens = lens[0::2] + lens[1::2]
+        win_offsets = np.concatenate(([0], np.cumsum(win_lens)))
+        win_tokens = pa.ListArray.from_arrays(
+            pa.array(win_offsets, type=pa.int32()),
+            win_values.combine_chunks() if isinstance(
+                win_values, pa.ChunkedArray) else win_values)
 
         take = pa.array(rows, type=pa.int64())
         out = pa.table({
@@ -74,9 +95,22 @@ class MentionDetector:
             "term": pc.take(flat, pa.array(hit_idx, type=pa.int64())),
             "span_start": pa.array(pos, type=pa.int32()),
             "span_end": pa.array(pos + 1, type=pa.int32()),
-            "win_tokens": pa.array(win_tokens, type=pa.list_(pa.string())),
+            "win_tokens": win_tokens,
         })
         return out
+
+
+_DETECTOR_MEMO: dict[tuple, MentionDetector] = {}
+
+
+def detect_batch(batch: pa.Table, window_size: int = WINDOW_SIZE,
+                 gazetteer: tuple[str, ...] = GAZETTEER) -> pa.Table:
+    """Stateless-task wrapper with a per-worker-process detector memo."""
+    key = (window_size, gazetteer)
+    det = _DETECTOR_MEMO.get(key)
+    if det is None:
+        det = _DETECTOR_MEMO[key] = MentionDetector(window_size, gazetteer)
+    return det(batch)
 
 
 def _empty_mentions() -> pa.Table:

@@ -91,7 +91,7 @@ def _typed(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def triples_from_mentions(mentions: rd.Dataset, canon: dict[str, str],
-                          num_buckets: int = 64) -> rd.Dataset:
+                          num_buckets: int = 32) -> rd.Dataset:
     """Linked mentions -> raw (pre-dedup) triples."""
     cols = mentions.select_columns(_MENTION_COLS)
     unary = cols.map_batches(lambda df: unary_triples_batch(df, canon),
@@ -103,14 +103,21 @@ def triples_from_mentions(mentions: rd.Dataset, canon: dict[str, str],
     return unary.union(pairs)
 
 
-def dedup_triples(triples: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
-    """Exact dedup on (subj,pred,obj); first provenance by (conv, turn)."""
+def dedup_triples(triples: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """Exact dedup on (subj,pred,obj); first provenance by (conv, turn).
+
+    Partial-before-shuffle: each batch drops its local duplicates first
+    (keeping its first provenance), so the shuffle moves at most
+    |distinct| rows per block instead of the raw triple stream — the
+    combiner pattern applied to dedup."""
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["subj", "pred", "obj", "conv_id", "turn_idx"],
                           kind="mergesort")
         return g.drop_duplicates(subset=["subj", "pred", "obj"],
                                  keep="first")
-    out = bucketed_group_apply(triples, ["subj", "pred", "obj"], fn,
+    partial = triples.map_batches(fn, batch_format="pandas",
+                                  batch_size=None)
+    out = bucketed_group_apply(partial, ["subj", "pred", "obj"], fn,
                                num_buckets=num_buckets)
     from .. import schemas
     return out.map_batches(lambda t: schemas.conform(t, schemas.TRIPLES),

@@ -88,14 +88,65 @@ def connected_components(edges: rd.Dataset) -> rd.Dataset:
         }), batch_format="pyarrow")
 
 
-def canonicalize(entity_kb_edges: rd.Dataset) -> rd.Dataset:
+def driver_union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Path-compressed union-find on the driver — the small-graph fast
+    path.  {node: component_min_node}."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in list(parent)}
+
+
+# Above this many edges the merge graph no longer belongs on the driver
+# and the groupby-aggregate rounds take over.
+DRIVER_EDGE_THRESHOLD = 1_000_000
+
+
+def canonicalize(entity_kb_edges: rd.Dataset,
+                 driver_threshold: int = DRIVER_EDGE_THRESHOLD) -> rd.Dataset:
     """(entity_id, kb_id) edges -> canon_map (entity_id, canon_id).
 
     canon_id = lexicographically smallest *entity* node of the component
     (kb: nodes link components but are not canonical ids themselves).
+
+    Size-aware plan: the distinct same-entity edge set is |entities|-
+    bounded, orders of magnitude smaller than the corpus.  Below
+    ``driver_threshold`` edges the O(α) sequential union-find on the
+    driver wins outright (the distributed rounds pay ≥2 shuffles each);
+    above it, the hash-to-min groupby-aggregate rounds
+    (``connected_components``) run — same result, proven by
+    tests/test_unionfind.py on both paths.
     """
+    from ..util import collect_rows
+    edges = entity_kb_edges.materialize()
+    if edges.count() <= driver_threshold:
+        pairs = [(r["entity_id"], r["kb_id"]) for r in collect_rows(edges)]
+        comp_of = driver_union_find(pairs)
+        comps: dict[str, list[str]] = {}
+        for node, comp in comp_of.items():
+            comps.setdefault(comp, []).append(node)
+        ent_col, canon_col = [], []
+        for members in comps.values():
+            entities = sorted(n for n in members if not n.startswith("kb:"))
+            for e in entities:
+                ent_col.append(e)
+                canon_col.append(entities[0])
+        return rd.from_arrow(pa.table({
+            "entity_id": pa.array(ent_col, type=pa.string()),
+            "canon_id": pa.array(canon_col, type=pa.string()),
+        }))
+
     comps = connected_components(
-        entity_kb_edges.map_batches(
+        edges.map_batches(
             lambda t: pa.table({"u": t["entity_id"], "v": t["kb_id"]}),
             batch_format="pyarrow"))
 

@@ -14,6 +14,29 @@ import numpy as np
 import pyarrow as pa
 
 
+def collect_table(ds) -> pa.Table:
+    """Materialise a (small) Dataset to one Arrow table on the driver.
+
+    ``Dataset.take_all()`` iterates rows through the block accessor, which
+    for pandas-backed blocks costs one ``.iloc`` per row (measured: 113 s
+    for 90k rows).  Fetching the blocks as Arrow and concatenating is
+    milliseconds.  Use ONLY for vocab-bounded / aggregated results.
+    """
+    import ray
+    refs = ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    if not tables:
+        return None
+    names = tables[0].schema.names
+    return pa.concat_tables([t.select(names) for t in tables],
+                            promote_options="permissive")
+
+
+def collect_rows(ds) -> list[dict]:
+    t = collect_table(ds)
+    return t.to_pylist() if t is not None else []
+
+
 def stable_hash64(value: str | bytes) -> int:
     """Deterministic unsigned 63-bit hash (fits in Arrow int64)."""
     if isinstance(value, str):
