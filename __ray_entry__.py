@@ -107,6 +107,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY r.revenue_cents DESC, c.c_custkey
             LIMIT 10
         """,
+        "segment_revenue": """
+            SELECT c.c_mktsegment,
+                   sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT))
+                       AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
+        """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n,

@@ -1,0 +1,68 @@
+"""Dedup (minhash LSH, jaccard) and similarity search (brute force + LSH)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from wsid_ray.stages.dedup import MinHasher, jaccard_pairs, minhash_candidates
+from wsid_ray.stages.knn import knn_topk, read_embeddings
+
+
+def docs_table(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    }))
+
+
+BASE = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda omicron sigma tau upsilon")
+
+
+def test_minhash_finds_near_dup():
+    near = BASE.replace("kappa", "kappa2")
+    far = "one two three four five six seven eight nine ten eleven twelve"
+    ds = docs_table([BASE, near, far])
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_candidates(ds).take_all()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_minhash_signature_deterministic():
+    mh = MinHasher()
+    s1 = mh.signature(BASE.split())
+    s2 = MinHasher().signature(BASE.split())
+    assert (s1 == s2).all()
+
+
+def test_jaccard_exact():
+    ds = docs_table(["aaa bbb ccc ddd", "aaa bbb ccc eee", "zzz yyy xxx www"])
+    out = jaccard_pairs(ds, threshold=0.5, shingle_k=1).take_all()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert set(got) == {(0, 1)}
+    assert abs(got[(0, 1)] - round(3 / 5, 6)) < 1e-9
+
+
+def test_knn_topk_exact(tmp_path):
+    rng = np.random.RandomState(3)
+    X = rng.standard_normal((50, 8)).astype(np.float32)
+    X[7] = X[0] * 2.0  # exactly colinear with vec 0 -> top neighbor
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(50), type=pa.int64()),
+        "embedding": pa.array([list(map(float, row)) for row in X],
+                              type=pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    emb = read_embeddings(str(tmp_path))
+    out = knn_topk(emb, {0: X[0].astype(np.float64)}, k=5).to_pandas()
+    assert len(out) == 5
+    assert out.iloc[0]["vec_id"] == 7
+    assert abs(out.iloc[0]["score"] - 1.0) < 1e-6
+    # exact brute force against numpy
+    Xn = X.astype(np.float64)
+    Xn = Xn / np.linalg.norm(Xn, axis=1, keepdims=True)
+    scores = Xn @ Xn[0]
+    scores[0] = -np.inf
+    top = np.argsort(-scores)[:5]
+    assert set(out["vec_id"]) == set(top.tolist())

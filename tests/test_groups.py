@@ -1,0 +1,62 @@
+"""Bucketed shuffle engines (stages/groups.py): both impls agree and
+preserve per-key colocation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from wsid_ray.stages.groups import bucketed_group_apply, distinct
+
+
+def make_ds(n=5000, keys=200, blocks=8):
+    rng = np.random.RandomState(7)
+    t = pa.table({
+        "k": [f"key{i:03d}" for i in rng.randint(0, keys, n)],
+        "v": rng.randint(0, 100, n).astype(np.int64),
+    })
+    return rd.from_arrow(t).repartition(blocks), t
+
+
+def expected_sum(t):
+    df = t.to_pandas()
+    return df.groupby("k", as_index=False)["v"].sum().sort_values("k") \
+             .reset_index(drop=True)
+
+
+@pytest.mark.parametrize("impl", ["tasks", "sort"])
+def test_bucketed_sum_matches_pandas(impl):
+    ds, t = make_ds()
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("k", sort=False, as_index=False)["v"].sum()
+
+    out = bucketed_group_apply(ds, ["k"], comb, num_buckets=16,
+                               impl=impl).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, expected_sum(t), check_dtype=False)
+
+
+@pytest.mark.parametrize("impl", ["tasks", "sort"])
+def test_empty_buckets_ok(impl):
+    # fewer keys than buckets -> some buckets are empty
+    ds = rd.from_arrow(pa.table({"k": ["a", "a", "b"], "v": [1, 2, 3]}))
+
+    def comb(df):
+        return df.groupby("k", sort=False, as_index=False)["v"].sum()
+
+    out = bucketed_group_apply(ds, ["k"], comb, num_buckets=16,
+                               impl=impl).to_pandas()
+    assert sorted(map(tuple, out.itertuples(index=False))) == [
+        ("a", 3), ("b", 3)]
+
+
+def test_distinct():
+    ds = rd.from_arrow(pa.table({
+        "a": ["x", "x", "y", "y", "x"],
+        "b": [1, 1, 2, 2, 9],
+    }))
+    out = distinct(ds, ["a", "b"], num_buckets=4).to_pandas()
+    assert sorted(map(tuple, out.itertuples(index=False))) == [
+        ("x", 1), ("x", 9), ("y", 2)]

@@ -1,0 +1,62 @@
+"""Text-analysis operators (langid, quality, token counts, fingerprint,
+simhash) — exact values on handcrafted docs."""
+
+import hashlib
+
+import pyarrow as pa
+
+from wsid_ray.stages.textstats import (fingerprint_batch, langid_batch,
+                                       quality_batch, simhash_batch,
+                                       token_counts_batch)
+
+
+def docs(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def test_token_counts():
+    out = token_counts_batch(docs(["hello world", "a,b c!", ""])).to_pylist()
+    assert [r["n_ws_tokens"] for r in out] == [2, 2, 0]
+    # BPE-ish: a , b c !  -> 5
+    assert [r["n_bpe_tokens"] for r in out] == [2, 5, 0]
+
+
+def test_quality():
+    out = quality_batch(docs(["abc def!", ""])).to_pylist()
+    r = out[0]
+    assert r["n_chars"] == 8
+    assert abs(r["alpha_ratio"] - round(6 / 8, 6)) < 1e-9
+    assert r["avg_token_len"] == round((3 + 4) / 2, 6)
+    assert out[1]["alpha_ratio"] == 0.0
+
+
+def test_langid():
+    out = langid_batch(docs([
+        "the cat and the hat is here",
+        "der hund und die katze ist nicht da",
+        "le chat est dans la maison et les arbres",
+        "你好 世界",
+    ])).to_pylist()
+    assert [r["lang_pred"] for r in out] == ["en", "de", "fr", "zh"]
+
+
+def test_fingerprint_matches_manual():
+    out = fingerprint_batch(docs(["Hello WORLD again"])).to_pylist()
+    expect = hashlib.md5(b"hello world again").hexdigest()
+    assert out[0]["fingerprint"] == expect
+
+
+def test_simhash_similar_docs_close():
+    a = "spark data table query join filter sort merge window batch"
+    b = "spark data table query join filter sort merge window group"
+    c = "completely different words entirely unrelated topics here now"
+    out = simhash_batch(docs([a, b, c])).to_pylist()
+    ha, hb, hc = [r["simhash"] for r in out]
+
+    def hamming(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(ha, hb) < hamming(ha, hc)
+    out2 = simhash_batch(docs([a])).to_pylist()
+    assert out2[0]["simhash"] == ha  # deterministic

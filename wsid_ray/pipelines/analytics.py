@@ -135,6 +135,39 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return top[["c_custkey", "c_name", "revenue_cents"]]
 
 
+def segment_revenue(sf_dir: str) -> rd.Dataset:
+    """Revenue per customer market segment — a both-sides-large
+    partitioned hash join (stages/joins.hash_join, J3) followed by a
+    bucketed aggregate."""
+    from ..stages.joins import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda df: pd.DataFrame({
+            "custkey": df["o_custkey"],
+            "rev_cents": _cents(df["o_totalprice"].to_numpy())}),
+        batch_format="pandas")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda df: df.rename(columns={"c_custkey": "custkey"}),
+        batch_format="pandas")
+    joined = hash_join(orders, cust, on=["custkey"], how="inner",
+                       num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", sort=True).agg(
+            revenue_cents=("rev_cents", "sum"),
+            n_orders=("rev_cents", "size")).reset_index()
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return g
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    return bucketed_sum(partials, ["c_mktsegment"],
+                        ["revenue_cents", "n_orders"], num_buckets=4)
+
+
 def events_hourly(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-hour window per event_type (stream-shaped pattern,
     ray_guide.md L187-198): count + integer-cent value sum."""

@@ -133,16 +133,27 @@ def entity_kb_edges(linked: rd.Dataset) -> rd.Dataset:
 def run_flagship(sf_dir_or_scale: str,
                  cfg: PipelineConfig = DEFAULT_CONFIG,
                  files: list[str] | None = None) -> FlagshipArtifacts:
-    transcripts = read_transcripts(sf_dir_or_scale, files=files)
-    turns = transcripts.map_batches(tokenize_batch, batch_format="pyarrow")
-    mentions = detect_mentions(turns, cfg)
-    # reused by (a) cooc counting and (b) disambiguation → pin once.
-    mentions = mentions.materialize()
+    # The mention stream is consumed twice (pass 1: hyperedge counting for
+    # the model fit; pass 2: disambiguation).  It is RECOMPUTED per pass
+    # rather than materialized: tokenize+detect are fully vectorised
+    # elastic tasks that scale with CPUs, while pinning ~GBs of window
+    # lists into the single-node object store is memory-bandwidth-bound
+    # and does not — measured better wall AND better N→4N scaling.  (The
+    # checkpointed pipeline instead persists mentions implicitly via its
+    # per-shard pass structure.)
+    def mentions_ds() -> rd.Dataset:
+        transcripts = read_transcripts(sf_dir_or_scale, files=files)
+        turns = transcripts.map_batches(tokenize_batch,
+                                        batch_format="pyarrow")
+        return detect_mentions(turns, cfg)
 
-    inventory_rows = fit_inventory(mentions, cfg)
+    inventory_rows = fit_inventory(mentions_ds(), cfg)
     inv_ref = ray.put(inventory_from_rows(inventory_rows))
 
-    linked = disambiguate(mentions, inv_ref).materialize()
+    # linked mentions: three consumers (canon edges, unary, pairs) and
+    # sub-linear payload (no text, no windows) → pin once.
+    linked = disambiguate(mentions_ds(), inv_ref).materialize()
+    mentions = mentions_ds()
 
     from ..util import collect_rows
     canon_rows = collect_rows(canonicalize(entity_kb_edges(linked)))

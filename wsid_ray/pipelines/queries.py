@@ -156,6 +156,10 @@ def q_events_hourly(sf_dir: str) -> rd.Dataset:
     return analytics.events_hourly(sf_dir)
 
 
+def q_segment_revenue(sf_dir: str) -> rd.Dataset:
+    return analytics.segment_revenue(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # training-data operators (documents / embeddings; SQL-checked where
 # expressible)
@@ -222,6 +226,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
+    "segment_revenue": q_segment_revenue,
     "doc_token_counts": q_doc_token_counts,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,

@@ -1,0 +1,90 @@
+"""J1-J5 — join primitives (SURVEY.md §2.4).
+
+J1/J2 (small side): ``broadcast_join`` — the small side is ``ray.put``
+once and merged per batch inside ``map_batches``; no shuffle.
+
+J3 (both sides large): ``hash_join`` — an explicit partitioned hash join:
+both sides are split into B hash buckets on the key (one split task per
+block, same deterministic hash as stages/groups.py), then one join task
+per bucket merges its left/right parts with a pandas hash join.  This is
+the portable pattern from ray_guide.md L140-147; skewed keys are handled
+by raising num_buckets (hot keys stay single-bucket — salt the key on
+BOTH sides upstream if one key alone exceeds a task's memory).
+
+J4/J5 (semi/anti): ``semi_join`` filters by a broadcast key set.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .groups import _bucket_of, _split_block
+
+
+@ray.remote
+def _join_bucket(on, how, suffixes, n_left, *parts):
+    left_parts = [p for p in parts[:n_left] if p.num_rows]
+    right_parts = [p for p in parts[n_left:] if p.num_rows]
+
+    def concat(ps, template):
+        if not ps:
+            return template.slice(0, 0).to_pandas()
+        names = ps[0].schema.names
+        return pa.concat_tables([p.select(names) for p in ps],
+                                promote_options="permissive").to_pandas()
+
+    ldf = concat(left_parts, parts[0])
+    rdf = concat(right_parts, parts[n_left])
+    out = ldf.merge(rdf, on=on, how=how, suffixes=suffixes)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
+              how: str = "inner", num_buckets: int = 32,
+              suffixes=("_l", "_r")) -> rd.Dataset:
+    """Partitioned hash join of two Datasets on ``on`` columns."""
+    on = list(on)
+    B = num_buckets
+    lrefs = left.to_arrow_refs()
+    rrefs = right.to_arrow_refs()
+    lsplit = [_split_block.options(num_returns=B + 1).remote(b, on, B)
+              for b in lrefs]
+    rsplit = [_split_block.options(num_returns=B + 1).remote(b, on, B)
+              for b in rrefs]
+    outs = []
+    for b in range(B):
+        parts = [s[b] for s in lsplit] + [s[b] for s in rsplit]
+        outs.append(_join_bucket.remote(on, how, suffixes, len(lsplit),
+                                        *parts))
+    return rd.from_arrow_refs(outs)
+
+
+def broadcast_join(big: rd.Dataset, small_df: pd.DataFrame, on: list[str],
+                   how: str = "left") -> rd.Dataset:
+    """Merge a driver-small table into every batch of a big Dataset."""
+    ref = ray.put(small_df)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(ref)
+        return df.merge(sm, on=list(on), how=how)
+
+    return big.map_batches(merge, batch_format="pandas")
+
+
+def semi_join(big: rd.Dataset, keys, key_col: str,
+              anti: bool = False) -> rd.Dataset:
+    """Keep rows whose ``key_col`` is in ``keys`` (anti=True: not in)."""
+    key_arr = pa.array(sorted(set(keys)))
+    ref = ray.put(key_arr)
+
+    def filt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.is_in(t[key_col], value_set=ray.get(ref))
+        if anti:
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+    return big.map_batches(filt, batch_format="pyarrow")
