@@ -126,6 +126,11 @@ class PipelineConfig:
     sense_top_k: int = SENSE_TOP_K
     stopwords: tuple[str, ...] = STOPWORDS
     gazetteer: tuple[str, ...] = GAZETTEER
+    # O3 skew control: cap windows per term before induction via
+    # deterministic hash sampling (stages/sampling.py).  None = no cap —
+    # the oracle P/R gate assumes None (the sequential oracle counts every
+    # window); set it for web-scale corpora with hot surface forms.
+    max_windows_per_term: int | None = None
 
     def content_hash(self) -> str:
         """Stable hash of the config — part of checkpoint lineage."""

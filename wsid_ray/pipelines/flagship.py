@@ -92,6 +92,9 @@ def fit_inventory(mentions: rd.Dataset, cfg: PipelineConfig) -> list[dict]:
     from ..stages.cooc import aggregate_counts
 
     from ..util import collect_rows
+    if cfg.max_windows_per_term:
+        from ..stages.sampling import cap_windows_per_term
+        mentions = cap_windows_per_term(mentions, cfg.max_windows_per_term)
     rows = collect_rows(aggregate_counts(mentions))
     if len(rows) > DRIVER_FIT_THRESHOLD:
         return induce_inventory(mentions, cfg)

@@ -136,6 +136,19 @@ def q_triples(sf_dir: str) -> rd.Dataset:
     return _flagship(sf_dir).triples
 
 
+def q_triples_checkpointed(sf_dir: str) -> rd.Dataset:
+    """Same triple set as q_triples, via the resumable checkpointed
+    pipeline (per-shard partitions + manifest)."""
+    import os
+    import tempfile
+
+    from .checkpointed import run_checkpointed, triples_dataset
+    scale = os.path.basename(str(sf_dir).rstrip("/")) or "sf0.01"
+    out = os.path.join(tempfile.gettempdir(), "wsid_ray_ckpt", scale)
+    run_checkpointed(sf_dir, out, shard_files=2)
+    return triples_dataset(out)
+
+
 # ---------------------------------------------------------------------------
 # generic relational operators (TPC-H-ish tables; SQL-checked)
 # ---------------------------------------------------------------------------
@@ -222,6 +235,7 @@ QUERIES = {
     "mentions_linked": q_mentions_linked,
     "canon_map": q_canon_map,
     "triples": q_triples,
+    "triples_checkpointed": q_triples_checkpointed,
     "orders_by_status": q_orders_by_status,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,

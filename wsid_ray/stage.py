@@ -1,0 +1,86 @@
+"""U1 — user-extension surface: the Stage protocol + registry
+(SURVEY.md §2.10).
+
+The reference exposes plain Python functions over caller-provided corpora;
+this engine exposes composable stages: a ``Stage`` names a transform,
+declares its input/output contract, and builds ``Dataset -> Dataset``.
+``pipeline()`` composes an ordered stage list; ``REGISTRY`` lets callers
+(and the driver's ``queries()`` dict) reach every stage independently.
+UDF hooks (U2): the tokenizer pattern, stopword list, predicate rules and
+scoring constants are all config-driven (wsid_ray.config.PipelineConfig),
+injected into stages at build time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import ray.data as rd
+
+from .config import DEFAULT_CONFIG, PipelineConfig
+
+
+@dataclass(frozen=True)
+class Stage:
+    name: str
+    description: str
+    build: Callable[[rd.Dataset, PipelineConfig], rd.Dataset]
+    input_cols: tuple[str, ...] = ()
+    output_cols: tuple[str, ...] = ()
+
+
+REGISTRY: dict[str, Stage] = {}
+
+
+def register(stage: Stage) -> Stage:
+    REGISTRY[stage.name] = stage
+    return stage
+
+
+def pipeline(ds: rd.Dataset, stage_names: list[str],
+             cfg: PipelineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Compose registered stages in order."""
+    for name in stage_names:
+        ds = REGISTRY[name].build(ds, cfg)
+    return ds
+
+
+def _register_builtins() -> None:
+    from .stages.mentions import detect_batch
+    from .stages.tokenize import tokenize_batch
+
+    register(Stage(
+        name="tokenize",
+        description="M1/M2: regex tokenize + turn_uid (text untouched)",
+        input_cols=("conv_id", "turn_idx", "text"),
+        output_cols=("tokens", "turn_uid"),
+        build=lambda ds, cfg: ds.map_batches(tokenize_batch,
+                                             batch_format="pyarrow"),
+    ))
+    register(Stage(
+        name="detect_mentions",
+        description="M3/M4: gazetteer mention detection + W-token windows",
+        input_cols=("tokens",),
+        output_cols=("term", "span_start", "span_end", "win_tokens"),
+        build=lambda ds, cfg: ds.map_batches(
+            detect_batch,
+            fn_kwargs=dict(window_size=cfg.window_size,
+                           gazetteer=cfg.gazetteer),
+            batch_format="pyarrow", batch_size=4096),
+    ))
+
+    def _cap(ds, cfg):
+        from .stages.sampling import cap_windows_per_term
+        cap = getattr(cfg, "max_windows_per_term", None)
+        return cap_windows_per_term(ds, cap) if cap else ds
+
+    register(Stage(
+        name="cap_windows",
+        description="O3: deterministic per-term window cap (skew control)",
+        input_cols=("term",),
+        build=_cap,
+    ))
+
+
+_register_builtins()
