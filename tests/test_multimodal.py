@@ -1,0 +1,59 @@
+"""Multimodal binary-column plumbing (stubbed codecs, real Ray stages)."""
+
+import numpy as np
+import pytest
+
+from wsid_ray.stages.multimodal import (FakeCodec, FrameSampler, ImageResizer,
+                                        MediaFeaturizer, featurize,
+                                        media_dataset, synth_media_table)
+
+
+def test_fake_codec_rejects_real_media():
+    with pytest.raises(NotImplementedError):
+        FakeCodec().decode(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_synth_deterministic():
+    a = synth_media_table(10)
+    b = synth_media_table(10)
+    assert a.equals(b)
+
+
+def test_featurize_actor_pool():
+    ds = media_dataset(n=60, blocks=2)
+    out = featurize(ds, concurrency=(1, 2)).to_pandas()
+    assert len(out) == 60
+    assert set(out["kind"]) == {"image", "audio", "video"}
+    assert (out["n_bytes"] > 0).all()
+    # deterministic content hashes
+    out2 = featurize(media_dataset(n=60, blocks=2),
+                     concurrency=(1, 2)).to_pandas()
+    m1 = dict(zip(out["media_id"], out["content_hash"]))
+    m2 = dict(zip(out2["media_id"], out2["content_hash"]))
+    assert m1 == m2
+
+
+def test_image_resize():
+    t = synth_media_table(9)
+    out = ImageResizer(out_w=8, out_h=8)(t)
+    df = out.to_pandas()
+    imgs = df[df["kind"] == "image"]
+    assert (imgs["resized"]).all()
+    assert (imgs["width"] == 8).all() and (imgs["height"] == 8).all()
+    for p in imgs["payload"]:
+        assert len(FakeCodec().decode(p)) == 64
+    others = df[df["kind"] != "image"]
+    assert (~others["resized"]).all()
+
+
+def test_frame_sampler_explodes():
+    t = synth_media_table(9)
+    out = FrameSampler(every_k=2)(t).to_pandas()
+    vids = t.to_pandas()
+    vids = vids[vids["kind"] == "video"]
+    expect = int(sum((nf + 1) // 2 for nf in vids["n_frames"]))
+    assert len(out) == expect
+    assert (out["frame_idx"] % 2 == 0).all()
+    w, h = 16, 16
+    for p in out["payload"].head(3):
+        assert len(FakeCodec().decode(p)) == w * h

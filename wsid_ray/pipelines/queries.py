@@ -211,6 +211,13 @@ def q_doc_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     return jaccard_pairs(read_documents(sf_dir), threshold=0.5, shingle_k=3)
 
 
+def q_media_features(sf_dir: str) -> rd.Dataset:
+    """Multimodal plumbing demo: synthetic binary media -> actor-pool
+    decode + featurize (rows-only check; payloads are deterministic)."""
+    from ..stages.multimodal import featurize, media_dataset
+    return featurize(media_dataset(n=300))
+
+
 def q_knn_cosine_topk(sf_dir: str) -> rd.Dataset:
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -249,4 +256,5 @@ QUERIES = {
     "doc_minhash_candidates": q_doc_minhash_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "knn_cosine_topk": q_knn_cosine_topk,
+    "media_features": q_media_features,
 }
