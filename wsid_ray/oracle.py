@@ -120,7 +120,10 @@ def disambiguate(mentions: list[dict], inventory,
         best_sid, best_score = -1, MIN_LINK_SCORE
         for sid in sorted(senses):
             vec = senses[sid]
-            s = sum(vec.get(tok, 0.0) for tok in m["win_tokens"])
+            # scores are compared at 6 dp so the result is independent of
+            # float summation order (the engine sums via a vectorised
+            # merge whose accumulation order differs)
+            s = round(sum(vec.get(tok, 0.0) for tok in m["win_tokens"]), 6)
             if s > best_score:
                 best_sid, best_score = sid, s
         m = dict(m)

@@ -41,35 +41,116 @@ TOTAL_KIND = 0  # (term, '', '')
 
 
 def count_windows_batch(batch: pa.Table) -> pa.Table:
-    """Partial combiner: mentions/windows batch -> (term, w, v, n) rows."""
-    terms = batch["term"].to_pylist()
-    wins = batch["win_tokens"].to_pylist()
-    pairs: Counter = Counter()
-    unis: Counter = Counter()
-    totals: Counter = Counter()
-    for term, win in zip(terms, wins):
-        toks = sorted(set(win))
-        totals[term] += 1
-        for w in toks:
-            unis[(term, w)] += 1
-        for w, v in combinations(toks, 2):
-            pairs[(term, w, v)] += 1
-    t_col: list[str] = []
-    w_col: list[str] = []
-    v_col: list[str] = []
-    n_col: list[int] = []
-    for (term, w, v), n in pairs.items():
-        t_col.append(term); w_col.append(w); v_col.append(v); n_col.append(n)
-    for (term, w), n in unis.items():
-        t_col.append(term); w_col.append(w); v_col.append(""); n_col.append(n)
-    for term, n in totals.items():
-        t_col.append(term); w_col.append(""); v_col.append(""); n_col.append(n)
-    return pa.table({
-        "term": pa.array(t_col, type=pa.string()),
-        "w": pa.array(w_col, type=pa.string()),
-        "v": pa.array(v_col, type=pa.string()),
-        "n": pa.array(n_col, type=pa.int64()),
-    })
+    """Partial combiner: mentions/windows batch -> (term, w, v, n) rows.
+
+    Fully vectorised (Arrow dictionary-encode + numpy): windows become
+    per-row sets via one np.unique over packed (row, code) keys; pairwise
+    hyperedge projection is generated per window-cardinality group with
+    precomputed triangle indices; all three count kinds (pair, window-
+    unigram, window-total) come from np.unique(counts) over packed int64
+    keys.  Token codes are remapped to lexicographic rank so the w < v
+    canonical order matches the sequential oracle's sorted(set(window)).
+    """
+    n_windows = batch.num_rows
+    if n_windows == 0:
+        return pa.table({
+            "term": pa.array([], type=pa.string()),
+            "w": pa.array([], type=pa.string()),
+            "v": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        })
+    wins = batch["win_tokens"]
+    if isinstance(wins, pa.ChunkedArray):
+        wins = wins.combine_chunks()
+    flat = wins.flatten()
+    offsets = wins.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = np.diff(offsets)
+    row_of = np.repeat(np.arange(n_windows), lengths)
+
+    # token codes in lexicographic rank order (matches oracle's w < v)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dict_vals = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+    sorted_vocab, rank_of_slot = np.unique(dict_vals, return_inverse=True)
+    codes = rank_of_slot[enc.indices.to_numpy(zero_copy_only=False)]
+    V = len(sorted_vocab)
+
+    terms_enc = pc.dictionary_encode(batch["term"])
+    if isinstance(terms_enc, pa.ChunkedArray):
+        terms_enc = terms_enc.combine_chunks()
+    term_vocab = np.asarray(terms_enc.dictionary.to_pylist(), dtype=object)
+    term_codes = terms_enc.indices.to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    T = len(term_vocab)
+
+    # per-window distinct sorted codes
+    uniq = np.unique(row_of * V + codes) if len(codes) else \
+        np.array([], dtype=np.int64)
+    urow = uniq // V
+    ucode = uniq % V
+    k_per_row = np.bincount(urow, minlength=n_windows)
+
+    out_t: list[np.ndarray] = []
+    out_w: list[np.ndarray] = []
+    out_v: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
+
+    # pair counts, grouped by window cardinality k
+    row_start = np.concatenate(([0], np.cumsum(k_per_row)))
+    for k in np.unique(k_per_row):
+        if k < 2:
+            continue
+        rows_k = np.nonzero(k_per_row == k)[0]
+        starts = row_start[rows_k]
+        M = ucode[starts[:, None] + np.arange(k)]        # (n_k, k) sorted
+        iu, ju = np.triu_indices(k, 1)
+        wcodes = M[:, iu].ravel()
+        vcodes = M[:, ju].ravel()
+        tcodes = np.repeat(term_codes[rows_k], len(iu))
+        keys = (tcodes * V + wcodes) * V + vcodes
+        ukeys, counts = np.unique(keys, return_counts=True)
+        tv = ukeys // (V * V)
+        rem = ukeys % (V * V)
+        out_t.append(tv)
+        out_w.append(rem // V)
+        out_v.append(rem % V)
+        out_n.append(counts)
+
+    # window-unigram counts: each (row, code) appears once in uniq
+    ukeys, counts = np.unique(term_codes[urow] * V + ucode,
+                              return_counts=True)
+    uni_t = ukeys // V
+    uni_w = ukeys % V
+    # window totals per term
+    tot_counts = np.bincount(term_codes, minlength=T)
+
+    def strings(vocab, idx):
+        return pa.array(vocab[idx], type=pa.string())
+
+    pair_t = np.concatenate(out_t) if out_t else np.array([], dtype=np.int64)
+    pair_w = np.concatenate(out_w) if out_w else np.array([], dtype=np.int64)
+    pair_v = np.concatenate(out_v) if out_v else np.array([], dtype=np.int64)
+    pair_n = np.concatenate(out_n) if out_n else np.array([], dtype=np.int64)
+
+    term_col = pa.concat_arrays([
+        strings(term_vocab, pair_t.astype(np.int64)),
+        strings(term_vocab, uni_t.astype(np.int64)),
+        strings(term_vocab, np.arange(T)),
+    ])
+    w_col = pa.concat_arrays([
+        strings(sorted_vocab, pair_w.astype(np.int64)),
+        strings(sorted_vocab, uni_w.astype(np.int64)),
+        pa.array([""] * T, type=pa.string()),
+    ])
+    v_col = pa.concat_arrays([
+        strings(sorted_vocab, pair_v.astype(np.int64)),
+        pa.array([""] * len(uni_w), type=pa.string()),
+        pa.array([""] * T, type=pa.string()),
+    ])
+    n_col = pa.array(np.concatenate([pair_n, counts, tot_counts]),
+                     type=pa.int64())
+    return pa.table({"term": term_col, "w": w_col, "v": v_col, "n": n_col})
 
 
 def aggregate_counts(mentions: rd.Dataset) -> rd.Dataset:

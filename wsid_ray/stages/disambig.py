@@ -57,37 +57,60 @@ def inventory_from_rows(rows) -> dict[str, dict[int, dict[str, float]]]:
 
 
 class SenseDisambiguator:
+    """Vectorised scoring: explode window tokens, pandas hash-merge against
+    the long-form inventory, groupby-sum per (mention, sense), argmax with
+    (score desc, sense_id asc).  Scores compare at 6 dp (shared rule with
+    the oracle) so summation order is immaterial."""
+
     def __init__(self, inventory_ref):
+        import pandas as pd
         inv = ray.get(inventory_ref)
         self.inventory = inv
         self.link = build_link_map(inv)
-        # pre-sorted (sense_id, vec) lists: no per-mention sort in the loop
-        self.sorted_senses = {term: sorted(senses.items())
-                              for term, senses in inv.items()}
+        rows = [(term, tok, sid, w)
+                for term, senses in inv.items()
+                for sid, vec in senses.items()
+                for tok, w in vec.items()]
+        self.inv_df = pd.DataFrame(
+            rows, columns=["term", "token", "sense_id", "weight"]) \
+            if rows else pd.DataFrame(
+                columns=["term", "token", "sense_id", "weight"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from ..util import list_row_indices
         n = batch.num_rows
-        terms = batch["term"].to_pylist()
-        wins = batch["win_tokens"].to_pylist()
+        wins = batch["win_tokens"]
+        if isinstance(wins, pa.ChunkedArray):
+            wins = wins.combine_chunks()
+        flat = wins.flatten()
+        midx = list_row_indices(wins)
+        terms_np = np.asarray(batch["term"].to_pylist(), dtype=object)
+        exploded = pd.DataFrame({
+            "m": pd.Series(midx, dtype="int64"),
+            "term": pd.Series(terms_np[midx], dtype=object),
+            "token": pd.Series(flat.to_pylist(), dtype=object),
+        })
         sense_ids = np.full(n, -1, dtype=np.int32)
         scores = np.zeros(n, dtype=np.float64)
-        kb_ids: list[str] = []
-        entity_ids: list[str] = []
-        for i, (term, win) in enumerate(zip(terms, wins)):
-            senses = self.sorted_senses.get(term)
-            best_sid, best_score = -1, MIN_LINK_SCORE
-            if senses:
-                for sid, vec in senses:
-                    get = vec.get
-                    s = 0.0
-                    for tok in win:
-                        s += get(tok, 0.0)
-                    if s > best_score:
-                        best_sid, best_score = sid, s
-            sense_ids[i] = best_sid
-            scores[i] = best_score if best_sid >= 0 else 0.0
-            kb_ids.append(self.link.get((term, best_sid), ""))
-            entity_ids.append(f"{term}#{best_sid}")
+        merged = (exploded.merge(self.inv_df, on=["term", "token"],
+                                 how="inner")
+                  if len(exploded) and len(self.inv_df) else exploded.iloc[:0])
+        if len(merged):
+            agg = merged.groupby(["m", "sense_id"], sort=False)["weight"] \
+                        .sum().round(6).reset_index()
+            agg = agg[agg["weight"] > MIN_LINK_SCORE]
+            agg = agg.sort_values(["m", "weight", "sense_id"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+            best = agg.drop_duplicates(subset=["m"], keep="first")
+            sense_ids[best["m"].to_numpy()] = best["sense_id"].to_numpy()
+            scores[best["m"].to_numpy()] = best["weight"].to_numpy()
+        terms = terms_np.tolist()
+        kb_ids = [self.link.get((t, int(s)), "")
+                  for t, s in zip(terms, sense_ids)]
+        entity_ids = [f"{t}#{s}" for t, s in zip(terms, sense_ids)]
         out = batch.drop_columns(["win_tokens"])
         out = out.append_column("sense_id", pa.array(sense_ids, type=pa.int32()))
         out = out.append_column("score", pa.array(scores, type=pa.float64()))
