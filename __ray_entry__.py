@@ -50,13 +50,14 @@ def _sql_token_expr(col: str = "text") -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from wsid_ray.config import GAZETTEER
+    from wsid_ray.config import GAZETTEER, STOPWORDS
     from wsid_ray.fixtures import generate, transcripts_dir
 
     generate("sf0.01")
     tr = f"read_parquet('{transcripts_dir('sf0.01')}/*.parquet')"
     tok = _sql_token_expr()
     gaz = ", ".join(f"'{g}'" for g in sorted(GAZETTEER))
+    stop = ", ".join(f"'{s}'" for s in sorted(STOPWORDS))
 
     return {
         "turn_counts": f"""
@@ -128,6 +129,23 @@ def oracle_sql() -> dict[str, str]:
                        w -> w <> '')) AS n_ws_tokens,
                    len(regexp_extract_all(text,
                        '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_quality": rf"""
+            SELECT doc_id, length(text) AS n_chars,
+              coalesce(round(length(regexp_replace(text, '[^a-zA-Z]', '',
+                  'g')) * 1.0 / NULLIF(length(text), 0), 6), 0.0)
+                  AS alpha_ratio,
+              coalesce(round(len(list_filter(list_filter(
+                  regexp_split_to_array(text, '\s+'), w -> w <> ''),
+                  w -> lower(w) IN ({stop}))) * 1.0
+                  / NULLIF(len(list_filter(regexp_split_to_array(text,
+                  '\s+'), w -> w <> '')), 0), 6), 0.0) AS stop_ratio,
+              coalesce(round(list_aggregate(list_transform(list_filter(
+                  regexp_split_to_array(text, '\s+'), w -> w <> ''),
+                  w -> length(w)), 'sum') * 1.0
+                  / NULLIF(len(list_filter(regexp_split_to_array(text,
+                  '\s+'), w -> w <> '')), 0), 6), 0.0) AS avg_token_len
             FROM documents
         """,
         "doc_fingerprint": f"""

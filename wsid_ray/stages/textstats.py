@@ -61,12 +61,19 @@ def quality_batch(t: pa.Table) -> pa.Table:
         avg_len[i] = (sum(len(w) for w in words) / len(words)) if words else 0.0
     with np.errstate(invalid="ignore"):
         alpha_r = np.where(n_chars > 0, alpha / n_chars, 0.0)
+
+    def r6(x):
+        # DuckDB round() is half-away-from-zero; np.round is banker's —
+        # and small rational ratios (e.g. 105/128) DO land exactly on the
+        # 6th-decimal midpoint.  Values here are non-negative.
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
     return pa.table({
         "doc_id": t["doc_id"],
         "n_chars": pa.array(n_chars, type=pa.int64()),
-        "alpha_ratio": pa.array(np.round(alpha_r, 6), type=pa.float64()),
-        "stop_ratio": pa.array(np.round(stop_r, 6), type=pa.float64()),
-        "avg_token_len": pa.array(np.round(avg_len, 6), type=pa.float64()),
+        "alpha_ratio": pa.array(r6(alpha_r), type=pa.float64()),
+        "stop_ratio": pa.array(r6(stop_r), type=pa.float64()),
+        "avg_token_len": pa.array(r6(avg_len), type=pa.float64()),
     })
 
 
