@@ -123,6 +123,26 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value_cents
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
+        "user_sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts, event_id,
+                       sum(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events, min(ts) AS start_ts,
+                   max(ts) AS end_ts
+            FROM sess GROUP BY user_id, session_idx
+        """,
         "doc_token_counts": r"""
             SELECT doc_id,
                    len(list_filter(regexp_split_to_array(text, '\s+'),

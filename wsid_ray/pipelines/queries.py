@@ -211,6 +211,28 @@ def q_doc_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     return jaccard_pairs(read_documents(sf_dir), threshold=0.5, shingle_k=3)
 
 
+def q_user_sessions(sf_dir: str) -> rd.Dataset:
+    """Gap-based sessionization of the events stream (30-min gap)."""
+    from ..stages.sessions import sessionize
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    return sessionize(ev, gap_minutes=30)
+
+
+def q_knn_ivf_topk(sf_dir: str) -> rd.Dataset:
+    """IVF approximate cosine top-k (rows-only: approximate by design;
+    recall vs the exact brute force is asserted in tests)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.knn import ivf_topk
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    wanted = {0, 1, 2, 3, 4}
+    queries = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+               for r in t.to_pylist() if r["vec_id"] in wanted}
+    return ivf_topk(read_embeddings(sf_dir), queries, k=10)
+
+
 def q_media_features(sf_dir: str) -> rd.Dataset:
     """Multimodal plumbing demo: synthetic binary media -> actor-pool
     decode + featurize (rows-only check; payloads are deterministic)."""
@@ -256,5 +278,7 @@ QUERIES = {
     "doc_minhash_candidates": q_doc_minhash_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "knn_cosine_topk": q_knn_cosine_topk,
+    "knn_ivf_topk": q_knn_ivf_topk,
+    "user_sessions": q_user_sessions,
     "media_features": q_media_features,
 }

@@ -100,6 +100,90 @@ def knn_topk(embeddings: rd.Dataset, query_vectors: dict[int, np.ndarray],
                                 num_buckets=8)
 
 
+def kmeans_centroids(X: np.ndarray, k: int, iters: int = 10,
+                     seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd's k-means on (a sample of) the corpus — the
+    IVF coarse quantizer.  Driver-side: the sample is small by design."""
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(0)
+    return C
+
+
+def ivf_topk(embeddings: rd.Dataset, query_vectors: dict[int, np.ndarray],
+             k: int = 10, n_lists: int = 8, n_probe: int = 2,
+             sample_n: int = 2048, seed: int = 42,
+             exclude_self: bool = True) -> rd.Dataset:
+    """IVF approximate top-k: corpus vectors are assigned to the nearest
+    of ``n_lists`` centroids (one vectorised pass); each query scores only
+    vectors whose list is among its ``n_probe`` closest centroids.
+
+    The scale path vs brute force: per batch, a query touches ~n_probe /
+    n_lists of the rows.  Recall < 1 by construction; raise n_probe to
+    trade cost for recall.  Centroids are fit deterministically on a
+    driver-side sample (ray_guide: small model, broadcast)."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    sample = embeddings.limit(sample_n).to_pandas()
+    Xs = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
+    Xs = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
+    C = kmeans_centroids(Xs, n_lists, seed=seed)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    qids = sorted(query_vectors)
+    Q = np.stack([query_vectors[i] for i in qids]).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe = np.argsort(-(Qn @ Cn.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    state = ray.put((Cn, qids, Qn, probe))
+
+    def score(t: pa.Table) -> pa.Table:
+        Cn_, qids_, Qn_, probe_ = ray.get(state)
+        X = _to_matrix(t["embedding"])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        assign = (Xn @ Cn_.T).argmax(1)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        qcol, vcol, scol = [], [], []
+        for qi, qid in enumerate(qids_):
+            mask = np.isin(assign, probe_[qi])
+            if exclude_self:
+                mask &= vids != qid
+            if not mask.any():
+                continue
+            s = Xn[mask] @ Qn_[qi]
+            idx = np.nonzero(mask)[0]
+            if len(idx) > k:
+                keep = np.lexsort((vids[idx], -s))[:k]
+                idx, s = idx[keep], s[keep]
+            qcol.extend([qid] * len(idx))
+            vcol.extend(vids[idx].tolist())
+            scol.extend(s.tolist())
+        return pa.table({
+            "query_id": pa.array(qcol, type=pa.int64()),
+            "vec_id": pa.array(vcol, type=pa.int64()),
+            "score": pa.array(scol, type=pa.float64()),
+        })
+
+    scored = embeddings.map_batches(score, batch_format="pyarrow",
+                                    batch_size=4096)
+    import pandas as pd
+
+    def topk_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        out = df.groupby("query_id", sort=True).head(k).copy()
+        out["score"] = out["score"].round(6)
+        return out
+
+    from .groups import bucketed_group_apply
+    return bucketed_group_apply(scored, ["query_id"], topk_df,
+                                num_buckets=8)
+
+
 class LshBucketScorer:
     """Scale path: random-hyperplane LSH prefilter, exact re-rank inside
     matching buckets only.  Approximate: documents in non-matching buckets
