@@ -173,6 +173,16 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string({tok}, ' ')) AS fingerprint
             FROM documents
         """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS score
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  > 0.4
+        """,
         "knn_cosine_topk": """
             SELECT query_id, vec_id, score FROM (
                 SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

@@ -233,6 +233,11 @@ def q_knn_ivf_topk(sf_dir: str) -> rd.Dataset:
     return ivf_topk(read_embeddings(sf_dir), queries, k=10)
 
 
+def q_embedding_near_dup(sf_dir: str) -> rd.Dataset:
+    from ..stages.knn import near_dup_pairs
+    return near_dup_pairs(read_embeddings(sf_dir), threshold=0.4)
+
+
 def q_media_features(sf_dir: str) -> rd.Dataset:
     """Multimodal plumbing demo: synthetic binary media -> actor-pool
     decode + featurize (rows-only check; payloads are deterministic)."""
@@ -279,6 +284,7 @@ QUERIES = {
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "knn_cosine_topk": q_knn_cosine_topk,
     "knn_ivf_topk": q_knn_ivf_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "user_sessions": q_user_sessions,
     "media_features": q_media_features,
 }

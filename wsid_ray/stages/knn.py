@@ -100,6 +100,49 @@ def knn_topk(embeddings: rd.Dataset, query_vectors: dict[int, np.ndarray],
                                 num_buckets=8)
 
 
+def near_dup_pairs(embeddings: rd.Dataset, threshold: float,
+                   exclude_self: bool = True) -> rd.Dataset:
+    """Exact embedding-cosine near-duplicate pairs (vec_a < vec_b,
+    cosine > threshold), the embedding analogue of MinHash near-dup.
+
+    The corpus matrix is broadcast once (``ray.put``); each batch does one
+    float64 matmul of its rows against the whole matrix and keeps only the
+    upper-triangle hits.  Exact — the oracle-comparable baseline; at
+    corpus sizes where the matrix no longer broadcasts, run the same
+    verify against LshBucketScorer / ivf candidates instead.
+    """
+    import pyarrow.parquet  # noqa: F401
+    from ..util import collect_table
+
+    all_t = collect_table(embeddings)
+    ids = np.asarray(all_t["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.asarray(all_t["embedding"].to_pylist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    state = ray.put((ids, Mn))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_, Mn_ = ray.get(state)
+        X = _to_matrix(t["embedding"])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        S = Xn @ Mn_.T                       # (batch, corpus)
+        a_col, b_col, s_col = [], [], []
+        for i, va in enumerate(vids):
+            hit = (S[i] > threshold) & (ids_ > va)
+            if hit.any():
+                a_col.extend([va] * int(hit.sum()))
+                b_col.extend(ids_[hit].tolist())
+                s_col.extend(np.round(S[i][hit], 6).tolist())
+        return pa.table({
+            "vec_a": pa.array(a_col, type=pa.int64()),
+            "vec_b": pa.array(b_col, type=pa.int64()),
+            "score": pa.array(s_col, type=pa.float64()),
+        })
+
+    return embeddings.map_batches(score, batch_format="pyarrow",
+                                  batch_size=2048)
+
+
 def kmeans_centroids(X: np.ndarray, k: int, iters: int = 10,
                      seed: int = 42) -> np.ndarray:
     """Deterministic Lloyd's k-means on (a sample of) the corpus — the
