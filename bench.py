@@ -102,8 +102,14 @@ def run_scaling() -> dict:
     transcript_files(sf_dir)
 
     def child(ncpu: int) -> dict:
+        # the scaling measurement pins the bandwidth-light recompute plan
+        # (see pipelines/flagship.py mention-cache note): redundant CPU
+        # instead of a single-node object-store pin, i.e. the plan a
+        # scale-OUT deployment uses.  Headline bench uses the default
+        # (fastest-absolute) plan; BASELINE.md records both curves.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   WSID_BENCH_HEADLINE_ONLY="1")
+                   WSID_BENCH_HEADLINE_ONLY="1",
+                   WSID_MENTIONS_CACHE="recompute")
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

@@ -144,11 +144,38 @@ def run_flagship(sf_dir_or_scale: str,
     # and does not — measured better wall AND better N→4N scaling.  (The
     # checkpointed pipeline instead persists mentions implicitly via its
     # per-shard pass structure.)
+    # Mention-stream reuse plan (two consumers: counting, disambiguation).
+    # Measured on this container (sf0.1, 4.8M turns):
+    #   object_store (materialize): fastest wall absolute (23.7 s @32)
+    #     but the ~1.5 GB pin is single-node-bandwidth-bound;
+    #   recompute: pays tokenize+detect twice — pure CPU, scales nearly
+    #     linearly (4→16 efficiency 0.95), the plan to pick when scaling
+    #     OUT rather than UP;
+    #   parquet: compressed spill, in between.
+    # Same results in every mode; choice is a cost-model decision
+    # (BASELINE.md records all curves).
+    import os
+    pinned: list[rd.Dataset] = []
+    cache_mode = os.environ.get("WSID_MENTIONS_CACHE", "object_store")
+
     def mentions_ds() -> rd.Dataset:
+        if pinned:
+            return pinned[0]
         transcripts = read_transcripts(sf_dir_or_scale, files=files)
         turns = transcripts.map_batches(tokenize_batch,
                                         batch_format="pyarrow")
-        return detect_mentions(turns, cfg)
+        m = detect_mentions(turns, cfg)
+        if cache_mode == "object_store":
+            pinned.append(m.materialize())
+            return pinned[0]
+        if cache_mode == "parquet":
+            import tempfile
+            d = tempfile.mkdtemp(prefix="wsid_mentions_")
+            m.write_parquet(d)
+            import ray.data as _rd
+            pinned.append(_rd.read_parquet(d))
+            return pinned[0]
+        return m  # recompute per consumer (default)
 
     inventory_rows = fit_inventory(mentions_ds(), cfg)
     inv_ref = ray.put(inventory_from_rows(inventory_rows))
