@@ -243,7 +243,9 @@ def transcripts_dir(sf_dir_or_scale: str) -> str:
     generated transcripts parquet directory, generating on first use."""
     scale = os.path.basename(str(sf_dir_or_scale).rstrip("/"))
     if scale not in SCALES:
-        scale = "sf0.01"
+        raise ValueError(
+            f"unknown transcripts scale {scale!r} (from "
+            f"{sf_dir_or_scale!r}); valid: {sorted(SCALES)}")
     root = generate(scale)
     return os.path.join(root, "transcripts")
 
