@@ -79,6 +79,26 @@ def test_fit_paths_agree():
     assert da == db
 
 
+def test_cooc_expansion_mode_matches_oracle():
+    """A2 with co-occurrence matrices in actor state (expand_cooc):
+    engine == oracle on mentions and triples."""
+    from wsid_ray.config import PipelineConfig
+    from wsid_ray.pipelines.flagship import run_flagship
+
+    cfg = PipelineConfig(expand_cooc=True)
+    oracle = run_oracle(transcript_files("tiny"), cfg)
+    art = run_flagship("tiny", cfg)
+    eng_m = {(m["conv_id"], m["turn_idx"], m["term"], m["sense_id"])
+             for m in art.linked_mentions.take_all()}
+    ora_m = {(m["conv_id"], m["turn_idx"], m["term"], m["sense_id"])
+             for m in oracle["mentions"]}
+    assert eng_m == ora_m
+    eng_t = {(r["subj"], r["pred"], r["obj"])
+             for r in art.triples.take_all()}
+    p, r = precision_recall(eng_t, oracle["triples"])
+    assert p == 1.0 and r == 1.0
+
+
 def test_text_equality_invariant():
     """digest(input) == digest(after tokenize stage) per conversation."""
     raw = read_transcripts("tiny")

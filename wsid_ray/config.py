@@ -131,6 +131,13 @@ class PipelineConfig:
     # the oracle P/R gate assumes None (the sequential oracle counts every
     # window); set it for web-scale corpora with hot surface forms.
     max_windows_per_term: int | None = None
+    # A2 refinement: when True, the disambiguation actors also hold the
+    # pruned per-term co-occurrence matrices in-state and add a
+    # second-order score for window tokens absent from a sense vector
+    # (gamma-weighted strongest NPMI edge into the sense).  Implemented
+    # identically in oracle.disambiguate — tested equivalent either way.
+    expand_cooc: bool = False
+    expand_gamma: float = 0.5
 
     def content_hash(self) -> str:
         """Stable hash of the config — part of checkpoint lineage."""

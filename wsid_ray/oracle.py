@@ -112,18 +112,45 @@ def induce(edges_by_term, cfg: PipelineConfig = DEFAULT_CONFIG):
     return inventory
 
 
+def expansion_score(win: list[str], vec: dict[str, float],
+                    edges: dict[tuple[str, str], float],
+                    gamma: float) -> float:
+    """Second-order contribution: for window tokens absent from the sense
+    vector, gamma x the strongest NPMI edge linking them to a sense token.
+    Shared verbatim between oracle and engine (A2 cooc-matrix state)."""
+    s = 0.0
+    for t in win:
+        if t in vec:
+            continue
+        best = 0.0
+        for v in vec:
+            w = edges.get((t, v) if t < v else (v, t))
+            if w is not None and w > best:
+                best = w
+        s += gamma * best
+    return s
+
+
 def disambiguate(mentions: list[dict], inventory,
-                 cfg: PipelineConfig = DEFAULT_CONFIG) -> list[dict]:
+                 cfg: PipelineConfig = DEFAULT_CONFIG,
+                 edge_maps: dict[str, dict[tuple[str, str], float]] | None
+                 = None) -> list[dict]:
+    expand = cfg.expand_cooc and edge_maps is not None
     out = []
     for m in mentions:
         senses = inventory.get(m["term"], {})
+        emap = edge_maps.get(m["term"], {}) if expand else None
         best_sid, best_score = -1, MIN_LINK_SCORE
         for sid in sorted(senses):
             vec = senses[sid]
             # scores are compared at 6 dp so the result is independent of
             # float summation order (the engine sums via a vectorised
             # merge whose accumulation order differs)
-            s = round(sum(vec.get(tok, 0.0) for tok in m["win_tokens"]), 6)
+            s = sum(vec.get(tok, 0.0) for tok in m["win_tokens"])
+            if emap is not None:
+                s += expansion_score(m["win_tokens"], vec, emap,
+                                     cfg.expand_gamma)
+            s = round(s, 6)
             if s > best_score:
                 best_sid, best_score = sid, s
         m = dict(m)
@@ -205,7 +232,10 @@ def run_oracle(transcript_files: list[str],
     totals, unis, pairs = cooc_stats(mentions)
     edges = npmi_edges(totals, unis, pairs, cfg)
     inventory = induce(edges, cfg)
-    linked = disambiguate(mentions, inventory, cfg)
+    edge_maps = ({t: {(w, v): n for w, v, n in es}
+                  for t, es in edges.items()}
+                 if cfg.expand_cooc else None)
+    linked = disambiguate(mentions, inventory, cfg, edge_maps=edge_maps)
     canon = canonicalize(linked)
     triples = assemble_triples(linked, canon)
     return {

@@ -71,7 +71,11 @@ DRIVER_FIT_THRESHOLD = 2_000_000
 
 
 def fit_inventory(mentions: rd.Dataset, cfg: PipelineConfig) -> list[dict]:
-    """mentions -> sense inventory rows, size-aware.
+    return fit_model(mentions, cfg)[0]
+
+
+def fit_model(mentions: rd.Dataset, cfg: PipelineConfig):
+    """mentions -> (sense inventory rows, {term: {(w,v): npmi}}), size-aware.
 
     The corpus-scale work — window extraction and hyperedge counting —
     is always distributed (partial-per-batch + one shuffle in
@@ -97,7 +101,16 @@ def fit_inventory(mentions: rd.Dataset, cfg: PipelineConfig) -> list[dict]:
         mentions = cap_windows_per_term(mentions, cfg.max_windows_per_term)
     rows = collect_rows(aggregate_counts(mentions))
     if len(rows) > DRIVER_FIT_THRESHOLD:
-        return induce_inventory(mentions, cfg)
+        inv_rows = induce_inventory(mentions, cfg)
+        edge_maps = None
+        if cfg.expand_cooc:
+            er = collect_rows(cooc_edges(mentions, cfg.cooc_min_count,
+                                         cfg.npmi_min))
+            edge_maps = {}
+            for r in er:
+                edge_maps.setdefault(r["term"], {})[(r["w"], r["v"])] = \
+                    r["npmi"]
+        return inv_rows, edge_maps
     totals: Counter = Counter()
     unis: Counter = Counter()
     pairs: Counter = Counter()
@@ -117,7 +130,9 @@ def fit_inventory(mentions: rd.Dataset, cfg: PipelineConfig) -> list[dict]:
                                         key=lambda kv: (-kv[1], kv[0])):
                 out.append({"term": term, "sense_id": sense_id,
                             "token": token, "weight": weight})
-    return out
+    edge_maps = {t: {(w, v): npmi for w, v, npmi in es}
+                 for t, es in edges.items()}
+    return out, edge_maps
 
 
 def entity_kb_edges(linked: rd.Dataset) -> rd.Dataset:
@@ -136,14 +151,6 @@ def entity_kb_edges(linked: rd.Dataset) -> rd.Dataset:
 def run_flagship(sf_dir_or_scale: str,
                  cfg: PipelineConfig = DEFAULT_CONFIG,
                  files: list[str] | None = None) -> FlagshipArtifacts:
-    # The mention stream is consumed twice (pass 1: hyperedge counting for
-    # the model fit; pass 2: disambiguation).  It is RECOMPUTED per pass
-    # rather than materialized: tokenize+detect are fully vectorised
-    # elastic tasks that scale with CPUs, while pinning ~GBs of window
-    # lists into the single-node object store is memory-bandwidth-bound
-    # and does not — measured better wall AND better N→4N scaling.  (The
-    # checkpointed pipeline instead persists mentions implicitly via its
-    # per-shard pass structure.)
     # Mention-stream reuse plan (two consumers: counting, disambiguation).
     # Measured on this container (sf0.1, 4.8M turns):
     #   object_store (materialize): fastest wall absolute (23.7 s @32)
@@ -177,12 +184,15 @@ def run_flagship(sf_dir_or_scale: str,
             return pinned[0]
         return m  # recompute per consumer (default)
 
-    inventory_rows = fit_inventory(mentions_ds(), cfg)
+    inventory_rows, edge_maps = fit_model(mentions_ds(), cfg)
     inv_ref = ray.put(inventory_from_rows(inventory_rows))
+    edge_ref = (ray.put(edge_maps)
+                if (cfg.expand_cooc and edge_maps is not None) else None)
 
     # linked mentions: three consumers (canon edges, unary, pairs) and
     # sub-linear payload (no text, no windows) → pin once.
-    linked = disambiguate(mentions_ds(), inv_ref).materialize()
+    linked = disambiguate(mentions_ds(), inv_ref, edge_maps_ref=edge_ref,
+                          expand_gamma=cfg.expand_gamma).materialize()
     mentions = mentions_ds()
 
     from ..util import collect_rows

@@ -62,11 +62,18 @@ class SenseDisambiguator:
     (score desc, sense_id asc).  Scores compare at 6 dp (shared rule with
     the oracle) so summation order is immaterial."""
 
-    def __init__(self, inventory_ref):
+    def __init__(self, inventory_ref, edge_maps_ref=None,
+                 expand_gamma: float = 0.5):
         import pandas as pd
         inv = ray.get(inventory_ref)
         self.inventory = inv
         self.link = build_link_map(inv)
+        # A2 state (BASELINE.json:6): the pruned per-term co-occurrence
+        # matrices ride in actor state alongside the inventory when the
+        # expansion refinement is on.
+        self.edge_maps = (ray.get(edge_maps_ref)
+                          if edge_maps_ref is not None else None)
+        self.expand_gamma = expand_gamma
         rows = [(term, tok, sid, w)
                 for term, senses in inv.items()
                 for sid, vec in senses.items()
@@ -94,6 +101,29 @@ class SenseDisambiguator:
         })
         sense_ids = np.full(n, -1, dtype=np.int32)
         scores = np.zeros(n, dtype=np.float64)
+        if self.edge_maps is not None:
+            # expansion mode: every sense must be scored (a sense with no
+            # base overlap can still win on second-order edges) → direct
+            # per-mention loop, the literal oracle semantics.
+            from ..oracle import expansion_score
+            wins_py = wins.to_pylist()
+            for i in range(n):
+                term = terms_np[i]
+                senses = self.inventory.get(term, {})
+                emap = self.edge_maps.get(term, {})
+                best_sid, best_score = -1, MIN_LINK_SCORE
+                for sid in sorted(senses):
+                    vec = senses[sid]
+                    s = sum(vec.get(t, 0.0) for t in wins_py[i])
+                    s += expansion_score(wins_py[i], vec, emap,
+                                         self.expand_gamma)
+                    s = round(s, 6)
+                    if s > best_score:
+                        best_sid, best_score = sid, s
+                sense_ids[i] = best_sid
+                scores[i] = best_score if best_sid >= 0 else 0.0
+            return self._emit(batch, terms_np, sense_ids, scores)
+
         merged = (exploded.merge(self.inv_df, on=["term", "token"],
                                  how="inner")
                   if len(exploded) and len(self.inv_df) else exploded.iloc[:0])
@@ -107,6 +137,9 @@ class SenseDisambiguator:
             best = agg.drop_duplicates(subset=["m"], keep="first")
             sense_ids[best["m"].to_numpy()] = best["sense_id"].to_numpy()
             scores[best["m"].to_numpy()] = best["weight"].to_numpy()
+        return self._emit(batch, terms_np, sense_ids, scores)
+
+    def _emit(self, batch, terms_np, sense_ids, scores) -> pa.Table:
         terms = terms_np.tolist()
         kb_ids = [self.link.get((t, int(s)), "")
                   for t, s in zip(terms, sense_ids)]
@@ -120,6 +153,7 @@ class SenseDisambiguator:
 
 
 def disambiguate(mentions_raw: rd.Dataset, inventory_ref,
+                 edge_maps_ref=None, expand_gamma: float = 0.5,
                  concurrency=None) -> rd.Dataset:
     from ..runtime import pool_limits
     if concurrency is None:
@@ -127,6 +161,8 @@ def disambiguate(mentions_raw: rd.Dataset, inventory_ref,
         concurrency = pool_limits(frac=0.5, hi=16)
     return mentions_raw.map_batches(
         SenseDisambiguator,
-        fn_constructor_kwargs=dict(inventory_ref=inventory_ref),
+        fn_constructor_kwargs=dict(inventory_ref=inventory_ref,
+                                   edge_maps_ref=edge_maps_ref,
+                                   expand_gamma=expand_gamma),
         batch_format="pyarrow", batch_size=32768,
         concurrency=concurrency, num_cpus=1)
