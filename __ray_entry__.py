@@ -123,6 +123,16 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_value_cents
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
+        "top_orders_per_status": """
+            SELECT o_orderstatus, o_orderkey,
+                   CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+                       AS price_cents
+            FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY floor(o_totalprice*100 + 0.5) DESC, o_orderkey)
+                <= 3
+        """,
         "user_sessions": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id,

@@ -168,6 +168,31 @@ def segment_revenue(sf_dir: str) -> rd.Dataset:
                         ["revenue_cents", "n_orders"], num_buckets=4)
 
 
+def top_orders_per_status(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Per-group top-k (O2 pattern at table scale): k highest-value orders
+    per order status.  Partial top-k per batch, one bucketed shuffle keyed
+    hash(status), final top-k per group — ties broken by o_orderkey."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderkey",
+                                  "o_totalprice"])
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderstatus", "price_cents", "o_orderkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("o_orderstatus", sort=True).head(k)
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(price_cents=_cents(df["o_totalprice"].to_numpy()))
+        return head_k(df)[["o_orderstatus", "o_orderkey", "price_cents"]]
+
+    partial = ds.map_batches(partial_topk, batch_format="pandas",
+                             batch_size=None)
+    return bucketed_group_apply(partial, ["o_orderstatus"], head_k,
+                                num_buckets=4)
+
+
 def events_hourly(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-hour window per event_type (stream-shaped pattern,
     ray_guide.md L187-198): count + integer-cent value sum."""

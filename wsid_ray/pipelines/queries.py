@@ -173,6 +173,10 @@ def q_segment_revenue(sf_dir: str) -> rd.Dataset:
     return analytics.segment_revenue(sf_dir)
 
 
+def q_top_orders_per_status(sf_dir: str) -> rd.Dataset:
+    return analytics.top_orders_per_status(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # training-data operators (documents / embeddings; SQL-checked where
 # expressible)
@@ -275,6 +279,7 @@ QUERIES = {
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
     "segment_revenue": q_segment_revenue,
+    "top_orders_per_status": q_top_orders_per_status,
     "doc_token_counts": q_doc_token_counts,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
