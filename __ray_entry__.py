@@ -90,19 +90,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
-                       AS sum_base_cents,
-                   sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
-                       AS BIGINT)) AS sum_disc_cents,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100
+                       + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "top_customers": """
             SELECT c.c_custkey, c.c_name, r.revenue_cents
             FROM (SELECT o_custkey,
-                         sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
-                             AS revenue_cents
+                         CAST(sum(CAST(floor(o_totalprice*100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
                   FROM orders GROUP BY o_custkey) r
             JOIN customer c ON c.c_custkey = r.o_custkey
             ORDER BY r.revenue_cents DESC, c.c_custkey
@@ -110,8 +110,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "segment_revenue": """
             SELECT c.c_mktsegment,
-                   sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT))
-                       AS revenue_cents,
+                   CAST(sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS revenue_cents,
                    count(*) AS n_orders
             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
             GROUP BY c.c_mktsegment
@@ -119,8 +119,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n,
-                   sum(CAST(floor(value*100 + 0.5) AS BIGINT))
-                       AS sum_value_cents
+                   CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS sum_value_cents
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "top_orders_per_status": """
