@@ -49,6 +49,128 @@ def _sql_token_expr(col: str = "text") -> str:
             f"AND t NOT IN ({stop}))")
 
 
+def _sql_cooc_edges(tr: str, tok: str, gaz: str) -> str:
+    """DuckDB mirror of the flagship cooc path (stages/mentions.py windows +
+    stages/cooc.py counts/NPMI): windows are the W tokens either side of
+    each gazetteer occurrence within a turn, target excluded; counts are
+    per-window-distinct; pmi/npmi per Bouma 2009 with the same float64
+    operation order as the numpy kernel."""
+    from wsid_ray.config import COOC_MIN_COUNT, NPMI_MIN, WINDOW_SIZE
+    W = WINDOW_SIZE
+    return f"""
+        WITH toks AS (
+            SELECT {tok} AS tokens FROM {tr}
+        ),
+        pos AS (
+            SELECT tokens, unnest(tokens) AS tok,
+                   generate_subscripts(tokens, 1) AS p
+            FROM toks
+        ),
+        wins AS (
+            SELECT row_number() OVER () AS win_id, tok AS term,
+                   list_distinct(list_concat(
+                       list_slice(tokens, greatest(1, p - {W}), p - 1),
+                       list_slice(tokens, p + 1, least(len(tokens), p + {W}))
+                   )) AS wtoks
+            FROM pos WHERE tok IN ({gaz})
+        ),
+        ex AS (SELECT win_id, term, unnest(wtoks) AS tok FROM wins),
+        paircnt AS (
+            SELECT a.term, a.tok AS w, b.tok AS v, count(*) AS n
+            FROM ex a JOIN ex b ON a.win_id = b.win_id AND a.tok < b.tok
+            GROUP BY a.term, a.tok, b.tok
+        ),
+        unicnt AS (SELECT term, tok, count(*) AS n_w FROM ex
+                   GROUP BY term, tok),
+        totcnt AS (SELECT term, count(*) AS nn FROM wins GROUP BY term),
+        weighted AS (
+            SELECT p.term, p.w, p.v, p.n,
+                   ln((CAST(p.n AS DOUBLE) * t.nn)
+                      / (CAST(uw.n_w AS DOUBLE) * uv.n_w)) AS pmi,
+                   CASE WHEN p.n = t.nn THEN 1.0
+                        ELSE ln((CAST(p.n AS DOUBLE) * t.nn)
+                                / (CAST(uw.n_w AS DOUBLE) * uv.n_w))
+                             / (-ln(CAST(p.n AS DOUBLE) / t.nn)) END AS npmi
+            FROM paircnt p
+            JOIN totcnt t ON t.term = p.term
+            JOIN unicnt uw ON uw.term = p.term AND uw.tok = p.w
+            JOIN unicnt uv ON uv.term = p.term AND uv.tok = p.v
+            WHERE p.n >= {COOC_MIN_COUNT}
+        )
+        SELECT term, w, v, n, round(pmi, 6) AS pmi, round(npmi, 6) AS npmi
+        FROM weighted WHERE npmi > {NPMI_MIN}
+    """
+
+
+def _sql_doc_langid() -> str:
+    """DuckDB mirror of stages/textstats.langid_batch: CJK codepoint scan
+    on the first 500 chars, else marker-word argmax with first-wins ties
+    in (en, de, fr, es) order; score = best/max(1, n_words), half-up 6dp."""
+    from wsid_ray.stages.textstats import _LANG_MARKERS
+    marks = {k: ", ".join(f"'{w}'" for w in v)
+             for k, v in _LANG_MARKERS.items() if v}
+    return rf"""
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_matches(substr(text, 1, 500),
+                                  '[\x{{4e00}}-\x{{9fff}}]') AS is_zh,
+                   list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> '') AS words
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, is_zh, greatest(1, len(words)) AS nw,
+                len(list_filter(words, x -> x IN ({marks['en']}))) AS s_en,
+                len(list_filter(words, x -> x IN ({marks['de']}))) AS s_de,
+                len(list_filter(words, x -> x IN ({marks['fr']}))) AS s_fr,
+                len(list_filter(words, x -> x IN ({marks['es']}))) AS s_es
+            FROM w
+        )
+        SELECT doc_id,
+            CASE WHEN is_zh THEN 'zh'
+                 WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                 WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                 WHEN s_fr >= s_es THEN 'fr'
+                 ELSE 'es' END AS lang_pred,
+            CASE WHEN is_zh THEN 1.0
+                 ELSE floor(CAST(greatest(s_en, s_de, s_fr, s_es) AS DOUBLE)
+                            / nw * 1e6 + 0.5) / 1e6 END AS lang_score
+        FROM scored
+    """
+
+
+def _sql_doc_simhash(tok: str) -> str:
+    """DuckDB mirror of stages/textstats.simhash_batch: per-token 64-bit
+    hash = md5_number_upper (first 8 digest bytes little-endian),
+    occurrence-weighted sign-sum per bit, sign bits packed into int64."""
+    return f"""
+        WITH d AS (SELECT doc_id, {tok} AS toks FROM documents),
+        ex AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        tokc AS (SELECT doc_id, tok, count(*) AS c FROM ex
+                 GROUP BY doc_id, tok),
+        hashed AS (SELECT doc_id, c, md5_number_upper(tok) AS h FROM tokc),
+        bits AS (
+            SELECT doc_id, bb.b AS b,
+                   sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN c ELSE -c END)
+                       AS acc
+            FROM hashed, (SELECT unnest(range(64)) AS b) bb
+            GROUP BY doc_id, bb.b
+        ),
+        sums AS (
+            SELECT doc_id,
+                   sum(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << b
+                            ELSE CAST(0 AS UBIGINT) END) AS s
+            FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(
+                   CASE WHEN s.s >= CAST(9223372036854775808 AS HUGEINT)
+                        THEN s.s - CAST(18446744073709551616 AS HUGEINT)
+                        ELSE s.s END, 0) AS BIGINT) AS simhash
+        FROM d LEFT JOIN sums s USING (doc_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from wsid_ray.config import GAZETTEER, STOPWORDS
     from wsid_ray.fixtures import generate, transcripts_dir
@@ -60,6 +182,19 @@ def oracle_sql() -> dict[str, str]:
     stop = ", ".join(f"'{s}'" for s in sorted(STOPWORDS))
 
     return {
+        "cooc_edges": _sql_cooc_edges(tr, tok, gaz),
+        "doc_langid": _sql_doc_langid(),
+        "doc_simhash": _sql_doc_simhash(tok),
+        # all-pairs oracle for the banded engine stage — exact equivalence
+        # is guaranteed by pigeonhole (max_hamming=3 < 4 bands)
+        "simhash_near_dup": f"""
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM ({_sql_doc_simhash(tok)}) a
+            JOIN ({_sql_doc_simhash(tok)}) b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "turn_counts": f"""
             SELECT conv_id, count(*) AS n_turns,
                    max(turn_idx) AS max_turn_idx

@@ -66,3 +66,30 @@ def test_knn_topk_exact(tmp_path):
     scores[0] = -np.inf
     top = np.argsort(-scores)[:5]
     assert set(out["vec_id"]) == set(top.tolist())
+
+
+def test_simhash_near_dup_matches_all_pairs():
+    """Banded candidates == brute-force all-pairs (pigeonhole guarantee)."""
+    from wsid_ray.stages.dedup import _popcount64, simhash_near_dup
+    from wsid_ray.stages.textstats import simhash_batch
+
+    texts = [BASE, BASE.replace("kappa", "kappa2"),
+             BASE.replace("beta", "beta9").replace("tau", "tau9"),
+             "one two three four five six seven eight nine ten eleven"]
+    ds = docs_table(texts)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_near_dup(ds, max_hamming=3).take_all()}
+
+    sims = simhash_batch(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)})).to_pylist()
+    sigs = np.array([r["simhash"] for r in sims], dtype=np.int64) \
+        .view(np.uint64)
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            h = int(_popcount64(np.array([sigs[i] ^ sigs[j]],
+                                         dtype=np.uint64))[0])
+            if h <= 3:
+                want[(i, j)] = h
+    assert got == want

@@ -207,6 +207,11 @@ def q_doc_simhash(sf_dir: str) -> rd.Dataset:
                                               batch_format="pyarrow")
 
 
+def q_simhash_near_dup(sf_dir: str) -> rd.Dataset:
+    from ..stages.dedup import simhash_near_dup
+    return simhash_near_dup(read_documents(sf_dir), max_hamming=3)
+
+
 def q_doc_minhash_candidates(sf_dir: str) -> rd.Dataset:
     return minhash_candidates(read_documents(sf_dir))
 
@@ -285,6 +290,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_langid": q_doc_langid,
     "doc_simhash": q_doc_simhash,
+    "simhash_near_dup": q_simhash_near_dup,
     "doc_minhash_candidates": q_doc_minhash_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "knn_cosine_topk": q_knn_cosine_topk,

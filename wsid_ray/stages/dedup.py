@@ -123,6 +123,82 @@ def minhash_candidates(docs: rd.Dataset, num_perm: int = 64,
     return distinct(cands, ["doc_a", "doc_b"], num_buckets=16)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorised popcount over uint64 (numpy<2 has no bitwise_count)."""
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(
+        axis=1).astype(np.int64) if len(x) else np.zeros(0, dtype=np.int64)
+
+
+def simhash_near_dup(docs: rd.Dataset, max_hamming: int = 3,
+                     num_bands: int = 4,
+                     num_buckets: int = 32) -> rd.Dataset:
+    """SimHash near-dup pairs via the band trick: split the 64-bit
+    signature into ``num_bands`` equal bands, bucket on (band, band_key),
+    verify Hamming distance pairwise inside each bucket.
+
+    Exact w.r.t. the all-pairs oracle when ``max_hamming < num_bands``
+    (pigeonhole: <num_bands differing bits leave at least one band
+    identical), so the DuckDB all-pairs SQL mirror is a hard check, not an
+    approximation.  Full signatures ride along the band rows, so the
+    verify needs no join/broadcast — only (doc_id, band, sig) rows move.
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b, hamming <= max_hamming.
+    """
+    assert 64 % num_bands == 0 and max_hamming < num_bands
+    from .textstats import simhash_batch
+    band_bits = 64 // num_bands
+    mask = np.uint64((1 << band_bits) - 1)
+    shifts = (np.arange(num_bands, dtype=np.uint64)
+              * np.uint64(band_bits))
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        sig = t["simhash"].to_numpy(zero_copy_only=False).astype(
+            np.int64).view(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig_rep = np.repeat(sig, num_bands)
+        keys = ((sig_rep >> np.tile(shifts, n)) & mask).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, num_bands), type=pa.int64()),
+            "band_id": pa.array(np.tile(
+                np.arange(num_bands, dtype=np.int32), n), type=pa.int32()),
+            "band_key": pa.array(keys, type=pa.int64()),
+            "simhash": pa.array(sig_rep.view(np.int64), type=pa.int64()),
+        })
+
+    bands = docs.map_batches(simhash_batch, batch_format="pyarrow") \
+                .map_batches(explode, batch_format="pyarrow")
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        for _, g in df.groupby(["band_id", "band_key"], sort=True):
+            sub = g.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(sub) < 2:
+                continue
+            ids = sub["doc_id"].to_numpy()
+            sigs = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+            iu, ju = np.triu_indices(len(sub), 1)
+            ham = _popcount64(sigs[iu] ^ sigs[ju])
+            keep = ham <= max_hamming
+            out_a.append(ids[iu[keep]])
+            out_b.append(ids[ju[keep]])
+            out_h.append(ham[keep])
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.zeros(0, dtype=np.int64))
+        return pd.DataFrame({
+            "doc_a": pd.Series(cat(out_a), dtype="int64"),
+            "doc_b": pd.Series(cat(out_b), dtype="int64"),
+            "hamming": pd.Series(cat(out_h), dtype="int64"),
+        })
+
+    cands = bucketed_group_apply(bands, ["band_id", "band_key"],
+                                 pairs_in_bucket, num_buckets=num_buckets)
+    from .groups import distinct
+    return distinct(cands, ["doc_a", "doc_b"], num_buckets=16)
+
+
 def jaccard_pairs(docs: rd.Dataset, threshold: float,
                   shingle_k: int = 1) -> rd.Dataset:
     """Exact n-gram Jaccard over all pairs via a broadcast of the (small)

@@ -109,7 +109,10 @@ def langid_batch(t: pa.Table) -> pa.Table:
                 best_lang, best = lang, score
         total = max(1, len(words))
         preds.append(best_lang)
-        scores.append(round(best / total, 6))
+        # half-up at 6 dp (not Python's banker's round): marker-count /
+        # word-count ratios are small rationals that DO land on 6-decimal
+        # midpoints, and the DuckDB oracle's round() is half-away-from-zero.
+        scores.append(np.floor(best / total * 1e6 + 0.5) / 1e6)
     return pa.table({
         "doc_id": t["doc_id"],
         "lang_pred": pa.array(preds, type=pa.string()),
@@ -134,7 +137,9 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
 def simhash_batch(t: pa.Table) -> pa.Table:
     """(doc_id, simhash) — 64-bit SimHash over tokens (Charikar 2002).
 
-    Deterministic: per-token 64-bit blake2b hashes, sign-sum per bit.
+    Deterministic: per-token 64-bit hash = first 8 md5 digest bytes
+    little-endian (== DuckDB's md5_number_upper, so the whole operator is
+    mirrored in oracle SQL), sign-sum per bit, occurrence-weighted.
     """
     toks = tokenize_column(t["text"]).to_pylist()
     out = np.empty(len(toks), dtype=np.int64)
@@ -148,8 +153,8 @@ def simhash_batch(t: pa.Table) -> pa.Table:
         for tok in ts:
             bits = bitcache.get(tok)
             if bits is None:
-                h = np.uint64(int.from_bytes(hashlib.blake2b(
-                    tok.encode(), digest_size=8).digest(), "big"))
+                h = np.uint64(int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "little"))
                 bits = np.where(((h >> shifts) & np.uint64(1)) == 1, 1, -1)
                 bitcache[tok] = bits
             acc += bits
