@@ -171,6 +171,80 @@ def _sql_doc_simhash(tok: str) -> str:
     """
 
 
+def _sql_shingles(tok: str, k: int) -> str:
+    """Per-doc distinct shingle strings (mirror of dedup._shingle_strings)."""
+    return f"""
+        SELECT doc_id,
+               CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                    WHEN len(toks) < {k} THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct(list_transform(
+                        range(len(toks) - {k} + 1),
+                        i -> array_to_string(
+                            list_slice(toks, i + 1, i + {k}), ' ')))
+               END AS shingles
+        FROM (SELECT doc_id, {tok} AS toks FROM documents)
+    """
+
+
+def _sql_minhash_candidates(tok: str, k: int = 3, num_perm: int = 64,
+                            num_bands: int = 16) -> str:
+    """DuckDB mirror of dedup.minhash_candidates: 30-bit md5 shingle
+    hashes, (a*x+b) % (2^31-1) permutations with the engine's inlined
+    RandomState(42) constants (exact BIGINT math), md5 band fingerprints,
+    pairs sharing any band bucket."""
+    from wsid_ray.stages.dedup import _perm_params
+    a, b = _perm_params(num_perm)
+    vals = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})"
+                     for j in range(num_perm))
+    rpb = num_perm // num_bands
+    return f"""
+        WITH sh AS ({_sql_shingles(tok, k)}),
+        shd AS (
+            SELECT DISTINCT doc_id,
+                   CAST((md5_number_upper(unnest(shingles)) >> 34)
+                        AS BIGINT) AS x
+            FROM sh
+        ),
+        perms AS (SELECT * FROM (VALUES {vals}) p(j, a, b)),
+        sigs AS (
+            SELECT doc_id, p.j AS j,
+                   min((p.a * x + p.b) % 2147483647) AS v
+            FROM shd, perms p GROUP BY doc_id, p.j
+        ),
+        bands AS (
+            SELECT doc_id, CAST(j // {rpb} AS INT) AS band_id,
+                   CAST((md5_number_upper(string_agg(CAST(v AS VARCHAR),
+                            ',' ORDER BY j))
+                         & CAST(9223372036854775807 AS UBIGINT))
+                        AS BIGINT) AS band_hash
+            FROM sigs GROUP BY doc_id, j // {rpb}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id
+                    AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    """
+
+
+def _sql_jaccard_pairs(tok: str, threshold: float = 0.5,
+                       k: int = 3) -> str:
+    """Candidates (same LSH as the engine) -> exact shingle-set Jaccard."""
+    return f"""
+        SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
+        FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_intersect(sa.shingles, sb.shingles))
+                        AS DOUBLE)
+                   / (len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles))) AS j
+            FROM ({_sql_minhash_candidates(tok, k)}) c
+            JOIN ({_sql_shingles(tok, k)}) sa ON sa.doc_id = c.doc_a
+            JOIN ({_sql_shingles(tok, k)}) sb ON sb.doc_id = c.doc_b
+        ) WHERE j >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from wsid_ray.config import GAZETTEER, STOPWORDS
     from wsid_ray.fixtures import generate, transcripts_dir
@@ -184,6 +258,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cooc_edges": _sql_cooc_edges(tr, tok, gaz),
         "doc_langid": _sql_doc_langid(),
+        "doc_minhash_candidates": _sql_minhash_candidates(tok),
+        "doc_jaccard_pairs": _sql_jaccard_pairs(tok),
         "doc_simhash": _sql_doc_simhash(tok),
         # all-pairs oracle for the banded engine stage — exact equivalence
         # is guaranteed by pigeonhole (max_hamming=3 < 4 bands)

@@ -26,28 +26,47 @@ from .tokenize import tokenize_column
 
 from ..runtime import pool_limits
 
-# deterministic universal-hash parameters for MinHash permutations
-_MERSENNE = (1 << 61) - 1
+# Deterministic universal-hash parameters for MinHash permutations.
+# Domain is the 31-bit Mersenne prime so every product a*x (< 2^61) is
+# EXACT in both numpy int64 and DuckDB BIGINT — the whole operator is
+# mirrored in oracle SQL with inlined (a, b) constants.  (The previous
+# 61-bit domain silently wrapped mod 2^64 inside np.outer.)
+_MERSENNE = (1 << 31) - 1
 
 
 def _perm_params(num_perm: int, seed: int = 42):
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.randint(1, _MERSENNE, size=num_perm).astype(np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm).astype(np.int64)
     return a, b
 
 
-def _shingles(tokens: list[str], k: int) -> set[int]:
+def _hash30(s: str) -> int:
+    """30-bit shingle hash: first 8 md5 digest bytes little-endian
+    (== DuckDB md5_number_upper) >> 34."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                          "little") >> 34
+
+
+def _band_hash(chunk: np.ndarray) -> int:
+    """Band fingerprint: md5 of the comma-joined signature values
+    (== DuckDB md5_number_upper(string_agg(...))), masked to int63."""
+    payload = ",".join(str(int(v)) for v in chunk)
+    return (int.from_bytes(hashlib.md5(payload.encode()).digest()[:8],
+                           "little") & 0x7FFF_FFFF_FFFF_FFFF)
+
+
+def _shingle_strings(tokens: list[str], k: int) -> list[str]:
+    if not tokens:
+        return []
     if len(tokens) < k:
-        joined = " ".join(tokens)
-        return {int.from_bytes(hashlib.blake2b(
-            joined.encode(), digest_size=8).digest(), "big") >> 3} if tokens else set()
-    out = set()
-    for i in range(len(tokens) - k + 1):
-        s = " ".join(tokens[i:i + k])
-        out.add(int.from_bytes(hashlib.blake2b(
-            s.encode(), digest_size=8).digest(), "big") >> 3)
-    return out
+        return [" ".join(tokens)]
+    return sorted({" ".join(tokens[i:i + k])
+                   for i in range(len(tokens) - k + 1)})
+
+
+def _shingles(tokens: list[str], k: int) -> set[int]:
+    return {_hash30(s) for s in _shingle_strings(tokens, k)}
 
 
 class MinHasher:
@@ -62,12 +81,15 @@ class MinHasher:
         self.num_bands = num_bands
         self.rows_per_band = num_perm // num_bands
 
-    def signature(self, tokens: list[str]) -> np.ndarray:
+    def signature(self, tokens: list[str]) -> np.ndarray | None:
+        """None for shingle-less docs (they emit no band rows — matching
+        the SQL mirror, where such docs simply have no shingle rows)."""
         sh = _shingles(tokens, self.k)
         if not sh:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
+            return None
         x = np.fromiter(sh, dtype=np.int64, count=len(sh))
-        # (num_perm, n_shingles) universal hashing, min per row
+        # (num_perm, n_shingles) universal hashing, min per row; products
+        # < 2^61 so int64 math is exact (see _MERSENNE note above)
         vals = (np.outer(self.a, x) + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
@@ -80,14 +102,14 @@ class MinHasher:
         hash_col: list[int] = []
         for doc_id, ts in zip(ids, toks):
             sig = self.signature(ts)
+            if sig is None:
+                continue
             for band in range(self.num_bands):
                 chunk = sig[band * self.rows_per_band:
                             (band + 1) * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
                 doc_col.append(doc_id)
                 band_col.append(band)
-                hash_col.append(
-                    int.from_bytes(h, "big") & 0x7FFF_FFFF_FFFF_FFFF)
+                hash_col.append(_band_hash(chunk))
         return pa.table({
             "doc_id": pa.array(doc_col, type=pa.int64()),
             "band_id": pa.array(band_col, type=pa.int32()),
@@ -200,55 +222,60 @@ def simhash_near_dup(docs: rd.Dataset, max_hamming: int = 3,
 
 
 def jaccard_pairs(docs: rd.Dataset, threshold: float,
-                  shingle_k: int = 1) -> rd.Dataset:
-    """Exact n-gram Jaccard over all pairs via a broadcast of the (small)
-    shingle-set table; at scale, run it only on minhash_candidates.
+                  shingle_k: int = 1, num_perm: int = 64,
+                  num_bands: int = 16) -> rd.Dataset:
+    """Exact n-gram Jaccard on MinHash-LSH candidate pairs:
+    candidates (bucketed LSH, no all-pairs) -> two partitioned hash joins
+    to attach each side's shingle set -> per-pair verify.  Only candidate
+    pairs and the shingle-set table move through the joins — nothing is
+    materialised on the driver (the 100 TB shape; SURVEY.md §2.7).
 
-    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold, rounded 6dp.
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold, half-up 6dp.
+    Mirrored 1:1 (candidates included) in oracle SQL.
     """
-    import ray
+    from .joins import hash_join
 
-    def shingle_set(ts: list[str]) -> list[str]:
-        if len(ts) < shingle_k:
-            return [" ".join(ts)] if ts else []
-        return sorted({" ".join(ts[i:i + shingle_k])
-                       for i in range(len(ts) - shingle_k + 1)})
+    cands = minhash_candidates(docs, num_perm=num_perm,
+                               shingle_k=shingle_k, num_bands=num_bands)
 
-    def to_sets(t: pa.Table) -> pa.Table:
-        toks = tokenize_column(t["text"]).to_pylist()
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "shingles": pa.array([shingle_set(ts) for ts in toks],
-                                 type=pa.list_(pa.string())),
-        })
+    def to_sets(name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            toks = tokenize_column(t["text"]).to_pylist()
+            return pa.table({
+                name: t["doc_id"],
+                f"sh_{name}": pa.array(
+                    [_shingle_strings(ts, shingle_k) for ts in toks],
+                    type=pa.list_(pa.string())),
+            })
+        return fn
 
-    sets = docs.map_batches(to_sets, batch_format="pyarrow").take_all()
-    table = {r["doc_id"]: frozenset(r["shingles"]) for r in sets}
-    ref = ray.put(table)
+    sets_a = docs.map_batches(to_sets("doc_a"), batch_format="pyarrow")
+    sets_b = docs.map_batches(to_sets("doc_b"), batch_format="pyarrow")
+    joined = hash_join(hash_join(cands, sets_a, on=["doc_a"],
+                                 num_buckets=16),
+                       sets_b, on=["doc_b"], num_buckets=16)
 
-    def score(t: pa.Table) -> pa.Table:
-        other = ray.get(ref)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
         a_col: list[int] = []
         b_col: list[int] = []
         j_col: list[float] = []
-        for r in t.to_pylist():
-            a = r["doc_id"]
-            sa = other[a]
-            for b, sb in other.items():
-                if b <= a or not sa or not sb:
-                    continue
-                inter = len(sa & sb)
-                if inter == 0:
-                    continue
-                j = inter / len(sa | sb)
-                if j >= threshold:
-                    a_col.append(a); b_col.append(b)
-                    j_col.append(round(j, 6))
-        return pa.table({
-            "doc_a": pa.array(a_col, type=pa.int64()),
-            "doc_b": pa.array(b_col, type=pa.int64()),
-            "jaccard": pa.array(j_col, type=pa.float64()),
+        for a, b, sa, sb in zip(df["doc_a"], df["doc_b"],
+                                df["sh_doc_a"], df["sh_doc_b"]):
+            A, B = set(sa), set(sb)
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            if inter == 0:
+                continue
+            j = inter / (len(A) + len(B) - inter)
+            if j >= threshold:
+                a_col.append(a); b_col.append(b)
+                # half-up 6dp — shared rounding rule with the SQL mirror
+                j_col.append(np.floor(j * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame({
+            "doc_a": pd.Series(a_col, dtype="int64"),
+            "doc_b": pd.Series(b_col, dtype="int64"),
+            "jaccard": pd.Series(j_col, dtype="float64"),
         })
 
-    return docs.select_columns(["doc_id"]).map_batches(
-        score, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pandas")

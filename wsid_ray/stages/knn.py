@@ -101,46 +101,86 @@ def knn_topk(embeddings: rd.Dataset, query_vectors: dict[int, np.ndarray],
 
 
 def near_dup_pairs(embeddings: rd.Dataset, threshold: float,
-                   exclude_self: bool = True) -> rd.Dataset:
+                   num_blocks: int = 8) -> rd.Dataset:
     """Exact embedding-cosine near-duplicate pairs (vec_a < vec_b,
     cosine > threshold), the embedding analogue of MinHash near-dup.
 
-    The corpus matrix is broadcast once (``ray.put``); each batch does one
-    float64 matmul of its rows against the whole matrix and keeps only the
-    upper-triangle hits.  Exact — the oracle-comparable baseline; at
-    corpus sizes where the matrix no longer broadcasts, run the same
-    verify against LshBucketScorer / ivf candidates instead.
+    Distributed block-pair (triangle) join — nothing touches the driver:
+    every vector is hashed into one of ``num_blocks`` blocks and
+    replicated to the ``num_blocks`` unordered block pairs it belongs to;
+    one task per block pair runs the float64 matmul between its two
+    blocks.  O(n²) compute (exactness at a 0.4 threshold requires it) but
+    spread over B(B+1)/2 independent tasks with O(n·B) data movement, vs
+    the old driver-side ``collect_table`` + full-matrix broadcast.
+    Approximate scale paths (LshBucketScorer / ivf) trade recall for
+    skipping the quadratic work.
     """
-    import pyarrow.parquet  # noqa: F401
-    from ..util import collect_table
+    B = num_blocks
 
-    all_t = collect_table(embeddings)
-    ids = np.asarray(all_t["vec_id"].to_pylist(), dtype=np.int64)
-    M = np.asarray(all_t["embedding"].to_pylist(), dtype=np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    state = ray.put((ids, Mn))
-
-    def score(t: pa.Table) -> pa.Table:
-        ids_, Mn_ = ray.get(state)
-        X = _to_matrix(t["embedding"])
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        vids = t["vec_id"].to_numpy(zero_copy_only=False)
-        S = Xn @ Mn_.T                       # (batch, corpus)
-        a_col, b_col, s_col = [], [], []
-        for i, va in enumerate(vids):
-            hit = (S[i] > threshold) & (ids_ > va)
-            if hit.any():
-                a_col.extend([va] * int(hit.sum()))
-                b_col.extend(ids_[hit].tolist())
-                s_col.extend(np.round(S[i][hit], 6).tolist())
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = vids % B
+        other = np.tile(np.arange(B, dtype=np.int64), n)
+        blk_rep = np.repeat(blk, B)
+        take = pa.array(np.repeat(np.arange(n), B), type=pa.int64())
+        import pyarrow.compute as pc
         return pa.table({
-            "vec_a": pa.array(a_col, type=pa.int64()),
-            "vec_b": pa.array(b_col, type=pa.int64()),
-            "score": pa.array(s_col, type=pa.float64()),
+            "pi": pa.array(np.minimum(blk_rep, other), type=pa.int32()),
+            "pj": pa.array(np.maximum(blk_rep, other), type=pa.int32()),
+            "blk": pa.array(blk_rep, type=pa.int32()),
+            "vec_id": pc.take(t["vec_id"], take),
+            "embedding": pc.take(t["embedding"], take),
         })
 
-    return embeddings.map_batches(score, batch_format="pyarrow",
-                                  batch_size=2048)
+    exploded = embeddings.map_batches(explode, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a_col: list[np.ndarray] = []
+        b_col: list[np.ndarray] = []
+        s_col: list[np.ndarray] = []
+        for (pi, pj), g in df.groupby(["pi", "pj"], sort=True):
+            g = g.drop_duplicates("vec_id")  # (b,b) pair keeps one copy
+            left = g[g["blk"] == pi]
+            if not len(left) or (pi == pj and len(left) < 2):
+                continue
+            ids_l = left["vec_id"].to_numpy()
+            L = np.asarray(left["embedding"].tolist(), dtype=np.float64)
+            Ln = L / np.linalg.norm(L, axis=1, keepdims=True)
+            if pi == pj:
+                S = Ln @ Ln.T
+                ia, ib = np.nonzero((S > threshold)
+                                    & (ids_l[:, None] < ids_l[None, :]))
+                va, vb, sv = ids_l[ia], ids_l[ib], S[ia, ib]
+            else:
+                right = g[g["blk"] == pj]
+                if not len(right):
+                    continue
+                ids_r = right["vec_id"].to_numpy()
+                R = np.asarray(right["embedding"].tolist(),
+                               dtype=np.float64)
+                Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+                S = Ln @ Rn.T
+                ia, ib = np.nonzero(S > threshold)
+                va0, vb0 = ids_l[ia], ids_r[ib]
+                va = np.minimum(va0, vb0)
+                vb = np.maximum(va0, vb0)
+                sv = S[ia, ib]
+            a_col.append(va); b_col.append(vb)
+            s_col.append(np.round(sv, 6))
+        cat = (lambda xs, dt: np.concatenate(xs).astype(dt) if xs
+               else np.zeros(0, dtype=dt))
+        return pd.DataFrame({
+            "vec_a": pd.Series(cat(a_col, np.int64), dtype="int64"),
+            "vec_b": pd.Series(cat(b_col, np.int64), dtype="int64"),
+            "score": pd.Series(cat(s_col, np.float64), dtype="float64"),
+        })
+
+    from .groups import bucketed_group_apply
+    return bucketed_group_apply(exploded, ["pi", "pj"], pairs_in_bucket,
+                                num_buckets=B * (B + 1) // 2)
 
 
 def kmeans_centroids(X: np.ndarray, k: int, iters: int = 10,
