@@ -49,14 +49,39 @@ def _sql_token_expr(col: str = "text") -> str:
             f"AND t NOT IN ({stop}))")
 
 
+def _sql_multi_terms():
+    """(conds, m, term) per multi-word gazetteer entry: SQL conditions on
+    the pos CTE matching the token sequence starting at 1-based p."""
+    from wsid_ray.config import GAZETTEER
+    out = []
+    for g in sorted(GAZETTEER):
+        if " " not in g:
+            continue
+        seq = g.split()
+        conds = [f"tok = '{seq[0]}'"] + [
+            f"tokens[p + {j}] = '{seq[j]}'" for j in range(1, len(seq))]
+        out.append((" AND ".join(conds), len(seq), g))
+    return out
+
+
 def _sql_cooc_edges(tr: str, tok: str, gaz: str) -> str:
     """DuckDB mirror of the flagship cooc path (stages/mentions.py windows +
     stages/cooc.py counts/NPMI): windows are the W tokens either side of
-    each gazetteer occurrence within a turn, target excluded; counts are
-    per-window-distinct; pmi/npmi per Bouma 2009 with the same float64
-    operation order as the numpy kernel."""
+    each gazetteer occurrence (single-token or multi-word span) within a
+    turn, span excluded; counts are per-window-distinct; pmi/npmi per
+    Bouma 2009 with the same float64 operation order as the numpy kernel."""
     from wsid_ray.config import COOC_MIN_COUNT, NPMI_MIN, WINDOW_SIZE
     W = WINDOW_SIZE
+    multi_sql = "".join(f"""
+            UNION ALL
+            SELECT '{term}' AS term,
+                   list_distinct(list_concat(
+                       list_slice(tokens, greatest(1, p - {W}), p - 1),
+                       list_slice(tokens, p + {m},
+                                  least(len(tokens), p + {m - 1} + {W}))
+                   )) AS wtoks
+            FROM pos WHERE {conds}"""
+        for conds, m, term in _sql_multi_terms())
     return f"""
         WITH toks AS (
             SELECT {tok} AS tokens FROM {tr}
@@ -66,14 +91,21 @@ def _sql_cooc_edges(tr: str, tok: str, gaz: str) -> str:
                    generate_subscripts(tokens, 1) AS p
             FROM toks
         ),
-        wins AS (
-            SELECT row_number() OVER () AS win_id, tok AS term,
+        wins0 AS (
+            SELECT tok AS term,
                    list_distinct(list_concat(
                        list_slice(tokens, greatest(1, p - {W}), p - 1),
                        list_slice(tokens, p + 1, least(len(tokens), p + {W}))
                    )) AS wtoks
-            FROM pos WHERE tok IN ({gaz})
+            FROM pos WHERE tok IN ({gaz}){multi_sql}
         ),
+        -- MATERIALIZED: win_id comes from row_number(), so the CTE must
+        -- be evaluated exactly once (DuckDB inlines plain CTEs, and two
+        -- inlined evaluations of a UNION ALL can order differently,
+        -- breaking the ex-to-ex self-join below)
+        wins AS MATERIALIZED (
+            SELECT row_number() OVER () AS win_id, term, wtoks
+            FROM wins0),
         ex AS (SELECT win_id, term, unnest(wtoks) AS tok FROM wins),
         paircnt AS (
             SELECT a.term, a.tok AS w, b.tok AS v, count(*) AS n
@@ -252,8 +284,15 @@ def oracle_sql() -> dict[str, str]:
     generate("sf0.01")
     tr = f"read_parquet('{transcripts_dir('sf0.01')}/*.parquet')"
     tok = _sql_token_expr()
-    gaz = ", ".join(f"'{g}'" for g in sorted(GAZETTEER))
+    gaz = ", ".join(f"'{g}'" for g in sorted(GAZETTEER) if " " not in g)
     stop = ", ".join(f"'{s}'" for s in sorted(STOPWORDS))
+    multi_counts = "".join(f"""
+            UNION ALL
+            SELECT * FROM (
+                SELECT '{term}' AS term, count(*) AS n
+                FROM pos WHERE {conds}
+            ) WHERE n > 0"""
+        for conds, _m, term in _sql_multi_terms())
 
     return {
         "cooc_edges": _sql_cooc_edges(tr, tok, gaz),
@@ -285,10 +324,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tok.token
         """,
         "mention_counts": f"""
-            SELECT tok.term AS term, count(*) AS n
-            FROM (SELECT unnest({tok}) AS term FROM {tr}) tok
-            WHERE tok.term IN ({gaz})
-            GROUP BY tok.term
+            WITH toks AS (SELECT {tok} AS tokens FROM {tr}),
+            pos AS (SELECT tokens, unnest(tokens) AS tok,
+                           generate_subscripts(tokens, 1) AS p FROM toks)
+            SELECT tok AS term, count(*) AS n
+            FROM pos WHERE tok IN ({gaz})
+            GROUP BY tok{multi_counts}
         """,
         "conv_text_digest": f"""
             SELECT conv_id,

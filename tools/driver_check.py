@@ -40,6 +40,9 @@ def _to_pandas(res) -> pd.DataFrame:
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].reset_index(drop=True)
+    for c in df.columns:  # pandas StringDtype vs object is not a real diff
+        if str(df[c].dtype) == "string":
+            df[c] = df[c].astype(object)
     if len(df):
         df = df.sort_values(list(df.columns), kind="mergesort")
         df = df.reset_index(drop=True)

@@ -104,6 +104,13 @@ ALIASES: dict[str, str] = {
     "pythons": "python",
     "apples": "apple",
     "banks": "bank",
+    # multi-word surface forms (token-sequence matching, SURVEY §2.2 M3).
+    # Matching rule everywhere (engine detector, sequential oracle, SQL
+    # mirror): every gazetteer term matches independently at every
+    # position — overlaps allowed, no longest-match preference, so
+    # "river bank" also yields a "bank" mention at its second token.
+    "big apple": "apple",
+    "river bank": "bank",
 }
 
 GAZETTEER: tuple[str, ...] = tuple(sorted(set(KB) | set(ALIASES)))

@@ -87,7 +87,7 @@ SCALES: dict[str, dict] = {
 }
 
 DATA_ROOT = os.environ.get("WSID_RAY_DATA", "/tmp/wsid_ray_data")
-_GEN_VERSION = "v6"  # bump to invalidate caches when generation rules change
+_GEN_VERSION = "v7"  # bump to invalidate caches when generation rules change
 
 
 def _conv_rows(rng: random.Random, conv_i: int, skewed: bool):

@@ -50,20 +50,34 @@ def load_turns(transcript_files: list[str]) -> list[dict]:
 
 def extract_mentions(turns: list[dict],
                      cfg: PipelineConfig = DEFAULT_CONFIG) -> list[dict]:
-    gaz = set(cfg.gazetteer)
+    """Every gazetteer term matches independently at every position —
+    overlaps allowed, no longest-match preference (rule shared with the
+    engine detector and the SQL mirrors).  Multi-word surface forms match
+    as token sequences; the window excludes the whole span."""
+    gaz = set(g for g in cfg.gazetteer if " " not in g)
+    multi = sorted((g.split(), g) for g in cfg.gazetteer if " " in g)
     W = cfg.window_size
     mentions = []
     for row in turns:
         toks = tokenize(row["text"], cfg)
+
+        def emit(i: int, m: int, term: str) -> None:
+            win = toks[max(0, i - W):i] + toks[i + m:i + m + W]
+            mentions.append({
+                "conv_id": row["conv_id"], "turn_idx": row["turn_idx"],
+                "role": row["role"], "tool": row["tool"], "ts": row["ts"],
+                "term": term, "span_start": i, "span_end": i + m,
+                "win_tokens": win,
+            })
+
         for i, tok in enumerate(toks):
             if tok in gaz:
-                win = toks[max(0, i - W):i] + toks[i + 1:i + 1 + W]
-                mentions.append({
-                    "conv_id": row["conv_id"], "turn_idx": row["turn_idx"],
-                    "role": row["role"], "tool": row["tool"], "ts": row["ts"],
-                    "term": tok, "span_start": i, "span_end": i + 1,
-                    "win_tokens": win,
-                })
+                emit(i, 1, tok)
+        for seq, term in multi:
+            m = len(seq)
+            for i in range(len(toks) - m + 1):
+                if toks[i:i + m] == seq:
+                    emit(i, m, term)
     return mentions
 
 

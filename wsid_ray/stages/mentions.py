@@ -28,7 +28,9 @@ class MentionDetector:
     """Callable: turns_norm batch -> mentions_raw batch.
 
     The lookup state (gazetteer as an Arrow value set for the vectorised
-    ``is_in`` probe; an Aho-Corasick automaton in the multi-word case) is
+    ``is_in`` probe; per-term shifted equality masks for multi-word token
+    sequences — the vectorised equivalent of an Aho-Corasick pass for a
+    small pattern set) is
     tiny, so the stage runs as STATELESS TASKS with a per-process memo
     (``detect_batch`` below) rather than an actor pool: elastic tasks let
     the transcript-scale tokenize+detect stage use every CPU instead of
@@ -40,36 +42,72 @@ class MentionDetector:
     def __init__(self, window_size: int = WINDOW_SIZE,
                  gazetteer: tuple[str, ...] = GAZETTEER):
         self.window = window_size
-        self.gaz_arr = pa.array(sorted(gazetteer), type=pa.string())
+        single = sorted(g for g in gazetteer if " " not in g)
+        self.gaz_arr = pa.array(single, type=pa.string())
+        # multi-word surface forms: token sequences matched positionally.
+        # Rule shared with the sequential oracle and the SQL mirrors:
+        # every gazetteer term matches independently at every position —
+        # overlaps allowed, no longest-match preference.
+        self.multi = sorted((tuple(g.split()), g)
+                            for g in gazetteer if " " in g)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tokens = batch["tokens"]
         if isinstance(tokens, pa.ChunkedArray):
             tokens = tokens.combine_chunks()
         flat = tokens.flatten()
+        n_flat = len(flat)
         hit = pc.is_in(flat, value_set=self.gaz_arr).to_numpy(
             zero_copy_only=False).astype(bool)
-        if not hit.any():
-            return _empty_mentions()
         row_of = list_row_indices(tokens)
         offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+
         hit_idx = np.nonzero(hit)[0]          # flat element indices of hits
+        term_arr = pc.take(flat, pa.array(hit_idx, type=pa.int64()))
+        terms_parts = [term_arr.combine_chunks() if isinstance(
+            term_arr, pa.ChunkedArray) else term_arr]
+        hit_parts = [hit_idx]
+        m_parts = [np.ones(len(hit_idx), dtype=np.int64)]
+        for seq, term_str in self.multi:
+            m = len(seq)
+            if n_flat < m:
+                continue
+            mask = pc.equal(flat, seq[0]).to_numpy(
+                zero_copy_only=False).astype(bool)[:n_flat - m + 1]
+            for j in range(1, m):
+                nxt = pc.equal(flat, seq[j]).to_numpy(
+                    zero_copy_only=False).astype(bool)
+                mask &= nxt[j:j + n_flat - m + 1]
+            p = np.nonzero(mask)[0]
+            # the token sequence must not cross a turn boundary
+            p = p[row_of[p] == row_of[p + m - 1]]
+            if not len(p):
+                continue
+            hit_parts.append(p)
+            m_parts.append(np.full(len(p), m, dtype=np.int64))
+            terms_parts.append(pa.array([term_str] * len(p),
+                                        type=pa.string()))
+        hit_idx = np.concatenate(hit_parts)
+        if not len(hit_idx):
+            return _empty_mentions()
+        span_m = np.concatenate(m_parts)
+        terms = pa.concat_arrays(terms_parts)
         rows = row_of[hit_idx]                # turn row per mention
         pos = (hit_idx - offsets[rows]).astype(np.int32)  # token pos in turn
 
         # windows, fully vectorised (no per-token Python objects): for each
-        # mention the window is flat[lo:fi] ++ flat[fi+1:hi]; build the
+        # mention the window is flat[lo:p] ++ flat[p+m:hi]; build the
         # ragged index ranges with the repeat+cumsum trick and gather with
         # one pc.take.
         W = self.window
         lo = np.maximum(offsets[rows], hit_idx - W)
-        hi = np.minimum(offsets[rows + 1], hit_idx + W + 1)
+        hi = np.minimum(offsets[rows + 1], hit_idx + span_m + W)
         starts = np.empty(2 * len(hit_idx), dtype=np.int64)
         lens = np.empty(2 * len(hit_idx), dtype=np.int64)
         starts[0::2] = lo
         lens[0::2] = hit_idx - lo
-        starts[1::2] = hit_idx + 1
-        lens[1::2] = hi - hit_idx - 1
+        starts[1::2] = hit_idx + span_m
+        lens[1::2] = hi - hit_idx - span_m
         total = int(lens.sum())
         if total:
             cat = np.repeat(starts, lens)
@@ -92,9 +130,10 @@ class MentionDetector:
             "role": pc.take(batch["role"], take),
             "tool": pc.take(batch["tool"], take),
             "ts": pc.take(batch["ts"], take),
-            "term": pc.take(flat, pa.array(hit_idx, type=pa.int64())),
+            "term": terms,
             "span_start": pa.array(pos, type=pa.int32()),
-            "span_end": pa.array(pos + 1, type=pa.int32()),
+            "span_end": pa.array(pos + span_m.astype(np.int32),
+                                 type=pa.int32()),
             "win_tokens": win_tokens,
         })
         return out
