@@ -80,3 +80,42 @@ def test_config_change_invalidates(full_run, tmp_path):
     from wsid_ray.state.checkpoint import lineage_hash
     files = transcript_files("sf0.001")
     assert lineage_hash(files, cfg2.content_hash()) != lin_rows[0]["lineage"]
+
+
+def test_subj_partitioned_sink_layout_and_pruned_read(full_run):
+    """S3: triples land under subj_bucket=<b>/ dirs; a subject read scans
+    only its bucket and returns exactly that subject's triples."""
+    from wsid_ray.stages.triples import (SUBJ_BUCKETS,
+                                         read_triples_for_subject)
+    from wsid_ray.util import stable_hash64
+    out, _, all_triples = full_run
+    part0 = os.path.join(out, "triples", "part-0000")
+    buckets = sorted(d for d in os.listdir(part0)
+                     if d.startswith("subj_bucket="))
+    assert buckets, f"no hive partition dirs in {part0}"
+    assert all(0 <= int(d.split("=")[1]) < SUBJ_BUCKETS for d in buckets)
+    subj = sorted({s for s, _, _ in all_triples})[0]
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in read_triples_for_subject(part0, subj).take_all()}
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    all_p0 = rd.read_parquet([
+        os.path.join(root, f) for root, _, fs in os.walk(part0)
+        for f in fs if f.endswith(".parquet")])
+    want = {(r["subj"], r["pred"], r["obj"])
+            for r in all_p0.take_all() if r["subj"] == subj}
+    assert got == want and got  # non-empty, bucket-pruned read is exact
+
+
+def test_checkpointed_honors_expand_cooc(tmp_path):
+    """ADVICE r01: run_checkpointed with expand_cooc must produce the
+    expansion-mode oracle triples (not silently fall back)."""
+    from wsid_ray.config import PipelineConfig
+    cfg = PipelineConfig(expand_cooc=True)
+    out = str(tmp_path / "ckpt_exp")
+    ckpt = run_checkpointed("tiny", out, cfg=cfg)
+    assert {r["stage"] for r in ckpt.stats()} >= {"senses", "edges",
+                                                  "canon", "triples"}
+    oracle = run_oracle(transcript_files("tiny"), cfg)
+    p, r = precision_recall(triple_set(out), oracle["triples"])
+    assert p == 1.0 and r == 1.0

@@ -122,8 +122,20 @@ def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     per_cust = bucketed_sum(
         orders.map_batches(partial, batch_format="pandas"),
         ["o_custkey"], ["revenue_cents"], num_buckets=16)
-    top = per_cust.sort(["revenue_cents", "o_custkey"],
-                        descending=[True, False]).limit(k).to_pandas()
+
+    # global top-k without a global sort (VERDICT r01 item 9): each bucket
+    # of the aggregate emits its local k head, the driver merges the tiny
+    # B·k candidate set — the top_orders_per_status pattern, globalised.
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue_cents", "o_custkey"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    heads = per_cust.map_batches(local_topk, batch_format="pandas",
+                                 batch_size=None).to_pandas()
+    top = (heads.sort_values(["revenue_cents", "o_custkey"],
+                             ascending=[False, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
 
     import pyarrow.parquet as pq
     cust = pq.read_table(f"{sf_dir}/customer.parquet",

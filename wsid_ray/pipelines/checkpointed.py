@@ -55,10 +55,15 @@ def _mentions(files: list[str], cfg: PipelineConfig) -> rd.Dataset:
     return detect_mentions(turns, cfg)
 
 
+def _count_parquet(d: str) -> int:
+    return sum(pq.read_metadata(os.path.join(root, f)).num_rows
+               for root, _, fs in os.walk(d)
+               for f in fs if f.endswith(".parquet"))
+
+
 def _write_ds(ds: rd.Dataset, tmp_dir: str) -> int:
     ds.write_parquet(tmp_dir)
-    return sum(pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
-               for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+    return _count_parquet(tmp_dir)
 
 
 def run_checkpointed(sf_dir_or_scale: str, out_dir: str,
@@ -71,24 +76,52 @@ def run_checkpointed(sf_dir_or_scale: str, out_dir: str,
     chash = cfg.content_hash()
     global_lineage = lineage_hash(files, chash)
 
-    # ---- pass 1: sense inventory (global) -------------------------------
-    senses_dir = ckpt.part_dir("senses", 0)
-    if not ckpt.is_done("senses", 0, global_lineage):
-        mentions = _mentions(files, cfg)
-        edges = cooc_edges(mentions, cfg.cooc_min_count, cfg.npmi_min)
-        senses = induce_senses(edges)
+    def _capped(m: rd.Dataset) -> rd.Dataset:
+        # O3 skew cap applies to the counting/induction stream, exactly as
+        # in flagship.fit_model (ADVICE r01: these knobs were ignored here)
+        if cfg.max_windows_per_term:
+            from ..stages.sampling import cap_windows_per_term
+            return cap_windows_per_term(m, cfg.max_windows_per_term)
+        return m
 
-        def write(tmp):
-            return _write_ds(senses, tmp)
-        ckpt.write_partition("senses", 0, global_lineage, write)
+    # ---- pass 1: sense inventory (global); with expand_cooc also the
+    # pruned edge table (A2 cooc-matrix state), checkpointed alongside ----
+    senses_dir = ckpt.part_dir("senses", 0)
+    need_edges = cfg.expand_cooc
+    edges_missing = need_edges and not ckpt.is_done("edges", 0,
+                                                    global_lineage)
+    if not ckpt.is_done("senses", 0, global_lineage) or edges_missing:
+        mentions = _capped(_mentions(files, cfg))
+        edges = cooc_edges(mentions, cfg.cooc_min_count, cfg.npmi_min)
+        if need_edges:
+            edges = edges.materialize()  # two consumers: sink + induce
+            if edges_missing:
+                ckpt.write_partition("edges", 0, global_lineage,
+                                     lambda tmp: _write_ds(edges, tmp))
+        if not ckpt.is_done("senses", 0, global_lineage):
+            senses = induce_senses(edges)
+
+            def write(tmp):
+                return _write_ds(senses, tmp)
+            ckpt.write_partition("senses", 0, global_lineage, write)
 
     inv_rows = pq.read_table(senses_dir).to_pylist()
     inv_ref = ray.put(inventory_from_rows(inv_rows))
+    edge_ref = None
+    if need_edges:
+        edge_maps: dict[str, dict[tuple[str, str], float]] = {}
+        for r in pq.read_table(ckpt.part_dir("edges", 0)).to_pylist():
+            edge_maps.setdefault(r["term"], {})[(r["w"], r["v"])] = r["npmi"]
+        edge_ref = ray.put(edge_maps)
+
+    def _disambiguate(m: rd.Dataset) -> rd.Dataset:
+        return disambiguate(m, inv_ref, edge_maps_ref=edge_ref,
+                            expand_gamma=cfg.expand_gamma)
 
     # ---- pass 2: canon map (global) -------------------------------------
     canon_dir = ckpt.part_dir("canon", 0)
     if not ckpt.is_done("canon", 0, global_lineage):
-        linked = disambiguate(_mentions(files, cfg), inv_ref)
+        linked = _disambiguate(_mentions(files, cfg))
         canon_ds = canonicalize(entity_kb_edges(linked))
 
         def write(tmp):
@@ -114,12 +147,16 @@ def run_checkpointed(sf_dir_or_scale: str, out_dir: str,
         # sub-linear in the shard (no text, no windows), so pinning is
         # cheap; the 100 TB variant writes it to the shard's checkpoint
         # dir instead.
-        linked = disambiguate(_mentions(shard, cfg), inv_ref).materialize()
+        linked = _disambiguate(_mentions(shard, cfg)).materialize()
         tri = dedup_triples(triples_from_mentions(linked, canon),
                             num_buckets=16)
 
         def write(tmp, tri=tri):
-            return _write_ds(tri, tmp)
+            # S3 layout: subj-hash-partitioned dirs inside the shard
+            # partition (subj_bucket=<b>/...), SURVEY.md §2.1
+            from ..stages.triples import write_triples_partitioned
+            write_triples_partitioned(tri, tmp)
+            return _count_parquet(tmp)
         ckpt.write_partition("triples", k, lin, write)
     return ckpt
 
@@ -131,7 +168,8 @@ def triples_dataset(out_dir: str) -> rd.Dataset:
     files = []
     for p in ckpt.completed_parts("triples"):
         d = ckpt.part_dir("triples", p)
-        files.extend(sorted(os.path.join(d, f) for f in os.listdir(d)
-                            if f.endswith(".parquet")))
+        files.extend(sorted(
+            os.path.join(root, f) for root, _, fs in os.walk(d)
+            for f in fs if f.endswith(".parquet")))
     ds = rd.read_parquet(files)
     return dedup_triples(ds)

@@ -69,6 +69,10 @@ def induce_inventory(mentions: rd.Dataset, cfg: PipelineConfig) -> list[dict]:
 # on the driver and the distributed NPMI+induce path takes over.
 DRIVER_FIT_THRESHOLD = 2_000_000
 
+# Mention-stream plan threshold: below this input size the object-store
+# pin (fastest single-node) is chosen; above it, recompute (scale-out).
+_PIN_MAX_INPUT_BYTES = 4 << 30
+
 
 def fit_inventory(mentions: rd.Dataset, cfg: PipelineConfig) -> list[dict]:
     return fit_model(mentions, cfg)[0]
@@ -163,7 +167,21 @@ def run_flagship(sf_dir_or_scale: str,
     # (BASELINE.md records all curves).
     import os
     pinned: list[rd.Dataset] = []
-    cache_mode = os.environ.get("WSID_MENTIONS_CACHE", "object_store")
+    cache_mode = os.environ.get("WSID_MENTIONS_CACHE", "auto")
+    if cache_mode == "auto":
+        # Scale-aware default (VERDICT r01 item 10): pinning the mention
+        # stream costs ~0.4x the input in object-store memory — fastest
+        # on one node, but bandwidth-bound as input grows.  Above the
+        # threshold, recompute (pure CPU, scales out ~linearly; SCALE.md)
+        # is the plan; the threshold is input parquet bytes.
+        try:
+            from ..fixtures import transcript_files as _tf
+            fs = files if files else _tf(sf_dir_or_scale)
+            total = sum(os.path.getsize(f) for f in fs)
+        except (OSError, ValueError):
+            total = 0
+        cache_mode = ("object_store" if total < _PIN_MAX_INPUT_BYTES
+                      else "recompute")
 
     def mentions_ds() -> rd.Dataset:
         if pinned:

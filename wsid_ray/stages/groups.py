@@ -119,7 +119,10 @@ def bucketed_group_apply(
     ``bucket_fn`` over each whole bucket (vectorise inside!)."""
     if impl is None:
         import os
-        impl = os.environ.get("WSID_BUCKET_IMPL", "sort")
+        # "tasks" is the measured-faster default (module docstring); it
+        # auto-falls back to the fully-streaming "sort" path beyond
+        # _TASKS_MAX_REFS.  Set WSID_BUCKET_IMPL=sort to force streaming.
+        impl = os.environ.get("WSID_BUCKET_IMPL", "tasks")
     if impl == "tasks":
         out = _tasks_apply(ds, key_cols, bucket_fn, num_buckets)
         if out is not None:

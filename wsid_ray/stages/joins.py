@@ -24,6 +24,24 @@ import ray.data as rd
 from .groups import _bucket_of, _split_block
 
 
+def _merged_schema(lt: pa.Table, rt: pa.Table, on, suffixes) -> pa.Schema:
+    """Arrow schema of a pandas merge output (left cols then right
+    non-key cols, overlaps suffixed) — used to type empty join results."""
+    lnames, rnames = set(lt.schema.names), set(rt.schema.names)
+    fields = []
+    for f in lt.schema:
+        if f.name not in on and f.name in rnames:
+            fields.append(pa.field(f.name + suffixes[0], f.type))
+        else:
+            fields.append(f)
+    for f in rt.schema:
+        if f.name in on:
+            continue
+        fields.append(pa.field(f.name + suffixes[1], f.type)
+                      if f.name in lnames else f)
+    return pa.schema(fields)
+
+
 @ray.remote
 def _join_bucket(on, how, suffixes, n_left, *parts):
     left_parts = [p for p in parts[:n_left] if p.num_rows]
@@ -39,6 +57,11 @@ def _join_bucket(on, how, suffixes, n_left, *parts):
     ldf = concat(left_parts, parts[0])
     rdf = concat(right_parts, parts[n_left])
     out = ldf.merge(rdf, on=on, how=how, suffixes=suffixes)
+    if not len(out):
+        # empty pandas frames lose Arrow types (object -> null); pin the
+        # schema from the input templates so the stream's schema is stable
+        return pa.Table.from_pylist(
+            [], schema=_merged_schema(parts[0], parts[n_left], on, suffixes))
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

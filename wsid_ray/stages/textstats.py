@@ -49,8 +49,11 @@ def quality_batch(t: pa.Table) -> pa.Table:
     texts = t["text"].to_pylist()
     n = len(texts)
     n_chars = np.fromiter((len(s) for s in texts), dtype=np.int64, count=n)
-    alpha = np.fromiter((sum(c.isalpha() for c in s) for s in texts),
-                        dtype=np.float64, count=n)
+    # ASCII letters only — the SQL mirror counts [a-zA-Z]; str.isalpha()
+    # would diverge on any non-ASCII letter (ADVICE r01)
+    alpha = np.fromiter(
+        (sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in s)
+         for s in texts), dtype=np.float64, count=n)
     toks_list = tokenize_column(t["text"]).to_pylist()
     stop_r = np.empty(n)
     avg_len = np.empty(n)

@@ -103,6 +103,51 @@ def triples_from_mentions(mentions: rd.Dataset, canon: dict[str, str],
     return unary.union(pairs)
 
 
+SUBJ_BUCKETS = 16
+
+
+def with_subj_bucket(ds: rd.Dataset,
+                     num_buckets: int = SUBJ_BUCKETS) -> rd.Dataset:
+    """Append subj_bucket = stable_hash64(subj) % B (S3 sink layout key)."""
+    import numpy as np
+
+    from ..util import stable_hash_strings
+
+    def add(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("subj_bucket",
+                                   pa.array([], type=pa.int32()))
+        h = stable_hash_strings(t["subj"].to_pylist())
+        return t.append_column(
+            "subj_bucket",
+            pa.array((h % num_buckets).astype(np.int32), type=pa.int32()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def write_triples_partitioned(ds: rd.Dataset, out_dir: str,
+                              num_buckets: int = SUBJ_BUCKETS) -> None:
+    """S3: hive-partitioned triple sink — one ``subj_bucket=<b>/`` dir per
+    subject hash bucket (SURVEY.md §2.1), so downstream KG reads prune to
+    one bucket instead of scanning every file.  The bucket value lives in
+    the directory name only; file contents keep the plain triple schema."""
+    with_subj_bucket(ds, num_buckets).write_parquet(
+        out_dir, partition_cols=["subj_bucket"])
+
+
+def read_triples_for_subject(root: str, subj: str,
+                             num_buckets: int = SUBJ_BUCKETS) -> rd.Dataset:
+    """Pruned read: only the subject's hash-bucket directory is scanned."""
+    import pyarrow.compute as pc
+
+    from ..util import stable_hash64
+    b = stable_hash64(subj) % num_buckets
+    ds = rd.read_parquet(f"{root}/subj_bucket={b}")
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["subj"], subj)),
+        batch_format="pyarrow")
+
+
 def dedup_triples(triples: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
     """Exact dedup on (subj,pred,obj); first provenance by (conv, turn).
 

@@ -26,8 +26,15 @@ import time
 from dataclasses import dataclass
 
 
+# Bump when pipeline semantics change: lineage covers inputs + config +
+# code version, so checkpoints written by older pipeline code are not
+# silently served after an upgrade (ADVICE r01).
+PIPELINE_CODE_VERSION = "r2.1"
+
+
 def lineage_hash(input_files: list[str], config_hash: str) -> str:
-    payload = json.dumps([sorted(input_files), config_hash])
+    payload = json.dumps([sorted(input_files), config_hash,
+                          PIPELINE_CODE_VERSION])
     return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
 
 
