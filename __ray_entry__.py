@@ -220,22 +220,38 @@ def _sql_shingles(tok: str, k: int) -> str:
 
 def _sql_minhash_candidates(tok: str, k: int = 3, num_perm: int = 64,
                             num_bands: int = 16) -> str:
-    """DuckDB mirror of dedup.minhash_candidates: 30-bit md5 shingle
-    hashes, (a*x+b) % (2^31-1) permutations with the engine's inlined
-    RandomState(42) constants (exact BIGINT math), md5 band fingerprints,
+    """DuckDB mirror of dedup.minhash_candidates: 30-bit md5 token hashes
+    folded per k-gram by s -> (s*31 + t) % 2^30 (exact BIGINT math, same
+    as the engine's int64 fold), (a*x+b) % (2^31-1) permutations with the
+    engine's inlined RandomState(42) constants, md5 band fingerprints,
     pairs sharing any band bucket."""
-    from wsid_ray.stages.dedup import _perm_params
+    from wsid_ray.stages.dedup import _SHINGLE_MOD, _perm_params
     a, b = _perm_params(num_perm)
     vals = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})"
                      for j in range(num_perm))
     rpb = num_perm // num_bands
+    fold = "h[i + 1]"
+    for j in range(2, k + 1):
+        fold = f"(({fold}) * 31 + h[i + {j}]) % {_SHINGLE_MOD}"
     return f"""
-        WITH sh AS ({_sql_shingles(tok, k)}),
+        WITH th AS (
+            SELECT doc_id, toks,
+                   list_transform(toks, y ->
+                       CAST((md5_number_upper(y) >> 34) AS BIGINT)) AS h
+            FROM (SELECT doc_id, {tok} AS toks FROM documents)
+        ),
         shd AS (
-            SELECT DISTINCT doc_id,
-                   CAST((md5_number_upper(unnest(shingles)) >> 34)
-                        AS BIGINT) AS x
-            FROM sh
+            SELECT DISTINCT doc_id, x FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(toks) - {k} + 1),
+                              i -> {fold})) AS x
+                FROM th WHERE len(toks) >= {k}
+                UNION ALL
+                SELECT doc_id,
+                       CAST((md5_number_upper(array_to_string(toks, ' '))
+                             >> 34) AS BIGINT) AS x
+                FROM th WHERE len(toks) > 0 AND len(toks) < {k}
+            )
         ),
         perms AS (SELECT * FROM (VALUES {vals}) p(j, a, b)),
         sigs AS (

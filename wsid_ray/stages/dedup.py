@@ -41,11 +41,44 @@ def _perm_params(num_perm: int, seed: int = 42):
     return a, b
 
 
+_SHINGLE_MOD = 1 << 30  # token-hash domain; keeps (a*x+b) exact in int64
+
+
 def _hash30(s: str) -> int:
-    """30-bit shingle hash: first 8 md5 digest bytes little-endian
+    """30-bit string hash: first 8 md5 digest bytes little-endian
     (== DuckDB md5_number_upper) >> 34."""
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
                           "little") >> 34
+
+
+_TOKEN_HASH_MEMO: dict[str, int] = {}  # per worker process; vocab-bounded
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    memo = _TOKEN_HASH_MEMO
+    out = np.empty(len(tokens), dtype=np.int64)
+    for i, t in enumerate(tokens):
+        h = memo.get(t)
+        if h is None:
+            h = memo[t] = _hash30(t)
+        out[i] = h
+    return out
+
+
+def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
+    """Distinct 30-bit k-gram hashes: md5 per DISTINCT token (memoised),
+    then an exact int64 polynomial fold s -> (s*31 + t_j) % 2^30 —
+    mirrored 1:1 in the SQL oracle, no per-shingle md5 in the hot path."""
+    if not tokens:
+        return np.zeros(0, dtype=np.int64)
+    if len(tokens) < k:
+        return np.array([_hash30(" ".join(tokens))], dtype=np.int64)
+    t = _token_hashes(tokens)
+    n_sh = len(tokens) - k + 1
+    s = t[:n_sh].copy()
+    for j in range(1, k):
+        s = (s * 31 + t[j:j + n_sh]) % _SHINGLE_MOD
+    return np.unique(s)
 
 
 def _band_hash(chunk: np.ndarray) -> int:
@@ -57,16 +90,14 @@ def _band_hash(chunk: np.ndarray) -> int:
 
 
 def _shingle_strings(tokens: list[str], k: int) -> list[str]:
+    """Shingle strings (jaccard verify path; signatures use the hashed
+    fold above)."""
     if not tokens:
         return []
     if len(tokens) < k:
         return [" ".join(tokens)]
     return sorted({" ".join(tokens[i:i + k])
                    for i in range(len(tokens) - k + 1)})
-
-
-def _shingles(tokens: list[str], k: int) -> set[int]:
-    return {_hash30(s) for s in _shingle_strings(tokens, k)}
 
 
 class MinHasher:
@@ -84,10 +115,9 @@ class MinHasher:
     def signature(self, tokens: list[str]) -> np.ndarray | None:
         """None for shingle-less docs (they emit no band rows — matching
         the SQL mirror, where such docs simply have no shingle rows)."""
-        sh = _shingles(tokens, self.k)
-        if not sh:
+        x = _shingle_hashes(tokens, self.k)
+        if not len(x):
             return None
-        x = np.fromiter(sh, dtype=np.int64, count=len(sh))
         # (num_perm, n_shingles) universal hashing, min per row; products
         # < 2^61 so int64 math is exact (see _MERSENNE note above)
         vals = (np.outer(self.a, x) + self.b[:, None]) % _MERSENNE

@@ -57,26 +57,36 @@ def add_bucket(df: pd.DataFrame, key_cols: list[str],
 
 @ray.remote
 def _split_block(tb: pa.Table, key_cols: list[str], num_buckets: int):
-    """block -> (bucket_0_slice, ..., bucket_{B-1}_slice, row_counts)."""
+    """block -> (bucket_0_slice, ..., bucket_{B-1}_slice)."""
     if tb.num_rows == 0:
-        empty = tb.slice(0, 0)
-        return tuple([empty] * num_buckets
-                     + [np.zeros(num_buckets, dtype=np.int64)])
+        return tuple([tb.slice(0, 0)] * num_buckets)
     df = tb.select(key_cols).to_pandas()
     h = _bucket_of(df, key_cols, num_buckets)
     order = np.argsort(h, kind="stable")
     sorted_h = h[order]
     bounds = np.searchsorted(sorted_h, np.arange(num_buckets + 1))
     tb2 = tb.take(pa.array(order))
-    slices = [tb2.slice(bounds[b], bounds[b + 1] - bounds[b])
-              for b in range(num_buckets)]
-    counts = (bounds[1:] - bounds[:-1]).astype(np.int64)
-    return tuple(slices + [counts])
+    return tuple(tb2.slice(bounds[b], bounds[b + 1] - bounds[b])
+                 for b in range(num_buckets))
 
 
 @ray.remote
 def _reduce_bucket(fn, *parts):
     tables = [p for p in parts if p.num_rows]
+    if not tables:
+        # run fn on a TYPED empty frame (the split slices carry the input
+        # schema) so the output block has the fn's output columns; pandas
+        # infers null type for empty object columns — pin those to string
+        template = next((p for p in parts if p.schema.names), None)
+        if template is None:  # upstream produced only schema-less blocks
+            return parts[0].slice(0, 0)
+        out = fn(template.slice(0, 0).to_pandas())
+        tb = pa.Table.from_pandas(out, preserve_index=False)
+        for i, f in enumerate(tb.schema):
+            if pa.types.is_null(f.type):
+                tb = tb.set_column(i, pa.field(f.name, pa.string()),
+                                   pa.array([], type=pa.string()))
+        return tb
     # blocks can come from mixed origins (arrow maps, pandas maps, earlier
     # reduces) with string/large_string and column-order drift — normalise
     # to the first part's layout before concat.
@@ -94,17 +104,18 @@ def _tasks_apply(ds: rd.Dataset, key_cols: list[str],
         return None
     B = num_buckets
     split_refs = [
-        _split_block.options(num_returns=B + 1).remote(b, key_cols, B)
+        _split_block.options(num_returns=B).remote(b, key_cols, B)
         for b in blocks
     ]
-    counts = np.sum(ray.get([sr[B] for sr in split_refs]), axis=0)
+    if B == 1:  # num_returns=1 yields a bare ref, not a 1-tuple
+        split_refs = [[r] for r in split_refs]
+    # no driver-side barrier: every reduce is scheduled immediately and
+    # starts as soon as its B input slices exist; all-empty buckets
+    # return a typed empty table (schema-stable, cheap)
     outs = [
-        _reduce_bucket.remote(bucket_fn,
-                              *[sr[b] for sr in split_refs])
-        for b in range(B) if counts[b] > 0
+        _reduce_bucket.remote(bucket_fn, *[sr[b] for sr in split_refs])
+        for b in range(B)
     ]
-    if not outs:
-        return None
     return rd.from_arrow_refs(outs)
 
 

@@ -73,9 +73,9 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
     B = num_buckets
     lrefs = left.to_arrow_refs()
     rrefs = right.to_arrow_refs()
-    lsplit = [_split_block.options(num_returns=B + 1).remote(b, on, B)
+    lsplit = [_split_block.options(num_returns=B).remote(b, on, B)
               for b in lrefs]
-    rsplit = [_split_block.options(num_returns=B + 1).remote(b, on, B)
+    rsplit = [_split_block.options(num_returns=B).remote(b, on, B)
               for b in rrefs]
     outs = []
     for b in range(B):

@@ -93,6 +93,7 @@ def _typed(df: pd.DataFrame) -> pd.DataFrame:
 def triples_from_mentions(mentions: rd.Dataset, canon: dict[str, str],
                           num_buckets: int = 32) -> rd.Dataset:
     """Linked mentions -> raw (pre-dedup) triples."""
+    from .. import schemas
     cols = mentions.select_columns(_MENTION_COLS)
     unary = cols.map_batches(lambda df: unary_triples_batch(df, canon),
                              batch_format="pandas")
@@ -100,7 +101,12 @@ def triples_from_mentions(mentions: rd.Dataset, canon: dict[str, str],
         cols, ["conv_id", "turn_idx"],
         lambda df: pair_triples_bucket(df, canon),
         num_buckets=num_buckets)
-    return unary.union(pairs)
+    # conform both branches to the TRIPLES arrow schema before the union:
+    # pandas blocks (unary) + arrow blocks with string/large_string drift
+    # (pairs) otherwise flap the streaming executor's schema tracking
+    conform = lambda t: schemas.conform(t, schemas.TRIPLES)  # noqa: E731
+    return (unary.map_batches(conform, batch_format="pyarrow")
+            .union(pairs.map_batches(conform, batch_format="pyarrow")))
 
 
 SUBJ_BUCKETS = 16
