@@ -52,3 +52,31 @@ def test_sense_vectors_weights_and_topk():
     assert vecs[1] == {"z": 0.0}  # singleton keeps an entry
     vecs1 = sense_vectors(labels, edges, top_k=1)
     assert len(vecs1[0]) == 1
+
+
+def test_hyperlex_recovers_planted_clusters():
+    """Root-hub variant (Véronis 2004) separates the barbell cliques."""
+    from wsid_ray.cw import hyperlex_root_hubs
+    nodes, edges = barbell()
+    labels = hyperlex_root_hubs(nodes, edges)
+    a_labels = {labels[n] for n in ["a1", "a2", "a3", "a4"]}
+    b_labels = {labels[n] for n in ["b1", "b2", "b3", "b4"]}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+    assert labels == hyperlex_root_hubs(nodes, edges)  # deterministic
+
+
+def test_hyperlex_flagship_matches_oracle():
+    """Engine/oracle parity holds under the alternative induction algo."""
+    from wsid_ray.config import PipelineConfig
+    from wsid_ray.fixtures import transcript_files
+    from wsid_ray.oracle import precision_recall, run_oracle
+    from wsid_ray.pipelines.flagship import run_flagship
+
+    cfg = PipelineConfig(induce_algo="hyperlex")
+    oracle = run_oracle(transcript_files("tiny"), cfg)
+    art = run_flagship("tiny", cfg)
+    eng = {(r["subj"], r["pred"], r["obj"]) for r in art.triples.take_all()}
+    p, r = precision_recall(eng, oracle["triples"])
+    assert p == 1.0 and r == 1.0
+    assert oracle["triples"]  # non-degenerate

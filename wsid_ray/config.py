@@ -131,6 +131,9 @@ class PipelineConfig:
     npmi_min: float = NPMI_MIN
     cw_iterations: int = CW_ITERATIONS
     sense_top_k: int = SENSE_TOP_K
+    # graph clustering for step 5: "cw" (Chinese Whispers, primary) or
+    # "hyperlex" (deterministic root-hub variant, Véronis 2004)
+    induce_algo: str = "cw"
     stopwords: tuple[str, ...] = STOPWORDS
     gazetteer: tuple[str, ...] = GAZETTEER
     # O3 skew control: cap windows per term before induction via

@@ -83,6 +83,86 @@ def chinese_whispers(
     return out
 
 
+def hyperlex_root_hubs(
+    nodes: list[str],
+    edges: list[tuple[str, str, float]],
+) -> dict[str, int]:
+    """HyperLex-style root-hub clustering (SURVEY.md §0 step-5 variant).
+
+    J. Véronis, "HyperLex: lexical cartography for information retrieval",
+    Computer Speech & Language 18(3), 2004.  Deterministic simplification
+    of the paper's hub selection: candidate nodes in (weighted-degree
+    desc, name asc) order become root hubs unless already adjacent to a
+    chosen hub; remaining nodes attach to the strongest-edged labelled
+    neighbour (rounds to fixpoint, ties -> higher weight then lower
+    label); still-unlabelled nodes become singleton clusters.  No RNG —
+    fully deterministic, same renumbering rule as chinese_whispers.
+    """
+    order = sorted(set(nodes))
+    adj: dict[str, dict[str, float]] = {n: {} for n in order}
+    for u, v, w in edges:
+        if u == v:
+            continue
+        adj[u][v] = adj[u].get(v, 0.0) + w
+        adj[v][u] = adj[v].get(u, 0.0) + w
+    wdeg = {n: sum(adj[n].values()) for n in order}
+
+    hubs: list[str] = []
+    for n in sorted(order, key=lambda x: (-wdeg[x], x)):
+        if wdeg[n] > 0 and not any(h in adj[n] for h in hubs):
+            hubs.append(n)
+    label_of: dict[str, int] = {h: i for i, h in enumerate(hubs)}
+
+    changed = True
+    while changed:
+        changed = False
+        for n in order:
+            if n in label_of:
+                continue
+            best = None  # (weight, -label) max => strongest edge, low label
+            for m, w in adj[n].items():
+                lbl = label_of.get(m)
+                if lbl is None:
+                    continue
+                key = (w, -lbl)
+                if best is None or key > best[0]:
+                    best = (key, lbl)
+            if best is not None:
+                label_of[n] = best[1]
+                changed = True
+    nxt = len(hubs)
+    for n in order:
+        if n not in label_of:
+            label_of[n] = nxt
+            nxt += 1
+
+    clusters: dict[int, list[str]] = {}
+    for n in order:
+        clusters.setdefault(label_of[n], []).append(n)
+    ordered = sorted(clusters.values(), key=lambda ms: (-len(ms), min(ms)))
+    out: dict[str, int] = {}
+    for new_label, members in enumerate(ordered):
+        for m in members:
+            out[m] = new_label
+    return out
+
+
+def cluster_graph(
+    nodes: list[str],
+    edges: list[tuple[str, str, float]],
+    seed_key: str,
+    algo: str = "cw",
+    iterations: int = CW_ITERATIONS,
+) -> dict[str, int]:
+    """Dispatch: 'cw' (primary) or 'hyperlex' (root-hub variant)."""
+    if algo == "hyperlex":
+        return hyperlex_root_hubs(nodes, edges)
+    if algo == "cw":
+        return chinese_whispers(nodes, edges, seed_key,
+                                iterations=iterations)
+    raise ValueError(f"unknown induction algorithm {algo!r}")
+
+
 def sense_vectors(
     cluster_of: dict[str, int],
     edges: list[tuple[str, str, float]],

@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 from .config import (DEFAULT_CONFIG, MIN_LINK_SCORE, PRED_ADDRESSES,
                      PRED_CO_MENTION, PRED_USES_TOOL, PipelineConfig,
                      TOKEN_PATTERN, kb_candidates)
-from .cw import chinese_whispers, sense_vectors
+from .cw import cluster_graph, sense_vectors
 
 _WORD = re.compile(TOKEN_PATTERN)
 
@@ -119,8 +119,9 @@ def induce(edges_by_term, cfg: PipelineConfig = DEFAULT_CONFIG):
         nodes = sorted({w for w, _, _ in edges} | {v for _, v, _ in edges})
         if not nodes:
             continue
-        cluster_of = chinese_whispers(nodes, edges, seed_key=term,
-                                      iterations=cfg.cw_iterations)
+        cluster_of = cluster_graph(nodes, edges, seed_key=term,
+                                   algo=cfg.induce_algo,
+                                   iterations=cfg.cw_iterations)
         inventory[term] = sense_vectors(cluster_of, edges,
                                         top_k=cfg.sense_top_k)
     return inventory

@@ -99,7 +99,7 @@ def run_checkpointed(sf_dir_or_scale: str, out_dir: str,
                 ckpt.write_partition("edges", 0, global_lineage,
                                      lambda tmp: _write_ds(edges, tmp))
         if not ckpt.is_done("senses", 0, global_lineage):
-            senses = induce_senses(edges)
+            senses = induce_senses(edges, algo=cfg.induce_algo)
 
             def write(tmp):
                 return _write_ds(senses, tmp)

@@ -62,7 +62,7 @@ def induce_inventory(mentions: rd.Dataset, cfg: PipelineConfig) -> list[dict]:
     (NPMI map + per-term groupby Chinese Whispers)."""
     from ..util import collect_rows
     edges = cooc_edges(mentions, cfg.cooc_min_count, cfg.npmi_min)
-    return collect_rows(induce_senses(edges))
+    return collect_rows(induce_senses(edges, algo=cfg.induce_algo))
 
 
 # Above this many aggregated (term,w,v) rows the model no longer belongs

@@ -152,6 +152,20 @@ def q_cooc_edges(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow")
 
 
+def q_sense_inventory_hyperlex(sf_dir: str) -> rd.Dataset:
+    """Sense induction via the HyperLex root-hub variant (Véronis 2004)
+    over the same distributed cooc path (rows-only: graph clustering is
+    not SQL-expressible; parity vs the sequential oracle is tested in
+    tests/test_cw.py)."""
+    from ..stages.induce import induce_senses
+    edges = q_cooc_edges(sf_dir)
+    inv = induce_senses(edges, algo="hyperlex")
+    return inv.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("weight"), "weight",
+                               pc.round(t["weight"], 6)),
+        batch_format="pyarrow")
+
+
 def q_sense_inventory(sf_dir: str) -> pd.DataFrame:
     art = _flagship(sf_dir)
     df = pd.DataFrame(art.sense_inventory_rows)
@@ -318,6 +332,7 @@ QUERIES = {
     "conv_text_digest": q_conv_text_digest,
     "cooc_edges": q_cooc_edges,
     "sense_inventory": q_sense_inventory,
+    "sense_inventory_hyperlex": q_sense_inventory_hyperlex,
     "mentions_linked": q_mentions_linked,
     "canon_map": q_canon_map,
     "triples": q_triples,

@@ -18,16 +18,17 @@ import pandas as pd
 import ray.data as rd
 
 from ..config import SENSE_TOP_K
-from ..cw import chinese_whispers, sense_vectors
+from ..cw import cluster_graph, sense_vectors
 
 
-def induce_group(g: pd.DataFrame, top_k: int = SENSE_TOP_K) -> pd.DataFrame:
+def induce_group(g: pd.DataFrame, top_k: int = SENSE_TOP_K,
+                 algo: str = "cw") -> pd.DataFrame:
     term = g["term"].iloc[0]
     edges = list(zip(g["w"], g["v"], g["npmi"].astype(float)))
     nodes = sorted(set(g["w"]) | set(g["v"]))
     if not nodes:
         return pd.DataFrame(columns=["term", "sense_id", "token", "weight"])
-    cluster_of = chinese_whispers(nodes, edges, seed_key=term)
+    cluster_of = cluster_graph(nodes, edges, seed_key=term, algo=algo)
     vecs = sense_vectors(cluster_of, edges, top_k=top_k)
     rows = []
     for sense_id in sorted(vecs):
@@ -40,7 +41,7 @@ def induce_group(g: pd.DataFrame, top_k: int = SENSE_TOP_K) -> pd.DataFrame:
     return out
 
 
-def induce_senses(edges: rd.Dataset) -> rd.Dataset:
+def induce_senses(edges: rd.Dataset, algo: str = "cw") -> rd.Dataset:
     """cooc_edges -> sense_inventory (term, sense_id, token, weight).
 
     Bucketed shuffle keyed hash(term): all edges of a term land in one
@@ -51,7 +52,8 @@ def induce_senses(edges: rd.Dataset) -> rd.Dataset:
     from .groups import bucketed_group_apply
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [induce_group(g) for _, g in df.groupby("term", sort=True)]
+        outs = [induce_group(g, algo=algo)
+                for _, g in df.groupby("term", sort=True)]
         if not outs:
             return pd.DataFrame(columns=["term", "sense_id", "token",
                                          "weight"])
