@@ -96,9 +96,18 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    # The scaling pair runs on a ~3x-larger corpus than the headline
+    # (sf0.3, ~14M turns): the criterion measures the pipeline's parallel
+    # fraction, and at sf0.1 a 16-CPU run finishes in ~25 s, so fixed
+    # per-run costs (actor spin-up, shuffle barriers, driver collects)
+    # would read as serial fraction.  Override with WSID_SCALING_SF_DIR.
+    sf_dir = os.environ.get(
+        "WSID_SCALING_SF_DIR",
+        os.path.join(os.path.dirname(
+            os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")),
+            "sf0.3"))
     # pre-generate transcripts so both children see warm, identical input
     from wsid_ray.fixtures import transcript_files
-    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     transcript_files(sf_dir)
 
     def child(ncpu: int) -> dict:
@@ -108,6 +117,7 @@ def run_scaling() -> dict:
         # scale-OUT deployment uses.  Headline bench uses the default
         # (fastest-absolute) plan; BASELINE.md records both curves.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=sf_dir,
                    WSID_BENCH_HEADLINE_ONLY="1",
                    WSID_MENTIONS_CACHE="recompute")
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
@@ -129,8 +139,11 @@ def run_scaling() -> dict:
     # 4 vs 16 keeps bandwidth headroom at both levels, matching the
     # multi-node regime the design targets.  See BASELINE.md for the full
     # measured 4/8/16/32 curve including the 8->32 pair.
+    # best-of-2 at BOTH levels: this box shows hypervisor-tenant noise of
+    # ±20-40% between back-to-back identical runs, and a single slow
+    # sample at either level corrupts the ratio in either direction
     lo, hi = 4, 16
-    r_lo = best_of(lo, 1)
+    r_lo = best_of(lo, 2)
     r_hi = best_of(hi, 2)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {

@@ -81,9 +81,16 @@ SCALES: dict[str, dict] = {
     "sf0.001": {"n_convs": 200, "n_files": 4},
     "sf0.01": {"n_convs": 2000, "n_files": 8},
     # bench scale: ~4.8M turns / ~1 GB — large enough that a 32-CPU run is
-    # compute-bound rather than dispatch-bound (scaling-efficiency
-    # criterion); generated once, cached under DATA_ROOT.
+    # compute-bound rather than dispatch-bound; generated once, cached
+    # under DATA_ROOT.
     "sf0.1": {"n_convs": 400_000, "n_files": 64},
+    # scaling-efficiency scale (~14M turns): the N→4N criterion measures
+    # the pipeline's parallel fraction, so the per-level runs must be long
+    # enough that fixed per-stage costs (actor-pool spin-up, shuffle
+    # barriers, driver collects — ~10 s/run regardless of input) don't
+    # masquerade as serial fraction.  10^12-turn regime ≈ hours per
+    # partition; this is the sandbox-sized stand-in.
+    "sf0.3": {"n_convs": 1_200_000, "n_files": 64},
 }
 
 DATA_ROOT = os.environ.get("WSID_RAY_DATA", "/tmp/wsid_ray_data")

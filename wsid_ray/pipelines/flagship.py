@@ -202,7 +202,21 @@ def run_flagship(sf_dir_or_scale: str,
             return pinned[0]
         return m  # recompute per consumer (default)
 
-    inventory_rows, edge_maps = fit_model(mentions_ds(), cfg)
+    def mentions_for_fit() -> rd.Dataset:
+        """Model-fit corpus pass: only (term, win_tokens) are consumed,
+        so in recompute mode read just the text column — about half the
+        parquet decode + no provenance carry through detect.  (The cap
+        sampler needs provenance columns, so fall back when it's on.)"""
+        if cache_mode != "recompute" or cfg.max_windows_per_term:
+            return mentions_ds()
+        from ..stages.tokenize import tokenize_text_batch
+        light = read_transcripts(sf_dir_or_scale, files=files,
+                                 columns=["text"])
+        turns = light.map_batches(tokenize_text_batch,
+                                  batch_format="pyarrow")
+        return detect_mentions(turns, cfg)
+
+    inventory_rows, edge_maps = fit_model(mentions_for_fit(), cfg)
     inv_ref = ray.put(inventory_from_rows(inventory_rows))
     edge_ref = (ray.put(edge_maps)
                 if (cfg.expand_cooc and edge_maps is not None) else None)

@@ -57,14 +57,15 @@ def inventory_from_rows(rows) -> dict[str, dict[int, dict[str, float]]]:
 
 
 class SenseDisambiguator:
-    """Vectorised scoring: explode window tokens, pandas hash-merge against
-    the long-form inventory, groupby-sum per (mention, sense), argmax with
-    (score desc, sense_id asc).  Scores compare at 6 dp (shared rule with
-    the oracle) so summation order is immaterial."""
+    """Vectorised scoring: window tokens probe the flattened inventory via
+    one Arrow ``index_in`` on "term\\0token" keys, (sense, weight) pairs
+    come back through a numpy ragged gather, per-(mention, sense) sums
+    fold with bincount, argmax via lexsort with (score desc, sense_id
+    asc).  Scores compare at 6 dp (shared rule with the oracle) so
+    summation order is immaterial."""
 
     def __init__(self, inventory_ref, edge_maps_ref=None,
                  expand_gamma: float = 0.5):
-        import pandas as pd
         inv = ray.get(inventory_ref)
         self.inventory = inv
         self.link = build_link_map(inv)
@@ -74,17 +75,31 @@ class SenseDisambiguator:
         self.edge_maps = (ray.get(edge_maps_ref)
                           if edge_maps_ref is not None else None)
         self.expand_gamma = expand_gamma
-        rows = [(term, tok, sid, w)
-                for term, senses in inv.items()
-                for sid, vec in senses.items()
-                for tok, w in vec.items()]
-        self.inv_df = pd.DataFrame(
-            rows, columns=["term", "token", "sense_id", "weight"]) \
-            if rows else pd.DataFrame(
-                columns=["term", "token", "sense_id", "weight"])
+        # Flattened lookup for the vectorised scorer: unique
+        # "term\0token" keys (probed with one pc.index_in per batch) →
+        # ragged slices of (sense_id, weight) pairs, since one token can
+        # weigh into several senses of its term.
+        bykey: dict[str, list[tuple[int, float]]] = {}
+        max_sid = 0
+        for term, senses in inv.items():
+            for sid, vec in senses.items():
+                max_sid = max(max_sid, int(sid))
+                for tok, w in vec.items():
+                    bykey.setdefault(f"{term}\x00{tok}", []).append(
+                        (int(sid), float(w)))
+        keys = sorted(bykey)
+        counts = np.array([len(bykey[k]) for k in keys], dtype=np.int64)
+        self.inv_key_arr = pa.array(keys, type=pa.string())
+        self.inv_counts = counts
+        self.inv_starts = (np.concatenate(([0], np.cumsum(counts)))[:-1]
+                           if len(counts) else np.zeros(0, dtype=np.int64))
+        flat_pairs = [p for k in keys for p in bykey[k]]
+        self.inv_sid = np.array([p[0] for p in flat_pairs], dtype=np.int64)
+        self.inv_w = np.array([p[1] for p in flat_pairs], dtype=np.float64)
+        self.n_senses = max_sid + 1
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
+        import pyarrow.compute as pc
 
         from ..util import list_row_indices
         n = batch.num_rows
@@ -94,11 +109,6 @@ class SenseDisambiguator:
         flat = wins.flatten()
         midx = list_row_indices(wins)
         terms_np = np.asarray(batch["term"].to_pylist(), dtype=object)
-        exploded = pd.DataFrame({
-            "m": pd.Series(midx, dtype="int64"),
-            "term": pd.Series(terms_np[midx], dtype=object),
-            "token": pd.Series(flat.to_pylist(), dtype=object),
-        })
         sense_ids = np.full(n, -1, dtype=np.int32)
         scores = np.zeros(n, dtype=np.float64)
         if self.edge_maps is not None:
@@ -124,19 +134,67 @@ class SenseDisambiguator:
                 scores[i] = best_score if best_sid >= 0 else 0.0
             return self._emit(batch, terms_np, sense_ids, scores)
 
-        merged = (exploded.merge(self.inv_df, on=["term", "token"],
-                                 how="inner")
-                  if len(exploded) and len(self.inv_df) else exploded.iloc[:0])
-        if len(merged):
-            agg = merged.groupby(["m", "sense_id"], sort=False)["weight"] \
-                        .sum().round(6).reset_index()
-            agg = agg[agg["weight"] > MIN_LINK_SCORE]
-            agg = agg.sort_values(["m", "weight", "sense_id"],
-                                  ascending=[True, False, True],
-                                  kind="mergesort")
-            best = agg.drop_duplicates(subset=["m"], keep="first")
-            sense_ids[best["m"].to_numpy()] = best["sense_id"].to_numpy()
-            scores[best["m"].to_numpy()] = best["weight"].to_numpy()
+        # vectorised scorer: one index_in probe of "term\0token" keys,
+        # numpy ragged gather of (sense, weight) pairs, bincount fold,
+        # lexsort argmax — no pandas, no per-row Python
+        if len(flat) and len(self.inv_key_arr):
+            # probe only the batch's UNIQUE (term, token) pairs: dictionary
+            # codes pack into one int64 key, np.unique dedups, the (small)
+            # unique set does the string build + index_in, and the result
+            # scatters back through the inverse — the per-element work is
+            # all integer numpy
+            enc = pc.dictionary_encode(flat)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            tcol = batch["term"]
+            if isinstance(tcol, pa.ChunkedArray):
+                tcol = tcol.combine_chunks()
+            tenc = pc.dictionary_encode(tcol)
+            if isinstance(tenc, pa.ChunkedArray):
+                tenc = tenc.combine_chunks()
+            tcodes = tenc.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            Vb = len(enc.dictionary)
+            packed = tcodes[midx] * Vb + codes
+            upacked, inverse = np.unique(packed, return_inverse=True)
+            ukeys = pc.binary_join_element_wise(
+                pc.take(tenc.dictionary, pa.array(upacked // Vb)),
+                pc.take(enc.dictionary, pa.array(upacked % Vb)),
+                "\x00")
+            pos_u = pc.index_in(ukeys, value_set=self.inv_key_arr) \
+                .fill_null(-1).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pos = pos_u[inverse]
+            valid = pos >= 0
+            if valid.any():
+                mi = midx[valid]
+                p = pos[valid]
+                cnt = self.inv_counts[p]
+                total = int(cnt.sum())
+                cat = np.repeat(self.inv_starts[p], cnt)
+                resets = np.repeat(np.cumsum(cnt) - cnt, cnt)
+                idx = cat + (np.arange(total) - resets)
+                S = self.n_senses
+                key2 = np.repeat(mi, cnt) * S + self.inv_sid[idx]
+                uk, inv_idx = np.unique(key2, return_inverse=True)
+                # round-6 contract (shared with the oracle) makes the
+                # bincount summation order immaterial
+                sums = np.round(np.bincount(inv_idx,
+                                            weights=self.inv_w[idx]), 6)
+                keep = sums > MIN_LINK_SCORE
+                uk, sums = uk[keep], sums[keep]
+                m_of = uk // S
+                s_of = (uk % S).astype(np.int32)
+                order = np.lexsort((s_of, -sums, m_of))
+                m_sorted = m_of[order]
+                first = (np.concatenate(([True],
+                                         m_sorted[1:] != m_sorted[:-1]))
+                         if len(m_sorted) else np.zeros(0, dtype=bool))
+                bi = order[first]
+                sense_ids[m_of[bi]] = s_of[bi]
+                scores[m_of[bi]] = sums[bi]
         return self._emit(batch, terms_np, sense_ids, scores)
 
     def _emit(self, batch, terms_np, sense_ids, scores) -> pa.Table:
@@ -157,8 +215,14 @@ def disambiguate(mentions_raw: rd.Dataset, inventory_ref,
                  concurrency=None) -> rd.Dataset:
     from ..runtime import pool_limits
     if concurrency is None:
-        # the heavy mention-scale stage: give it up to half the CPUs
-        concurrency = pool_limits(frac=0.5, hi=16)
+        # The heavy mention-scale stage — and, with operator fusion, the
+        # host of the whole fused read→tokenize→detect→score chain, so an
+        # undersized pool idles the rest of the machine (measured: a
+        # frac=0.5 cap left 8 of 16 cores idle for the entire pass).
+        # Its execution plan is maps-only ending in materialize (no
+        # AllToAll shares the execution), so the deadlock guard only
+        # needs the 2 task slots for the parquet read.
+        concurrency = pool_limits(frac=1.0, hi=64)
     return mentions_raw.map_batches(
         SenseDisambiguator,
         fn_constructor_kwargs=dict(inventory_ref=inventory_ref,

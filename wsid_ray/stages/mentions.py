@@ -59,6 +59,8 @@ class MentionDetector:
         n_flat = len(flat)
         hit = pc.is_in(flat, value_set=self.gaz_arr).to_numpy(
             zero_copy_only=False).astype(bool)
+        if not hit.any() and not self.multi:
+            return _empty_mentions(batch)
         row_of = list_row_indices(tokens)
         offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
 
@@ -89,7 +91,7 @@ class MentionDetector:
                                         type=pa.string()))
         hit_idx = np.concatenate(hit_parts)
         if not len(hit_idx):
-            return _empty_mentions()
+            return _empty_mentions(batch)
         span_m = np.concatenate(m_parts)
         terms = pa.concat_arrays(terms_parts)
         rows = row_of[hit_idx]                # turn row per mention
@@ -124,19 +126,20 @@ class MentionDetector:
                 win_values, pa.ChunkedArray) else win_values)
 
         take = pa.array(rows, type=pa.int64())
-        out = pa.table({
-            "conv_id": pc.take(batch["conv_id"], take),
-            "turn_idx": pc.take(batch["turn_idx"], take),
-            "role": pc.take(batch["role"], take),
-            "tool": pc.take(batch["tool"], take),
-            "ts": pc.take(batch["ts"], take),
+        # carry only the provenance columns present in the batch — a
+        # column-pruned fit pass (text-only read) yields just
+        # (term, span, win_tokens)
+        present = set(batch.schema.names)
+        data = {c: pc.take(batch[c], take) for c in _CARRY_COLS
+                if c in present}
+        data.update({
             "term": terms,
             "span_start": pa.array(pos, type=pa.int32()),
             "span_end": pa.array(pos + span_m.astype(np.int32),
                                  type=pa.int32()),
             "win_tokens": win_tokens,
         })
-        return out
+        return pa.table(data)
 
 
 _DETECTOR_MEMO: dict[tuple, MentionDetector] = {}
@@ -152,15 +155,23 @@ def detect_batch(batch: pa.Table, window_size: int = WINDOW_SIZE,
     return det(batch)
 
 
-def _empty_mentions() -> pa.Table:
-    return pa.table({
-        "conv_id": pa.array([], type=pa.string()),
-        "turn_idx": pa.array([], type=pa.int32()),
-        "role": pa.array([], type=pa.string()),
-        "tool": pa.array([], type=pa.string()),
-        "ts": pa.array([], type=pa.timestamp("us")),
+_CARRY_COLS = ("conv_id", "turn_idx", "role", "tool", "ts")
+
+_CARRY_TYPES = {
+    "conv_id": pa.string(), "turn_idx": pa.int32(), "role": pa.string(),
+    "tool": pa.string(), "ts": pa.timestamp("us"),
+}
+
+
+def _empty_mentions(batch: pa.Table | None = None) -> pa.Table:
+    present = (set(batch.schema.names) if batch is not None
+               else set(_CARRY_COLS))
+    data = {c: pa.array([], type=_CARRY_TYPES[c]) for c in _CARRY_COLS
+            if c in present}
+    data.update({
         "term": pa.array([], type=pa.string()),
         "span_start": pa.array([], type=pa.int32()),
         "span_end": pa.array([], type=pa.int32()),
         "win_tokens": pa.array([], type=pa.list_(pa.string())),
     })
+    return pa.table(data)

@@ -26,17 +26,30 @@ _WS = re.compile(r"\s+")
 _BPE = re.compile(r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]")
 
 
+def _word_rows(t: pa.Table):
+    """(row_of, nonempty_mask, flat_words, n_rows) for the whitespace
+    split — vectorised via Arrow's RE2 split kernel."""
+    from ..util import list_row_indices
+    words = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    row_of = list_row_indices(words)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False) \
+        .astype(bool)
+    return row_of, nonempty, flat, t.num_rows
+
+
 def token_counts_batch(t: pa.Table) -> pa.Table:
-    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace + BPE-ish regex."""
-    texts = t["text"].to_pylist()
-    n_ws = np.fromiter((len([x for x in _WS.split(s) if x]) for s in texts),
-                       dtype=np.int64, count=len(texts))
-    n_bpe = np.fromiter((len(_BPE.findall(s)) for s in texts),
-                        dtype=np.int64, count=len(texts))
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace + BPE-ish regex.
+    Fully vectorised (RE2 kernels + bincount); no per-row Python."""
+    row_of, nonempty, _flat, n = _word_rows(t)
+    n_ws = np.bincount(row_of[nonempty], minlength=n).astype(np.int64)
+    n_bpe = pc.count_substring_regex(t["text"], pattern=_BPE.pattern)
     return pa.table({
         "doc_id": t["doc_id"],
         "n_ws_tokens": pa.array(n_ws, type=pa.int64()),
-        "n_bpe_tokens": pa.array(n_bpe, type=pa.int64()),
+        "n_bpe_tokens": n_bpe.cast(pa.int64()),
     })
 
 
@@ -45,25 +58,28 @@ _STOPSET = frozenset(STOPWORDS)
 
 def quality_batch(t: pa.Table) -> pa.Table:
     """(doc_id, n_chars, alpha_ratio, stop_ratio, avg_token_len) — rounded
-    to 6 dp (float determinism vs the SQL oracle)."""
-    texts = t["text"].to_pylist()
-    n = len(texts)
-    n_chars = np.fromiter((len(s) for s in texts), dtype=np.int64, count=n)
-    # ASCII letters only — the SQL mirror counts [a-zA-Z]; str.isalpha()
-    # would diverge on any non-ASCII letter (ADVICE r01)
-    alpha = np.fromiter(
-        (sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in s)
-         for s in texts), dtype=np.float64, count=n)
-    toks_list = tokenize_column(t["text"]).to_pylist()
-    stop_r = np.empty(n)
-    avg_len = np.empty(n)
-    for i, (s, toks) in enumerate(zip(texts, toks_list)):
-        words = [x for x in _WS.split(s) if x]
-        stop_r[i] = (sum(1 for w in words if w.lower() in _STOPSET)
-                     / len(words)) if words else 0.0
-        avg_len[i] = (sum(len(w) for w in words) / len(words)) if words else 0.0
+    half-up to 6 dp (float determinism vs the SQL oracle).  Fully
+    vectorised: RE2 count/split kernels + bincount folds, no per-row
+    Python.  alpha counts ASCII letters only (the SQL mirror's [a-zA-Z];
+    ADVICE r01)."""
+    n = t.num_rows
+    n_chars = pc.utf8_length(t["text"]).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    alpha = pc.count_substring_regex(t["text"], pattern="[a-zA-Z]") \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    row_of, nonempty, flat, _ = _word_rows(t)
+    rows_ne = row_of[nonempty]
+    wcount = np.bincount(rows_ne, minlength=n).astype(np.float64)
+    stop_arr = pa.array(sorted(_STOPSET), type=pa.string())
+    is_stop = pc.is_in(pc.utf8_lower(flat), value_set=stop_arr) \
+        .to_numpy(zero_copy_only=False).astype(bool)
+    stop_n = np.bincount(row_of[nonempty & is_stop], minlength=n)
+    wlens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    wlen_sum = np.bincount(rows_ne, weights=wlens[nonempty], minlength=n)
     with np.errstate(invalid="ignore"):
         alpha_r = np.where(n_chars > 0, alpha / n_chars, 0.0)
+        stop_r = np.where(wcount > 0, stop_n / wcount, 0.0)
+        avg_len = np.where(wcount > 0, wlen_sum / wcount, 0.0)
 
     def r6(x):
         # DuckDB round() is half-away-from-zero; np.round is banker's —
@@ -137,6 +153,9 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
     })
 
 
+_SIMHASH_BIT_MEMO: dict[str, np.ndarray] = {}  # per process, vocab-bounded
+
+
 def simhash_batch(t: pa.Table) -> pa.Table:
     """(doc_id, simhash) — 64-bit SimHash over tokens (Charikar 2002).
 
@@ -144,28 +163,39 @@ def simhash_batch(t: pa.Table) -> pa.Table:
     little-endian (== DuckDB's md5_number_upper, so the whole operator is
     mirrored in oracle SQL), sign-sum per bit, occurrence-weighted.
     """
-    toks = tokenize_column(t["text"]).to_pylist()
-    out = np.empty(len(toks), dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    bitcache: dict[str, np.ndarray] = {}  # per-batch token -> ±1 bit vector
-    for i, ts in enumerate(toks):
-        if not ts:
-            out[i] = 0
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in ts:
-            bits = bitcache.get(tok)
-            if bits is None:
+    from ..util import list_row_indices
+    n = t.num_rows
+    out = np.zeros(n, dtype=np.int64)
+    toks = tokenize_column(t["text"])
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    if len(flat):
+        # vectorised: md5 once per DISTINCT token (per-worker memo), one
+        # np.add.at scatter for all docs' sign-sums, one matvec to pack
+        row_of = list_row_indices(toks)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_pylist()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        shifts = np.arange(64, dtype=np.uint64)
+        memo = _SIMHASH_BIT_MEMO
+        bits = np.empty((len(vocab), 64), dtype=np.int64)
+        for u, tok in enumerate(vocab):
+            bv = memo.get(tok)
+            if bv is None:
                 h = np.uint64(int.from_bytes(
                     hashlib.md5(tok.encode()).digest()[:8], "little"))
-                bits = np.where(((h >> shifts) & np.uint64(1)) == 1, 1, -1)
-                bitcache[tok] = bits
-            acc += bits
-        sim = 0
-        for b in range(64):
-            if acc[b] > 0:
-                sim |= (1 << b)
-        out[i] = np.int64(sim - (1 << 64) if sim >= (1 << 63) else sim)
+                bv = memo[tok] = np.where(
+                    ((h >> shifts) & np.uint64(1)) == 1, 1, -1)
+            bits[u] = bv
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, row_of, bits[codes])
+        # bits set where acc > 0; token-less docs keep all-zero acc -> 0
+        out = (((acc > 0).astype(np.uint64)
+                * (np.uint64(1) << shifts)).sum(axis=1, dtype=np.uint64)
+               .view(np.int64))
     return pa.table({
         "doc_id": t["doc_id"],
         "simhash": pa.array(out, type=pa.int64()),
