@@ -401,6 +401,39 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY floor(o_totalprice*100 + 0.5) DESC, o_orderkey)
                 <= 3
         """,
+        "status_distinct_custkeys": """
+            SELECT o_orderstatus,
+                   count(DISTINCT o_custkey) AS n_custkeys
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "order_price_quantiles": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(CAST(floor(o_totalprice*100 + 0.5)
+                       AS BIGINT), 0.25), 6) AS p25,
+                   round(quantile_cont(CAST(floor(o_totalprice*100 + 0.5)
+                       AS BIGINT), 0.5), 6) AS p50,
+                   round(quantile_cont(CAST(floor(o_totalprice*100 + 0.5)
+                       AS BIGINT), 0.75), 6) AS p75
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "events_hopping": """
+            WITH ev AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+                       CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+                FROM events
+            ), ex AS (
+                SELECT event_type, vc, m,
+                       ((m - 30) // 30) * 30 + ii.i * 30 AS s
+                FROM ev, (SELECT unnest(range(2)) AS i) ii
+            )
+            SELECT event_type,
+                   make_timestamp(s * 60 * 1000000) AS win_start,
+                   count(*) AS n,
+                   CAST(sum(vc) AS BIGINT) AS sum_value_cents
+            FROM ex WHERE s <= m AND m < s + 60
+            GROUP BY event_type, s
+        """,
         "user_sessions": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id,

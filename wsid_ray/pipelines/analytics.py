@@ -205,6 +205,102 @@ def top_orders_per_status(sf_dir: str, k: int = 3) -> rd.Dataset:
                                 num_buckets=4)
 
 
+def status_distinct_custkeys(sf_dir: str) -> rd.Dataset:
+    """count(DISTINCT o_custkey) per order status — G6 at query scale:
+    per-batch distinct (key, cust) pairs, one bucketed shuffle keyed on
+    the pair, final per-key distinct count."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_custkey"])
+    partial = ds.map_batches(
+        lambda df: df.drop_duplicates(["o_orderstatus", "o_custkey"]),
+        batch_format="pandas", batch_size=None)
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates(["o_orderstatus", "o_custkey"])
+             .groupby("o_orderstatus", sort=True)["o_custkey"]
+             .size().rename("n_custkeys").reset_index())
+        g["n_custkeys"] = g["n_custkeys"].astype("int64")
+        return g
+
+    # all rows of a status must meet: bucket by status only
+    return bucketed_group_apply(partial, ["o_orderstatus"],
+                                count_distinct, num_buckets=4)
+
+
+def order_price_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact per-status price quantiles (p25/p50/p75, linear
+    interpolation — DuckDB quantile_cont semantics).  Exact quantiles
+    need each group's full value set in one place: per-status bucketed
+    shuffle of the (status, price) pairs only."""
+    import numpy as np
+
+    from ..stages.groups import bucketed_group_apply
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_totalprice"])
+    pairs = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderstatus": df["o_orderstatus"],
+            "price_cents": _cents(df["o_totalprice"].to_numpy())}),
+        batch_format="pandas")
+
+    def quants(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for status, g in df.groupby("o_orderstatus", sort=True):
+            x = np.sort(g["price_cents"].to_numpy())
+            p25, p50, p75 = (np.quantile(x, q, method="linear")
+                             for q in (0.25, 0.5, 0.75))
+            rows.append((status, round(p25, 6), round(p50, 6),
+                         round(p75, 6)))
+        return pd.DataFrame(rows, columns=["o_orderstatus", "p25", "p50",
+                                           "p75"]).astype(
+            {"p25": "float64", "p50": "float64", "p75": "float64"})
+
+    return bucketed_group_apply(pairs, ["o_orderstatus"], quants,
+                                num_buckets=4)
+
+
+def events_hopping(sf_dir: str, size_min: int = 60,
+                   hop_min: int = 30) -> rd.Dataset:
+    """Hopping (sliding) windows: size 60 min, hop 30 min — every event
+    lands in size/hop windows.  Stream-shaped §2.9 extension beyond the
+    tumbling-hour case: vectorised per-batch explode to (type, win_start)
+    rows, then the same partial+final count."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    k = size_min // hop_min
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy()
+        base = ts.astype("datetime64[m]").astype(np.int64)  # minutes
+        first = ((base - (size_min - hop_min)) // hop_min) * hop_min
+        starts = (np.repeat(first, k)
+                  + np.tile(np.arange(k, dtype=np.int64) * hop_min,
+                            len(df)))
+        ev_min = np.repeat(base, k)
+        keep = (starts <= ev_min) & (ev_min < starts + size_min)
+        out = pd.DataFrame({
+            "event_type": np.repeat(df["event_type"].to_numpy(), k)[keep],
+            "win_start": starts[keep].astype("datetime64[m]")
+            .astype("datetime64[us]"),
+            "value_cents": np.repeat(
+                _cents(df["value"].to_numpy()), k)[keep],
+        })
+        g = out.groupby(["event_type", "win_start"], sort=True).agg(
+            n=("value_cents", "size"),
+            sum_value_cents=("value_cents", "sum")).reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    partials = ds.map_batches(explode, batch_format="pandas")
+    return bucketed_sum(partials, ["event_type", "win_start"],
+                        ["n", "sum_value_cents"], num_buckets=16)
+
+
 def events_hourly(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-hour window per event_type (stream-shaped pattern,
     ray_guide.md L187-198): count + integer-cent value sum."""

@@ -234,6 +234,18 @@ def q_top_orders_per_status(sf_dir: str) -> rd.Dataset:
     return analytics.top_orders_per_status(sf_dir)
 
 
+def q_status_distinct_custkeys(sf_dir: str) -> rd.Dataset:
+    return analytics.status_distinct_custkeys(sf_dir)
+
+
+def q_order_price_quantiles(sf_dir: str) -> rd.Dataset:
+    return analytics.order_price_quantiles(sf_dir)
+
+
+def q_events_hopping(sf_dir: str) -> rd.Dataset:
+    return analytics.events_hopping(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # training-data operators (documents / embeddings; SQL-checked where
 # expressible)
@@ -343,6 +355,9 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "segment_revenue": q_segment_revenue,
     "top_orders_per_status": q_top_orders_per_status,
+    "status_distinct_custkeys": q_status_distinct_custkeys,
+    "order_price_quantiles": q_order_price_quantiles,
+    "events_hopping": q_events_hopping,
     "doc_token_counts": q_doc_token_counts,
     "doc_quality": q_doc_quality,
     "doc_fingerprint": q_doc_fingerprint,
