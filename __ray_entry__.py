@@ -11,10 +11,14 @@ same generated parquet via read_parquet('<path>/*.parquet'); calling
 ``queries()`` / ``oracle_sql()`` triggers (idempotent, atomic) generation
 so both sides always see identical bytes.
 
-Non-SQL-expressible stages (Chinese-Whispers induction, union-find
-canonicalisation, minhash, simhash, langid) are registered without oracle
-SQL → rows-only checks; their semantics are verified against the
-sequential reference-style oracle in tests/test_flagship.py (P/R gate).
+Genuinely non-SQL-expressible stages are registered without oracle SQL →
+rows-only checks: graph clustering (Chinese Whispers / HyperLex) and
+everything downstream of its sense ids (sense_inventory, mentions_linked,
+canon_map, triples), the approximate-by-design IVF ANN, and the stubbed
+media codec.  Each is verified against the sequential reference-style
+oracle in tests/ (P/R gate).  Everything else — including minhash,
+simhash, langid, jaccard, near-dup components and the cooc/NPMI path —
+carries a hash-exact DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -313,6 +317,33 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cooc_edges": _sql_cooc_edges(tr, tok, gaz),
         "doc_langid": _sql_doc_langid(),
+        # recursive-CTE mirror of the distributed hash-to-min union-find
+        # rounds (D3): reachability closure over near-dup pairs, min label
+        "doc_dup_components": f"""
+            WITH RECURSIVE p AS (
+                SELECT doc_a, doc_b FROM (
+                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM ({_sql_doc_simhash(tok)}) a
+                    JOIN ({_sql_doc_simhash(tok)}) b
+                      ON a.doc_id < b.doc_id
+                    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+                )
+            ),
+            nodes AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_a AS doc_id FROM p
+                    UNION ALL SELECT doc_b FROM p)
+            ),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION ALL SELECT doc_b, doc_a FROM p),
+            reach AS (
+                SELECT doc_id, doc_id AS r FROM nodes
+                UNION
+                SELECT e.a AS doc_id, reach.r
+                FROM e JOIN reach ON reach.doc_id = e.b
+            )
+            SELECT doc_id, min(r) AS canon_id FROM reach GROUP BY doc_id
+        """,
         "doc_minhash_candidates": _sql_minhash_candidates(tok),
         "doc_jaccard_pairs": _sql_jaccard_pairs(tok),
         "doc_simhash": _sql_doc_simhash(tok),

@@ -281,6 +281,35 @@ def q_simhash_near_dup(sf_dir: str) -> rd.Dataset:
     return simhash_near_dup(read_documents(sf_dir), max_hamming=3)
 
 
+def q_doc_dup_components(sf_dir: str) -> rd.Dataset:
+    """Connected components over simhash near-dup pairs via the
+    DISTRIBUTED hash-to-min union-find rounds (D3) — doc ids are
+    zero-padded so lexicographic min == numeric min.  SQL oracle:
+    recursive CTE reachability + min label."""
+    from ..stages.dedup import simhash_near_dup
+    from ..stages.unionfind import connected_components
+
+    pairs = simhash_near_dup(read_documents(sf_dir), max_hamming=3)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pa.array([f"{x:012d}" for x in t["doc_a"].to_pylist()],
+                          type=pa.string()),
+            "v": pa.array([f"{x:012d}" for x in t["doc_b"].to_pylist()],
+                          type=pa.string()),
+        })
+
+    comps = connected_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow"))
+    return comps.map_batches(
+        lambda t: pa.table({
+            "doc_id": pa.array([int(x) for x in t["node"].to_pylist()],
+                               type=pa.int64()),
+            "canon_id": pa.array([int(x) for x in t["comp"].to_pylist()],
+                                 type=pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def q_doc_minhash_candidates(sf_dir: str) -> rd.Dataset:
     return minhash_candidates(read_documents(sf_dir))
 
@@ -364,6 +393,7 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_simhash": q_doc_simhash,
     "simhash_near_dup": q_simhash_near_dup,
+    "doc_dup_components": q_doc_dup_components,
     "doc_minhash_candidates": q_doc_minhash_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "knn_cosine_topk": q_knn_cosine_topk,
