@@ -87,3 +87,99 @@ def test_cw_deterministic_and_partitions(pairs, seed_int):
     assert set(l1) == set(nodes)
     labels = sorted(set(l1.values()))
     assert labels == list(range(len(labels)))  # dense renumbering
+
+
+# --- vectorised-kernel vs slow-reference properties (round 2) -----------
+
+texts_st = st.lists(
+    st.text(alphabet=st.sampled_from("ab z.!é世 12"),
+            min_size=0, max_size=40),
+    min_size=1, max_size=8)
+
+
+def _docs_table(texts):
+    import pyarrow as pa
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts_st)
+def test_simhash_vectorised_matches_reference(texts):
+    """np.add.at scatter implementation == per-doc loop reference."""
+    import hashlib
+
+    import numpy as np
+
+    from wsid_ray.stages.textstats import simhash_batch
+    from wsid_ray.stages.tokenize import tokenize_column
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash_batch(_docs_table(texts)).to_pylist()}
+    t = _docs_table(texts)
+    toks = tokenize_column(t["text"]).to_pylist()
+    for i, ts in enumerate(toks):
+        acc = [0] * 64
+        for tok in ts:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                               "little")
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        sim = sum(1 << b for b in range(64) if acc[b] > 0)
+        want = sim - (1 << 64) if sim >= (1 << 63) else sim
+        assert got[i] == want, (i, ts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts_st)
+def test_quality_vectorised_matches_reference(texts):
+    import re
+
+    from wsid_ray.config import STOPWORDS
+    from wsid_ray.stages.textstats import quality_batch
+    got = {r["doc_id"]: r for r in
+           quality_batch(_docs_table(texts)).to_pylist()}
+    stop = set(STOPWORDS)
+    for i, s in enumerate(texts):
+        words = [w for w in re.split(r"\s+", s) if w]
+        alpha = sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in s)
+        r6 = lambda x: int(x * 1e6 + 0.5) / 1e6 if x >= 0 else x  # noqa: E731
+        assert got[i]["n_chars"] == len(s)
+        assert got[i]["alpha_ratio"] == r6(alpha / len(s) if s else 0.0)
+        assert got[i]["stop_ratio"] == r6(
+            (sum(1 for w in words if w.lower() in stop) / len(words))
+            if words else 0.0)
+        assert got[i]["avg_token_len"] == r6(
+            (sum(len(w) for w in words) / len(words)) if words else 0.0)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["aa1", "bb2", "cc3", "dd4"]),
+                         min_size=0, max_size=12),
+                min_size=1, max_size=5))
+def test_minhash_fold_matches_python_ints(token_lists):
+    """The int64 polynomial shingle fold is EXACT (no wraparound) —
+    compare against unbounded Python-int arithmetic."""
+    import hashlib
+
+    from wsid_ray.stages.dedup import _SHINGLE_MOD, _shingle_hashes
+    k = 3
+    for ts in token_lists:
+        got = sorted(int(x) for x in _shingle_hashes(ts, k))
+        def h30(x):
+            return int.from_bytes(hashlib.md5(x.encode()).digest()[:8],
+                                  "little") >> 34
+        if not ts:
+            want = []
+        elif len(ts) < k:
+            want = [h30(" ".join(ts))]
+        else:
+            acc = set()
+            for i in range(len(ts) - k + 1):
+                s = h30(ts[i])
+                for j in range(1, k):
+                    s = (s * 31 + h30(ts[i + j])) % _SHINGLE_MOD
+                acc.add(s)
+            want = sorted(acc)
+        assert got == want, ts

@@ -50,3 +50,23 @@ def test_stage_registry_pipeline():
     out = pipeline(rd.from_arrow(t), ["tokenize", "detect_mentions"])
     rows = out.take_all()
     assert rows[0]["term"] == "python"
+
+
+def test_registry_doc_stages_compose():
+    """U1: registered doc stages build and compose via pipeline()."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.stage import REGISTRY, pipeline
+
+    for name in ("doc_token_counts", "doc_quality", "doc_langid",
+                 "doc_fingerprint", "doc_simhash", "minhash_candidates",
+                 "simhash_near_dup"):
+        assert name in REGISTRY
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma delta", "alpha beta gamma x"]),
+    }))
+    out = pipeline(docs, ["doc_simhash"])
+    assert set(out.schema().names) == {"doc_id", "simhash"}
+    assert out.count() == 2

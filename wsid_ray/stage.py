@@ -82,5 +82,57 @@ def _register_builtins() -> None:
         build=_cap,
     ))
 
+    # document-table (training-data) operators — all stateless map stages
+    # except the near-dup candidate generators, which shuffle
+    def _doc_map(fn_name: str):
+        def build(ds, cfg):
+            from .stages import textstats
+            return ds.map_batches(getattr(textstats, fn_name),
+                                  batch_format="pyarrow")
+        return build
+
+    for name, fn_name, desc, out in (
+        ("doc_token_counts", "token_counts_batch",
+         "ws + BPE-ish token counts", ("n_ws_tokens", "n_bpe_tokens")),
+        ("doc_quality", "quality_batch",
+         "length/alpha/stopword/avg-len quality signals",
+         ("n_chars", "alpha_ratio", "stop_ratio", "avg_token_len")),
+        ("doc_langid", "langid_batch",
+         "marker-word/CJK language id (deterministic heuristic)",
+         ("lang_pred", "lang_score")),
+        ("doc_fingerprint", "fingerprint_batch",
+         "md5 fingerprint of the normalised token stream",
+         ("fingerprint",)),
+        ("doc_simhash", "simhash_batch",
+         "64-bit SimHash signature (Charikar 2002)", ("simhash",)),
+    ):
+        register(Stage(name=name, description=desc,
+                       input_cols=("doc_id", "text"), output_cols=out,
+                       build=_doc_map(fn_name)))
+
+    def _minhash(ds, cfg):
+        from .stages.dedup import minhash_candidates
+        return minhash_candidates(ds)
+
+    register(Stage(
+        name="minhash_candidates",
+        description="MinHash-LSH near-dup candidate pairs (banded shuffle)",
+        input_cols=("doc_id", "text"), output_cols=("doc_a", "doc_b"),
+        build=_minhash,
+    ))
+
+    def _simdup(ds, cfg):
+        from .stages.dedup import simhash_near_dup
+        return simhash_near_dup(ds)
+
+    register(Stage(
+        name="simhash_near_dup",
+        description="SimHash band-trick near-dup pairs (exact for "
+                    "max_hamming < num_bands)",
+        input_cols=("doc_id", "text"),
+        output_cols=("doc_a", "doc_b", "hamming"),
+        build=_simdup,
+    ))
+
 
 _register_builtins()
