@@ -61,3 +61,19 @@ def test_ivf_deterministic():
     pd.testing.assert_frame_equal(
         a.sort_values("vec_id").reset_index(drop=True),
         b.sort_values("vec_id").reset_index(drop=True))
+
+
+def test_lsh_recall_vs_bruteforce():
+    from wsid_ray.stages.knn import lsh_topk
+    ds, X = _emb_ds()
+    queries = {i: X[i].astype(np.float64) for i in range(3)}
+    exact = knn_topk(ds, queries, k=10).to_pandas()
+    approx = lsh_topk(ds, queries, k=10, n_planes=4,
+                      dim=X.shape[1]).to_pandas()
+    recalls = []
+    for q in queries:
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    # clustered data: same-bucket neighbours dominate the exact top-k
+    assert np.mean(recalls) >= 0.6, recalls

@@ -340,6 +340,20 @@ def q_knn_ivf_topk(sf_dir: str) -> rd.Dataset:
     return ivf_topk(read_embeddings(sf_dir), queries, k=10)
 
 
+def q_knn_lsh_topk(sf_dir: str) -> rd.Dataset:
+    """Random-hyperplane LSH ANN (rows-only: approximate by design;
+    recall vs exact brute force asserted in tests/test_sessions_ivf.py)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.knn import lsh_topk
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    wanted = {0, 1, 2, 3, 4}
+    queries = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+               for r in t.to_pylist() if r["vec_id"] in wanted}
+    return lsh_topk(read_embeddings(sf_dir), queries, k=10)
+
+
 def q_embedding_near_dup(sf_dir: str) -> rd.Dataset:
     from ..stages.knn import near_dup_pairs
     return near_dup_pairs(read_embeddings(sf_dir), threshold=0.4)
@@ -398,6 +412,7 @@ QUERIES = {
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "knn_cosine_topk": q_knn_cosine_topk,
     "knn_ivf_topk": q_knn_ivf_topk,
+    "knn_lsh_topk": q_knn_lsh_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "user_sessions": q_user_sessions,
     "media_features": q_media_features,

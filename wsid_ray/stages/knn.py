@@ -267,6 +267,37 @@ def ivf_topk(embeddings: rd.Dataset, query_vectors: dict[int, np.ndarray],
                                 num_buckets=8)
 
 
+def lsh_topk(embeddings: rd.Dataset, query_vectors: dict[int, np.ndarray],
+             k: int = 10, n_planes: int = 6, dim: int = 64,
+             exclude_self: bool = True) -> rd.Dataset:
+    """Approximate cosine top-k via random-hyperplane LSH bucket
+    prefilter + exact re-rank of matching rows (rows-only by design;
+    recall vs exact brute force asserted in tests)."""
+    ref = ray.put(query_vectors)
+    scored = embeddings.map_batches(
+        LshBucketScorer,
+        fn_constructor_kwargs=dict(queries_ref=ref, n_planes=n_planes,
+                                   dim=dim),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=pool_limits(hi=4), num_cpus=1)
+    if exclude_self:
+        import pyarrow.compute as pc
+        scored = scored.map_batches(
+            lambda t: t.filter(pc.not_equal(t["query_id"], t["vec_id"])),
+            batch_format="pyarrow")
+
+    import pandas as pd
+
+    def topk_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("query_id", sort=True).head(k)
+
+    from .groups import bucketed_group_apply
+    return bucketed_group_apply(scored, ["query_id"], topk_df,
+                                num_buckets=8)
+
+
 class LshBucketScorer:
     """Scale path: random-hyperplane LSH prefilter, exact re-rank inside
     matching buckets only.  Approximate: documents in non-matching buckets
