@@ -162,8 +162,28 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print the flagship's per-operator Ray Data stats (the wall-time
+    breakdown used to drive optimisation; see BASELINE.md round notes)."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from wsid_ray.runtime import configure
+    configure()
+    from wsid_ray.pipelines.flagship import run_flagship
+    art = run_flagship(sf_dir)
+    tri = art.triples.materialize()
+    print(tri.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))
