@@ -94,7 +94,7 @@ SCALES: dict[str, dict] = {
 }
 
 DATA_ROOT = os.environ.get("WSID_RAY_DATA", "/tmp/wsid_ray_data")
-_GEN_VERSION = "v7"  # bump to invalidate caches when generation rules change
+_GEN_VERSION = "v8"  # bump to invalidate caches when generation rules change
 
 
 def _conv_rows(rng: random.Random, conv_i: int, skewed: bool):
@@ -179,8 +179,12 @@ def _gen_file(args) -> str:
         "tool": pa.array(cols[4], type=pa.string()),
         "ts": pa.array(cols[5], type=pa.timestamp("us")),
     })
+    # 64k-row row groups: the reader's split unit, so task granularity at
+    # high parallelism is row groups (stragglers cost one group, not one
+    # file) — the 100 TB layout rule (SURVEY.md S2 note)
     pq.write_table(table, os.path.join(tmp, "transcripts",
-                                       f"part-{f_i:04d}.parquet"))
+                                       f"part-{f_i:04d}.parquet"),
+                   row_group_size=65536)
     gcols = list(zip(*gt_all)) if gt_all else [[], [], [], []]
     pq.write_table(pa.table({
         "conv_id": pa.array(gcols[0], type=pa.string()),

@@ -21,12 +21,21 @@ def read_transcripts(sf_dir_or_scale: str, columns: list[str] | None = None,
     scale name. ``files`` overrides the shard list (checkpoint resume uses
     this to skip completed input shards — SURVEY.md §2.4 J5).
 
-    override_num_blocks pins one block per input file: Ray's default
-    splits these small files into ~1 MB blocks, and measured task-dispatch
-    overhead (~8 ms/task × blocks × every downstream operator) then
-    dominates wall time.  At 100 TB the same rule holds from the other
-    side — files are row-grouped near the 128 MB block target, so the
-    reader takes one block per row group naturally."""
+    Block granularity: one block per ROW GROUP (files are written with
+    64k-row groups), floored at one block per file.  Coarser (per-file)
+    blocks measured better at low parallelism (task dispatch ≈8 ms/task),
+    but at high parallelism they amplify stragglers — a stalled vCPU in
+    the last wave costs a whole file's work.  Row-group-sized tasks cap
+    the straggler cost at one group, which is the 100 TB layout rule
+    (groups near the block target).  ``override_num_blocks`` asks for
+    min(4×CPUs, row-group count), clamped to at least the file count —
+    Ray will not split below row-group boundaries."""
+    import ray
     paths = files if files is not None else transcript_files(sf_dir_or_scale)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    blocks = max(len(paths), min(256, 4 * cpus))
     return rd.read_parquet(paths, columns=columns or ALL_COLUMNS,
-                           override_num_blocks=len(paths))
+                           override_num_blocks=blocks)
