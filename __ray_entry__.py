@@ -515,6 +515,23 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string({tok}, ' ')) AS fingerprint
             FROM documents
         """,
+        # mirror of stages/embed.FakeTextEmbedder (md5 token-bucket
+        # histogram) + exact cosine near-dup — checks the text -> embed ->
+        # near-dup pipeline end to end
+        "doc_embed_near_dup": f"""
+            WITH vecs AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(len(list_filter(toks,
+                               y -> md5_number_upper(y) % 32 = i))
+                           AS DOUBLE)) AS v
+                FROM (SELECT doc_id, {tok} AS toks FROM documents)
+            )
+            SELECT a.doc_id AS vec_a, b.doc_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS score
+            FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+            WHERE list_cosine_similarity(a.v, b.v) > 0.99
+        """,
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(

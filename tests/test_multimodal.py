@@ -57,3 +57,25 @@ def test_frame_sampler_explodes():
     w, h = 16, 16
     for p in out["payload"].head(3):
         assert len(FakeCodec().decode(p)) == w * h
+
+
+def test_fake_embedder_shape_and_determinism():
+    """Batched-inference actor-pool stage: stable dims, deterministic
+    vectors, duplicate texts embed identically."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.stages.embed import embed_documents
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma", "alpha beta gamma", ""]),
+    }))
+    out = {r["vec_id"]: r["embedding"]
+           for r in embed_documents(docs, dim=16).take_all()}
+    assert set(out) == {0, 1, 2}
+    assert all(len(v) == 16 for v in out.values())
+    assert out[0] == out[1]              # identical text -> identical vector
+    assert sum(out[2]) == 0.0            # token-less doc -> zero vector
+    assert sum(out[0]) == 3.0            # occurrence-weighted histogram

@@ -354,6 +354,17 @@ def q_knn_lsh_topk(sf_dir: str) -> rd.Dataset:
     return lsh_topk(read_embeddings(sf_dir), queries, k=10)
 
 
+def q_doc_embed_near_dup(sf_dir: str) -> rd.Dataset:
+    """End-to-end text near-dup via embeddings: documents -> batched
+    'model inference' actor pool (deterministic fake embedder) -> exact
+    block-pair cosine near-dup.  Hash-checked against a SQL mirror of the
+    whole path."""
+    from ..stages.embed import embed_documents
+    from ..stages.knn import near_dup_pairs
+    return near_dup_pairs(embed_documents(read_documents(sf_dir)),
+                          threshold=0.99)
+
+
 def q_embedding_near_dup(sf_dir: str) -> rd.Dataset:
     from ..stages.knn import near_dup_pairs
     return near_dup_pairs(read_embeddings(sf_dir), threshold=0.4)
@@ -414,6 +425,7 @@ QUERIES = {
     "knn_ivf_topk": q_knn_ivf_topk,
     "knn_lsh_topk": q_knn_lsh_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "doc_embed_near_dup": q_doc_embed_near_dup,
     "user_sessions": q_user_sessions,
     "media_features": q_media_features,
 }
