@@ -138,6 +138,27 @@ def _sql_cooc_edges(tr: str, tok: str, gaz: str) -> str:
     """
 
 
+def _sql_doc_quality(stop: str) -> str:
+    """DuckDB mirror of stages/textstats.quality_batch."""
+    return rf"""
+        SELECT doc_id, length(text) AS n_chars,
+          coalesce(round(length(regexp_replace(text, '[^a-zA-Z]', '',
+              'g')) * 1.0 / NULLIF(length(text), 0), 6), 0.0)
+              AS alpha_ratio,
+          coalesce(round(len(list_filter(list_filter(
+              regexp_split_to_array(text, '\s+'), w -> w <> ''),
+              w -> lower(w) IN ({stop}))) * 1.0
+              / NULLIF(len(list_filter(regexp_split_to_array(text,
+              '\s+'), w -> w <> '')), 0), 6), 0.0) AS stop_ratio,
+          coalesce(round(list_aggregate(list_transform(list_filter(
+              regexp_split_to_array(text, '\s+'), w -> w <> ''),
+              w -> length(w)), 'sum') * 1.0
+              / NULLIF(len(list_filter(regexp_split_to_array(text,
+              '\s+'), w -> w <> '')), 0), 6), 0.0) AS avg_token_len
+        FROM documents
+    """
+
+
 def _sql_doc_langid() -> str:
     """DuckDB mirror of stages/textstats.langid_batch: CJK codepoint scan
     on the first 500 chars, else marker-word argmax with first-wins ties
@@ -493,22 +514,21 @@ def oracle_sql() -> dict[str, str]:
                        '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) AS n_bpe_tokens
             FROM documents
         """,
-        "doc_quality": rf"""
-            SELECT doc_id, length(text) AS n_chars,
-              coalesce(round(length(regexp_replace(text, '[^a-zA-Z]', '',
-                  'g')) * 1.0 / NULLIF(length(text), 0), 6), 0.0)
-                  AS alpha_ratio,
-              coalesce(round(len(list_filter(list_filter(
-                  regexp_split_to_array(text, '\s+'), w -> w <> ''),
-                  w -> lower(w) IN ({stop}))) * 1.0
-                  / NULLIF(len(list_filter(regexp_split_to_array(text,
-                  '\s+'), w -> w <> '')), 0), 6), 0.0) AS stop_ratio,
-              coalesce(round(list_aggregate(list_transform(list_filter(
-                  regexp_split_to_array(text, '\s+'), w -> w <> ''),
-                  w -> length(w)), 'sum') * 1.0
-                  / NULLIF(len(list_filter(regexp_split_to_array(text,
-                  '\s+'), w -> w <> '')), 0), 6), 0.0) AS avg_token_len
-            FROM documents
+        "doc_quality": _sql_doc_quality(stop),
+        # C4-style filter over the same quality signals (thresholds are
+        # the engine's quality_filter_batch defaults)
+        "doc_quality_filter": f"""
+            SELECT doc_id, n_chars FROM ({_sql_doc_quality(stop)})
+            WHERE n_chars >= 80 AND alpha_ratio >= 0.6
+              AND stop_ratio <= 0.5
+        """,
+        # deterministic md5-bucket train/val split, aggregated
+        "doc_split_counts": """
+            SELECT split, count(*) AS n FROM (
+                SELECT CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR))
+                                 % 100 < 95
+                            THEN 'train' ELSE 'val' END AS split
+                FROM documents) GROUP BY split
         """,
         "doc_fingerprint": f"""
             SELECT doc_id,

@@ -60,3 +60,16 @@ def test_simhash_similar_docs_close():
     assert hamming(ha, hb) < hamming(ha, hc)
     out2 = simhash_batch(docs([a])).to_pylist()
     assert out2[0]["simhash"] == ha  # deterministic
+
+
+def test_quality_filter_and_split():
+    from wsid_ray.stages.textstats import (quality_filter_batch,
+                                           split_assign_batch)
+    t = docs(["x", "the quick brown fox jumps over the lazy dog " * 4])
+    kept = quality_filter_batch(t)
+    assert kept["doc_id"].to_pylist() == [1]  # short doc filtered out
+    sp = split_assign_batch(t)
+    assert set(sp["split"].to_pylist()) <= {"train", "val"}
+    # deterministic across calls
+    assert sp["split"].to_pylist() == \
+        split_assign_batch(t)["split"].to_pylist()

@@ -271,6 +271,24 @@ def q_doc_langid(sf_dir: str) -> rd.Dataset:
                                               batch_format="pyarrow")
 
 
+def q_doc_quality_filter(sf_dir: str) -> rd.Dataset:
+    """C4-style filter, reported as the kept doc ids (+ n_chars)."""
+    from ..stages.textstats import quality_batch, quality_filter_batch
+    kept = read_documents(sf_dir).map_batches(quality_filter_batch,
+                                              batch_format="pyarrow")
+    return kept.map_batches(
+        lambda t: quality_batch(t).select(["doc_id", "n_chars"]),
+        batch_format="pyarrow")
+
+
+def q_doc_split_counts(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val split assignment, aggregated to counts."""
+    from ..stages.textstats import split_assign_batch
+    assigned = read_documents(sf_dir).map_batches(split_assign_batch,
+                                                  batch_format="pyarrow")
+    return analytics.partial_count(assigned, ["split"])
+
+
 def q_doc_simhash(sf_dir: str) -> rd.Dataset:
     return read_documents(sf_dir).map_batches(simhash_batch,
                                               batch_format="pyarrow")
@@ -414,6 +432,8 @@ QUERIES = {
     "events_hopping": q_events_hopping,
     "doc_token_counts": q_doc_token_counts,
     "doc_quality": q_doc_quality,
+    "doc_quality_filter": q_doc_quality_filter,
+    "doc_split_counts": q_doc_split_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_langid": q_doc_langid,
     "doc_simhash": q_doc_simhash,

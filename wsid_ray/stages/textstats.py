@@ -202,6 +202,38 @@ def simhash_batch(t: pa.Table) -> pa.Table:
     })
 
 
+def quality_filter_batch(t: pa.Table, min_chars: int = 80,
+                         min_alpha: float = 0.6,
+                         max_stop: float = 0.5) -> pa.Table:
+    """C4-style quality filter: keep docs with enough content and sane
+    letter/stopword ratios.  Composes the vectorised quality signals —
+    rule thresholds are the UDF hook; mirrored in oracle SQL."""
+    q = quality_batch(t)
+    import pyarrow.compute as pc
+    keep = pc.and_(pc.and_(
+        pc.greater_equal(q["n_chars"], min_chars),
+        pc.greater_equal(q["alpha_ratio"], min_alpha)),
+        pc.less_equal(q["stop_ratio"], max_stop))
+    return t.filter(keep)
+
+
+def split_assign_batch(t: pa.Table, train_pct: int = 95) -> pa.Table:
+    """Deterministic train/val split: md5-hash bucket of doc_id mod 100.
+    Content-stable (re-runs and resumes assign identically), mirrored in
+    SQL via md5_number_upper(CAST(doc_id AS VARCHAR)) % 100."""
+    import hashlib
+    ids = t["doc_id"].to_pylist()
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                        "little") % 100 for i in ids),
+        dtype=np.int64, count=len(ids))
+    split = np.where(h < train_pct, "train", "val")
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "split": pa.array(split.tolist(), type=pa.string()),
+    })
+
+
 def read_documents(sf_dir: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=columns or ["doc_id", "text"])
