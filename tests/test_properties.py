@@ -183,3 +183,30 @@ def test_minhash_fold_matches_python_ints(token_lists):
                 acc.add(s)
             want = sorted(acc)
         assert got == want, ts
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet=st.sampled_from("the der le el dans y 世a "),
+                        min_size=0, max_size=60),
+                min_size=1, max_size=6))
+def test_langid_vectorised_matches_reference(texts):
+    import numpy as np
+
+    from wsid_ray.stages.textstats import _LANG_MARKERS, langid_batch
+    got = {r["doc_id"]: (r["lang_pred"], r["lang_score"])
+           for r in langid_batch(_docs_table(texts)).to_pylist()}
+    for i, s in enumerate(texts):
+        if any("一" <= c <= "鿿" for c in s[:500]):
+            assert got[i] == ("zh", 1.0)
+            continue
+        words = s.lower().split()
+        best_lang, best = "en", -1.0
+        for lang, markers in _LANG_MARKERS.items():
+            if not markers:
+                continue
+            score = sum(1.0 for w in words if w in markers)
+            if score > best:
+                best_lang, best = lang, score
+        total = max(1, len(words))
+        want = (best_lang, float(np.floor(best / total * 1e6 + 0.5) / 1e6))
+        assert got[i] == want, (i, s)
