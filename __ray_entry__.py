@@ -318,6 +318,36 @@ def _sql_jaccard_pairs(tok: str, threshold: float = 0.5,
     """
 
 
+def _sql_events_hopping(size_min: int = 60, hop_min: int = 30) -> str:
+    """DuckDB mirror of analytics.events_hopping, GENERATED from the same
+    (size_min, hop_min) parameters as the engine function.  The first
+    window start uses a floor-division-safe expression — DuckDB's integer
+    ``//`` truncates toward zero while numpy floors, which diverges for
+    events in the first ``size-hop`` minutes after the epoch (ADVICE r02).
+    """
+    k = size_min // hop_min
+    shift = size_min - hop_min
+    return f"""
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+                   CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+            FROM events
+        ), ex AS (
+            SELECT event_type, vc, m,
+                   CAST(floor((m - {shift}) / {hop_min}.0) AS BIGINT)
+                       * {hop_min} + ii.i * {hop_min} AS s
+            FROM ev, (SELECT unnest(range({k})) AS i) ii
+        )
+        SELECT event_type,
+               make_timestamp(s * 60 * 1000000) AS win_start,
+               count(*) AS n,
+               CAST(sum(vc) AS BIGINT) AS sum_value_cents
+        FROM ex WHERE s <= m AND m < s + {size_min}
+        GROUP BY event_type, s
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from wsid_ray.config import GAZETTEER, STOPWORDS
     from wsid_ray.fixtures import generate, transcripts_dir
@@ -468,24 +498,7 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT), 0.75), 6) AS p75
             FROM orders GROUP BY o_orderstatus
         """,
-        "events_hopping": """
-            WITH ev AS (
-                SELECT event_type,
-                       CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
-                       CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
-                FROM events
-            ), ex AS (
-                SELECT event_type, vc, m,
-                       ((m - 30) // 30) * 30 + ii.i * 30 AS s
-                FROM ev, (SELECT unnest(range(2)) AS i) ii
-            )
-            SELECT event_type,
-                   make_timestamp(s * 60 * 1000000) AS win_start,
-                   count(*) AS n,
-                   CAST(sum(vc) AS BIGINT) AS sum_value_cents
-            FROM ex WHERE s <= m AND m < s + 60
-            GROUP BY event_type, s
-        """,
+        "events_hopping": _sql_events_hopping(size_min=60, hop_min=30),
         "user_sessions": """
             WITH flagged AS (
                 SELECT user_id, ts, event_id,

@@ -179,8 +179,15 @@ def run_flagship(sf_dir_or_scale: str,
             fs = files if files else _tf(sf_dir_or_scale)
             total = sum(os.path.getsize(f) for f in fs)
         except (OSError, ValueError):
-            total = 0
-        cache_mode = ("object_store" if total < _PIN_MAX_INPUT_BYTES
+            # unsizeable input: fall back to the SCALE-SAFE plan — pinning
+            # an unknown (possibly huge) input is the unsafe direction
+            import logging
+            logging.getLogger(__name__).warning(
+                "input size unknown at planning time; choosing the "
+                "recompute mention-cache plan")
+            total = None
+        cache_mode = ("object_store"
+                      if total is not None and total < _PIN_MAX_INPUT_BYTES
                       else "recompute")
 
     def mentions_ds() -> rd.Dataset:

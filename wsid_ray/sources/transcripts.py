@@ -28,8 +28,11 @@ def read_transcripts(sf_dir_or_scale: str, columns: list[str] | None = None,
     the last wave costs a whole file's work.  Row-group-sized tasks cap
     the straggler cost at one group, which is the 100 TB layout rule
     (groups near the block target).  ``override_num_blocks`` asks for
-    min(4×CPUs, row-group count), clamped to at least the file count —
-    Ray will not split below row-group boundaries."""
+    min(256, 4×CPUs) blocks, clamped to at least the file count; Ray
+    will not split below row-group boundaries, so the effective
+    granularity is min(requested, row-group count) without consulting
+    group counts here (the 256 cap bounds driver-side task bookkeeping
+    on huge path lists)."""
     import ray
     paths = files if files is not None else transcript_files(sf_dir_or_scale)
     try:

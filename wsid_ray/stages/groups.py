@@ -71,12 +71,20 @@ def _split_block(tb: pa.Table, key_cols: list[str], num_buckets: int):
 
 
 @ray.remote
-def _reduce_bucket(fn, *parts):
+def _reduce_bucket(fn, out_schema, *parts):
+    if out_schema is not None:
+        out_schema = pa.schema(out_schema)  # may arrive serialized
     tables = [p for p in parts if p.num_rows]
     if not tables:
-        # run fn on a TYPED empty frame (the split slices carry the input
-        # schema) so the output block has the fn's output columns; pandas
-        # infers null type for empty object columns — pin those to string
+        # empty bucket: the declared output schema (when given) types the
+        # empty block exactly — no dtype guessing (ADVICE r02)
+        if out_schema is not None:
+            return out_schema.empty_table()
+        # else run fn on a TYPED empty frame (the split slices carry the
+        # input schema) so the output block has the fn's output columns;
+        # pandas infers null type for empty object columns — pin those to
+        # string (only correct when the fn's object columns are strings;
+        # pass out_schema when they are not)
         template = next((p for p in parts if p.schema.names), None)
         if template is None:  # upstream produced only schema-less blocks
             return parts[0].slice(0, 0)
@@ -94,11 +102,15 @@ def _reduce_bucket(fn, *parts):
     tables = [t.select(names) for t in tables]
     tb = pa.concat_tables(tables, promote_options="permissive")
     out = fn(tb.to_pandas())
-    return pa.Table.from_pandas(out, preserve_index=False)
+    res = pa.Table.from_pandas(out, preserve_index=False)
+    if out_schema is not None:
+        res = res.select(out_schema.names).cast(out_schema)
+    return res
 
 
 def _tasks_apply(ds: rd.Dataset, key_cols: list[str],
-                 bucket_fn, num_buckets: int) -> rd.Dataset | None:
+                 bucket_fn, num_buckets: int,
+                 out_schema: pa.Schema | None = None) -> rd.Dataset | None:
     blocks = ds.to_arrow_refs()
     if not blocks or len(blocks) * num_buckets > _TASKS_MAX_REFS:
         return None
@@ -113,7 +125,8 @@ def _tasks_apply(ds: rd.Dataset, key_cols: list[str],
     # starts as soon as its B input slices exist; all-empty buckets
     # return a typed empty table (schema-stable, cheap)
     outs = [
-        _reduce_bucket.remote(bucket_fn, *[sr[b] for sr in split_refs])
+        _reduce_bucket.remote(bucket_fn, out_schema,
+                              *[sr[b] for sr in split_refs])
         for b in range(B)
     ]
     return rd.from_arrow_refs(outs)
@@ -125,9 +138,14 @@ def bucketed_group_apply(
     bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: int = 32,
     impl: str | None = None,
+    out_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """One hash shuffle keyed on hash(key_cols) % num_buckets, then
-    ``bucket_fn`` over each whole bucket (vectorise inside!)."""
+    ``bucket_fn`` over each whole bucket (vectorise inside!).
+
+    ``out_schema``: declared Arrow schema of bucket_fn's output — empty
+    buckets emit exactly this schema (no dtype guessing) and non-empty
+    outputs are cast to it, keeping the block stream schema-stable."""
     if impl is None:
         import os
         # "tasks" is the measured-faster default (module docstring); it
@@ -135,7 +153,7 @@ def bucketed_group_apply(
         # _TASKS_MAX_REFS.  Set WSID_BUCKET_IMPL=sort to force streaming.
         impl = os.environ.get("WSID_BUCKET_IMPL", "tasks")
     if impl == "tasks":
-        out = _tasks_apply(ds, key_cols, bucket_fn, num_buckets)
+        out = _tasks_apply(ds, key_cols, bucket_fn, num_buckets, out_schema)
         if out is not None:
             return out
         # fall through: too many refs, no blocks, or all-empty input
@@ -146,7 +164,12 @@ def bucketed_group_apply(
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return bucket_fn(g.drop(columns=[BUCKET_COL]))
 
-    return withb.groupby(BUCKET_COL).map_groups(run, batch_format="pandas")
+    out = withb.groupby(BUCKET_COL).map_groups(run, batch_format="pandas")
+    if out_schema is not None:
+        out = out.map_batches(
+            lambda t: t.select(out_schema.names).cast(out_schema),
+            batch_format="pyarrow")
+    return out
 
 
 def distinct(ds: rd.Dataset, key_cols: list[str],

@@ -77,6 +77,9 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
               for b in lrefs]
     rsplit = [_split_block.options(num_returns=B).remote(b, on, B)
               for b in rrefs]
+    if B == 1:  # num_returns=1 yields a bare ref, not a 1-tuple
+        lsplit = [[r] for r in lsplit]
+        rsplit = [[r] for r in rsplit]
     outs = []
     for b in range(B):
         parts = [s[b] for s in lsplit] + [s[b] for s in rsplit]

@@ -100,7 +100,7 @@ def triples_from_mentions(mentions: rd.Dataset, canon: dict[str, str],
     pairs = bucketed_group_apply(
         cols, ["conv_id", "turn_idx"],
         lambda df: pair_triples_bucket(df, canon),
-        num_buckets=num_buckets)
+        num_buckets=num_buckets, out_schema=schemas.TRIPLES)
     # conform both branches to the TRIPLES arrow schema before the union:
     # pandas blocks (unary) + arrow blocks with string/large_string drift
     # (pairs) otherwise flap the streaming executor's schema tracking
@@ -166,10 +166,9 @@ def dedup_triples(triples: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
                           kind="mergesort")
         return g.drop_duplicates(subset=["subj", "pred", "obj"],
                                  keep="first")
+    from .. import schemas
     partial = triples.map_batches(fn, batch_format="pandas",
                                   batch_size=None)
-    out = bucketed_group_apply(partial, ["subj", "pred", "obj"], fn,
-                               num_buckets=num_buckets)
-    from .. import schemas
-    return out.map_batches(lambda t: schemas.conform(t, schemas.TRIPLES),
-                           batch_format="pyarrow")
+    return bucketed_group_apply(partial, ["subj", "pred", "obj"], fn,
+                                num_buckets=num_buckets,
+                                out_schema=schemas.TRIPLES)
