@@ -93,3 +93,46 @@ def test_simhash_near_dup_matches_all_pairs():
             if h <= 3:
                 want[(i, j)] = h
     assert got == want
+
+
+def test_minhash_batch_matches_per_doc_signatures():
+    """signatures_batch (chunked matrix + reduceat) must equal the
+    per-doc signature() path value for value."""
+    mh = MinHasher()
+    toks = [BASE.split(), BASE.replace("kappa", "kappa2").split(),
+            [], ["one", "two"], "one two three four five six".split()]
+    keep, S = mh.signatures_batch(toks)
+    expected = [(i, mh.signature(t)) for i, t in enumerate(toks)
+                if mh.signature(t) is not None]
+    assert list(keep) == [i for i, _ in expected]
+    for row, (_, sig) in zip(S, expected):
+        assert (row == sig).all()
+
+
+def test_conv_digest_order_invariant_to_blocking():
+    """The fragment partial fold must reproduce the turn-ordered digest
+    no matter how turns are interleaved across input blocks."""
+    import hashlib
+
+    import pandas as pd
+
+    from wsid_ray.stages.convgroup import conv_digest
+    rows = [(f"c{c}", i, f"text {c} {i}") for c in range(3)
+            for i in range(10)]
+    rng = np.random.RandomState(7)
+    order = rng.permutation(len(rows))
+    shuffled = [rows[i] for i in order]
+    blocks = [shuffled[i::4] for i in range(4)]  # interleaved blocks
+    tables = [pa.table({
+        "conv_id": pa.array([r[0] for r in b]),
+        "turn_idx": pa.array([r[1] for r in b], type=pa.int32()),
+        "text": pa.array([r[2] for r in b]),
+    }) for b in blocks]
+    ds = rd.from_arrow(tables)
+    got = {r["conv_id"]: r["digest"] for r in conv_digest(ds).take_all()}
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    for conv, g in df.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        chain = "".join(hashlib.md5(t.encode()).hexdigest()
+                        for t in g["text"])
+        assert got[conv] == hashlib.md5(chain.encode()).hexdigest()

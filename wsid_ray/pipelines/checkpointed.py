@@ -147,7 +147,8 @@ def run_checkpointed(sf_dir_or_scale: str, out_dir: str,
         # sub-linear in the shard (no text, no windows), so pinning is
         # cheap; the 100 TB variant writes it to the shard's checkpoint
         # dir instead.
-        linked = _disambiguate(_mentions(shard, cfg)).materialize()
+        from ..util import compact_blocks
+        linked = compact_blocks(_disambiguate(_mentions(shard, cfg)))
         tri = dedup_triples(triples_from_mentions(linked, canon),
                             num_buckets=16)
 

@@ -198,7 +198,8 @@ def run_flagship(sf_dir_or_scale: str,
                                         batch_format="pyarrow")
         m = detect_mentions(turns, cfg)
         if cache_mode == "object_store":
-            pinned.append(m.materialize())
+            from ..util import compact_blocks
+            pinned.append(compact_blocks(m))
             return pinned[0]
         if cache_mode == "parquet":
             import tempfile
@@ -229,9 +230,13 @@ def run_flagship(sf_dir_or_scale: str,
                 if (cfg.expand_cooc and edge_maps is not None) else None)
 
     # linked mentions: three consumers (canon edges, unary, pairs) and
-    # sub-linear payload (no text, no windows) → pin once.
-    linked = disambiguate(mentions_ds(), inv_ref, edge_maps_ref=edge_ref,
-                          expand_gamma=cfg.expand_gamma).materialize()
+    # sub-linear payload (no text, no windows) → pin once.  compact_blocks
+    # (not bare materialize) so no empty block reaches the downstream maps
+    # (schema-flap guard, util.compact_blocks).
+    from ..util import compact_blocks
+    linked = compact_blocks(disambiguate(mentions_ds(), inv_ref,
+                                         edge_maps_ref=edge_ref,
+                                         expand_gamma=cfg.expand_gamma))
     mentions = mentions_ds()
 
     from ..util import collect_rows

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -47,38 +48,81 @@ def sorted_conv_groups(ds: rd.Dataset, cap: int = SALT_CAP) -> rd.Dataset:
         sort_group, batch_format="pandas")
 
 
+def _md5_hex_per_row(col: pa.Array | pa.ChunkedArray) -> list[str]:
+    """md5 hexdigest per string row, reading utf-8 bytes straight off the
+    Arrow buffers (no per-row Python string materialisation — the
+    md5(memoryview) call is the only unavoidable per-row work)."""
+    if isinstance(col, pa.ChunkedArray):
+        chunks = col.chunks
+    else:
+        chunks = [col]
+    out: list[str] = []
+    for ch in chunks:
+        if ch.type == pa.large_string():
+            odt = np.int64
+        else:
+            odt = np.int32
+        obuf, dbuf = ch.buffers()[1], ch.buffers()[2]
+        offs = np.frombuffer(obuf, dtype=odt,
+                             count=len(ch) + 1 + ch.offset)[ch.offset:]
+        mv = memoryview(dbuf)
+        md5 = hashlib.md5
+        out.extend(md5(mv[offs[i]:offs[i + 1]]).hexdigest()
+                   for i in range(len(ch)))
+    return out
+
+
 def conv_digest(ds: rd.Dataset, cap: int = SALT_CAP,
                 num_buckets: int = 32) -> rd.Dataset:
-    """(conv_id, digest) — salted two-level md5 chain (see module doc).
+    """(conv_id, digest) — md5 chain over per-turn md5s in turn order
+    (mirrored in SQL as md5(string_agg(md5(text), '' ORDER BY turn_idx))).
 
-    One bucketed shuffle keyed hash(conv_id) (stages/groups.py), then a
-    vectorised per-bucket fold: md5 per turn, concat per (conv, salt) range
-    in turn order, concat partials in salt order, md5 the result.  The
-    two-level fold mirrors the salted design point: at 10^12-turn scale the
-    (conv_id, salt) partials become their own shuffle so a mega-conversation
-    never has to fit one task.
+    Two-level partial fold: each batch md5s its turns AND concatenates the
+    digests of every dense turn_idx run into one FRAGMENT row
+    (conv_id, start_turn, h) — the order-safe generalisation of the salted
+    (conv_id, salt) partial (module doc): turn_idx values are unique per
+    conversation, so maximal dense runs never overlap and sorting
+    fragments by start_turn restores exact turn order no matter how turns
+    were split across batches.  The shuffle then moves ~one row per
+    (conversation × batch) instead of one per turn, and the per-bucket
+    reduce folds a handful of fragments per conversation.  At 10^12-turn
+    scale the fragments become their own shuffle level so a
+    mega-conversation never has to fit one task.
     """
     from .groups import bucketed_group_apply
 
-    def hash_turns(t: pa.Table) -> pa.Table:
-        """Per-turn md5 BEFORE the shuffle — the shuffle then moves
-        32-byte digests instead of full text (partial-fold pattern)."""
-        hs = [hashlib.md5(s.encode()).hexdigest()
-              for s in t["text"].to_pylist()]
+    def hash_fold(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        import pyarrow.compute as pc
+        enc = pc.dictionary_encode(conv)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = _md5_hex_per_row(t["text"])
+        order = np.lexsort((turn, codes))
+        c = codes[order]
+        tn = turn[order]
+        if not len(c):
+            return pa.table({"conv_id": pa.array([], type=pa.string()),
+                             "start_turn": pa.array([], type=pa.int64()),
+                             "h": pa.array([], type=pa.string())})
+        new_frag = np.ones(len(c), dtype=bool)
+        new_frag[1:] = (c[1:] != c[:-1]) | (tn[1:] != tn[:-1] + 1)
+        starts = np.nonzero(new_frag)[0]
+        ends = np.append(starts[1:], len(c))
+        hs_sorted = [hs[i] for i in order]
+        joined = ["".join(hs_sorted[a:b]) for a, b in zip(starts, ends)]
         return pa.table({
-            "conv_id": t["conv_id"],
-            "turn_idx": t["turn_idx"],
-            "h": pa.array(hs, type=pa.string()),
+            "conv_id": pc.take(enc.dictionary, pa.array(c[starts])),
+            "start_turn": pa.array(tn[starts], type=pa.int64()),
+            "h": pa.array(joined, type=pa.string()),
         })
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        df = df.assign(salt=(df["turn_idx"] // cap).astype("int32"))
-        part = (df.groupby(["conv_id", "salt"], sort=True)["h"]
-                  .agg("".join).reset_index())
-        fin = (part.sort_values(["conv_id", "salt"], kind="mergesort")
-                   .groupby("conv_id", sort=True)["h"].agg("".join)
-                   .reset_index())
+        df = df.sort_values(["conv_id", "start_turn"], kind="mergesort")
+        fin = (df.groupby("conv_id", sort=True)["h"].agg("".join)
+                 .reset_index())
         return pd.DataFrame({
             "conv_id": fin["conv_id"].astype("string[pyarrow]"),
             "digest": pd.Series(
@@ -87,6 +131,6 @@ def conv_digest(ds: rd.Dataset, cap: int = SALT_CAP,
         })
 
     hashed = ds.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
-        hash_turns, batch_format="pyarrow")
+        hash_fold, batch_format="pyarrow", batch_size=32768)
     return bucketed_group_apply(hashed, ["conv_id"], fn,
                                 num_buckets=num_buckets)

@@ -32,8 +32,6 @@ import ray.data as rd
 from .groups import bucketed_group_apply
 from .tokenize import tokenize_column
 
-from ..runtime import pool_limits
-
 # Deterministic universal-hash parameters for MinHash permutations.
 # Domain is the 31-bit Mersenne prime so every product a*x (< 2^61) is
 # EXACT in both numpy int64 and DuckDB BIGINT — the whole operator is
@@ -89,14 +87,6 @@ def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
     return np.unique(s)
 
 
-def _band_hash(chunk: np.ndarray) -> int:
-    """Band fingerprint: md5 of the comma-joined signature values
-    (== DuckDB md5_number_upper(string_agg(...))), masked to int63."""
-    payload = ",".join(str(int(v)) for v in chunk)
-    return (int.from_bytes(hashlib.md5(payload.encode()).digest()[:8],
-                           "little") & 0x7FFF_FFFF_FFFF_FFFF)
-
-
 def _shingle_strings(tokens: list[str], k: int) -> list[str]:
     """Shingle strings (jaccard verify path; signatures use the hashed
     fold above)."""
@@ -109,7 +99,14 @@ def _shingle_strings(tokens: list[str], k: int) -> list[str]:
 
 
 class MinHasher:
-    """Actor-pool stage: permutation params built once per actor."""
+    """Per-batch minhash signatures + band fingerprints, fully vectorised:
+    one chunked (perms × shingles) universal-hash matrix with per-doc
+    ``np.minimum.reduceat`` folds, numpy unicode band-payload builds, and
+    only the final per-(doc, band) md5 left as a C-call loop.  State
+    (permutation params) is trivial to build, so the stage runs as
+    STATELESS TASKS with a per-process memo (``minhash_band_rows``) —
+    elastic across every CPU, no actor-pool spin-up barrier (same
+    rationale as mentions.detect_batch)."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3,
                  num_bands: int = 16, seed: int = 42):
@@ -131,23 +128,58 @@ class MinHasher:
         vals = (np.outer(self.a, x) + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    def signatures_batch(self, tok_lists: list[list[str]]
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        """(kept_doc_positions, (n_kept, num_perm) signature matrix) —
+        identical values to per-doc ``signature`` (tested), one chunked
+        matrix op instead of one np.outer per doc."""
+        sh = [_shingle_hashes(ts, self.k) for ts in tok_lists]
+        keep = np.array([i for i, s in enumerate(sh) if len(s)],
+                        dtype=np.int64)
+        if not len(keep):
+            return keep, np.zeros((0, self.num_perm), dtype=np.int64)
+        cnt = np.array([len(sh[i]) for i in keep], dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        x_all = np.concatenate([sh[i] for i in keep])
+        P = self.num_perm
+        sigs = np.empty((P, len(keep)), dtype=np.int64)
+        # chunk over perms to bound the (chunk × total_shingles) temporary
+        step = max(1, (1 << 22) // max(1, len(x_all)))
+        for p0 in range(0, P, step):
+            vals = (self.a[p0:p0 + step, None] * x_all[None, :]
+                    + self.b[p0:p0 + step, None]) % _MERSENNE
+            sigs[p0:p0 + step] = np.minimum.reduceat(vals, offs, axis=1)
+        return keep, sigs.T
+
     def __call__(self, t: pa.Table) -> pa.Table:
         """documents batch -> exploded (doc_id, band_id, band_hash) rows."""
         toks = tokenize_column(t["text"]).to_pylist()
-        ids = t["doc_id"].to_pylist()
-        doc_col: list[int] = []
-        band_col: list[int] = []
-        hash_col: list[int] = []
-        for doc_id, ts in zip(ids, toks):
-            sig = self.signature(ts)
-            if sig is None:
-                continue
-            for band in range(self.num_bands):
-                chunk = sig[band * self.rows_per_band:
-                            (band + 1) * self.rows_per_band]
-                doc_col.append(doc_id)
-                band_col.append(band)
-                hash_col.append(_band_hash(chunk))
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        keep, S = self.signatures_batch(toks)
+        n = len(keep)
+        if not n:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "band_id": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.int64()),
+            })
+        R = self.rows_per_band
+        # band payload strings built in numpy unicode (vectorised), then
+        # one md5 per (doc, band) — mirrors md5_number_upper(string_agg)
+        Sstr = S.astype("U10")
+        md5 = hashlib.md5
+        mask = 0x7FFF_FFFF_FFFF_FFFF
+        doc_col = np.repeat(ids[keep], self.num_bands)
+        band_col = np.tile(np.arange(self.num_bands, dtype=np.int32), n)
+        hash_col = np.empty(n * self.num_bands, dtype=np.int64)
+        for band in range(self.num_bands):
+            p = Sstr[:, band * R]
+            for j in range(1, R):
+                p = np.char.add(np.char.add(p, ","), Sstr[:, band * R + j])
+            hash_col[band::self.num_bands] = [
+                int.from_bytes(md5(s.encode()).digest()[:8],
+                               "little") & mask for s in p]
         return pa.table({
             "doc_id": pa.array(doc_col, type=pa.int64()),
             "band_id": pa.array(band_col, type=pa.int32()),
@@ -155,16 +187,29 @@ class MinHasher:
         })
 
 
+_MINHASHER_MEMO: dict[tuple, MinHasher] = {}
+
+
+def minhash_band_rows(t: pa.Table, num_perm: int = 64, shingle_k: int = 3,
+                      num_bands: int = 16, seed: int = 42) -> pa.Table:
+    """Stateless-task wrapper with a per-worker-process MinHasher memo."""
+    key = (num_perm, shingle_k, num_bands, seed)
+    mh = _MINHASHER_MEMO.get(key)
+    if mh is None:
+        mh = _MINHASHER_MEMO[key] = MinHasher(num_perm, shingle_k,
+                                              num_bands, seed)
+    return mh(t)
+
+
 def minhash_candidates(docs: rd.Dataset, num_perm: int = 64,
                        shingle_k: int = 3, num_bands: int = 16,
                        num_buckets: int = 32) -> rd.Dataset:
     """documents -> distinct candidate near-dup pairs (doc_a < doc_b)."""
     bands = docs.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
-                                   num_bands=num_bands),
-        batch_format="pyarrow", batch_size=1024,
-        concurrency=pool_limits(hi=4), num_cpus=1)
+        minhash_band_rows,
+        fn_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
+                       num_bands=num_bands),
+        batch_format="pyarrow", batch_size=1024)
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out_a: list[int] = []

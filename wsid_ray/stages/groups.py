@@ -56,6 +56,26 @@ def add_bucket(df: pd.DataFrame, key_cols: list[str],
 
 
 @ray.remote
+def _num_rows(tb: pa.Table) -> int:
+    return tb.num_rows
+
+
+def drop_empty_refs(outs: list) -> list:
+    """Filter empty blocks out of a task-graph output (one tiny metadata
+    task per block, zero-copy by-ref reads).  Ray's streaming executor
+    never calls a map UDF on an empty input block and emits a SCHEMA-LESS
+    empty block instead, which flaps the stream's schema for every
+    downstream operator — so raw-task ops must not surface empty blocks.
+    Keeps one block when all are empty (the dataset needs a schema).
+    Driver-side barrier on the producing tasks — acceptable here because
+    the tasks impl already sits behind a to_arrow_refs barrier by design
+    (module doc)."""
+    counts = ray.get([_num_rows.remote(o) for o in outs])
+    keep = [o for o, c in zip(outs, counts) if c]
+    return keep if keep else outs[:1]
+
+
+@ray.remote
 def _split_block(tb: pa.Table, key_cols: list[str], num_buckets: int):
     """block -> (bucket_0_slice, ..., bucket_{B-1}_slice)."""
     if tb.num_rows == 0:
@@ -105,7 +125,9 @@ def _reduce_bucket(fn, out_schema, *parts):
     res = pa.Table.from_pandas(out, preserve_index=False)
     if out_schema is not None:
         res = res.select(out_schema.names).cast(out_schema)
-    return res
+    # drop the pandas schema metadata blob — it defeats Ray's schema
+    # dedup (the dict payload is unhashable)
+    return res.replace_schema_metadata(None)
 
 
 def _tasks_apply(ds: rd.Dataset, key_cols: list[str],
@@ -129,7 +151,7 @@ def _tasks_apply(ds: rd.Dataset, key_cols: list[str],
                               *[sr[b] for sr in split_refs])
         for b in range(B)
     ]
-    return rd.from_arrow_refs(outs)
+    return rd.from_arrow_refs(drop_empty_refs(outs))
 
 
 def bucketed_group_apply(

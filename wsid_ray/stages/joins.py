@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .groups import _bucket_of, _split_block
+from .groups import _bucket_of, _split_block, drop_empty_refs
 
 
 def _merged_schema(lt: pa.Table, rt: pa.Table, on, suffixes) -> pa.Schema:
@@ -62,7 +62,8 @@ def _join_bucket(on, how, suffixes, n_left, *parts):
         # schema from the input templates so the stream's schema is stable
         return pa.Table.from_pylist(
             [], schema=_merged_schema(parts[0], parts[n_left], on, suffixes))
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(
+        out, preserve_index=False).replace_schema_metadata(None)
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
@@ -85,7 +86,9 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
         parts = [s[b] for s in lsplit] + [s[b] for s in rsplit]
         outs.append(_join_bucket.remote(on, how, suffixes, len(lsplit),
                                         *parts))
-    return rd.from_arrow_refs(outs)
+    # empty buckets never reach downstream maps (schema-flap guard —
+    # see groups.drop_empty_refs)
+    return rd.from_arrow_refs(drop_empty_refs(outs))
 
 
 def broadcast_join(big: rd.Dataset, small_df: pd.DataFrame, on: list[str],

@@ -16,16 +16,34 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..runtime import pool_limits
-
 
 def _to_matrix(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), dtype=np.float64)
+    """list<float> / fixed_size_list<float> column -> (n, dim) float64
+    matrix via the flat Arrow values buffer (zero-copy view + one cast) —
+    no per-row Python lists."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(col), dim).astype(np.float64, copy=False)
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    if len(lens) and not (lens == lens[0]).all():
+        raise ValueError("ragged embedding column")
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    # a sliced list array's flatten() already honours offsets[0]
+    dim = int(lens[0]) if len(lens) else 0
+    return np.ascontiguousarray(flat).reshape(len(col), dim).astype(
+        np.float64, copy=False)
 
 
 def read_embeddings(sf_dir: str) -> rd.Dataset:
+    from .textstats import _read_blocks
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
+                           columns=["vec_id", "embedding"],
+                           override_num_blocks=_read_blocks(
+                               f"{sf_dir}/embeddings.parquet"))
 
 
 class BruteForceScorer:
@@ -74,17 +92,39 @@ class BruteForceScorer:
         })
 
 
+_SCORER_MEMO: dict[tuple, object] = {}
+
+
+def _memo_scorer(cls, key: tuple, **kwargs):
+    """Per-worker-process scorer memo: the state (broadcast query matrix,
+    hyperplanes) is cheap to hydrate from the object store, so these
+    stages run as elastic STATELESS TASKS instead of capped actor pools
+    (same rationale as mentions.detect_batch — no pool spin-up barrier,
+    every CPU usable)."""
+    sc = _SCORER_MEMO.get(key)
+    if sc is None:
+        sc = _SCORER_MEMO[key] = cls(**kwargs)
+    return sc
+
+
+def _brute_force_batch(t: pa.Table, queries_ref=None, k: int = 10,
+                       exclude_self: bool = True) -> pa.Table:
+    sc = _memo_scorer(BruteForceScorer,
+                      ("bf", queries_ref.hex(), k, exclude_self),
+                      queries_ref=queries_ref, k=k,
+                      exclude_self=exclude_self)
+    return sc(t)
+
+
 def knn_topk(embeddings: rd.Dataset, query_vectors: dict[int, np.ndarray],
              k: int = 10, exclude_self: bool = True) -> rd.Dataset:
     """Exact cosine top-k per query. Deterministic tie-break:
     (-score, vec_id)."""
     ref = ray.put(query_vectors)
     scored = embeddings.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs=dict(queries_ref=ref, k=k,
-                                   exclude_self=exclude_self),
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=pool_limits(hi=4), num_cpus=1)
+        _brute_force_batch,
+        fn_kwargs=dict(queries_ref=ref, k=k, exclude_self=exclude_self),
+        batch_format="pyarrow", batch_size=4096)
 
     import pandas as pd
 
@@ -275,11 +315,9 @@ def lsh_topk(embeddings: rd.Dataset, query_vectors: dict[int, np.ndarray],
     recall vs exact brute force asserted in tests)."""
     ref = ray.put(query_vectors)
     scored = embeddings.map_batches(
-        LshBucketScorer,
-        fn_constructor_kwargs=dict(queries_ref=ref, n_planes=n_planes,
-                                   dim=dim),
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=pool_limits(hi=4), num_cpus=1)
+        _lsh_bucket_batch,
+        fn_kwargs=dict(queries_ref=ref, n_planes=n_planes, dim=dim),
+        batch_format="pyarrow", batch_size=4096)
     if exclude_self:
         import pyarrow.compute as pc
         scored = scored.map_batches(
@@ -296,6 +334,15 @@ def lsh_topk(embeddings: rd.Dataset, query_vectors: dict[int, np.ndarray],
     from .groups import bucketed_group_apply
     return bucketed_group_apply(scored, ["query_id"], topk_df,
                                 num_buckets=8)
+
+
+def _lsh_bucket_batch(t: pa.Table, queries_ref=None, n_planes: int = 8,
+                      dim: int = 64, seed: int = 42) -> pa.Table:
+    sc = _memo_scorer(LshBucketScorer,
+                      ("lsh", queries_ref.hex(), n_planes, dim, seed),
+                      queries_ref=queries_ref, n_planes=n_planes,
+                      dim=dim, seed=seed)
+    return sc(t)
 
 
 class LshBucketScorer:

@@ -243,5 +243,22 @@ def split_assign_batch(t: pa.Table, train_pct: int = 95) -> pa.Table:
 
 
 def read_documents(sf_dir: str, columns=None) -> rd.Dataset:
+    """Pruned documents read, fanned out so per-doc CPU stages parallelise
+    even when the table is one row group (Ray's SplitBlocks divides a read
+    task's output below row-group granularity)."""
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=columns or ["doc_id", "text"])
+                           columns=columns or ["doc_id", "text"],
+                           override_num_blocks=_read_blocks(
+                               f"{sf_dir}/documents.parquet"))
+
+
+def _read_blocks(path: str, min_rows_per_block: int = 256) -> int:
+    """min(4×CPUs, rows/min_rows_per_block), ≥1 — one parquet footer read."""
+    import pyarrow.parquet as pq
+    import ray
+    try:
+        rows = pq.read_metadata(path).num_rows
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+    return max(1, min(4 * cpus, rows // min_rows_per_block))

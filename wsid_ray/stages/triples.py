@@ -92,21 +92,25 @@ def _typed(df: pd.DataFrame) -> pd.DataFrame:
 
 def triples_from_mentions(mentions: rd.Dataset, canon: dict[str, str],
                           num_buckets: int = 32) -> rd.Dataset:
-    """Linked mentions -> raw (pre-dedup) triples."""
+    """Linked mentions -> raw (pre-dedup) triples.
+
+    Both branches emit blocks already conformed to the TRIPLES arrow
+    schema (conform folded INTO the producing map — a separate conform
+    stage would be skipped by Ray on empty input blocks and emit
+    schema-less empties, flapping the stream schema)."""
     from .. import schemas
     cols = mentions.select_columns(_MENTION_COLS)
-    unary = cols.map_batches(lambda df: unary_triples_batch(df, canon),
-                             batch_format="pandas")
+
+    def unary(df: pd.DataFrame) -> pa.Table:
+        return schemas.conform(
+            pa.Table.from_pandas(unary_triples_batch(df, canon),
+                                 preserve_index=False), schemas.TRIPLES)
+
     pairs = bucketed_group_apply(
         cols, ["conv_id", "turn_idx"],
         lambda df: pair_triples_bucket(df, canon),
         num_buckets=num_buckets, out_schema=schemas.TRIPLES)
-    # conform both branches to the TRIPLES arrow schema before the union:
-    # pandas blocks (unary) + arrow blocks with string/large_string drift
-    # (pairs) otherwise flap the streaming executor's schema tracking
-    conform = lambda t: schemas.conform(t, schemas.TRIPLES)  # noqa: E731
-    return (unary.map_batches(conform, batch_format="pyarrow")
-            .union(pairs.map_batches(conform, batch_format="pyarrow")))
+    return cols.map_batches(unary, batch_format="pandas").union(pairs)
 
 
 SUBJ_BUCKETS = 16

@@ -46,15 +46,34 @@ def _dedup_edges(edges: rd.Dataset) -> rd.Dataset:
 
 
 def _checksum(edges: rd.Dataset) -> tuple[int, int]:
-    """(row_count, order-insensitive hash) of the edge set."""
-    import zlib
-    total = 0
-    n = 0
-    for b in edges.iter_batches(batch_format="pyarrow", batch_size=65536):
-        for u, v in zip(b["u"].to_pylist(), b["v"].to_pylist()):
-            total = (total + zlib.crc32(f"{u}\x1f{v}".encode())) & 0xFFFFFFFF
-            n += 1
-    return n, total
+    """(row_count, order-insensitive checksum) of the edge set, computed
+    DISTRIBUTED: one vectorised per-block partial (count + split 64-bit
+    row-hash sums) via ``map_batches``, then a tiny Sum aggregate — the
+    driver only ever sees three integers, never the edge set (the old
+    driver-side ``iter_batches`` scan re-materialised every round's edges
+    precisely in the beyond-driver regime this module exists for).
+
+    Blocking-invariant: the row hash (``pd.util.hash_pandas_object``,
+    fixed key, no process salt — same primitive the bucket shuffle trusts)
+    is summed exactly via (low32, high32) limb sums, so the total is
+    (Σ h) mod 2^64 no matter how rows are split into blocks."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[["u", "v"]],
+                                       index=False).to_numpy()  # uint64
+        lo = int((h & np.uint64(0xFFFFFFFF)).sum(dtype=np.uint64))
+        hi = int((h >> np.uint64(32)).sum(dtype=np.uint64))
+        return pd.DataFrame({"n": [len(df)], "lo": [lo], "hi": [hi]})
+
+    row = edges.map_batches(partial, batch_format="pandas").aggregate(
+        Sum("n"), Sum("lo"), Sum("hi"))
+    if row is None:  # empty edge set
+        return 0, 0
+    total = (int(row["sum(lo)"]) + (int(row["sum(hi)"]) << 32)) \
+        & 0xFFFFFFFFFFFFFFFF
+    return int(row["sum(n)"]), total
 
 
 def connected_components(edges: rd.Dataset) -> rd.Dataset:

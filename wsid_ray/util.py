@@ -37,6 +37,20 @@ def collect_rows(ds) -> list[dict]:
     return t.to_pylist() if t is not None else []
 
 
+def compact_blocks(ds) -> "object":
+    """Materialise a Dataset as Arrow blocks with empty blocks dropped.
+
+    Ray's streaming executor skips map UDFs on empty input blocks and
+    emits SCHEMA-LESS empty blocks, flapping downstream schema tracking —
+    so pinned intermediates that fan out into further maps go through
+    this instead of bare ``materialize()`` (one tiny metadata task per
+    block; keeps one block when all are empty)."""
+    import ray.data as rd
+
+    from .stages.groups import drop_empty_refs
+    return rd.from_arrow_refs(drop_empty_refs(ds.to_arrow_refs()))
+
+
 def stable_hash64(value: str | bytes) -> int:
     """Deterministic unsigned 63-bit hash (fits in Arrow int64)."""
     if isinstance(value, str):
