@@ -12,13 +12,20 @@ same generated parquet via read_parquet('<path>/*.parquet'); calling
 so both sides always see identical bytes.
 
 Genuinely non-SQL-expressible stages are registered without oracle SQL →
-rows-only checks: graph clustering (Chinese Whispers / HyperLex) and
-everything downstream of its sense ids (sense_inventory, mentions_linked,
-canon_map, triples), the approximate-by-design IVF ANN, and the stubbed
-media codec.  Each is verified against the sequential reference-style
-oracle in tests/ (P/R gate).  Everything else — including minhash,
-simhash, langid, jaccard, near-dup components and the cooc/NPMI path —
-carries a hash-exact DuckDB oracle.
+rows-only checks: graph clustering itself (sense_inventory /
+sense_inventory_hyperlex — Chinese Whispers / HyperLex), the
+approximate-by-design IVF/LSH ANN hit lists, and the stubbed media
+codec.  Each is verified against the sequential reference-style oracle
+in tests/ (P/R gate), and the ANN paths additionally surface a
+hash-checked ``knn_recall`` row.  Everything DOWNSTREAM of the induced
+inventory IS SQL-checked: mentions_linked / canon_map / triples /
+triples_checkpointed read the engine's deterministic inventory + KB
+artifacts (wsid_ray/artifacts.py) and mirror scoring, entity linking,
+union-find reachability and triple assembly in DuckDB
+(_sql_linked_mentions / _sql_canon_chain / _sql_triples).  Everything
+else — minhash, simhash, langid, jaccard, near-dup components, the
+cooc/NPMI path, the relational/windowed queries — carries a hash-exact
+DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -318,6 +325,195 @@ def _sql_jaccard_pairs(tok: str, threshold: float = 0.5,
     """
 
 
+def _sql_linked_mentions(tr: str, tok: str, gaz: str,
+                         inv_path: str, kb_path: str) -> str:
+    """DuckDB mirror of the flagship chain DOWNSTREAM of the induced
+    inventory (stages/mentions.py detection + stages/disambig.py scoring
+    and entity linking), reading the engine's deterministic inventory /
+    KB-profile artifacts (wsid_ray/artifacts.py):
+
+      * mentions: every gazetteer term matches independently at every
+        token position (overlaps allowed, no cross-turn sequences);
+        window = W raw (non-distinct) tokens each side, span excluded;
+        spans 0-based.
+      * score(mention, sense) = Σ weight over window-token ⋈ inventory,
+        half-up 6dp (shared rounding rule); keep scores > MIN_LINK_SCORE;
+        argmax ties → lowest sense_id; no surviving sense → sense_id -1,
+        score 0.
+      * kb link: per (term, sense) argmax of Σ sense-vector weight over
+        the candidate's profile tokens, ALL candidates participate
+        (zero-overlap scores 0), ties → lexicographically smallest kb_id
+        (disambig.build_link_map).
+
+    Returns a SELECT producing the mentions_linked schema.  Embed inside
+    ``WITH RECURSIVE`` queries via the men/scores CTE names — all CTE
+    names here are prefixed ``lm_`` to avoid collisions.
+    """
+    from wsid_ray.config import MIN_LINK_SCORE, WINDOW_SIZE
+    W = WINDOW_SIZE
+    multi_sql = "".join(f"""
+            UNION ALL
+            SELECT conv_id, turn_idx, role, tool, ts, tokens, p,
+                   {m} AS m, '{term}' AS term
+            FROM lm_pos WHERE {conds}"""
+        for conds, m, term in _sql_multi_terms())
+    return f"""
+        WITH lm_base AS (
+            SELECT conv_id, turn_idx, role, tool, ts, {tok} AS tokens
+            FROM {tr}
+        ),
+        lm_pos AS (
+            SELECT conv_id, turn_idx, role, tool, ts, tokens,
+                   unnest(tokens) AS tok,
+                   generate_subscripts(tokens, 1) AS p
+            FROM lm_base
+        ),
+        lm_men0 AS (
+            SELECT conv_id, turn_idx, role, tool, ts, tokens, p,
+                   1 AS m, tok AS term
+            FROM lm_pos WHERE tok IN ({gaz}){multi_sql}
+        ),
+        -- MATERIALIZED: mid comes from row_number(), must be evaluated
+        -- exactly once (same lesson as the cooc win_id CTE)
+        lm_men AS MATERIALIZED (
+            SELECT row_number() OVER () AS mid,
+                   conv_id, turn_idx, role, tool, ts, term,
+                   CAST(p - 1 AS INTEGER) AS span_start,
+                   CAST(p - 1 + m AS INTEGER) AS span_end,
+                   list_concat(
+                       list_slice(tokens, greatest(1, p - {W}), p - 1),
+                       list_slice(tokens, p + m,
+                                  least(len(tokens), p + m - 1 + {W}))
+                   ) AS wtoks
+            FROM lm_men0
+        ),
+        lm_inv AS (SELECT * FROM read_parquet('{inv_path}')),
+        lm_kb AS (SELECT * FROM read_parquet('{kb_path}')),
+        lm_scores AS (
+            SELECT e.mid, i.sense_id,
+                   floor(sum(i.weight) * 1e6 + 0.5) / 1e6 AS s
+            FROM (SELECT mid, term, unnest(wtoks) AS wtok FROM lm_men) e
+            JOIN lm_inv i ON i.term = e.term AND i.token = e.wtok
+            GROUP BY e.mid, i.sense_id
+        ),
+        lm_best AS (
+            SELECT mid, sense_id, s FROM lm_scores
+            WHERE s > {MIN_LINK_SCORE}
+            QUALIFY row_number() OVER (
+                PARTITION BY mid ORDER BY s DESC, sense_id) = 1
+        ),
+        lm_sensecand AS (
+            SELECT i.term, i.sense_id, k.kb_id
+            FROM (SELECT DISTINCT term, sense_id FROM lm_inv) i
+            JOIN (SELECT DISTINCT term, kb_id FROM lm_kb) k
+              USING (term)
+        ),
+        lm_ovl AS (
+            SELECT i.term, i.sense_id, k.kb_id, sum(i.weight) AS s
+            FROM lm_inv i
+            JOIN lm_kb k ON k.term = i.term AND k.token = i.token
+            GROUP BY i.term, i.sense_id, k.kb_id
+        ),
+        lm_link AS (
+            SELECT sc.term, sc.sense_id, sc.kb_id
+            FROM lm_sensecand sc
+            LEFT JOIN lm_ovl o ON o.term = sc.term
+                              AND o.sense_id = sc.sense_id
+                              AND o.kb_id = sc.kb_id
+            QUALIFY row_number() OVER (
+                PARTITION BY sc.term, sc.sense_id
+                ORDER BY coalesce(o.s, 0.0) DESC, sc.kb_id) = 1
+        )
+        SELECT m.conv_id, m.turn_idx, m.role, m.tool, m.ts, m.term,
+               m.span_start, m.span_end,
+               CAST(coalesce(b.sense_id, -1) AS INTEGER) AS sense_id,
+               coalesce(b.s, 0.0) AS score,
+               m.term || '#' ||
+                   CAST(coalesce(b.sense_id, -1) AS VARCHAR) AS entity_id,
+               CASE WHEN b.sense_id IS NULL THEN ''
+                    ELSE coalesce(l.kb_id, '') END AS kb_id
+        FROM lm_men m
+        LEFT JOIN lm_best b USING (mid)
+        LEFT JOIN lm_link l ON l.term = m.term AND l.sense_id = b.sense_id
+    """
+
+
+def _sql_canon_chain(linked_select: str) -> str:
+    """Shared CTE block (for WITH RECURSIVE queries): linked mentions →
+    distinct (entity_id, kb_id) edges → reachability closure → per-node
+    component → canon_map (canon = lexicographically smallest ENTITY node
+    of the component; kb: nodes link components but are not canonical ids
+    — stages/unionfind.canonicalize)."""
+    return f"""
+        cn_linked AS MATERIALIZED ({linked_select}),
+        cn_e0 AS (
+            SELECT DISTINCT entity_id AS a, kb_id AS b FROM cn_linked
+            WHERE sense_id >= 0 AND kb_id <> ''
+        ),
+        cn_edges AS (SELECT a, b FROM cn_e0
+                     UNION SELECT b, a FROM cn_e0),
+        cn_nodes AS (SELECT DISTINCT a AS node FROM cn_edges),
+        cn_reach AS (
+            SELECT node, node AS r FROM cn_nodes
+            UNION
+            SELECT e.a AS node, cn_reach.r
+            FROM cn_edges e JOIN cn_reach ON cn_reach.node = e.b
+        ),
+        cn_comp AS (
+            SELECT node, min(r) AS c FROM cn_reach GROUP BY node
+        ),
+        cn_map AS (
+            SELECT node AS entity_id,
+                   min(CASE WHEN node NOT LIKE 'kb:%' THEN node END)
+                       OVER (PARTITION BY c) AS canon_id
+            FROM cn_comp
+            QUALIFY node NOT LIKE 'kb:%'
+        )"""
+
+
+def _sql_triples(linked_select: str) -> str:
+    """DuckDB mirror of triple assembly + exact dedup (stages/triples.py):
+    unary addresses/uses_tool rules + the within-turn ordered pair
+    self-join on canonicalised entities, then first-provenance dedup on
+    (subj, pred, obj) by (conv_id, turn_idx)."""
+    from wsid_ray.config import (PRED_ADDRESSES, PRED_CO_MENTION,
+                                 PRED_USES_TOOL)
+    return f"""
+        WITH RECURSIVE {_sql_canon_chain(linked_select)},
+        tr_lm AS MATERIALIZED (
+            SELECT l.conv_id, l.turn_idx, l.role, l.tool, l.ts,
+                   l.term, l.span_start,
+                   coalesce(c.canon_id, l.entity_id) AS ent
+            FROM cn_linked l
+            LEFT JOIN cn_map c ON c.entity_id = l.entity_id
+            WHERE l.sense_id >= 0
+        ),
+        tr_unary AS (
+            SELECT ent AS subj, '{PRED_ADDRESSES}' AS pred, role AS obj,
+                   conv_id, turn_idx, ts
+            FROM tr_lm
+            UNION ALL
+            SELECT ent, '{PRED_USES_TOOL}', tool, conv_id, turn_idx, ts
+            FROM tr_lm WHERE tool <> ''
+        ),
+        tr_pairs AS (
+            SELECT a.ent AS subj, '{PRED_CO_MENTION}' AS pred,
+                   b.ent AS obj, a.conv_id, a.turn_idx, a.ts
+            FROM tr_lm a
+            JOIN tr_lm b ON a.conv_id = b.conv_id
+                        AND a.turn_idx = b.turn_idx
+            WHERE (a.span_start < b.span_start
+                   OR (a.span_start = b.span_start AND a.term < b.term))
+              AND a.ent <> b.ent
+        ),
+        tr_all AS (SELECT * FROM tr_unary
+                   UNION ALL SELECT * FROM tr_pairs)
+        SELECT subj, pred, obj, conv_id, turn_idx, ts FROM tr_all
+        QUALIFY row_number() OVER (
+            PARTITION BY subj, pred, obj ORDER BY conv_id, turn_idx) = 1
+    """
+
+
 def _sql_events_hopping(size_min: int = 60, hop_min: int = 30) -> str:
     """DuckDB mirror of analytics.events_hopping, GENERATED from the same
     (size_min, hop_min) parameters as the engine function.  The first
@@ -348,15 +544,42 @@ def _sql_events_hopping(size_min: int = 60, hop_min: int = 30) -> str:
     """
 
 
+# exact brute-force cosine top-k over the fixed query set — used both as
+# the knn_cosine_topk oracle and as the independent "exact" side of the
+# knn_recall check
+_SQL_KNN_EXACT = """
+    SELECT query_id, vec_id, score FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])), 6) AS score,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])) DESC,
+                       e.vec_id) AS rk
+        FROM embeddings e
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < 5) q
+        WHERE e.vec_id <> q.vec_id)
+    WHERE rk <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from wsid_ray.artifacts import ANN_K, ANN_QUERY_IDS, ensure
     from wsid_ray.config import GAZETTEER, STOPWORDS
     from wsid_ray.fixtures import generate, transcripts_dir
 
     generate("sf0.01")
+    art = ensure("sf0.01")
     tr = f"read_parquet('{transcripts_dir('sf0.01')}/*.parquet')"
     tok = _sql_token_expr()
     gaz = ", ".join(f"'{g}'" for g in sorted(GAZETTEER) if " " not in g)
     stop = ", ".join(f"'{s}'" for s in sorted(STOPWORDS))
+    linked_sel = _sql_linked_mentions(tr, tok, gaz, art["inventory"],
+                                      art["kb"])
     multi_counts = "".join(f"""
             UNION ALL
             SELECT * FROM (
@@ -394,6 +617,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM e JOIN reach ON reach.doc_id = e.b
             )
             SELECT doc_id, min(r) AS canon_id FROM reach GROUP BY doc_id
+        """,
+        # flagship sense chain downstream of the induced inventory
+        # (artifact-anchored — see _sql_linked_mentions / artifacts.py)
+        "mentions_linked": linked_sel,
+        "canon_map": f"""
+            WITH RECURSIVE {_sql_canon_chain(linked_sel)}
+            SELECT entity_id, canon_id FROM cn_map
+        """,
+        "triples": _sql_triples(linked_sel),
+        "triples_checkpointed": _sql_triples(linked_sel),
+        # approximate-ANN quality, driver-checkable: engine IVF/LSH hits
+        # (deterministic seeded artifacts) joined against the
+        # INDEPENDENTLY-computed exact brute-force top-k
+        "knn_recall": f"""
+            WITH exact AS ({_SQL_KNN_EXACT}),
+            approx AS (
+                SELECT 'ivf' AS method, query_id, vec_id
+                FROM read_parquet('{art["ivf_topk"]}')
+                UNION ALL
+                SELECT 'lsh', query_id, vec_id
+                FROM read_parquet('{art["lsh_topk"]}')
+            ),
+            methods AS (SELECT unnest(['ivf', 'lsh']) AS method),
+            hits AS (
+                SELECT a.method, count(*) AS h
+                FROM approx a
+                JOIN exact e ON e.query_id = a.query_id
+                            AND e.vec_id = a.vec_id
+                GROUP BY a.method
+            )
+            SELECT m.method,
+                   floor(coalesce(h.h, 0) * 1.0
+                         / {len(ANN_QUERY_IDS) * ANN_K} * 1e6 + 0.5) / 1e6
+                       AS recall_at_10
+            FROM methods m LEFT JOIN hits h USING (method)
         """,
         "doc_minhash_candidates": _sql_minhash_candidates(tok),
         "doc_jaccard_pairs": _sql_jaccard_pairs(tok),
@@ -575,22 +833,5 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[]))
                   > 0.4
         """,
-        "knn_cosine_topk": """
-            SELECT query_id, vec_id, score FROM (
-                SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-                       round(list_cosine_similarity(
-                           CAST(e.embedding AS DOUBLE[]),
-                           CAST(q.embedding AS DOUBLE[])), 6) AS score,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY list_cosine_similarity(
-                               CAST(e.embedding AS DOUBLE[]),
-                               CAST(q.embedding AS DOUBLE[])) DESC,
-                               e.vec_id) AS rk
-                FROM embeddings e
-                CROSS JOIN (SELECT vec_id, embedding FROM embeddings
-                            WHERE vec_id < 5) q
-                WHERE e.vec_id <> q.vec_id)
-            WHERE rk <= 10
-        """,
+        "knn_cosine_topk": _SQL_KNN_EXACT,
     }

@@ -372,6 +372,39 @@ def q_knn_lsh_topk(sf_dir: str) -> rd.Dataset:
     return lsh_topk(read_embeddings(sf_dir), queries, k=10)
 
 
+def q_knn_recall(sf_dir: str) -> pa.Table:
+    """recall@10 of the approximate ANN paths (IVF, LSH) vs the exact
+    distributed brute-force top-k.  The approximate hits are the engine's
+    own deterministic seeded artifacts (wsid_ray/artifacts.py — the same
+    parquet the SQL oracle reads); the EXACT side is computed here by the
+    distributed scorer and independently in SQL, so the driver hash-checks
+    both the recall arithmetic and the exact top-k it is measured
+    against."""
+    import pyarrow.parquet as pq
+
+    from ..artifacts import ANN_K, ANN_QUERY_IDS, ann_queries, ensure
+    from ..util import collect_table
+    paths = ensure(sf_dir)
+    q = ann_queries(sf_dir)
+    et = collect_table(knn_topk(read_embeddings(sf_dir), q, k=ANN_K))
+    exact_pairs = set(zip(et["query_id"].to_pylist(),
+                          et["vec_id"].to_pylist()))
+    denom = len(ANN_QUERY_IDS) * ANN_K
+    methods, recalls = [], []
+    for method in ("ivf", "lsh"):
+        t = pq.read_table(paths[f"{method}_topk"],
+                          columns=["query_id", "vec_id"])
+        approx = set(zip(t["query_id"].to_pylist(),
+                         t["vec_id"].to_pylist()))
+        hits = len(approx & exact_pairs)
+        methods.append(method)
+        recalls.append(np.floor(hits * 1.0 / denom * 1e6 + 0.5) / 1e6)
+    return pa.table({
+        "method": pa.array(methods, type=pa.string()),
+        "recall_at_10": pa.array(recalls, type=pa.float64()),
+    })
+
+
 def q_doc_embed_near_dup(sf_dir: str) -> rd.Dataset:
     """End-to-end text near-dup via embeddings: documents -> batched
     'model inference' actor pool (deterministic fake embedder) -> exact
@@ -444,6 +477,7 @@ QUERIES = {
     "knn_cosine_topk": q_knn_cosine_topk,
     "knn_ivf_topk": q_knn_ivf_topk,
     "knn_lsh_topk": q_knn_lsh_topk,
+    "knn_recall": q_knn_recall,
     "embedding_near_dup": q_embedding_near_dup,
     "doc_embed_near_dup": q_doc_embed_near_dup,
     "user_sessions": q_user_sessions,
