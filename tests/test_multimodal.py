@@ -79,3 +79,38 @@ def test_fake_embedder_shape_and_determinism():
     assert out[0] == out[1]              # identical text -> identical vector
     assert sum(out[2]) == 0.0            # token-less doc -> zero vector
     assert sum(out[0]) == 3.0            # occurrence-weighted histogram
+
+
+def test_codec_capability_dispatch():
+    """get_codec routes to the real codec class when the capability is
+    present and falls back to FakeCodec when it is not."""
+    from wsid_ray.stages.multimodal import (CODEC_CAPABILITIES, AvVideoCodec,
+                                            FakeCodec, PilImageCodec,
+                                            SoundfileAudioCodec, get_codec)
+    # this container has no codec libraries -> probe must be empty and the
+    # default dispatch must be the declared stub
+    assert CODEC_CAPABILITIES == {}
+    assert isinstance(get_codec("image"), FakeCodec)
+    # injected capabilities select the real implementations per kind
+    caps = {"image": "pil", "audio": "soundfile", "video": "av"}
+    assert isinstance(get_codec("image", caps), PilImageCodec)
+    assert isinstance(get_codec("audio", caps), SoundfileAudioCodec)
+    assert isinstance(get_codec("video", caps), AvVideoCodec)
+    assert isinstance(get_codec("unknown", caps), FakeCodec)
+
+
+def test_real_codecs_pass_synthetic_payloads_through():
+    """Synthetic payloads decode identically under every codec, so
+    pipelines behave the same with or without the libraries installed."""
+    import numpy as np
+
+    from wsid_ray.stages.multimodal import (AvVideoCodec, FakeCodec,
+                                            PilImageCodec,
+                                            SoundfileAudioCodec,
+                                            synth_media_table)
+    t = synth_media_table(6)
+    payload = t["payload"][0].as_py()
+    want = FakeCodec().decode(payload)
+    for codec in (PilImageCodec(), SoundfileAudioCodec(), AvVideoCodec()):
+        assert (codec.decode(payload) == want).all()
+    assert isinstance(want, np.ndarray)

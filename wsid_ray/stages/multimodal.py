@@ -3,14 +3,18 @@ typed metadata (task spec: "treat image/audio/video as opaque binary
 columns ... implement decode / feature-extract / resize / frame-sample as
 actor-pool map_batches stages").
 
-The image/audio codec libraries are not in this container, so the DECODE
-step is a clearly marked stub: ``FakeCodec`` decodes this module's own
-deterministic synthetic payloads (header + seeded bytes) and raises
-``NotImplementedError`` for real media.  Everything around it — the Arrow
-schema (binary + metadata columns), the actor-pool stage shape (decoder
-constructed once per actor in ``__init__``), small-batch sizing for large
-payloads, and the feature/resize/frame-sample output layout — is the real
-100 TB plumbing and is tested.
+Decode is PLUGGABLE via capability detection (``get_codec``): when
+Pillow / soundfile / PyAV are importable, their real codecs are selected
+per kind; otherwise the clearly marked ``FakeCodec`` stub takes over,
+which decodes only this module's own deterministic synthetic payloads
+(header + seeded bytes) and raises ``NotImplementedError`` for real
+media.  This container ships none of the codec libraries, so the real
+paths are exercised only through the dispatch tests; everything around
+them — the Arrow schema (binary + metadata columns), the actor-pool
+stage shape (decoder constructed once per actor in ``__init__``),
+small-batch sizing for large payloads, and the
+feature/resize/frame-sample output layout — is the real 100 TB plumbing
+and is tested.
 
 Schema:
     media(media_id:int64, kind:string, payload:binary,
@@ -76,8 +80,9 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
 
 
 class FakeCodec:
-    """STUB decoder. Real pipelines plug PIL/av/soundfile here; this
-    container has none, so only this module's synthetic payloads decode."""
+    """STUB decoder (fallback). Only this module's synthetic payloads
+    decode; real media raises.  Selected by ``get_codec`` when the kind's
+    codec library is absent (as in this container)."""
 
     def decode(self, payload: bytes) -> np.ndarray:
         if not payload.startswith(_MAGIC):
@@ -87,6 +92,96 @@ class FakeCodec:
                 "payloads")
         return np.frombuffer(payload, dtype=np.uint8,
                              offset=len(_MAGIC))
+
+
+def _synth_or(payload: bytes, real_decode) -> np.ndarray:
+    """Synthetic payloads decode identically under every codec (so tests
+    and fixtures behave the same with or without libraries); anything
+    else goes to the real decoder."""
+    if payload.startswith(_MAGIC):
+        return np.frombuffer(payload, dtype=np.uint8, offset=len(_MAGIC))
+    return real_decode(payload)
+
+
+class PilImageCodec:
+    """Real image decode via Pillow (selected when importable)."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        def real(p: bytes) -> np.ndarray:
+            import io
+
+            from PIL import Image
+            img = Image.open(io.BytesIO(p))
+            return np.asarray(img, dtype=np.uint8).ravel()
+        return _synth_or(payload, real)
+
+
+class SoundfileAudioCodec:
+    """Real audio decode via soundfile (selected when importable)."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        def real(p: bytes) -> np.ndarray:
+            import io
+
+            import soundfile as sf
+            data, _sr = sf.read(io.BytesIO(p), dtype="int16")
+            return np.asarray(data, dtype=np.int16).view(np.uint8)
+        return _synth_or(payload, real)
+
+
+class AvVideoCodec:
+    """Real video frame decode via PyAV (selected when importable)."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        def real(p: bytes) -> np.ndarray:
+            import io
+
+            import av
+            frames = []
+            with av.open(io.BytesIO(p)) as container:
+                for frame in container.decode(video=0):
+                    frames.append(frame.to_ndarray(format="gray"))
+            return np.concatenate([f.ravel() for f in frames]).astype(
+                np.uint8) if frames else np.zeros(0, dtype=np.uint8)
+        return _synth_or(payload, real)
+
+
+def _detect_codecs() -> dict[str, str]:
+    """Importability probe, once per process — which kinds have a real
+    decoder available in this environment."""
+    caps: dict[str, str] = {}
+    try:
+        import PIL.Image  # noqa: F401
+        caps["image"] = "pil"
+    except ImportError:
+        pass
+    try:
+        import soundfile  # noqa: F401
+        caps["audio"] = "soundfile"
+    except ImportError:
+        pass
+    try:
+        import av  # noqa: F401
+        caps["video"] = "av"
+    except ImportError:
+        pass
+    return caps
+
+
+CODEC_CAPABILITIES = _detect_codecs()
+
+_REAL_CODECS = {"pil": PilImageCodec, "soundfile": SoundfileAudioCodec,
+                "av": AvVideoCodec}
+
+
+def get_codec(kind: str, capabilities: dict[str, str] | None = None):
+    """Capability dispatch: the kind's real codec when its library is
+    importable, FakeCodec otherwise.  ``capabilities`` is injectable for
+    tests; defaults to the import-probe result."""
+    caps = CODEC_CAPABILITIES if capabilities is None else capabilities
+    impl = caps.get(kind)
+    cls = _REAL_CODECS.get(impl) if impl else None
+    return cls() if cls is not None else FakeCodec()
 
 
 class MediaFeaturizer:
@@ -99,15 +194,18 @@ class MediaFeaturizer:
     """
 
     def __init__(self):
-        self.codec = FakeCodec()
+        # per-kind capability dispatch (real codec when importable,
+        # FakeCodec fallback) — built once per actor/process
+        self.codecs = {k: get_codec(k)
+                       for k in ("image", "audio", "video")}
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["media_id"].to_pylist()
         kinds = t["kind"].to_pylist()
         payloads = t["payload"].to_pylist()
         n_bytes, means, hashes = [], [], []
-        for p in payloads:
-            arr = self.codec.decode(p)
+        for kind, p in zip(kinds, payloads):
+            arr = self.codecs[kind].decode(p)
             n_bytes.append(len(arr))
             means.append(round(float(arr.mean()) if len(arr) else 0.0, 6))
             hashes.append(hashlib.blake2b(arr.tobytes(),
@@ -127,7 +225,7 @@ class ImageResizer:
     resized=False."""
 
     def __init__(self, out_w: int = 16, out_h: int = 16):
-        self.codec = FakeCodec()
+        self.codec = get_codec("image")
         self.out_w, self.out_h = out_w, out_h
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -164,7 +262,7 @@ class FrameSampler:
     one row per sampled frame (flat-map shaped map_batches)."""
 
     def __init__(self, every_k: int = 2):
-        self.codec = FakeCodec()
+        self.codec = get_codec("video")
         self.every_k = every_k
 
     def __call__(self, t: pa.Table) -> pa.Table:
