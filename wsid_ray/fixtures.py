@@ -91,6 +91,12 @@ SCALES: dict[str, dict] = {
     # masquerade as serial fraction.  10^12-turn regime ≈ hours per
     # partition; this is the sandbox-sized stand-in.
     "sf0.3": {"n_convs": 1_200_000, "n_files": 64},
+    # round-3 scaling scale (~29M turns): each engine round makes the
+    # pipeline faster, which shrinks per-level walls and lets the ~10 s
+    # fixed cost masquerade as serial fraction again — the measurement
+    # corpus has to grow with the engine (same reasoning that moved r2
+    # from sf0.1 to sf0.3; BASELINE.md methodology notes).
+    "sf0.6": {"n_convs": 2_400_000, "n_files": 64},
 }
 
 DATA_ROOT = os.environ.get("WSID_RAY_DATA", "/tmp/wsid_ray_data")
