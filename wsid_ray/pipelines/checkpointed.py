@@ -116,7 +116,8 @@ def run_checkpointed(sf_dir_or_scale: str, out_dir: str,
 
     def _disambiguate(m: rd.Dataset) -> rd.Dataset:
         return disambiguate(m, inv_ref, edge_maps_ref=edge_ref,
-                            expand_gamma=cfg.expand_gamma)
+                            expand_gamma=cfg.expand_gamma,
+                            state_rows=len(inv_rows))
 
     # ---- pass 2: canon map (global) -------------------------------------
     canon_dir = ckpt.part_dir("canon", 0)

@@ -236,7 +236,8 @@ def run_flagship(sf_dir_or_scale: str,
     from ..util import compact_blocks
     linked = compact_blocks(disambiguate(mentions_ds(), inv_ref,
                                          edge_maps_ref=edge_ref,
-                                         expand_gamma=cfg.expand_gamma))
+                                         expand_gamma=cfg.expand_gamma,
+                                         state_rows=len(inventory_rows)))
     mentions = mentions_ds()
 
     from ..util import collect_rows

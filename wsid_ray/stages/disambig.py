@@ -210,9 +210,62 @@ class SenseDisambiguator:
         return out
 
 
+# Per-worker-process scorer memo for the stateless-tasks path: the state
+# (flattened inventory + link map) is built ONCE per process from the
+# broadcast refs — actor-`__init__` semantics without a dedicated pool.
+# Keyed by ref identity; bounded (a long-lived worker serving many runs
+# keeps only the most recent states).
+_SCORER_MEMO: dict = {}
+_SCORER_MEMO_MAX = 4
+
+# Above this many flattened (term, sense, token) state rows the scorer
+# state is no longer broadcast-cheap and a fixed actor pool (state built
+# exactly `concurrency` times, slots pinned) beats elastic tasks (state
+# built once per worker process that ever sees a batch).
+_ACTOR_STATE_ROWS = 200_000
+
+
+def _scorer_for(inventory_ref, edge_maps_ref,
+                expand_gamma: float) -> SenseDisambiguator:
+    key = (inventory_ref.hex(),
+           edge_maps_ref.hex() if edge_maps_ref is not None else None,
+           expand_gamma)
+    s = _SCORER_MEMO.get(key)
+    if s is None:
+        if len(_SCORER_MEMO) >= _SCORER_MEMO_MAX:
+            _SCORER_MEMO.pop(next(iter(_SCORER_MEMO)))
+        s = SenseDisambiguator(inventory_ref, edge_maps_ref, expand_gamma)
+        _SCORER_MEMO[key] = s
+    return s
+
+
 def disambiguate(mentions_raw: rd.Dataset, inventory_ref,
                  edge_maps_ref=None, expand_gamma: float = 0.5,
-                 concurrency=None) -> rd.Dataset:
+                 concurrency=None, state_rows: int | None = None
+                 ) -> rd.Dataset:
+    """Size-aware physical plan (measured, BASELINE.md r3):
+
+    * small inventory (the broadcast-cheap common case) → STATELESS
+      tasks with a per-process scorer memo.  Tasks fuse with the
+      upstream read→tokenize→detect chain into one elastic stage that
+      uses every free CPU — the fixed actor pool measured 9.4/16 busy
+      cores over its pass (pool ramp-up + slots reserved for the
+      parquet read starved the fused chain), the elastic form saturates.
+    * large inventory (``state_rows`` > _ACTOR_STATE_ROWS, the web-scale
+      gazetteer regime) or explicit ``concurrency`` → ACTOR POOL holding
+      the state in ``__init__`` (A2/A3, BASELINE.json:6): elastic tasks
+      would rebuild heavy state once per worker process, the pool builds
+      it exactly ``concurrency`` times.
+    """
+    if concurrency is None and (state_rows is None
+                                or state_rows <= _ACTOR_STATE_ROWS):
+        def score(batch: pa.Table) -> pa.Table:
+            return _scorer_for(inventory_ref, edge_maps_ref,
+                               expand_gamma)(batch)
+
+        return mentions_raw.map_batches(
+            score, batch_format="pyarrow", batch_size=32768)
+
     from ..runtime import pool_limits
     if concurrency is None:
         # The heavy mention-scale stage — and, with operator fusion, the
