@@ -15,6 +15,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
+
+from ..sources.pqclean import read_parquet_clean
 from ray.data.aggregate import Max, Sum
 
 
@@ -74,7 +76,7 @@ def turn_counts(transcripts: rd.Dataset) -> rd.Dataset:
 
 
 def orders_by_status(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                          columns=["o_orderstatus"])
     return partial_count(ds, ["o_orderstatus"])
 
@@ -82,7 +84,7 @@ def orders_by_status(sf_dir: str) -> rd.Dataset:
 def pricing_summary(sf_dir: str) -> rd.Dataset:
     """TPC-H Q1-shaped: per (returnflag, linestatus) totals, integer-cent
     arithmetic for the monetary sums."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"])
@@ -111,7 +113,7 @@ def pricing_summary(sf_dir: str) -> rd.Dataset:
 def top_customers(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Revenue per customer (orders), top-k, broadcast-joined to customer
     names (small side via ray.put — no shuffle join; SURVEY.md §2.4 J1)."""
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -153,14 +155,14 @@ def segment_revenue(sf_dir: str) -> rd.Dataset:
     bucketed aggregate."""
     from ..stages.joins import hash_join
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
     orders = orders.map_batches(
         lambda df: pd.DataFrame({
             "custkey": df["o_custkey"],
             "rev_cents": _cents(df["o_totalprice"].to_numpy())}),
         batch_format="pandas")
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])
     cust = cust.map_batches(
         lambda df: df.rename(columns={"c_custkey": "custkey"}),
@@ -186,7 +188,7 @@ def top_orders_per_status(sf_dir: str, k: int = 3) -> rd.Dataset:
     hash(status), final top-k per group — ties broken by o_orderkey."""
     from ..stages.groups import bucketed_group_apply
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                          columns=["o_orderstatus", "o_orderkey",
                                   "o_totalprice"])
 
@@ -211,7 +213,7 @@ def status_distinct_custkeys(sf_dir: str) -> rd.Dataset:
     the pair, final per-key distinct count."""
     from ..stages.groups import bucketed_group_apply
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                          columns=["o_orderstatus", "o_custkey"])
     partial = ds.map_batches(
         lambda df: df.drop_duplicates(["o_orderstatus", "o_custkey"]),
@@ -238,7 +240,7 @@ def order_price_quantiles(sf_dir: str) -> rd.Dataset:
 
     from ..stages.groups import bucketed_group_apply
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                          columns=["o_orderstatus", "o_totalprice"])
     pairs = ds.map_batches(
         lambda df: pd.DataFrame({
@@ -270,7 +272,7 @@ def events_hopping(sf_dir: str, size_min: int = 60,
     rows, then the same partial+final count."""
     import numpy as np
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts", "value"])
     k = size_min // hop_min
 
@@ -304,7 +306,7 @@ def events_hopping(sf_dir: str, size_min: int = 60,
 def events_hourly(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-hour window per event_type (stream-shaped pattern,
     ray_guide.md L187-198): count + integer-cent value sum."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -13,6 +13,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
+
+from ..sources.pqclean import read_parquet_clean
 from ray.data.aggregate import Sum
 
 from ..config import DEFAULT_CONFIG, GAZETTEER
@@ -339,7 +341,7 @@ def q_doc_jaccard_pairs(sf_dir: str) -> rd.Dataset:
 def q_user_sessions(sf_dir: str) -> rd.Dataset:
     """Gap-based sessionization of the events stream (30-min gap)."""
     from ..stages.sessions import sessionize
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id"])
     return sessionize(ev, gap_minutes=30)
 

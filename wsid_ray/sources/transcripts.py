@@ -11,6 +11,7 @@ from __future__ import annotations
 import ray.data as rd
 
 from ..fixtures import transcript_files
+from .pqclean import read_parquet_clean
 
 ALL_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
@@ -40,5 +41,5 @@ def read_transcripts(sf_dir_or_scale: str, columns: list[str] | None = None,
     except Exception:
         cpus = 8
     blocks = max(len(paths), min(256, 4 * cpus))
-    return rd.read_parquet(paths, columns=columns or ALL_COLUMNS,
-                           override_num_blocks=blocks)
+    return read_parquet_clean(paths, columns=columns or ALL_COLUMNS,
+                              override_num_blocks=blocks)

@@ -39,11 +39,12 @@ def _to_matrix(col) -> np.ndarray:
 
 
 def read_embeddings(sf_dir: str) -> rd.Dataset:
+    from ..sources.pqclean import read_parquet_clean
     from .textstats import _read_blocks
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"],
-                           override_num_blocks=_read_blocks(
-                               f"{sf_dir}/embeddings.parquet"))
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"],
+                              override_num_blocks=_read_blocks(
+                                  f"{sf_dir}/embeddings.parquet"))
 
 
 class BruteForceScorer:

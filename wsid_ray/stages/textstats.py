@@ -246,10 +246,11 @@ def read_documents(sf_dir: str, columns=None) -> rd.Dataset:
     """Pruned documents read, fanned out so per-doc CPU stages parallelise
     even when the table is one row group (Ray's SplitBlocks divides a read
     task's output below row-group granularity)."""
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=columns or ["doc_id", "text"],
-                           override_num_blocks=_read_blocks(
-                               f"{sf_dir}/documents.parquet"))
+    from ..sources.pqclean import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=columns or ["doc_id", "text"],
+                              override_num_blocks=_read_blocks(
+                                  f"{sf_dir}/documents.parquet"))
 
 
 def _read_blocks(path: str, min_rows_per_block: int = 256) -> int:
