@@ -95,6 +95,30 @@ def run_bench() -> dict:
     return result
 
 
+def _control_work(path: str) -> int:
+    """One file's worth of the hardware-control kernel: parquet decode +
+    Arrow tokenize + value_counts.  Pure Arrow C++, no Ray, no shuffle,
+    no shared state — zero serial fraction BY CONSTRUCTION, so its
+    observed N→4N ratio is the box's own ceiling (memory bandwidth +
+    hypervisor steal) in that window, not any pipeline property."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    t = pq.read_table(path, columns=["text"])
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(t["text"]), pattern=r"[^a-z0-9']+")
+    return len(pc.list_flatten(toks).value_counts())
+
+
+def _run_control(files: list[str], nproc: int, reps: int = 2) -> float:
+    """Wall seconds for the control kernel over ``files`` × ``reps`` with
+    a ``nproc``-process pool (fixed total work at every level)."""
+    import multiprocessing as mp
+    t0 = time.time()
+    with mp.Pool(nproc) as pool:
+        pool.map(_control_work, list(files) * reps, chunksize=1)
+    return time.time() - t0
+
+
 def run_scaling() -> dict:
     # The scaling pair runs on a ~6x-larger corpus than the headline
     # (sf0.6, ~29M turns): the criterion measures the pipeline's parallel
@@ -154,22 +178,36 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("WSID_SCALING_LO", "4"))
     hi = int(os.environ.get("WSID_SCALING_HI", str(4 * lo)))
     rounds = int(os.environ.get("WSID_SCALING_ROUNDS", "3"))
+    # Window-matched hardware control (round-3 hardening): the r2 control
+    # experiment (pure-Arrow kernel, ProcessPool, no Ray) measured this
+    # box's OWN 4→16 ceiling at 0.77 — in a quiet window.  Tenant noise
+    # moves that ceiling per window, so a pipeline/control comparison is
+    # only meaningful when both run in the SAME window.  Each (round,
+    # level) now runs the control back-to-back with the pipeline child,
+    # and the summary reports pipeline efficiency ÷ same-window control
+    # efficiency: the pipeline's serial fraction with the box's
+    # time-varying ceiling divided out.
+    ctl_files = transcript_files(sf_dir)
     samples: list[dict] = []
     for rnd in range(rounds):
         for ncpu in (lo, hi):
             t0 = time.time()
             res = child(ncpu)
+            t1 = time.time()
+            ctl_wall = _run_control(ctl_files, ncpu)
             samples.append({
                 "round": rnd, "num_cpus": ncpu,
                 "wall_s": res["value"],
                 "turns_per_sec": res["turns_per_sec"],
                 "triples_per_sec": res["triples_per_sec"],
+                "control_wall_s": round(ctl_wall, 3),
                 "sf": res["sf"],
-                "t_start": round(t0, 1), "t_end": round(time.time(), 1),
+                "t_start": round(t0, 1), "t_pipeline_end": round(t1, 1),
+                "t_end": round(time.time(), 1),
             })
     by_level = {n: [s for s in samples if s["num_cpus"] == n]
                 for n in (lo, hi)}
-    pair_effs = []
+    pair_effs, ctl_effs, norm_effs = [], [], []
     for rnd in range(rounds):
         s_lo = next(s for s in samples
                     if s["round"] == rnd and s["num_cpus"] == lo)
@@ -177,6 +215,10 @@ def run_scaling() -> dict:
                     if s["round"] == rnd and s["num_cpus"] == hi)
         pair_effs.append(round(
             (s_lo["wall_s"] / s_hi["wall_s"]) / (hi / lo), 3))
+        ctl_effs.append(round(
+            (s_lo["control_wall_s"] / s_hi["control_wall_s"]) / (hi / lo),
+            3))
+        norm_effs.append(round(pair_effs[-1] / ctl_effs[-1], 3))
     best_lo = min(by_level[lo], key=lambda s: s["wall_s"])
     best_hi = min(by_level[hi], key=lambda s: s["wall_s"])
     eff_cross_best = round(
@@ -190,9 +232,13 @@ def run_scaling() -> dict:
         "num_cpus_lo": lo, "num_cpus_hi": hi, "rounds": rounds,
         "samples": samples,
         "pair_efficiencies": pair_effs,
+        "control_pair_efficiencies": ctl_effs,
+        "normalized_pair_efficiencies": norm_effs,
         "eff_matched_best": eff_best,
         "eff_matched_median": eff_median,
         "eff_cross_best_of": eff_cross_best,
+        "eff_normalized_best": max(norm_effs),
+        "eff_normalized_median": sorted(norm_effs)[len(norm_effs) // 2],
         "sf": best_hi["sf"],
     }
     out_path = os.environ.get("WSID_SCALING_OUT",
@@ -205,6 +251,9 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "value_median": eff_median,
         "value_cross_best_of": eff_cross_best,
+        "value_normalized_best": max(norm_effs),
+        "value_normalized_median": sorted(norm_effs)[len(norm_effs) // 2],
+        "control_pair_efficiencies": ctl_effs,
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
         "sec_lo": best_lo["wall_s"],

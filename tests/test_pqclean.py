@@ -1,0 +1,58 @@
+"""Metadata-free parquet reads (sources/pqclean).
+
+The driver testdata footers carry a pandas metadata dict that makes
+pyarrow.Schema unhashable; the clean reader must strip it so the
+streaming executor's schema dedup (set of schemas) works.
+"""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from wsid_ray.sources.pqclean import clean_schema, read_parquet_clean
+
+
+@pytest.fixture(scope="module")
+def pandas_meta_parquet(tmp_path_factory):
+    """A parquet file written via pandas — carries the b'pandas' metadata
+    blob, exactly like the driver's testdata tables."""
+    d = tmp_path_factory.mktemp("pqclean")
+    path = os.path.join(d, "t.parquet")
+    pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"],
+                  "c": [1.5, 2.5, 3.5]}).to_parquet(path)
+    s = pq.read_schema(path)
+    assert b"pandas" in (s.metadata or {})
+    with pytest.raises(TypeError):
+        hash(s)  # the condition under test
+    return path
+
+
+def test_clean_schema_strips_metadata_and_prunes(pandas_meta_parquet):
+    s = clean_schema(pandas_meta_parquet, columns=["a", "c"])
+    assert s.names == ["a", "c"]
+    assert s.metadata is None
+    hash(s)  # hashable again
+
+
+def test_clean_schema_unknown_column_falls_back(pandas_meta_parquet):
+    assert clean_schema(pandas_meta_parquet, columns=["nope"]) is None
+    assert clean_schema("/does/not/exist.parquet") is None
+
+
+def test_read_parquet_clean_blocks_are_hashable(pandas_meta_parquet):
+    ds = read_parquet_clean(pandas_meta_parquet, columns=["a", "b"])
+    t = ds.take_batch(3, batch_format="pyarrow")
+    assert t.schema.metadata is None
+    hash(t.schema)
+    assert t.column_names == ["a", "b"]
+    assert t["a"].to_pylist() == [1, 2, 3]
+
+
+def test_read_parquet_clean_directory(pandas_meta_parquet):
+    # directory input resolves the footer via the first file found
+    d = os.path.dirname(pandas_meta_parquet)
+    s = clean_schema(d)
+    assert s is not None and s.metadata is None
