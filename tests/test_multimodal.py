@@ -1,11 +1,18 @@
-"""Multimodal binary-column plumbing (stubbed codecs, real Ray stages)."""
+"""Multimodal binary columns: builtin real-format codecs (Netpbm/BMP/
+WAV/Y4M, pure numpy+stdlib), capability dispatch, and the Ray stages."""
 
 import numpy as np
 import pytest
 
-from wsid_ray.stages.multimodal import (FakeCodec, FrameSampler, ImageResizer,
-                                        MediaFeaturizer, featurize,
-                                        media_dataset, synth_media_table)
+from wsid_ray.stages.multimodal import (BuiltinAudioCodec, BuiltinImageCodec,
+                                        BuiltinVideoCodec, FakeCodec,
+                                        FrameSampler, ImageResizer,
+                                        MediaFeaturizer, decode_bmp24,
+                                        decode_netpbm, decode_wav, decode_y4m,
+                                        encode_bmp24, encode_pgm, encode_ppm,
+                                        encode_wav_pcm16, encode_y4m,
+                                        featurize, media_dataset,
+                                        synth_media_table)
 
 
 def test_fake_codec_rejects_real_media():
@@ -13,10 +20,74 @@ def test_fake_codec_rejects_real_media():
         FakeCodec().decode(b"\x89PNG\r\n\x1a\n....")
 
 
-def test_synth_deterministic():
+# ---------------------------------------------------------------------------
+# builtin format roundtrips (real public formats, no libraries)
+# ---------------------------------------------------------------------------
+
+def test_pgm_roundtrip_and_comment_header():
+    img = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    assert (decode_netpbm(encode_pgm(img)) == img.ravel()).all()
+    # spec allows comments + arbitrary whitespace inside the header
+    weird = b"P5 # comment\n# another\n 7\t5 #w h\n255\n" + img.tobytes()
+    assert (decode_netpbm(weird) == img.ravel()).all()
+
+
+def test_ppm_roundtrip():
+    img = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    assert (decode_netpbm(encode_ppm(img)) == img.ravel()).all()
+
+
+def test_bmp24_roundtrip_padding():
+    # w=3 -> 9-byte rows padded to 12: exercises stride logic
+    img = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    assert (decode_bmp24(encode_bmp24(img)) == img.ravel()).all()
+    with pytest.raises(NotImplementedError):
+        # 8-bit BMP header (bitcount at offset 28 set to 8)
+        bad = bytearray(encode_bmp24(img))
+        bad[28] = 8
+        decode_bmp24(bytes(bad))
+
+
+def test_wav_roundtrip():
+    samples = (np.arange(100) * 257 - 12000).astype("<i2")
+    payload = encode_wav_pcm16(samples, 16000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    out = decode_wav(payload)
+    assert (out.view("<i2") == samples).all()
+
+
+def test_y4m_roundtrip():
+    frames = np.arange(4 * 6 * 8, dtype=np.uint8).reshape(4, 6, 8)
+    payload = encode_y4m(frames)
+    assert payload[:9] == b"YUV4MPEG2"
+    assert (decode_y4m(payload) == frames.ravel()).all()
+
+
+def test_builtin_codecs_reject_compressed():
+    with pytest.raises(NotImplementedError):
+        BuiltinImageCodec().decode(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        BuiltinAudioCodec().decode(b"fLaC....")
+    with pytest.raises(NotImplementedError):
+        BuiltinVideoCodec().decode(b"\x00\x00\x00 ftypmp42....")
+    with pytest.raises(NotImplementedError):
+        # y4m with chroma needs PyAV
+        BuiltinVideoCodec().decode(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n\0\0\0\0")
+
+
+def test_synth_deterministic_and_format_invariant():
     a = synth_media_table(10)
     b = synth_media_table(10)
     assert a.equals(b)
+    # the decoded byte stream must not depend on the container format
+    real, fake = synth_media_table(9), synth_media_table(9, fmt="fake")
+    for i in range(9):
+        kind = real["kind"][i].as_py()
+        dec = {"image": BuiltinImageCodec, "audio": BuiltinAudioCodec,
+               "video": BuiltinVideoCodec}[kind]()
+        got = dec.decode(real["payload"][i].as_py())
+        want = FakeCodec().decode(fake["payload"][i].as_py())
+        assert (got == want).all()
 
 
 def test_featurize_actor_pool():
@@ -41,7 +112,8 @@ def test_image_resize():
     assert (imgs["resized"]).all()
     assert (imgs["width"] == 8).all() and (imgs["height"] == 8).all()
     for p in imgs["payload"]:
-        assert len(FakeCodec().decode(p)) == 64
+        assert p[:2] == b"P5"                  # real container out
+        assert len(decode_netpbm(p)) == 64
     others = df[df["kind"] != "image"]
     assert (~others["resized"]).all()
 
@@ -56,13 +128,13 @@ def test_frame_sampler_explodes():
     assert (out["frame_idx"] % 2 == 0).all()
     w, h = 16, 16
     for p in out["payload"].head(3):
-        assert len(FakeCodec().decode(p)) == w * h
+        assert p[:2] == b"P5"                  # frames come out as PGM
+        assert len(decode_netpbm(p)) == w * h
 
 
 def test_fake_embedder_shape_and_determinism():
     """Batched-inference actor-pool stage: stable dims, deterministic
     vectors, duplicate texts embed identically."""
-    import numpy as np
     import pyarrow as pa
     import ray.data as rd
 
@@ -82,35 +154,37 @@ def test_fake_embedder_shape_and_determinism():
 
 
 def test_codec_capability_dispatch():
-    """get_codec routes to the real codec class when the capability is
-    present and falls back to FakeCodec when it is not."""
+    """get_codec: library codec when the capability says so, builtin
+    real-format codec otherwise, FakeCodec for unknown kinds."""
     from wsid_ray.stages.multimodal import (CODEC_CAPABILITIES, AvVideoCodec,
-                                            FakeCodec, PilImageCodec,
+                                            PilImageCodec,
                                             SoundfileAudioCodec, get_codec)
-    # this container has no codec libraries -> probe must be empty and the
-    # default dispatch must be the declared stub
-    assert CODEC_CAPABILITIES == {}
-    assert isinstance(get_codec("image"), FakeCodec)
-    # injected capabilities select the real implementations per kind
+    # this container ships no codec libraries -> every kind probes builtin
+    assert CODEC_CAPABILITIES == {"image": "builtin", "audio": "builtin",
+                                  "video": "builtin"}
+    assert isinstance(get_codec("image"), BuiltinImageCodec)
+    assert isinstance(get_codec("audio"), BuiltinAudioCodec)
+    assert isinstance(get_codec("video"), BuiltinVideoCodec)
+    # injected capabilities select the library implementations per kind
     caps = {"image": "pil", "audio": "soundfile", "video": "av"}
     assert isinstance(get_codec("image", caps), PilImageCodec)
     assert isinstance(get_codec("audio", caps), SoundfileAudioCodec)
     assert isinstance(get_codec("video", caps), AvVideoCodec)
     assert isinstance(get_codec("unknown", caps), FakeCodec)
+    # explicitly emptied capabilities fall through to the stub
+    assert isinstance(get_codec("image", {}), FakeCodec)
 
 
 def test_real_codecs_pass_synthetic_payloads_through():
-    """Synthetic payloads decode identically under every codec, so
-    pipelines behave the same with or without the libraries installed."""
-    import numpy as np
-
-    from wsid_ray.stages.multimodal import (AvVideoCodec, FakeCodec,
-                                            PilImageCodec,
-                                            SoundfileAudioCodec,
-                                            synth_media_table)
-    t = synth_media_table(6)
+    """Legacy _MAGIC payloads decode identically under every codec tier,
+    so pipelines behave the same with or without the libraries."""
+    from wsid_ray.stages.multimodal import (AvVideoCodec, PilImageCodec,
+                                            SoundfileAudioCodec)
+    t = synth_media_table(6, fmt="fake")
     payload = t["payload"][0].as_py()
     want = FakeCodec().decode(payload)
-    for codec in (PilImageCodec(), SoundfileAudioCodec(), AvVideoCodec()):
+    for codec in (PilImageCodec(), SoundfileAudioCodec(), AvVideoCodec(),
+                  BuiltinImageCodec(), BuiltinAudioCodec(),
+                  BuiltinVideoCodec()):
         assert (codec.decode(payload) == want).all()
     assert isinstance(want, np.ndarray)

@@ -3,18 +3,26 @@ typed metadata (task spec: "treat image/audio/video as opaque binary
 columns ... implement decode / feature-extract / resize / frame-sample as
 actor-pool map_batches stages").
 
-Decode is PLUGGABLE via capability detection (``get_codec``): when
-Pillow / soundfile / PyAV are importable, their real codecs are selected
-per kind; otherwise the clearly marked ``FakeCodec`` stub takes over,
-which decodes only this module's own deterministic synthetic payloads
-(header + seeded bytes) and raises ``NotImplementedError`` for real
-media.  This container ships none of the codec libraries, so the real
-paths are exercised only through the dispatch tests; everything around
-them — the Arrow schema (binary + metadata columns), the actor-pool
-stage shape (decoder constructed once per actor in ``__init__``),
-small-batch sizing for large payloads, and the
-feature/resize/frame-sample output layout — is the real 100 TB plumbing
-and is tested.
+Decode is PLUGGABLE via capability detection (``get_codec``), three
+tiers per kind:
+
+1. library codec when importable — Pillow (image), soundfile (audio),
+   PyAV (video): all compressed formats;
+2. BUILTIN pure-numpy/stdlib codecs (this module) for the uncompressed
+   public formats — Netpbm P5/P6 and 24-bit BI_RGB BMP (image), RIFF/
+   WAVE PCM via the stdlib ``wave`` module (audio), YUV4MPEG2 ``Cmono``
+   (video).  These are REAL decoders of real on-disk formats, fully
+   exercised in this container (no codec libraries shipped);
+3. the clearly marked ``FakeCodec`` stub, which decodes only this
+   module's deterministic ``_MAGIC`` synthetic payloads and raises
+   ``NotImplementedError`` otherwise (kept for dispatch tests and
+   unknown kinds).
+
+Compressed payloads (PNG/JPEG/MP3/H.264…) under the builtin tier raise
+``NotImplementedError`` naming the library that would handle them.
+``synth_media_table`` emits REAL container bytes by default (PGM / WAV /
+Y4M wrapping the same seeded sample bodies), so the media pipeline
+end-to-end — including the query surface — decodes real formats here.
 
 Schema:
     media(media_id:int64, kind:string, payload:binary,
@@ -42,8 +50,156 @@ MEDIA_SCHEMA = pa.schema([
 _MAGIC = b"WSIDFAKE"
 
 
-def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media rows (no external data)."""
+# ---------------------------------------------------------------------------
+# Builtin real-format encode/decode (pure numpy + stdlib; public formats)
+# ---------------------------------------------------------------------------
+
+def encode_pgm(img: np.ndarray) -> bytes:
+    """Netpbm P5 (binary greyscale, maxval 255) from an (h, w) uint8."""
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Netpbm P6 (binary RGB, maxval 255) from an (h, w, 3) uint8."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def _netpbm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """(magic, width, height, maxval, data_offset); spec-conformant
+    tokenizer (arbitrary whitespace, ``#`` comments to end-of-line,
+    exactly ONE whitespace byte after maxval before the raster)."""
+    magic = payload[:2]
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    return magic, vals[0], vals[1], vals[2], pos + 1  # one ws after maxval
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """P5/P6 → flat uint8 raster (row-major; P6 interleaved RGB)."""
+    magic, w, h, maxval, off = _netpbm_header(payload)
+    if maxval > 255:
+        raise NotImplementedError("16-bit Netpbm not supported")
+    n = w * h * (3 if magic == b"P6" else 1)
+    return np.frombuffer(payload, dtype=np.uint8, count=n, offset=off)
+
+
+def encode_bmp24(img: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP from an (h, w, 3) RGB uint8 —
+    bottom-up rows, BGR byte order, 4-byte row padding, 54-byte headers."""
+    import struct
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), dtype=np.uint8)
+    raster[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # flip+BGR
+    data = raster.tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54) +
+              struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                          2835, 2835, 0, 0))
+    return header + data
+
+
+def decode_bmp24(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP → flat uint8 RGB raster, top-down row-major."""
+    import struct
+    off_bits = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bitcount = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bitcount != 24 or compression != 0:
+        raise NotImplementedError(
+            f"builtin BMP decoder handles 24-bit BI_RGB only "
+            f"(got {bitcount}-bit compression={compression}); install "
+            f"Pillow for other BMP variants")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                           offset=off_bits).reshape(h, stride)
+    rows = raster[:, :w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, ::-1]).ravel()  # BGR→RGB
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """RIFF/WAVE, PCM 16-bit mono, via the stdlib ``wave`` module."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM → raw sample bytes as flat uint8 (stdlib ``wave``)."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        frames = wf.readframes(wf.getnframes())
+    return np.frombuffer(frames, dtype=np.uint8)
+
+
+def encode_y4m(frames: np.ndarray) -> bytes:
+    """YUV4MPEG2 ``Cmono`` stream from an (nf, h, w) uint8 luma cube."""
+    nf, h, w = frames.shape
+    head = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n" % (w, h)
+    return head + b"".join(b"FRAME\n" + frames[i].tobytes()
+                           for i in range(nf))
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """YUV4MPEG2 ``Cmono`` → flat uint8 luma, frame-major."""
+    nl = payload.index(b"\n")
+    params = payload[:nl].split(b" ")
+    w = h = None
+    cspace = b"C420jpeg"  # spec default when no C tag
+    for p in params[1:]:
+        if p[:1] == b"W":
+            w = int(p[1:])
+        elif p[:1] == b"H":
+            h = int(p[1:])
+        elif p[:1] == b"C":
+            cspace = p
+    if cspace != b"Cmono":
+        raise NotImplementedError(
+            f"builtin Y4M decoder handles Cmono only (got "
+            f"{cspace.decode()}); install PyAV for chroma formats")
+    frame_bytes = w * h
+    out, pos = [], nl + 1
+    while pos < len(payload):
+        fl = payload.index(b"\n", pos)         # FRAME line (may carry params)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        out.append(np.frombuffer(payload, dtype=np.uint8,
+                                 count=frame_bytes, offset=fl + 1))
+        pos = fl + 1 + frame_bytes
+    return np.concatenate(out) if out else np.zeros(0, dtype=np.uint8)
+
+
+def synth_media_table(n: int, seed: int = 42, fmt: str = "real") -> pa.Table:
+    """Deterministic synthetic media rows (no external data).
+
+    ``fmt="real"`` (default) wraps the seeded sample bodies in REAL
+    container formats — PGM (image), WAV PCM16 (audio), Y4M Cmono
+    (video) — so the builtin decoders run end-to-end; ``fmt="fake"``
+    emits the legacy ``_MAGIC``-prefixed raw bodies.  The decoded byte
+    stream is identical either way, so downstream features/hashes do
+    not depend on fmt."""
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
@@ -53,17 +209,23 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         if kind == "image":
             w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
             body = rng.randint(0, 256, w * h, dtype=np.int64).astype(np.uint8)
+            payload = (encode_pgm(body.reshape(h, w))
+                       if fmt == "real" else _MAGIC + bytes(body))
         elif kind == "audio":
             sr = 16000
             nf = int(rng.randint(100, 1000))
             body = rng.randint(0, 256, nf * 2, dtype=np.int64).astype(np.uint8)
+            payload = (encode_wav_pcm16(body.view("<i2"), sr)
+                       if fmt == "real" else _MAGIC + bytes(body))
         else:
             w, h, nf = 16, 16, int(rng.randint(4, 12))
             body = rng.randint(0, 256, w * h * nf,
                                dtype=np.int64).astype(np.uint8)
+            payload = (encode_y4m(body.reshape(nf, h, w))
+                       if fmt == "real" else _MAGIC + bytes(body))
         rows["media_id"].append(i)
         rows["kind"].append(kind)
-        rows["payload"].append(_MAGIC + bytes(body))
+        rows["payload"].append(payload)
         rows["width"].append(w)
         rows["height"].append(h)
         rows["sample_rate"].append(sr)
@@ -101,6 +263,48 @@ def _synth_or(payload: bytes, real_decode) -> np.ndarray:
     if payload.startswith(_MAGIC):
         return np.frombuffer(payload, dtype=np.uint8, offset=len(_MAGIC))
     return real_decode(payload)
+
+
+class BuiltinImageCodec:
+    """Real image decode, no libraries: Netpbm P5/P6 + 24-bit BI_RGB BMP
+    (pure numpy).  Compressed formats raise, naming the library tier."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        def real(p: bytes) -> np.ndarray:
+            if p[:2] in (b"P5", b"P6"):
+                return decode_netpbm(p)
+            if p[:2] == b"BM":
+                return decode_bmp24(p)
+            raise NotImplementedError(
+                "builtin image decoder handles Netpbm P5/P6 and 24-bit "
+                "BMP; install Pillow for compressed formats (PNG/JPEG/…)")
+        return _synth_or(payload, real)
+
+
+class BuiltinAudioCodec:
+    """Real audio decode, stdlib only: RIFF/WAVE PCM via ``wave``."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        def real(p: bytes) -> np.ndarray:
+            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                return decode_wav(p)
+            raise NotImplementedError(
+                "builtin audio decoder handles RIFF/WAVE PCM; install "
+                "soundfile for compressed formats (FLAC/OGG/MP3/…)")
+        return _synth_or(payload, real)
+
+
+class BuiltinVideoCodec:
+    """Real video decode, no libraries: YUV4MPEG2 ``Cmono`` streams."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        def real(p: bytes) -> np.ndarray:
+            if p[:9] == b"YUV4MPEG2":
+                return decode_y4m(p)
+            raise NotImplementedError(
+                "builtin video decoder handles YUV4MPEG2; install PyAV "
+                "for compressed containers (MP4/MKV/…)")
+        return _synth_or(payload, real)
 
 
 class PilImageCodec:
@@ -147,9 +351,10 @@ class AvVideoCodec:
 
 
 def _detect_codecs() -> dict[str, str]:
-    """Importability probe, once per process — which kinds have a real
-    decoder available in this environment."""
-    caps: dict[str, str] = {}
+    """Importability probe, once per process — best available decoder
+    tier per kind: library > builtin (uncompressed public formats)."""
+    caps: dict[str, str] = {"image": "builtin", "audio": "builtin",
+                            "video": "builtin"}
     try:
         import PIL.Image  # noqa: F401
         caps["image"] = "pil"
@@ -172,14 +377,19 @@ CODEC_CAPABILITIES = _detect_codecs()
 
 _REAL_CODECS = {"pil": PilImageCodec, "soundfile": SoundfileAudioCodec,
                 "av": AvVideoCodec}
+_BUILTIN_CODECS = {"image": BuiltinImageCodec, "audio": BuiltinAudioCodec,
+                   "video": BuiltinVideoCodec}
 
 
 def get_codec(kind: str, capabilities: dict[str, str] | None = None):
-    """Capability dispatch: the kind's real codec when its library is
-    importable, FakeCodec otherwise.  ``capabilities`` is injectable for
-    tests; defaults to the import-probe result."""
+    """Capability dispatch: the kind's library codec when importable,
+    the builtin pure-numpy/stdlib codec for that kind otherwise,
+    FakeCodec for unknown kinds / explicitly emptied capabilities.
+    ``capabilities`` is injectable for tests; defaults to the probe."""
     caps = CODEC_CAPABILITIES if capabilities is None else capabilities
     impl = caps.get(kind)
+    if impl == "builtin":
+        return _BUILTIN_CODECS[kind]()
     cls = _REAL_CODECS.get(impl) if impl else None
     return cls() if cls is not None else FakeCodec()
 
@@ -242,7 +452,7 @@ class ImageResizer:
             yi = (np.arange(self.out_h) * h // self.out_h)
             xi = (np.arange(self.out_w) * w // self.out_w)
             small = img[np.ix_(yi, xi)]
-            out_payload.append(_MAGIC + small.tobytes())
+            out_payload.append(encode_pgm(small))   # real container out
             resized.append(True)
         t = t.set_column(t.schema.get_field_index("payload"), "payload",
                          pa.array(out_payload, type=pa.binary()))
@@ -277,7 +487,7 @@ class FrameSampler:
             for f in range(0, nf, self.every_k):
                 ids.append(mid)
                 frames.append(f)
-                payloads.append(_MAGIC + vid[f].tobytes())
+                payloads.append(encode_pgm(vid[f]))  # real container out
         return pa.table({
             "media_id": pa.array(ids, type=pa.int64()),
             "frame_idx": pa.array(frames, type=pa.int32()),
