@@ -567,6 +567,19 @@ _SQL_KNN_EXACT = """
 """
 
 
+def _sql_stratified_sample() -> str:
+    """DuckDB mirror of stages/textstats.stratified_sample_batch: keep a
+    doc iff md5_number_upper(doc_id) % 100 < its language's keep rate."""
+    from wsid_ray.stages.textstats import STRATUM_DEFAULT_PCT, STRATUM_PCT
+    cases = " ".join(f"WHEN '{lang}' THEN {p}"
+                     for lang, p in sorted(STRATUM_PCT.items()))
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 <
+              CASE lang {cases} ELSE {STRATUM_DEFAULT_PCT} END
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from wsid_ray.artifacts import ANN_K, ANN_QUERY_IDS, ensure
     from wsid_ray.config import GAZETTEER, STOPWORDS
@@ -805,6 +818,101 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string({tok}, ' ')) AS fingerprint
             FROM documents
+        """,
+        # Gopher-style repetition signals: distinct-token ratio + fraction
+        # of bigram positions covered by the most frequent word bigram
+        # (mirror of stages/textstats.repetition_batch)
+        "doc_repetition": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+            base AS (
+                SELECT doc_id, len(ws) AS n,
+                       len(list_distinct(ws)) AS d, ws
+                FROM w),
+            bg AS (
+                SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                      FROM base WHERE n >= 2)),
+            bgc AS (SELECT doc_id, w1, w2, count(*) AS c
+                    FROM bg GROUP BY ALL),
+            mx AS (SELECT doc_id, max(c) AS mc FROM bgc GROUP BY doc_id)
+            SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+                floor(CASE WHEN b.n > 0 THEN CAST(b.d AS DOUBLE) / b.n
+                      ELSE 0 END * 1000000 + 0.5) / 1000000.0
+                    AS distinct_ratio,
+                floor(CASE WHEN b.n >= 2
+                      THEN CAST(coalesce(mx.mc, 0) AS DOUBLE) / (b.n - 1)
+                      ELSE 0 END * 1000000 + 0.5) / 1000000.0
+                    AS top_bigram_frac
+            FROM base b LEFT JOIN mx USING (doc_id)
+        """,
+        # deterministic per-language stratified hash sample (mirror of
+        # stages/textstats.stratified_sample_batch)
+        "doc_stratified_sample": _sql_stratified_sample(),
+        # add-one-smoothed corpus bigram LM scores; per-term int64
+        # micro-unit scaling makes the per-doc sum order-independent
+        # (mirror of stages/lm.bigram_lm_scores)
+        "bigram_lm_score": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+            bg AS (
+                SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                      FROM w WHERE len(ws) >= 2)),
+            kg AS (SELECT doc_id, w1, w2, count(*) AS k
+                   FROM bg GROUP BY ALL),
+            cbg AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c
+                    FROM kg GROUP BY ALL),
+            ch AS (SELECT w1, CAST(sum(k) AS BIGINT) AS ch
+                   FROM kg GROUP BY w1),
+            v AS (SELECT count(DISTINCT tok) AS v
+                  FROM (SELECT unnest(ws) AS tok FROM w)),
+            terms AS (
+                SELECT kg.doc_id,
+                    CAST(floor(kg.k * ln((cbg.c + 1.0) / (ch.ch + v.v))
+                        * 1000000 + 0.5) AS BIGINT) AS sc,
+                    kg.k
+                FROM kg JOIN cbg USING (w1, w2) JOIN ch USING (w1)
+                CROSS JOIN v)
+            SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+                floor((CAST(sum(sc) AS DOUBLE) / 1000000.0)
+                      / CAST(sum(k) AS DOUBLE) * 1000000 + 0.5)
+                    / 1000000.0 AS lm_score
+            FROM terms GROUP BY doc_id
+        """,
+        # as-of join: each event -> the user's most recent prior order;
+        # greatest o_orderdate <= ts, ties to the greatest o_orderkey
+        # (mirror of stages/joins.asof_join backward semantics)
+        "asof_user_order": """
+            SELECT event_id, o_orderkey, o_totalprice FROM (
+                SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC,
+                                    o.o_orderkey DESC) AS rn
+                FROM events e JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1
+        """,
+        # JSON-ish field extraction (RE2) + per-type aggregate; avg from
+        # exact integer partials (mirror of analytics.event_props_k_stats)
+        "event_props_k_stats": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                            AS BIGINT) AS k
+                FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(max(k) AS BIGINT) AS max_k,
+                   floor(CAST(sum(k) AS DOUBLE) / count(*) * 1000000
+                         + 0.5) / 1000000.0 AS avg_k
+            FROM x GROUP BY event_type
         """,
         # mirror of stages/embed.FakeTextEmbedder (md5 token-bucket
         # histogram) + exact cosine near-dup — checks the text -> embed ->

@@ -42,3 +42,15 @@ def test_semi_and_anti_join():
     assert sorted(semi["k"]) == ["a", "c"]
     anti = semi_join(big, {"a", "c"}, "k", anti=True).to_pandas()
     assert list(anti["k"]) == ["b"]
+
+
+def test_hash_join_single_bucket():
+    """num_buckets=1 regression: _split_block must return a bare table
+    (a 1-tuple would reach the join task unwrapped under num_returns=1)."""
+    import pandas as pd
+    import ray.data as rd
+    from wsid_ray.stages.joins import hash_join
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2], "a": ["x", "y"]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [2, 3], "b": ["p", "q"]}))
+    out = hash_join(left, right, on=["k"], num_buckets=1).to_pandas()
+    assert out.to_dict("records") == [{"k": 2, "a": "y", "b": "p"}]

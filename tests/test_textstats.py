@@ -73,3 +73,41 @@ def test_quality_filter_and_split():
     # deterministic across calls
     assert sp["split"].to_pylist() == \
         split_assign_batch(t)["split"].to_pylist()
+
+
+def test_repetition():
+    from wsid_ray.stages.textstats import repetition_batch
+    out = repetition_batch(docs([
+        "a b a b a b",       # 6 tokens, 2 distinct, "a b" bigram x3 of 5
+        "x y z",             # all distinct, each bigram once (1 of 2)
+        "solo",              # n=1: no bigrams
+        "",                  # empty
+    ])).to_pylist()
+    assert [r["n_tokens"] for r in out] == [6, 3, 1, 0]
+    assert out[0]["distinct_ratio"] == round(2 / 6, 6)
+    assert out[0]["top_bigram_frac"] == 0.6        # 3 / 5
+    assert out[1]["distinct_ratio"] == 1.0
+    assert out[1]["top_bigram_frac"] == 0.5        # 1 / 2
+    assert out[2]["top_bigram_frac"] == 0.0
+    assert out[3]["distinct_ratio"] == 0.0
+
+
+def test_stratified_sample_deterministic():
+    from wsid_ray.stages.textstats import stratified_sample_batch
+    t = pa.table({
+        "doc_id": pa.array(range(200), type=pa.int64()),
+        "lang": pa.array(["en", "de"] * 100),
+    })
+    kept = stratified_sample_batch(t).to_pylist()
+    # deterministic: same input -> identical selection
+    again = stratified_sample_batch(t).to_pylist()
+    assert kept == again
+    for r in kept:
+        h = int.from_bytes(
+            hashlib.md5(str(r["doc_id"]).encode()).digest()[:8],
+            "little") % 100
+        assert h < (50 if r["lang"] == "en" else 20)
+    # strata actually differ in keep rate on this fixture
+    n_en = sum(1 for r in kept if r["lang"] == "en")
+    n_de = sum(1 for r in kept if r["lang"] == "de")
+    assert n_en > n_de

@@ -321,3 +321,75 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     partials = ds.map_batches(partial, batch_format="pandas")
     return bucketed_sum(partials, ["event_type", "hour"],
                         ["n", "sum_value_cents"], num_buckets=16)
+
+
+def event_props_k_stats(sf_dir: str) -> rd.Dataset:
+    """Per-event_type stats of the ``k`` field extracted from the JSON-ish
+    ``props`` string column (F-series scalar function: field extraction
+    via one vectorised RE2 kernel — no per-row json.loads).
+
+    Determinism: avg is derived from exact integer (count, sum) partials,
+    so distribution order can't change it; half-up 6 dp shared with the
+    SQL mirror."""
+    import pyarrow.compute as pc
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ks = pc.struct_field(
+            pc.extract_regex(t["props"], pattern=r'"k": (?P<k>[0-9]+)'),
+            "k").cast(pa.int64())
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "k": ks.to_pandas(),
+        })
+        g = df.groupby("event_type", sort=True).agg(
+            n=("k", "size"), sum_k=("k", "sum"),
+            max_k=("k", "max")).reset_index()
+        g["n"] = g["n"].astype("int64")
+        g["sum_k"] = g["sum_k"].astype("int64")
+        g["max_k"] = g["max_k"].astype("int64")
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", sort=False, as_index=False).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum"), max_k=("max_k", "max"))
+
+    from ..stages.groups import bucketed_group_apply
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n", pa.int64()), ("sum_k", pa.int64()),
+                            ("max_k", pa.int64())])
+    merged = bucketed_group_apply(partials, ["event_type"], combine,
+                                  num_buckets=4, out_schema=out_schema)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sum_k = t["sum_k"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        avg = np.floor(sum_k / n * 1e6 + 0.5) / 1e6
+        return t.append_column("avg_k", pa.array(avg, type=pa.float64()))
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def asof_user_order(sf_dir: str) -> rd.Dataset:
+    """As-of join (§2.4 extension): each event matched to the user's most
+    recent order at the event's timestamp — greatest o_orderdate <= ts,
+    ties to the greatest o_orderkey.  Bucketed by user key; per bucket a
+    sorted vectorised merge (stages/joins.asof_join)."""
+    from ..stages.joins import asof_join
+
+    events = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "ts", "user_id"])
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    j = asof_join(events, orders, by_left="user_id", by_right="o_custkey",
+                  on_left="ts", on_right="o_orderdate",
+                  tie_right="o_orderkey", num_buckets=16)
+    return j.map_batches(
+        lambda t: t.select(["event_id", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow")

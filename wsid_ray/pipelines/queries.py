@@ -291,6 +291,38 @@ def q_doc_split_counts(sf_dir: str) -> rd.Dataset:
     return analytics.partial_count(assigned, ["split"])
 
 
+def q_doc_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition signals (distinct-token ratio + top-bigram
+    fraction) per document."""
+    from ..stages.textstats import repetition_batch
+    return read_documents(sf_dir).map_batches(repetition_batch,
+                                              batch_format="pyarrow")
+
+
+def q_doc_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic per-language stratified hash sample (kept rows)."""
+    from ..stages.textstats import stratified_sample_batch
+    return read_documents(sf_dir, columns=["doc_id", "lang"]) \
+        .map_batches(stratified_sample_batch, batch_format="pyarrow")
+
+
+def q_bigram_lm_score(sf_dir: str) -> rd.Dataset:
+    """Corpus bigram-LM quality scores (CCNet-style), add-one smoothing;
+    counts + partitioned joins only — no broadcast model."""
+    from ..stages.lm import bigram_lm_scores
+    return bigram_lm_scores(read_documents(sf_dir))
+
+
+def q_asof_user_order(sf_dir: str) -> rd.Dataset:
+    """As-of join: each event -> the user's latest order at event time."""
+    return analytics.asof_user_order(sf_dir)
+
+
+def q_event_props_k_stats(sf_dir: str) -> rd.Dataset:
+    """JSON-ish field extraction + per-type aggregate over events.props."""
+    return analytics.event_props_k_stats(sf_dir)
+
+
 def q_doc_simhash(sf_dir: str) -> rd.Dataset:
     return read_documents(sf_dir).map_batches(simhash_batch,
                                               batch_format="pyarrow")
@@ -471,6 +503,11 @@ QUERIES = {
     "doc_split_counts": q_doc_split_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_langid": q_doc_langid,
+    "doc_repetition": q_doc_repetition,
+    "doc_stratified_sample": q_doc_stratified_sample,
+    "bigram_lm_score": q_bigram_lm_score,
+    "asof_user_order": q_asof_user_order,
+    "event_props_k_stats": q_event_props_k_stats,
     "doc_simhash": q_doc_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "doc_dup_components": q_doc_dup_components,

@@ -78,6 +78,11 @@ def drop_empty_refs(outs: list) -> list:
 @ray.remote
 def _split_block(tb: pa.Table, key_cols: list[str], num_buckets: int):
     """block -> (bucket_0_slice, ..., bucket_{B-1}_slice)."""
+    if num_buckets == 1:
+        # with num_returns=1 Ray refs the WHOLE return value — a 1-tuple
+        # would reach the reduce task unwrapped; return the bare table
+        # (callers wrap the single ref in a list)
+        return tb
     if tb.num_rows == 0:
         return tuple([tb.slice(0, 0)] * num_buckets)
     df = tb.select(key_cols).to_pandas()

@@ -91,6 +91,75 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
     return rd.from_arrow_refs(drop_empty_refs(outs))
 
 
+@ray.remote
+def _asof_bucket(by_l, by_r, on_l, on_r, tie_r, suffixes, inner,
+                 n_left, *parts):
+    left_parts = [p for p in parts[:n_left] if p.num_rows]
+    right_parts = [p for p in parts[n_left:] if p.num_rows]
+
+    def concat(ps, template):
+        if not ps:
+            return template.slice(0, 0).to_pandas()
+        names = ps[0].schema.names
+        return pa.concat_tables([p.select(names) for p in ps],
+                                promote_options="permissive").to_pandas()
+
+    ldf = concat(left_parts, parts[0])
+    rdf = concat(right_parts, parts[n_left])
+    # merge_asof needs both sides globally sorted on the 'on' column;
+    # sorting the right by (on, tie) makes "last match wins" resolve
+    # equal-timestamp ties to the greatest tie_r — the deterministic rule
+    # shared with the SQL mirror (ORDER BY on DESC, tie DESC ... = 1)
+    ldf = ldf.sort_values(on_l, kind="mergesort", ignore_index=True)
+    rdf = rdf.sort_values([on_r, tie_r], kind="mergesort",
+                          ignore_index=True)
+    out = pd.merge_asof(ldf, rdf, left_on=on_l, right_on=on_r,
+                        left_by=by_l, right_by=by_r,
+                        direction="backward", suffixes=suffixes)
+    if inner:
+        out = out[out[tie_r].notna()]
+    if not len(out):
+        return pa.Table.from_pylist(
+            [], schema=_merged_schema(parts[0], parts[n_left], [],
+                                      suffixes))
+    return pa.Table.from_pandas(
+        out, preserve_index=False).replace_schema_metadata(None)
+
+
+def asof_join(left: rd.Dataset, right: rd.Dataset, *,
+              by_left: str, by_right: str, on_left: str, on_right: str,
+              tie_right: str, inner: bool = True, num_buckets: int = 32,
+              suffixes=("_l", "_r")) -> rd.Dataset:
+    """Backward as-of join: for each left row, the one right row of the
+    same ``by`` key with the greatest ``on_right <= on_left``; equal
+    ``on_right`` ties break to the greatest ``tie_right``.
+
+    Physical plan mirrors ``hash_join``: both sides split into B hash
+    buckets on the ``by`` key (co-partitioned — the asof lookup never
+    crosses a bucket), then one task per bucket runs a sorted
+    ``pd.merge_asof`` (vectorised C merge).  Skewed keys: raise
+    ``num_buckets``; a single hot key stays one bucket — pre-partition
+    the right side by time range upstream if one key alone exceeds a
+    task's memory."""
+    B = num_buckets
+    lrefs = left.to_arrow_refs()
+    rrefs = right.to_arrow_refs()
+    lsplit = [_split_block.options(num_returns=B).remote(b, [by_left], B)
+              for b in lrefs]
+    rsplit = [_split_block.options(num_returns=B).remote(b, [by_right], B)
+              for b in rrefs]
+    if B == 1:  # num_returns=1 yields a bare ref, not a 1-tuple
+        lsplit = [[r] for r in lsplit]
+        rsplit = [[r] for r in rsplit]
+    outs = []
+    for b in range(B):
+        parts = [s[b] for s in lsplit] + [s[b] for s in rsplit]
+        outs.append(_asof_bucket.remote(
+            by_left, by_right, on_left, on_right, tie_right, suffixes,
+            inner, len(lsplit), *parts))
+    return rd.from_arrow_refs(drop_empty_refs(outs))
+
+
 def broadcast_join(big: rd.Dataset, small_df: pd.DataFrame, on: list[str],
                    how: str = "left") -> rd.Dataset:
     """Merge a driver-small table into every batch of a big Dataset."""

@@ -1,0 +1,151 @@
+"""Bigram language-model quality scoring over the documents table.
+
+The CCNet-style move (Wenzek et al. 2020, "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data"): score every document by its
+average per-bigram log-probability under a corpus-level n-gram LM and use
+the score as a quality / in-domain signal.  Here the LM is a bigram model
+with add-one smoothing fit on the corpus itself:
+
+    p(v | w) = (c(w, v) + 1) / (c_head(w) + V)
+
+where ``c(w, v)`` is the corpus count of the bigram, ``c_head(w) =
+Σ_v c(w, v)`` (occurrences of ``w`` as a bigram head), and ``V`` is the
+corpus vocabulary size (distinct whitespace tokens, all positions).
+
+Scale design — everything is counts + joins, nothing is broadcast:
+
+* Per-doc bigram multiplicities need NO shuffle: a document is one row,
+  so one vectorised ``map_batches`` emits the per-doc aggregate directly.
+* Corpus counts are partial-before-shuffle ``bucketed_sum`` folds keyed
+  (w1, w2) and (w1,) — at 100 TB the model table shards with the key; it
+  is never collected on the driver and never ``ray.put`` as a whole.
+* Scoring joins doc-bigrams against the model with the partitioned hash
+  join (stages/joins.py) — same-key bucketing, no all-to-all beyond the
+  two keyed exchanges.
+* Float determinism: each doc's score is a SUM of float terms, and float
+  addition is not associative — so each term is scaled to int64 micro
+  units first (floor(k·ln(p)·1e6 + 0.5)); integer sums are exact in any
+  distribution order.  The SQL mirror (__ray_entry__.oracle_sql,
+  bigram_lm_score) applies the identical scaling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .textstats import _word_rows
+
+
+def doc_bigram_partial(t: pa.Table) -> pa.Table:
+    """(doc_id, w1, w2, k) — per-document bigram multiplicities.
+
+    Each document is a single input row, so this IS the per-doc
+    aggregate; no shuffle needed.  Vectorised: RE2 split, dictionary
+    encode, packed-int64 np.unique (two-level packing via the pair id so
+    the key never exceeds #words·V — no int64 overflow)."""
+    row_of, nonempty, flat, _ = _word_rows(t)
+    rows = row_of[nonempty]
+    empty = pa.table({
+        "doc_id": pa.array([], type=t.schema.field("doc_id").type),
+        "w1": pa.array([], type=pa.string()),
+        "w2": pa.array([], type=pa.string()),
+        "k": pa.array([], type=pa.int64()),
+    })
+    if not len(rows):
+        return empty
+    words = flat.filter(pa.array(nonempty))
+    enc = pc.dictionary_encode(words)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    V = len(enc.dictionary)
+    adj = rows[1:] == rows[:-1]
+    if not adj.any():
+        return empty
+    _upairs, pair_id = np.unique(rows * V + codes, return_inverse=True)
+    key = pair_id[:-1][adj] * V + codes[1:][adj]
+    ukey, cnt = np.unique(key, return_counts=True)
+    p1 = ukey // V
+    return pa.table({
+        "doc_id": pc.take(t["doc_id"], pa.array(_upairs[p1] // V)),
+        "w1": pc.take(enc.dictionary, pa.array(_upairs[p1] % V)),
+        "w2": pc.take(enc.dictionary, pa.array(ukey % V)),
+        "k": pa.array(cnt.astype(np.int64), type=pa.int64()),
+    })
+
+
+def _distinct_token_count(docs: rd.Dataset) -> int:
+    """V — corpus vocabulary size (distinct whitespace tokens).  One
+    cheap keyed pass: per-batch unique tokens, bucketed distinct, count."""
+    from .groups import distinct
+
+    def toks(t: pa.Table) -> pa.Table:
+        _row_of, nonempty, flat, _ = _word_rows(t)
+        words = flat.filter(pa.array(nonempty))
+        u = pc.unique(words)
+        return pa.table({"tok": u.cast(pa.string())})
+
+    return distinct(docs.map_batches(toks, batch_format="pyarrow"),
+                    ["tok"]).count()
+
+
+def bigram_lm_scores(docs: rd.Dataset,
+                     num_buckets: int = 32) -> rd.Dataset:
+    """(doc_id, n_bigrams, lm_score) — add-one-smoothed bigram LM score.
+
+    lm_score = half-up-6dp of (Σ_bigrams k·ln p)/1e6 / Σ k with each term
+    pre-scaled to int64 micro units (see module docstring)."""
+    from ..pipelines.analytics import bucketed_sum
+    from .joins import hash_join
+
+    kg = docs.map_batches(doc_bigram_partial, batch_format="pyarrow")
+    model_bg = bucketed_sum(
+        kg.select_columns(["w1", "w2", "k"]).map_batches(
+            lambda t: t.rename_columns(["w1", "w2", "c"]),
+            batch_format="pyarrow"),
+        ["w1", "w2"], ["c"], num_buckets=num_buckets)
+    model_head = bucketed_sum(
+        kg.select_columns(["w1", "k"]).map_batches(
+            lambda t: t.rename_columns(["w1", "ch"]),
+            batch_format="pyarrow"),
+        ["w1"], ["ch"], num_buckets=num_buckets)
+    V = _distinct_token_count(docs)
+
+    j = hash_join(kg, model_bg, on=["w1", "w2"],
+                  num_buckets=num_buckets)
+    j = hash_join(j, model_head, on=["w1"], num_buckets=num_buckets)
+
+    def terms(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ch = t["ch"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sc = np.floor(k * np.log((c + 1.0) / (ch + float(V)))
+                      * 1e6 + 0.5).astype(np.int64)
+        # partial per-doc fold before the final keyed combine
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "sc": sc,
+            "k": t["k"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("doc_id", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = j.map_batches(terms, batch_format="pyarrow")
+    summed = bucketed_sum(partials, ["doc_id"], ["sc", "k"],
+                          num_buckets=num_buckets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sc = t["sc"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.floor((sc / 1e6) / k * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bigrams": t["k"].cast(pa.int64()),
+            "lm_score": pa.array(score, type=pa.float64()),
+        })
+
+    return summed.map_batches(finalize, batch_format="pyarrow")

@@ -242,6 +242,93 @@ def split_assign_batch(t: pa.Table, train_pct: int = 95) -> pa.Table:
     })
 
 
+def repetition_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, distinct_ratio, top_bigram_frac) — Gopher-style
+    repetition signals (Rae et al. 2021, "Scaling Language Models:
+    Methods, Analysis & Insights from Training Gopher", §A1.1 quality
+    filters): the distinct-token ratio and the fraction of token
+    positions covered by the single most frequent word bigram.  Docs
+    dominated by boilerplate/loops score low distinct_ratio and high
+    top_bigram_frac.
+
+    Fully vectorised: one RE2 split, dictionary-encode, packed-int64
+    np.unique folds; no per-row Python.  Ratios round half-up at 6 dp
+    (shared rule with the SQL mirror — DuckDB round() is
+    half-away-from-zero, np.round is banker's)."""
+    n = t.num_rows
+    row_of, nonempty, flat, _ = _word_rows(t)
+    rows = row_of[nonempty]
+    n_tok = np.bincount(rows, minlength=n).astype(np.int64)
+    distinct = np.zeros(n, dtype=np.int64)
+    top_bg = np.zeros(n, dtype=np.int64)
+    if len(rows):
+        words = flat.filter(pa.array(nonempty))
+        enc = pc.dictionary_encode(words)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = len(enc.dictionary)
+        # distinct tokens per doc: unique (row, code) pairs
+        upairs, pair_id = np.unique(rows * V + codes,
+                                    return_inverse=True)
+        distinct = np.bincount((upairs // V).astype(np.int64),
+                               minlength=n).astype(np.int64)
+        # most frequent bigram per doc: unique (row, c1, c2) triples with
+        # counts, segment-max folded by row.  Two-level packing through
+        # pair_id (≤ #words) keeps the key < #words·V — no int64 overflow
+        # even on huge blocks, unlike a direct r·V² fold.
+        adj = rows[1:] == rows[:-1]
+        if adj.any():
+            key = pair_id[:-1][adj] * V + codes[1:][adj]
+            ukey, cnt = np.unique(key, return_counts=True)
+            np.maximum.at(top_bg,
+                          (upairs[ukey // V] // V).astype(np.int64), cnt)
+
+    def r6(x):
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    with np.errstate(invalid="ignore"):
+        dr = np.where(n_tok > 0, distinct / np.maximum(n_tok, 1), 0.0)
+        bf = np.where(n_tok >= 2,
+                      top_bg / np.maximum(n_tok - 1, 1), 0.0)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_tokens": pa.array(n_tok, type=pa.int64()),
+        "distinct_ratio": pa.array(r6(dr), type=pa.float64()),
+        "top_bigram_frac": pa.array(r6(bf), type=pa.float64()),
+    })
+
+
+# Per-stratum keep rates (percent) for the deterministic stratified
+# sampler — the UDF hook; 'en' is downsampled harder than the tail
+# languages, the classic web-corpus rebalancing move.
+STRATUM_PCT: dict[str, int] = {"en": 50}
+STRATUM_DEFAULT_PCT = 20
+
+
+def stratified_sample_batch(t: pa.Table,
+                            pct: dict[str, int] | None = None,
+                            default_pct: int | None = None) -> pa.Table:
+    """(doc_id, lang) rows kept by a deterministic per-stratum hash
+    sample: keep iff md5_number_upper(doc_id) % 100 < rate[lang].
+    Content-stable (re-runs, resumes and re-partitions keep the same
+    rows — no RNG state to ship), vectorised except the unavoidable
+    per-id md5, and embarrassingly parallel: no shuffle at any scale.
+    Mirrored verbatim in oracle SQL."""
+    pct = STRATUM_PCT if pct is None else pct
+    default_pct = (STRATUM_DEFAULT_PCT if default_pct is None
+                   else default_pct)
+    ids = t["doc_id"].to_pylist()
+    h = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                        "little") % 100 for i in ids),
+        dtype=np.int64, count=len(ids))
+    langs = t["lang"].to_pylist()
+    rate = np.fromiter((pct.get(l, default_pct) for l in langs),
+                       dtype=np.int64, count=len(langs))
+    return t.select(["doc_id", "lang"]).filter(pa.array(h < rate))
+
+
 def read_documents(sf_dir: str, columns=None) -> rd.Dataset:
     """Pruned documents read, fanned out so per-doc CPU stages parallelise
     even when the table is one row group (Ray's SplitBlocks divides a read
