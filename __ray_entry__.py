@@ -886,6 +886,31 @@ def oracle_sql() -> dict[str, str]:
                     / 1000000.0 AS lm_score
             FROM terms GROUP BY doc_id
         """,
+        # top-5 tf-idf tokens per doc, smooth sklearn-style idf; rank
+        # ties (score DESC, token ASC) — mirror of stages/lm.tfidf_topk
+        "doc_tfidf_topk": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+            tfs AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+            tf AS (SELECT doc_id, tok, count(*) AS c
+                   FROM tfs GROUP BY ALL),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS df
+                   FROM tfs GROUP BY tok),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.tok AS token,
+                       CAST(tf.c AS BIGINT) AS tf,
+                       floor(tf.c * (ln((1.0 + n.n) / (1.0 + df.df))
+                             + 1.0) * 1000000 + 0.5) / 1000000.0 AS score
+                FROM tf JOIN df USING (tok) CROSS JOIN n)
+            SELECT doc_id, token, tf, score,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, token ASC) AS BIGINT) AS rank
+            FROM scored QUALIFY rank <= 5
+        """,
         # as-of join: each event -> the user's most recent prior order;
         # greatest o_orderdate <= ts, ties to the greatest o_orderkey
         # (mirror of stages/joins.asof_join backward semantics)

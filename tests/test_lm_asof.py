@@ -82,3 +82,31 @@ def test_asof_join_tie_breaks_to_max_tie():
                     on_left="ts", on_right="od", tie_right="ok",
                     num_buckets=1).to_pandas()
     assert list(out["ok"]) == [101]
+
+
+def test_tfidf_topk_exact():
+    from wsid_ray.stages.lm import tfidf_topk
+    texts = ["apple apple banana", "banana cherry", "apple cherry date"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(texts)}))
+    out = tfidf_topk(ds, k=2, num_buckets=2).take_all()
+    N = 3
+    df = {"apple": 2, "banana": 2, "cherry": 2, "date": 1}
+
+    def s(tf, d):
+        return math.floor(
+            tf * (math.log((1 + N) / (1 + df[d])) + 1.0) * 1e6 + 0.5) / 1e6
+
+    got = {(r["doc_id"], r["rank"]): (r["token"], r["score"])
+           for r in out}
+    # doc0: apple tf=2 beats banana tf=1
+    assert got[(0, 1)] == ("apple", s(2, "apple"))
+    assert got[(0, 2)] == ("banana", s(1, "banana"))
+    # doc1: equal scores -> token ASC tie-break
+    assert got[(1, 1)] == ("banana", s(1, "banana"))
+    assert got[(1, 2)] == ("cherry", s(1, "cherry"))
+    # doc2: date has lowest df -> highest idf wins rank 1
+    assert got[(2, 1)] == ("date", s(1, "date"))
+    # k=2 respected
+    assert len(out) == 6

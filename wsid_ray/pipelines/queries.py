@@ -313,6 +313,13 @@ def q_bigram_lm_score(sf_dir: str) -> rd.Dataset:
     return bigram_lm_scores(read_documents(sf_dir))
 
 
+def q_doc_tfidf_topk(sf_dir: str) -> rd.Dataset:
+    """Top-5 tf-idf tokens per document (smooth idf; deterministic
+    tie-break score DESC, token ASC)."""
+    from ..stages.lm import tfidf_topk
+    return tfidf_topk(read_documents(sf_dir))
+
+
 def q_asof_user_order(sf_dir: str) -> rd.Dataset:
     """As-of join: each event -> the user's latest order at event time."""
     return analytics.asof_user_order(sf_dir)
@@ -506,6 +513,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_stratified_sample": q_doc_stratified_sample,
     "bigram_lm_score": q_bigram_lm_score,
+    "doc_tfidf_topk": q_doc_tfidf_topk,
     "asof_user_order": q_asof_user_order,
     "event_props_k_stats": q_event_props_k_stats,
     "doc_simhash": q_doc_simhash,

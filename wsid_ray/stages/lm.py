@@ -78,6 +78,88 @@ def doc_bigram_partial(t: pa.Table) -> pa.Table:
     })
 
 
+def doc_term_counts(t: pa.Table) -> pa.Table:
+    """(doc_id, token, tf) — per-document term frequencies.  Each doc is
+    one input row, so this is the per-doc aggregate directly (no
+    shuffle); one packed-int64 np.unique per batch."""
+    row_of, nonempty, flat, _ = _word_rows(t)
+    rows = row_of[nonempty]
+    if not len(rows):
+        return pa.table({
+            "doc_id": pa.array([], type=t.schema.field("doc_id").type),
+            "token": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+        })
+    words = flat.filter(pa.array(nonempty))
+    enc = pc.dictionary_encode(words)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    V = len(enc.dictionary)
+    upairs, cnt = np.unique(rows * V + codes, return_counts=True)
+    return pa.table({
+        "doc_id": pc.take(t["doc_id"], pa.array(upairs // V)),
+        "token": pc.take(enc.dictionary, pa.array(upairs % V)),
+        "tf": pa.array(cnt.astype(np.int64), type=pa.int64()),
+    })
+
+
+def tfidf_topk(docs: rd.Dataset, k: int = 5,
+               num_buckets: int = 32) -> rd.Dataset:
+    """(doc_id, token, tf, score, rank) — top-k tokens per document by
+    smooth tf-idf (sklearn-style idf = ln((1+N)/(1+df)) + 1; Salton &
+    Buckley 1988 weighting family), rank ties broken (score DESC,
+    token ASC) — fully deterministic.
+
+    Scale design: term frequencies need no shuffle (one doc = one row);
+    document frequencies are a partial-count fold keyed on token; the
+    idf attach is a partitioned hash join (the df table shards with the
+    key — never broadcast); top-k is a per-doc bucketed group apply.
+    The tf dataset is consumed twice (df fold + join) — at 100 TB,
+    checkpoint it to parquet between the passes instead of recomputing
+    the tokenise."""
+    from ..pipelines.analytics import partial_count
+    from .groups import bucketed_group_apply
+    from .joins import hash_join
+
+    tf = docs.map_batches(doc_term_counts, batch_format="pyarrow")
+    df = partial_count(
+        tf.select_columns(["token"]), ["token"], out_name="df")
+    n_docs = docs.count()
+
+    j = hash_join(tf, df, on=["token"], num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        tf_v = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_v = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.log((1.0 + float(n_docs)) / (1.0 + df_v)) + 1.0
+        s = np.floor(tf_v * idf * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "token": t["token"],
+            "tf": t["tf"].cast(pa.int64()),
+            "score": pa.array(s, type=pa.float64()),
+        })
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+        g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        return g[g["rank"] <= k]
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("token", pa.string()),
+        ("tf", pa.int64()), ("score", pa.float64()),
+        ("rank", pa.int64()),
+    ])
+    return bucketed_group_apply(scored, ["doc_id"], topk,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
+
+
 def _distinct_token_count(docs: rd.Dataset) -> int:
     """V — corpus vocabulary size (distinct whitespace tokens).  One
     cheap keyed pass: per-batch unique tokens, bucketed distinct, count."""
