@@ -56,8 +56,10 @@ def run_bench() -> dict:
     headline = time.time() - t0
     queries["flagship_kg"] = round(headline, 3)
 
-    from wsid_ray.pipelines.queries import (q_conv_text_digest,
+    from wsid_ray.pipelines.queries import (q_bigram_lm_score,
+                                            q_conv_text_digest,
                                             q_doc_minhash_candidates,
+                                            q_doc_tfidf_topk,
                                             q_knn_cosine_topk,
                                             q_pricing_summary,
                                             q_unigram_counts)
@@ -67,6 +69,8 @@ def run_bench() -> dict:
         "pricing_summary": q_pricing_summary,
         "doc_minhash_candidates": q_doc_minhash_candidates,
         "knn_cosine_topk": q_knn_cosine_topk,
+        "bigram_lm_score": q_bigram_lm_score,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
     }
     for name, fn in side.items():
         t0 = time.time()
