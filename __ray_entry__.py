@@ -914,6 +914,37 @@ def oracle_sql() -> dict[str, str]:
         # as-of join: each event -> the user's most recent prior order;
         # greatest o_orderdate <= ts, ties to the greatest o_orderkey
         # (mirror of stages/joins.asof_join backward semantics)
+        # partitioned window function (mirror of
+        # analytics.customer_running_total: exact integer cents, orderkey
+        # tie-break makes the cumulative frame deterministic)
+        "customer_running_total": """
+            WITH c AS (
+                SELECT o_orderkey, o_custkey, o_orderdate,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders)
+            SELECT o_orderkey, o_custkey,
+                   CAST(row_number() OVER win AS BIGINT) AS rn,
+                   CAST(SUM(cents) OVER win AS BIGINT) AS cum_cents
+            FROM c
+            WINDOW win AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+        """,
+        # range (interval) self-join (mirror of
+        # analytics.event_recent_activity: same user's other events in the
+        # trailing 6 hours, exact integer cents)
+        "event_recent_activity": """
+            SELECT e.event_id,
+                   CAST(count(*) AS BIGINT) AS n_recent,
+                   CAST(SUM(CAST(floor(o.value * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events e JOIN events o
+              ON o.user_id = e.user_id
+             AND o.ts <= e.ts
+             AND o.ts >= e.ts - INTERVAL 360 MINUTE
+             AND o.event_id <> e.event_id
+            GROUP BY e.event_id
+        """,
         "asof_user_order": """
             SELECT event_id, o_orderkey, o_totalprice FROM (
                 SELECT e.event_id, o.o_orderkey, o.o_totalprice,

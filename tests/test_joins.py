@@ -54,3 +54,58 @@ def test_hash_join_single_bucket():
     right = rd.from_pandas(pd.DataFrame({"k": [2, 3], "b": ["p", "q"]}))
     out = hash_join(left, right, on=["k"], num_buckets=1).to_pandas()
     assert out.to_dict("records") == [{"k": 2, "a": "y", "b": "p"}]
+
+
+def test_bucketed_pair_apply_range_self_join():
+    """Generic co-partitioned non-equi apply: trailing-window self-join."""
+    import numpy as np
+
+    from wsid_ray.stages.joins import bucketed_pair_apply
+
+    ts = pd.to_datetime(
+        ["2024-01-01 10:00", "2024-01-01 10:30", "2024-01-01 12:00",
+         "2024-01-01 10:05"])
+    ev = ds_of(event_id=[1, 2, 3, 4], user=[7, 7, 7, 7],
+               ts=pa.array(ts, type=pa.timestamp("us")))
+
+    def fn(ldf, rdf):
+        m = ldf.merge(rdf, on="user", suffixes=("", "_o"))
+        keep = ((m["ts_o"] < m["ts"])
+                & (m["ts_o"] >= m["ts"] - pd.Timedelta(hours=1)))
+        m = m[keep]
+        g = m.groupby("event_id", as_index=False).agg(
+            n=("event_id_o", "size"))
+        g["n"] = g["n"].astype("int64")
+        return g[["event_id", "n"]]
+
+    schema = pa.schema([("event_id", pa.int64()), ("n", pa.int64())])
+    out = bucketed_pair_apply(ev, ev, on_left=["user"], on_right=["user"],
+                              fn=fn, out_schema=schema,
+                              num_buckets=4).to_pandas()
+    got = dict(zip(out["event_id"], out["n"]))
+    # event 2 sees events 1 and 4; event 4 sees event 1; events 1/3 none
+    assert got == {2: 2, 4: 1}
+
+
+def test_customer_running_total_small():
+    sf = "/root/testdata/sf0.001"
+    import duckdb
+
+    from wsid_ray.pipelines.analytics import customer_running_total
+
+    out = customer_running_total(sf).to_pandas() \
+        .sort_values(["o_custkey", "rn"], ignore_index=True)
+    con = duckdb.connect()
+    exp = con.sql(f"""
+        WITH c AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                          CAST(floor(o_totalprice*100+0.5) AS BIGINT)
+                              AS cents
+                   FROM read_parquet('{sf}/orders.parquet'))
+        SELECT o_orderkey, o_custkey,
+               CAST(row_number() OVER win AS BIGINT) AS rn,
+               CAST(SUM(cents) OVER win AS BIGINT) AS cum_cents
+        FROM c WINDOW win AS (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, rn
+    """).df()
+    pd.testing.assert_frame_equal(out, exp)

@@ -393,3 +393,88 @@ def asof_user_order(sf_dir: str) -> rd.Dataset:
     return j.map_batches(
         lambda t: t.select(["event_id", "o_orderkey", "o_totalprice"]),
         batch_format="pyarrow")
+
+
+def customer_running_total(sf_dir: str) -> rd.Dataset:
+    """Partitioned window function (§2.9 extension): per-customer running
+    order total — ROW_NUMBER + cumulative SUM over (PARTITION BY
+    o_custkey ORDER BY o_orderdate, o_orderkey).  All rows of a customer
+    land in one hash bucket, so the ordered scan is a vectorised pandas
+    sort + groupby-cumsum per bucket — never a global sort.  Monetary
+    sums use exact integer cents (module float rule); the orderkey
+    tie-break makes the frame deterministic, shared with the SQL mirror.
+    """
+    from ..stages.groups import bucketed_group_apply
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_orderdate", "o_totalprice"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "o_custkey": df["o_custkey"],
+            "o_orderdate": df["o_orderdate"],
+            "cents": _cents(df["o_totalprice"].to_numpy()),
+        })
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort", ignore_index=True)
+        g = df.groupby("o_custkey", sort=False)
+        df["rn"] = (g.cumcount() + 1).astype("int64")
+        df["cum_cents"] = g["cents"].cumsum().astype("int64")
+        return df[["o_orderkey", "o_custkey", "rn", "cum_cents"]]
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64()),
+                            ("rn", pa.int64()),
+                            ("cum_cents", pa.int64())])
+    return bucketed_group_apply(ds.map_batches(pre, batch_format="pandas"),
+                                ["o_custkey"], win, num_buckets=32,
+                                out_schema=out_schema)
+
+
+def event_recent_activity(sf_dir: str, window_min: int = 360) -> rd.Dataset:
+    """Range (interval) join — §2.4 extension beyond equi/as-of joins:
+    each event aggregated against the SAME user's OTHER events in the
+    trailing ``window_min`` minutes (count + exact cent sum of their
+    values) — the classic feature-engineering window self-join.
+    Physical plan: the event stream is co-partitioned with itself on the
+    user key (joins.bucketed_pair_apply) and a vectorised merge +
+    interval filter + groupby per bucket; the non-equi predicate never
+    leaves a bucket, so no all-to-all beyond the one key shuffle.  Hot
+    users: raise num_buckets / salt upstream (the per-bucket merge
+    materialises that bucket's candidate pairs)."""
+    from ..stages.joins import bucketed_pair_apply
+
+    cols = ["event_id", "ts", "user_id", "value"]
+    events = read_parquet_clean(f"{sf_dir}/events.parquet", columns=cols)
+
+    def fn(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        m = ldf[["event_id", "ts", "user_id"]].merge(
+            rdf, on="user_id", suffixes=("", "_o"))
+        keep = ((m["ts_o"] <= m["ts"])
+                & (m["ts_o"] >= m["ts"] - pd.Timedelta(minutes=window_min))
+                & (m["event_id_o"] != m["event_id"]))
+        m = m[keep]
+        if not len(m):
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_recent": pd.Series([], dtype="int64"),
+                                 "sum_cents": pd.Series([], dtype="int64")})
+        cents = _cents(m["value"].to_numpy())
+        g = (pd.DataFrame({"event_id": m["event_id"].to_numpy(),
+                           "cents": cents})
+             .groupby("event_id", as_index=False)
+             .agg(n_recent=("cents", "size"), sum_cents=("cents", "sum")))
+        g["n_recent"] = g["n_recent"].astype("int64")
+        g["sum_cents"] = g["sum_cents"].astype("int64")
+        return g
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("n_recent", pa.int64()),
+                            ("sum_cents", pa.int64())])
+    return bucketed_pair_apply(events, events,
+                               on_left=["user_id"], on_right=["user_id"],
+                               fn=fn, out_schema=out_schema,
+                               num_buckets=16)

@@ -330,6 +330,17 @@ def q_event_props_k_stats(sf_dir: str) -> rd.Dataset:
     return analytics.event_props_k_stats(sf_dir)
 
 
+def q_customer_running_total(sf_dir: str) -> rd.Dataset:
+    """Partitioned window function: per-customer running order total."""
+    return analytics.customer_running_total(sf_dir)
+
+
+def q_event_recent_activity(sf_dir: str) -> rd.Dataset:
+    """Range join: per event, the user's other events in the trailing
+    6 hours."""
+    return analytics.event_recent_activity(sf_dir)
+
+
 def q_doc_simhash(sf_dir: str) -> rd.Dataset:
     return read_documents(sf_dir).map_batches(simhash_batch,
                                               batch_format="pyarrow")
@@ -516,6 +527,8 @@ QUERIES = {
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "asof_user_order": q_asof_user_order,
     "event_props_k_stats": q_event_props_k_stats,
+    "customer_running_total": q_customer_running_total,
+    "event_recent_activity": q_event_recent_activity,
     "doc_simhash": q_doc_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "doc_dup_components": q_doc_dup_components,

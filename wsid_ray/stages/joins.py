@@ -160,6 +160,57 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *,
     return rd.from_arrow_refs(drop_empty_refs(outs))
 
 
+@ray.remote
+def _pair_bucket(fn, out_schema, n_left, *parts):
+    """Concat one bucket's left/right slices and apply fn(ldf, rdf)."""
+    out_schema = pa.schema(out_schema)
+
+    def concat(ps, template):
+        live = [p for p in ps if p.num_rows]
+        if not live:
+            return template.slice(0, 0).to_pandas()
+        names = live[0].schema.names
+        return pa.concat_tables([p.select(names) for p in live],
+                                promote_options="permissive").to_pandas()
+
+    out = fn(concat(parts[:n_left], parts[0]),
+             concat(parts[n_left:], parts[n_left]))
+    if not len(out):
+        return out_schema.empty_table()
+    return (pa.Table.from_pandas(out, preserve_index=False)
+            .select(out_schema.names).cast(out_schema)
+            .replace_schema_metadata(None))
+
+
+def bucketed_pair_apply(left: rd.Dataset, right: rd.Dataset, *,
+                        on_left: list[str], on_right: list[str],
+                        fn, out_schema: pa.Schema,
+                        num_buckets: int = 32) -> rd.Dataset:
+    """Co-partition two Datasets on their join keys and run a vectorised
+    pandas ``fn(left_df, right_df)`` once per bucket — the generic engine
+    under non-equi joins (range/interval joins, windowed lookups) that a
+    plain hash join can't express.  Same physical plan as ``hash_join``:
+    one split task per block (``num_returns=B``), one pair task per
+    bucket; all rows of a key land in one bucket on both sides.  Skewed
+    keys: raise ``num_buckets``; one hot key stays a single bucket — salt
+    upstream if a key alone exceeds a task's memory.  ``out_schema`` is
+    required so empty buckets emit typed blocks (schema-stable stream)."""
+    B = num_buckets
+    lsplit = [_split_block.options(num_returns=B).remote(b, list(on_left), B)
+              for b in left.to_arrow_refs()]
+    rsplit = [_split_block.options(num_returns=B).remote(b, list(on_right), B)
+              for b in right.to_arrow_refs()]
+    if B == 1:  # num_returns=1 yields a bare ref, not a 1-tuple
+        lsplit = [[r] for r in lsplit]
+        rsplit = [[r] for r in rsplit]
+    outs = []
+    for b in range(B):
+        parts = [s[b] for s in lsplit] + [s[b] for s in rsplit]
+        outs.append(_pair_bucket.remote(fn, out_schema, len(lsplit),
+                                        *parts))
+    return rd.from_arrow_refs(drop_empty_refs(outs))
+
+
 def broadcast_join(big: rd.Dataset, small_df: pd.DataFrame, on: list[str],
                    how: str = "left") -> rd.Dataset:
     """Merge a driver-small table into every batch of a big Dataset."""
