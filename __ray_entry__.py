@@ -567,6 +567,35 @@ _SQL_KNN_EXACT = """
 """
 
 
+def _sql_pii_redact() -> str:
+    """DuckDB mirror of stages/pii.redact_batch over planted PII
+    (stages/pii.plant_pii_batch): patterns, replacement order and the
+    planted-span construction are generated from the SAME constants the
+    engine uses — both sides run RE2, so match semantics agree exactly."""
+    from wsid_ray.stages.pii import REDACTIONS
+    red = "ptext"
+    for pat, repl in REDACTIONS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(ptext, '{pat}')) AS BIGINT) AS {nm}"
+        for (pat, _), nm in zip(REDACTIONS,
+                                ("n_emails", "n_phones", "n_ips")))
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1 (555) 010-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST(doc_id % 7 AS VARCHAR) AS ptext
+            FROM documents)
+        SELECT doc_id,
+                   {counts},
+               md5({red}) AS redacted_md5
+        FROM planted
+    """
+
+
 def _sql_stratified_sample() -> str:
     """DuckDB mirror of stages/textstats.stratified_sample_batch: keep a
     doc iff md5_number_upper(doc_id) % 100 < its language's keep rate."""
@@ -852,6 +881,8 @@ def oracle_sql() -> dict[str, str]:
         # deterministic per-language stratified hash sample (mirror of
         # stages/textstats.stratified_sample_batch)
         "doc_stratified_sample": _sql_stratified_sample(),
+        # PII redaction over deterministic planted spans (stages/pii.py)
+        "doc_pii_redact": _sql_pii_redact(),
         # add-one-smoothed corpus bigram LM scores; per-term int64
         # micro-unit scaling makes the per-doc sum order-independent
         # (mirror of stages/lm.bigram_lm_scores)

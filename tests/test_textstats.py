@@ -111,3 +111,33 @@ def test_stratified_sample_deterministic():
     n_en = sum(1 for r in kept if r["lang"] == "en")
     n_de = sum(1 for r in kept if r["lang"] == "de")
     assert n_en > n_de
+
+
+def test_pii_redact_real_shapes():
+    import pyarrow as pa
+
+    from wsid_ray.stages.pii import plant_pii_batch, redact_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "mail me at jane.doe+spam@sub.example.co.uk today",
+            "call +49 (0)30 1234-5678 or 555 867 5309 now",
+            "server at 192.168.0.1 and 8.8.8.8, not 1.2.3",
+        ]),
+    })
+    out = redact_batch(t).to_pylist()
+    assert (out[0]["n_emails"], out[0]["n_phones"], out[0]["n_ips"]) \
+        == (1, 0, 0)
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) \
+        == (0, 2, 0)
+    # "1.2.3" is not a dotted quad; both full IPs count
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ips"]) \
+        == (0, 0, 2)
+
+    planted = plant_pii_batch(t)
+    red = redact_batch(planted).to_pylist()
+    # planting adds exactly one of each PII kind per document
+    assert [r["n_emails"] - o["n_emails"] for r, o in zip(red, out)] \
+        == [1, 1, 1]
+    assert [r["n_ips"] - o["n_ips"] for r, o in zip(red, out)] == [1, 1, 1]

@@ -320,6 +320,15 @@ def q_doc_tfidf_topk(sf_dir: str) -> rd.Dataset:
     return tfidf_topk(read_documents(sf_dir))
 
 
+def q_doc_pii_redact(sf_dir: str) -> rd.Dataset:
+    """PII redaction over documents with deterministic planted PII
+    (stages/pii.py — counts + placeholder rewrite, md5-pinned)."""
+    from ..stages.pii import plant_pii_batch, redact_batch
+    return (read_documents(sf_dir)
+            .map_batches(plant_pii_batch, batch_format="pyarrow")
+            .map_batches(redact_batch, batch_format="pyarrow"))
+
+
 def q_asof_user_order(sf_dir: str) -> rd.Dataset:
     """As-of join: each event -> the user's latest order at event time."""
     return analytics.asof_user_order(sf_dir)
@@ -528,6 +537,7 @@ QUERIES = {
     "asof_user_order": q_asof_user_order,
     "event_props_k_stats": q_event_props_k_stats,
     "customer_running_total": q_customer_running_total,
+    "doc_pii_redact": q_doc_pii_redact,
     "event_recent_activity": q_event_recent_activity,
     "doc_simhash": q_doc_simhash,
     "simhash_near_dup": q_simhash_near_dup,
