@@ -596,6 +596,61 @@ def _sql_pii_redact() -> str:
     """
 
 
+def _sql_grams(tok: str, k: int) -> str:
+    """Per-doc DISTINCT k-gram hash rows (mirror of dedup.gram_rows):
+    30-bit md5 token hashes folded s -> (s*31 + t) % 2^30, docs shorter
+    than k tokens emit nothing."""
+    from wsid_ray.stages.dedup import _SHINGLE_MOD
+    fold = "h[i + 1]"
+    for j in range(2, k + 1):
+        fold = f"(({fold}) * 31 + h[i + {j}]) % {_SHINGLE_MOD}"
+    return f"""
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(len(h) - {k} + 1),
+                      i -> {fold})) AS g
+        FROM (SELECT doc_id,
+                     list_transform({tok}, y ->
+                         CAST((md5_number_upper(y) >> 34) AS BIGINT)) AS h
+              FROM documents)
+        WHERE len(h) >= {k}
+    """
+
+
+def _sql_dup_ngram_stats(tok: str, k: int = 5) -> str:
+    """DuckDB mirror of dedup.dup_ngram_stats."""
+    return f"""
+        WITH grams AS ({_sql_grams(tok, k)}),
+        dfreq AS (SELECT g, count(*) AS nd FROM grams GROUP BY g)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_grams,
+               floor(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+                   AS dup_frac
+        FROM grams JOIN dfreq USING (g)
+        GROUP BY doc_id
+    """
+
+
+def _sql_decontaminate(tok: str, k: int = 5, bench_pct: int = 5) -> str:
+    """DuckDB mirror of dedup.decontaminate: benchmark = the
+    deterministic md5 slice of doc_ids; hits = distinct shared grams."""
+    return f"""
+        WITH grams AS ({_sql_grams(tok, k)}),
+        bench AS (SELECT doc_id FROM documents
+                  WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100
+                        < {bench_pct}),
+        bg AS (SELECT DISTINCT g FROM grams
+               WHERE doc_id IN (SELECT doc_id FROM bench))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM grams
+        WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+          AND g IN (SELECT g FROM bg)
+        GROUP BY doc_id
+    """
+
+
 def _sql_stratified_sample() -> str:
     """DuckDB mirror of stages/textstats.stratified_sample_batch: keep a
     doc iff md5_number_upper(doc_id) % 100 < its language's keep rate."""
@@ -883,6 +938,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": _sql_stratified_sample(),
         # PII redaction over deterministic planted spans (stages/pii.py)
         "doc_pii_redact": _sql_pii_redact(),
+        # MassiveText-style duplicated-n-gram fraction (dedup.py)
+        "doc_dup_ngrams": _sql_dup_ngram_stats(tok),
+        # benchmark decontamination via shared k-grams (dedup.py)
+        "doc_decontaminate": _sql_decontaminate(tok),
         # add-one-smoothed corpus bigram LM scores; per-term int64
         # micro-unit scaling makes the per-doc sum order-independent
         # (mirror of stages/lm.bigram_lm_scores)

@@ -136,3 +136,66 @@ def test_conv_digest_order_invariant_to_blocking():
         chain = "".join(hashlib.md5(t.encode()).hexdigest()
                         for t in g["text"])
         assert got[conv] == hashlib.md5(chain.encode()).hexdigest()
+
+
+def test_gram_rows_and_dup_ngram_stats():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.stages.dedup import dup_ngram_stats, gram_rows
+
+    # tokens survive the shared tokenizer (len >= MIN_TOKEN_LEN, not stop)
+    shared = "alpha bravo charlie delta echo"      # one 5-gram, shared
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            shared + " foxtrot",                    # grams: 2
+            "golf hotel " + shared,                 # grams: 3 (1 shared)
+            "india juliet kilo",                    # < 5 tokens: none
+        ]),
+    })
+    g = gram_rows(t, k=5)
+    per_doc = {}
+    for r in g.to_pylist():
+        per_doc.setdefault(r["doc_id"], set()).add(r["g"])
+    assert len(per_doc[1]) == 2 and len(per_doc[2]) == 3
+    assert 3 not in per_doc
+    assert len(per_doc[1] & per_doc[2]) == 1   # the shared 5-gram
+
+    out = {r["doc_id"]: r
+           for r in dup_ngram_stats(rd.from_arrow(t), k=5,
+                                    num_buckets=4).take_all()}
+    assert out[1]["n_grams"] == 2 and out[1]["n_dup_grams"] == 1
+    assert out[2]["n_grams"] == 3 and out[2]["n_dup_grams"] == 1
+    assert out[1]["dup_frac"] == 0.5
+    assert 3 not in out
+
+
+def test_decontaminate_flags_shared_grams():
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.stages.dedup import _bench_mask, decontaminate
+
+    # find one doc_id in the 5% benchmark slice and two outside it
+    import numpy as np
+    ids = np.arange(200, dtype=np.int64)
+    m = _bench_mask(ids, 5)
+    bench_id = int(ids[m][0])
+    train_a, train_b = (int(x) for x in ids[~m][:2])
+    shared = "alpha bravo charlie delta echo"
+    t = pa.table({
+        "doc_id": pa.array([bench_id, train_a, train_b], type=pa.int64()),
+        "text": pa.array([
+            shared + " foxtrot golf",
+            shared + " hotel india",        # contaminated (1 shared gram)
+            "juliet kilo lima mike november oscar",  # clean
+        ]),
+    })
+    out = {r["doc_id"]: r["n_hits"]
+           for r in decontaminate(rd.from_arrow(t),
+                                  num_buckets=2).take_all()}
+    assert out == {train_a: 1}

@@ -320,6 +320,19 @@ def q_doc_tfidf_topk(sf_dir: str) -> rd.Dataset:
     return tfidf_topk(read_documents(sf_dir))
 
 
+def q_doc_dup_ngrams(sf_dir: str) -> rd.Dataset:
+    """MassiveText-style duplicated-5-gram count/fraction per document."""
+    from ..stages.dedup import dup_ngram_stats
+    return dup_ngram_stats(read_documents(sf_dir))
+
+
+def q_doc_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Benchmark decontamination: train docs sharing 5-grams with the
+    deterministic benchmark slice."""
+    from ..stages.dedup import decontaminate
+    return decontaminate(read_documents(sf_dir))
+
+
 def q_doc_pii_redact(sf_dir: str) -> rd.Dataset:
     """PII redaction over documents with deterministic planted PII
     (stages/pii.py — counts + placeholder rewrite, md5-pinned)."""
@@ -538,6 +551,8 @@ QUERIES = {
     "event_props_k_stats": q_event_props_k_stats,
     "customer_running_total": q_customer_running_total,
     "doc_pii_redact": q_doc_pii_redact,
+    "doc_dup_ngrams": q_doc_dup_ngrams,
+    "doc_decontaminate": q_doc_decontaminate,
     "event_recent_activity": q_event_recent_activity,
     "doc_simhash": q_doc_simhash,
     "simhash_near_dup": q_simhash_near_dup,

@@ -362,3 +362,140 @@ def jaccard_pairs(docs: rd.Dataset, threshold: float,
         })
 
     return joined.map_batches(verify, batch_format="pandas")
+
+
+def gram_rows(t: pa.Table, k: int = 5) -> pa.Table:
+    """Per-doc DISTINCT k-gram hashes as (doc_id, g) rows — the shared
+    front end of the corpus-level n-gram operators (dup_ngram_stats,
+    decontaminate).  Fully vectorised: one tokenize, md5 once per
+    DISTINCT token (per-worker memo), the exact int64 polynomial fold
+    s -> (s*31 + t) % 2^30 applied across the whole flattened batch, a
+    row-boundary mask (a gram never crosses documents), and one packed
+    np.unique for the per-doc distinct.  Docs with fewer than k tokens
+    emit no rows (shared rule with the SQL mirror)."""
+    import pyarrow.compute as pc
+
+    from ..util import list_row_indices
+
+    toks = tokenize_column(t["text"])
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "g": pa.array([], type=pa.int64())})
+    n = len(flat)
+    if n < k:
+        return empty
+    row_of = list_row_indices(toks)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    vocab_h = _token_hashes(enc.dictionary.to_pylist())
+    th = vocab_h[enc.indices.to_numpy(zero_copy_only=False)]
+    m = n - k + 1
+    s = th[:m].copy()
+    for j in range(1, k):
+        s = (s * 31 + th[j:j + m]) % _SHINGLE_MOD
+    valid = row_of[:m] == row_of[k - 1:]
+    if not valid.any():
+        return empty
+    pack = np.unique(row_of[:m][valid] * np.int64(_SHINGLE_MOD)
+                     + s[valid])
+    rows = (pack // _SHINGLE_MOD).astype(np.int64)
+    return pa.table({
+        "doc_id": t["doc_id"].take(pa.array(rows)),
+        "g": pa.array(pack % _SHINGLE_MOD, type=pa.int64()),
+    })
+
+
+def dup_ngram_stats(docs: rd.Dataset, k: int = 5,
+                    num_buckets: int = 32) -> rd.Dataset:
+    """MassiveText-style duplicated-n-gram signal (Rae et al. 2021 §A1.1):
+    per document, the count and fraction of its distinct k-grams that
+    also occur in at least one OTHER document.  Two bucketed shuffles,
+    both over (int64, int64) rows only — never text: grams keyed on the
+    gram hash to attach corpus doc-counts, then keyed on doc_id for the
+    per-doc fold.  No joins, no driver materialisation, no broadcast —
+    the corpus-frequency side scales with distinct grams, not documents.
+    """
+    from .groups import bucketed_group_apply
+
+    grams = docs.map_batches(lambda t: gram_rows(t, k),
+                             batch_format="pyarrow")
+
+    def attach_docfreq(df: pd.DataFrame) -> pd.DataFrame:
+        # grams are per-doc distinct, so the group size IS the doc count
+        nd = df.groupby("g")["doc_id"].transform("size")
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "dup": (nd > 1).astype("int64")})
+
+    flagged = bucketed_group_apply(
+        grams, ["g"], attach_docfreq, num_buckets=num_buckets,
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("dup", pa.int64())]))
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_grams=("dup", "size"), n_dup_grams=("dup", "sum"))
+        g["n_grams"] = g["n_grams"].astype("int64")
+        g["n_dup_grams"] = g["n_dup_grams"].astype("int64")
+        g["dup_frac"] = (np.floor(g["n_dup_grams"] / g["n_grams"]
+                                  * 1e6 + 0.5) / 1e6)
+        return g
+
+    return bucketed_group_apply(
+        flagged, ["doc_id"], per_doc, num_buckets=num_buckets,
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_grams", pa.int64()),
+                              ("n_dup_grams", pa.int64()),
+                              ("dup_frac", pa.float64())]))
+
+
+def _bench_mask(ids: np.ndarray, pct: int) -> np.ndarray:
+    """Deterministic benchmark membership: md5_number_upper(doc_id) % 100
+    < pct (the same content-stable hash rule as the train/val split)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                        "little") % 100 < pct for i in ids),
+        dtype=bool, count=len(ids))
+
+
+def decontaminate(docs: rd.Dataset, k: int = 5, bench_pct: int = 5,
+                  num_buckets: int = 16) -> rd.Dataset:
+    """Benchmark decontamination (GPT-3 appendix-C style): flag training
+    documents sharing any k-gram with a held-out benchmark set.  The
+    benchmark here is the deterministic hash slice doc_id%100 < bench_pct
+    — in production it is the real eval set, same plumbing.
+
+    Scale shape: the benchmark gram set is deduped with a bucketed
+    distinct and met via a PARTITIONED hash join on the gram hash (never
+    broadcast — a 100 TB-scale benchmark suite can exceed driver memory);
+    only (int64, int64) rows move.  Output: one row per contaminated
+    non-benchmark document with its distinct-gram hit count."""
+    from .groups import bucketed_group_apply, distinct
+    from .joins import hash_join
+
+    def split(bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = _bench_mask(ids, bench_pct)
+            return gram_rows(t.filter(pa.array(m if bench else ~m)), k)
+        return fn
+
+    bench_grams = distinct(
+        docs.map_batches(split(True), batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["g"]), batch_format="pyarrow"),
+        ["g"], num_buckets=num_buckets)
+    train_grams = docs.map_batches(split(False), batch_format="pyarrow")
+    hits = hash_join(train_grams, bench_grams, on=["g"],
+                     num_buckets=num_buckets)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).agg(n_hits=("g", "size"))
+        g["n_hits"] = g["n_hits"].astype("int64")
+        return g
+
+    return bucketed_group_apply(
+        hits, ["doc_id"], per_doc, num_buckets=num_buckets,
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_hits", pa.int64())]))
