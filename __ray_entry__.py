@@ -567,6 +567,58 @@ _SQL_KNN_EXACT = """
 """
 
 
+def _sql_kmeans(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+    """DuckDB mirror of stages/kmeans.kmeans_assign — the Lloyd loop
+    unrolled to ``iters`` CTE rounds.  Hash-exactness rests on the
+    integer contract shared with the engine (kmeans.py module doc):
+    micro-unit quantisation, exact int64 distances, min(dist·k + cid)
+    assignment keys, integer half-away-from-zero centroid means, empty
+    clusters keeping the previous centroid.  ``dim`` matches the
+    embeddings fixture (64 at the driver's check scale)."""
+    dist = (f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> (q.qe[i] - c.qe[i]) * (q.qe[i] - c.qe[i])))")
+    ctes = [f"""q AS MATERIALIZED (
+            SELECT vec_id, list_transform(embedding, x ->
+                CAST(floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5)
+                     * sign(CAST(x AS DOUBLE)) AS BIGINT)) AS qe
+            FROM embeddings)""",
+            f"""c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                        AS BIGINT) AS cid, qe
+            FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT {k}))"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""a{it} AS (
+            SELECT q.vec_id,
+                   CAST(min(({dist}) * {k} + c.cid) % {k} AS BIGINT) AS cl
+            FROM q, {prev} c GROUP BY q.vec_id)""")
+        ctes.append(f"""s{it} AS (
+            SELECT cl AS cid, d, SUM(v) AS sv, count(*) AS n
+            FROM (SELECT a.cl, unnest(q.qe) AS v,
+                         generate_subscripts(q.qe, 1) AS d
+                  FROM q JOIN a{it} a USING (vec_id))
+            GROUP BY cl, d)""")
+        ctes.append(f"""c{it} AS (
+            SELECT p.cid, COALESCE(u.qe, p.qe) AS qe
+            FROM {prev} p LEFT JOIN (
+                SELECT cid,
+                       list(CAST(CASE WHEN sv >= 0
+                                 THEN (2 * sv + n) // (2 * n)
+                                 ELSE -((-2 * sv + n) // (2 * n)) END
+                            AS BIGINT) ORDER BY d) AS qe
+                FROM s{it} GROUP BY cid) u USING (cid))""")
+        prev = f"c{it}"
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT q.vec_id,
+               CAST(min(({dist}) * {k} + c.cid) % {k} AS BIGINT)
+                   AS cluster,
+               CAST(min(({dist}) * {k} + c.cid) // {k} AS BIGINT) AS dist
+        FROM q, {prev} c GROUP BY q.vec_id
+    """
+
+
 def _sql_pii_redact() -> str:
     """DuckDB mirror of stages/pii.redact_batch over planted PII
     (stages/pii.plant_pii_batch): patterns, replacement order and the
@@ -942,6 +994,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_ngrams": _sql_dup_ngram_stats(tok),
         # benchmark decontamination via shared k-grams (dedup.py)
         "doc_decontaminate": _sql_decontaminate(tok),
+        # distributed k-means, integer-exact Lloyd rounds (kmeans.py)
+        "kmeans_clusters": _sql_kmeans(),
         # add-one-smoothed corpus bigram LM scores; per-term int64
         # micro-unit scaling makes the per-doc sum order-independent
         # (mirror of stages/lm.bigram_lm_scores)

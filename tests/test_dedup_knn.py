@@ -199,3 +199,72 @@ def test_decontaminate_flags_shared_grams():
            for r in decontaminate(rd.from_arrow(t),
                                   num_buckets=2).take_all()}
     assert out == {train_a: 1}
+
+
+def test_kmeans_integer_contract_tiny():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.stages.kmeans import kmeans_assign, quantize
+
+    # round half away from zero, negative values included
+    q = quantize(np.array([0.0000005, -0.0000005, 1.25, -1.25]))
+    assert list(q) == [1, -1, 1250000, -1250000]
+
+    # two obvious 1-d clusters; init = two smallest vec_ids (one per side)
+    emb = [[0.0], [0.1], [0.11], [1.0], [1.1], [0.9]]
+    t = pa.table({"vec_id": pa.array(range(6), type=pa.int64()),
+                  "embedding": pa.array(emb,
+                                        type=pa.list_(pa.float32()))})
+    # vec_id 0 (0.0) and 1 (0.1) seed the centroids; after iterations the
+    # low cluster holds {0,1,2} and the high cluster {3,4,5}
+    out = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assign(rd.from_arrow(t), k=2,
+                                  iters=4).take_all()}
+    assert out[0] == out[1] == out[2]
+    assert out[3] == out[4] == out[5]
+    assert out[0] != out[3]
+
+
+def test_kmeans_matches_sequential_reference():
+    """The distributed fit must equal a single-process NumPy reference of
+    the same integer-exact algorithm on the driver's sf0.001 embeddings
+    — distribution (blocks, batch order, partial-sum combine order) must
+    not change a single assignment."""
+    import numpy as np
+
+    from wsid_ray.sources.pqclean import read_parquet_clean
+    from wsid_ray.stages.kmeans import kmeans_assign, quantize
+
+    sf = "/root/testdata/sf0.001"
+    k, iters = 10, 5
+    df = read_parquet_clean(f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]).to_pandas()
+    df = df.sort_values("vec_id", ignore_index=True)
+    Q = quantize(np.vstack(df["embedding"].to_numpy()))
+
+    def keys(cents):
+        d = ((Q * Q).sum(1, dtype=np.int64)[:, None] - 2 * (Q @ cents.T)
+             + (cents * cents).sum(1, dtype=np.int64)[None, :])
+        return (d * np.int64(k)
+                + np.arange(k, dtype=np.int64)[None, :]).min(1)
+
+    cents = Q[:k].copy()        # vec_ids are sorted: k smallest seed
+    for _ in range(iters):
+        cl = keys(cents) % k
+        for j in range(k):
+            m = cl == j
+            if m.any():
+                S, n = Q[m].sum(0, dtype=np.int64), int(m.sum())
+                cents[j] = np.where(S >= 0, (2 * S + n) // (2 * n),
+                                    -((-2 * S + n) // (2 * n)))
+    key = keys(cents)
+    exp = dict(zip(df["vec_id"], zip(key % k, key // k)))
+
+    got = {r["vec_id"]: (r["cluster"], r["dist"])
+           for r in kmeans_assign(
+               read_parquet_clean(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]),
+               k=k, iters=iters).take_all()}
+    assert got == exp

@@ -479,6 +479,14 @@ def q_knn_recall(sf_dir: str) -> pa.Table:
     })
 
 
+def q_kmeans_clusters(sf_dir: str) -> rd.Dataset:
+    """Distributed k-means over the embeddings table — final (vec_id,
+    cluster, dist) assignment after 3 integer-exact Lloyd rounds."""
+    from ..stages.kmeans import kmeans_assign
+    from ..stages.knn import read_embeddings
+    return kmeans_assign(read_embeddings(sf_dir), k=4, iters=3)
+
+
 def q_doc_embed_near_dup(sf_dir: str) -> rd.Dataset:
     """End-to-end text near-dup via embeddings: documents -> batched
     'model inference' actor pool (deterministic fake embedder) -> exact
@@ -564,6 +572,7 @@ QUERIES = {
     "knn_lsh_topk": q_knn_lsh_topk,
     "knn_recall": q_knn_recall,
     "embedding_near_dup": q_embedding_near_dup,
+    "kmeans_clusters": q_kmeans_clusters,
     "doc_embed_near_dup": q_doc_embed_near_dup,
     "user_sessions": q_user_sessions,
     "media_features": q_media_features,
