@@ -619,6 +619,43 @@ def _sql_kmeans(k: int = 4, iters: int = 3, dim: int = 64) -> str:
     """
 
 
+def _sql_semdedup(k: int = 4, iters: int = 3, dim: int = 64,
+                  tau: float = 0.35) -> str:
+    """DuckDB mirror of stages/kmeans.semantic_dedup: the k-means
+    assignment subquery (same unrolled Lloyd mirror), then within-cluster
+    pairs with integer-exact quantised cosine (int64 dot over float64
+    sqrt norms, half-away 6 dp) — drop rule and witness shared with the
+    engine."""
+    quant = (f"list_transform(embedding, x -> "
+             f"CAST(floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) "
+             f"* sign(CAST(x AS DOUBLE)) AS BIGINT))")
+    rng = f"range(1, {dim + 1})"
+    return f"""
+        WITH asg AS (SELECT vec_id, cluster
+                     FROM ({_sql_kmeans(k, iters, dim)})),
+        q2 AS (SELECT vec_id, {quant} AS qe FROM embeddings),
+        aq AS (SELECT asg.vec_id, asg.cluster, q2.qe,
+                      list_sum(list_transform({rng},
+                          i -> q2.qe[i] * q2.qe[i])) AS nq
+               FROM asg JOIN q2 USING (vec_id)),
+        pairs0 AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   CAST(list_sum(list_transform({rng},
+                        i -> a.qe[i] * b.qe[i])) AS DOUBLE)
+                   / (sqrt(CAST(a.nq AS DOUBLE))
+                      * sqrt(CAST(b.nq AS DOUBLE))) AS cos
+            FROM aq a JOIN aq b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE a.nq > 0 AND b.nq > 0),
+        pairs AS (
+            SELECT va, vb FROM pairs0
+            WHERE floor(abs(cos) * 1e6 + 0.5) * sign(cos) / 1e6 >= {tau})
+        SELECT vb AS vec_id, min(va) AS kept_by,
+               CAST(count(*) AS BIGINT) AS n_sim
+        FROM pairs GROUP BY vb
+    """
+
+
 def _sql_pii_redact() -> str:
     """DuckDB mirror of stages/pii.redact_batch over planted PII
     (stages/pii.plant_pii_batch): patterns, replacement order and the
@@ -996,6 +1033,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": _sql_decontaminate(tok),
         # distributed k-means, integer-exact Lloyd rounds (kmeans.py)
         "kmeans_clusters": _sql_kmeans(),
+        # SemDeDup: within-cluster near-identical drops (kmeans.py)
+        "semdedup_drops": _sql_semdedup(),
         # add-one-smoothed corpus bigram LM scores; per-term int64
         # micro-unit scaling makes the per-doc sum order-independent
         # (mirror of stages/lm.bigram_lm_scores)

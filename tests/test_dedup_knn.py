@@ -268,3 +268,29 @@ def test_kmeans_matches_sequential_reference():
                                   columns=["vec_id", "embedding"]),
                k=k, iters=iters).take_all()}
     assert got == exp
+
+
+def test_semantic_dedup_drop_rule():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.stages.kmeans import semantic_dedup
+
+    # two tight direction groups; within each, larger vec_ids get dropped
+    # by the smallest member (cos = 1.0 for parallel vectors)
+    emb = [[1.0, 0.0], [2.0, 0.0], [3.0, 0.01],     # ~ +x direction
+           [0.0, 1.0], [0.0, 5.0],                  # ~ +y direction
+           [-1.0, 0.0]]                             # alone (cos -1 vs +x)
+    t = pa.table({"vec_id": pa.array(range(6), type=pa.int64()),
+                  "embedding": pa.array(emb, type=pa.list_(pa.float32()))})
+    out = {r["vec_id"]: (r["kept_by"], r["n_sim"])
+           for r in semantic_dedup(rd.from_arrow(t), k=2, iters=3,
+                                   tau=0.9).take_all()}
+    # exact pairs depend on the k-means split, but the invariants hold:
+    # every dropped vector's witness is a smaller id, and the -x vector
+    # is never dropped by a +x one (cosine -1)
+    assert out, "planted parallel vectors must produce drops"
+    for v, (w, n) in out.items():
+        assert w < v and n >= 1
+    assert 1 in out and out[1][0] == 0   # 2x is dropped by 1x
+    assert 5 not in out

@@ -487,6 +487,14 @@ def q_kmeans_clusters(sf_dir: str) -> rd.Dataset:
     return kmeans_assign(read_embeddings(sf_dir), k=4, iters=3)
 
 
+def q_semdedup_drops(sf_dir: str) -> rd.Dataset:
+    """SemDeDup: within-k-means-cluster near-identical vectors dropped
+    (vec_id, smallest witness, similar-neighbour count)."""
+    from ..stages.kmeans import semantic_dedup
+    from ..stages.knn import read_embeddings
+    return semantic_dedup(read_embeddings(sf_dir), k=4, iters=3, tau=0.35)
+
+
 def q_doc_embed_near_dup(sf_dir: str) -> rd.Dataset:
     """End-to-end text near-dup via embeddings: documents -> batched
     'model inference' actor pool (deterministic fake embedder) -> exact
@@ -573,6 +581,7 @@ QUERIES = {
     "knn_recall": q_knn_recall,
     "embedding_near_dup": q_embedding_near_dup,
     "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_drops": q_semdedup_drops,
     "doc_embed_near_dup": q_doc_embed_near_dup,
     "user_sessions": q_user_sessions,
     "media_features": q_media_features,

@@ -72,11 +72,13 @@ def _init_centroids(embeds: rd.Dataset, k: int) -> np.ndarray:
                                dtype=np.float64))
 
 
-def kmeans_assign(embeds: rd.Dataset, k: int = 4,
-                  iters: int = 3) -> rd.Dataset:
+def kmeans_assign(embeds: rd.Dataset, k: int = 4, iters: int = 3,
+                  include_q: bool = False) -> rd.Dataset:
     """Fit k-means for ``iters`` Lloyd iterations and return the final
     assignment: (vec_id, cluster, dist) with dist the exact quantised
-    squared distance.  See module docstring for the determinism and
+    squared distance (``include_q=True`` additionally carries the
+    quantised vector for downstream within-cluster work, e.g.
+    semantic_dedup).  See module docstring for the determinism and
     scale contract."""
     cents = _init_centroids(embeds, k)
     dim = cents.shape[1]
@@ -120,10 +122,75 @@ def kmeans_assign(embeds: rd.Dataset, k: int = 4,
         C = ray.get(_ref)
         Q = quantize(_to_matrix(t["embedding"]))
         key = _keys(Q, C, k)
-        return pa.table({
+        cols = {
             "vec_id": t["vec_id"],
             "cluster": pa.array(key % k, type=pa.int64()),
             "dist": pa.array(key // k, type=pa.int64()),
-        })
+        }
+        if include_q:
+            cols["qe"] = pa.array(list(Q), type=pa.list_(pa.int64()))
+        return pa.table(cols)
 
     return embeds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup(embeds: rd.Dataset, k: int = 4, iters: int = 3,
+                   tau: float = 0.35,
+                   num_buckets: int | None = None) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space with k-means, then drop near-identical members WITHIN each
+    cluster — the clusters bound the otherwise O(n²) pair search, which
+    is the whole point of the method at 100 TB (raise ``k`` so cluster
+    sizes stay per-task-sized; the pair stage is per-cluster quadratic).
+
+    Determinism: cosine is computed from the integer-exact quantised
+    vectors (int64 dot / product of float64 sqrts of int64 norms — no
+    float summation anywhere), rounded half-away-from-zero at 6 dp, so
+    the SQL mirror is hash-exact.  Drop rule: a vector is dropped iff a
+    SMALLER vec_id in its cluster has cosine ≥ tau; output one row per
+    dropped vector with its smallest witness and its count of similar
+    smaller neighbours."""
+    import pandas as pd
+
+    from .groups import bucketed_group_apply
+
+    asg = kmeans_assign(embeds, k=k, iters=iters, include_q=True)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_v, out_w, out_n = [], [], []
+        for _, g in df.groupby("cluster", sort=False):
+            Q = np.vstack(g["qe"].to_numpy()).astype(np.int64)
+            ids = g["vec_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            Q, ids = Q[order], ids[order]
+            nq = (Q * Q).sum(axis=1, dtype=np.int64)
+            ok = nq > 0
+            Q, ids, nq = Q[ok], ids[ok], nq[ok]
+            if len(ids) < 2:
+                continue
+            dot = (Q @ Q.T).astype(np.float64)
+            den = np.sqrt(nq.astype(np.float64))
+            cos = dot / (den[:, None] * den[None, :])
+            cos6 = np.floor(np.abs(cos) * 1e6 + 0.5) * np.sign(cos) / 1e6
+            hit = np.triu(cos6 >= tau, 1)          # a(row) < b(col)
+            n_sim = hit.sum(axis=0)
+            has = n_sim > 0
+            if not has.any():
+                continue
+            first = hit.argmax(axis=0)             # smallest witness row
+            out_v.extend(ids[has])
+            out_w.extend(ids[first[has]])
+            out_n.extend(n_sim[has])
+        return pd.DataFrame({
+            "vec_id": pd.Series(out_v, dtype="int64"),
+            "kept_by": pd.Series(out_w, dtype="int64"),
+            "n_sim": pd.Series(out_n, dtype="int64"),
+        })
+
+    return bucketed_group_apply(
+        asg, ["cluster"], pairs,
+        num_buckets=num_buckets or min(k, 32),
+        out_schema=pa.schema([("vec_id", pa.int64()),
+                              ("kept_by", pa.int64()),
+                              ("n_sim", pa.int64())]))
