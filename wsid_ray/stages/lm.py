@@ -184,14 +184,22 @@ def bigram_lm_scores(docs: rd.Dataset,
     from ..pipelines.analytics import bucketed_sum
     from .joins import hash_join
 
-    kg = docs.map_batches(doc_bigram_partial, batch_format="pyarrow")
+    # the per-doc bigram table feeds the model fold AND the scoring join;
+    # pin it once instead of recomputing the tokenise per consumer.  It is
+    # a REDUCED derivative (counts, no text) so it is safe to hold in the
+    # object store at bench scales; the 100 TB plan checkpoints it to
+    # parquet between the passes instead (same two-pass shape).
+    kg = docs.map_batches(doc_bigram_partial,
+                          batch_format="pyarrow").materialize()
     model_bg = bucketed_sum(
         kg.select_columns(["w1", "w2", "k"]).map_batches(
             lambda t: t.rename_columns(["w1", "w2", "c"]),
             batch_format="pyarrow"),
-        ["w1", "w2"], ["c"], num_buckets=num_buckets)
+        ["w1", "w2"], ["c"], num_buckets=num_buckets).materialize()
+    # head counts fold the (small) bigram-type model table, not the
+    # per-doc rows: Σ_v c(w, v) is the same sum either way
     model_head = bucketed_sum(
-        kg.select_columns(["w1", "k"]).map_batches(
+        model_bg.select_columns(["w1", "c"]).map_batches(
             lambda t: t.rename_columns(["w1", "ch"]),
             batch_format="pyarrow"),
         ["w1"], ["ch"], num_buckets=num_buckets)
