@@ -1113,6 +1113,18 @@ def oracle_sql() -> dict[str, str]:
             WINDOW win AS (PARTITION BY o_custkey
                            ORDER BY o_orderdate, o_orderkey)
         """,
+        # ROLLUP aggregate (mirror of analytics.events_rollup: one scan,
+        # coarser levels derived; lvl = the GROUPING bitmask)
+        "events_rollup": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   CAST(GROUPING(event_type, date_trunc('day', ts))
+                        AS BIGINT) AS lvl
+            FROM events
+            GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+        """,
         # range (interval) self-join (mirror of
         # analytics.event_recent_activity: same user's other events in the
         # trailing 6 hours, exact integer cents)

@@ -60,3 +60,25 @@ def test_distinct():
     out = distinct(ds, ["a", "b"], num_buckets=4).to_pandas()
     assert sorted(map(tuple, out.itertuples(index=False))) == [
         ("x", 1), ("x", 9), ("y", 2)]
+
+
+def test_events_rollup_levels():
+    import duckdb
+
+    from wsid_ray.pipelines.analytics import events_rollup
+
+    sf = "/root/testdata/sf0.001"
+    out = events_rollup(sf).to_pandas()
+    lvl = out.groupby("lvl").size().to_dict()
+    con = duckdb.connect()
+    exp = con.sql(f"""
+        SELECT CAST(GROUPING(event_type, date_trunc('day', ts)) AS BIGINT)
+                   AS lvl, count(*) AS c
+        FROM read_parquet('{sf}/events.parquet')
+        GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+    """).df().groupby("lvl")["c"].size().to_dict()
+    assert lvl == exp
+    # grand total equals the sum of subtotals
+    g = out[out["lvl"] == 3]
+    assert len(g) == 1
+    assert g["n"].iloc[0] == out[out["lvl"] == 1]["n"].sum()

@@ -478,3 +478,61 @@ def event_recent_activity(sf_dir: str, window_min: int = 360) -> rd.Dataset:
                                on_left=["user_id"], on_right=["user_id"],
                                fn=fn, out_schema=out_schema,
                                num_buckets=16)
+
+
+def events_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP(event_type, day) over events — count + exact cent
+    sum at three levels: (type, day), per-type subtotal, grand total,
+    with ``lvl`` = the SQL GROUPING bitmask (0 / 1 / 3).  The classic
+    rollup plan: shuffle ONCE for the finest level, then derive every
+    coarser level by re-aggregating the (tiny) fine aggregate — the raw
+    events are scanned exactly once at any scale."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(day=df["ts"].dt.floor("D"),
+                       cents=_cents(df["value"].to_numpy()))
+        g = df.groupby(["event_type", "day"], sort=True).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    fine = bucketed_sum(ds.map_batches(partial, batch_format="pandas"),
+                        ["event_type", "day"], ["n", "sum_cents"],
+                        num_buckets=16).materialize()
+
+    schema = pa.schema([("event_type", pa.string()),
+                        ("day", pa.timestamp("us")),
+                        ("n", pa.int64()), ("sum_cents", pa.int64()),
+                        ("lvl", pa.int64())])
+
+    def with_lvl(lvl: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("lvl", pa.array([lvl] * t.num_rows,
+                                                   type=pa.int64())) \
+                    .select(schema.names).cast(schema)
+        return fn
+
+    lvl0 = fine.map_batches(with_lvl(0), batch_format="pyarrow")
+
+    def sub(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False, as_index=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+        g["day"] = pd.Series([pd.NaT] * len(g), dtype="datetime64[us]")
+        g["lvl"] = np.int64(1)
+        return g[["event_type", "day", "n", "sum_cents", "lvl"]]
+
+    lvl1 = bucketed_group_apply(fine, ["event_type"], sub, num_buckets=4,
+                                out_schema=schema).materialize()
+
+    tot = lvl1.to_pandas()
+    grand = pa.Table.from_pylist([{
+        "event_type": None, "day": None,
+        "n": int(tot["n"].sum()), "sum_cents": int(tot["sum_cents"].sum()),
+        "lvl": 3,
+    }], schema=schema)
+
+    return lvl0.union(lvl1, rd.from_arrow(grand))

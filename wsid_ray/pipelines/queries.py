@@ -352,6 +352,12 @@ def q_event_props_k_stats(sf_dir: str) -> rd.Dataset:
     return analytics.event_props_k_stats(sf_dir)
 
 
+def q_events_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP(event_type, day): fine level + subtotals + grand
+    total, one raw-event scan."""
+    return analytics.events_rollup(sf_dir)
+
+
 def q_customer_running_total(sf_dir: str) -> rd.Dataset:
     """Partitioned window function: per-customer running order total."""
     return analytics.customer_running_total(sf_dir)
@@ -570,6 +576,7 @@ QUERIES = {
     "doc_dup_ngrams": q_doc_dup_ngrams,
     "doc_decontaminate": q_doc_decontaminate,
     "event_recent_activity": q_event_recent_activity,
+    "events_rollup": q_events_rollup,
     "doc_simhash": q_doc_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "doc_dup_components": q_doc_dup_components,
