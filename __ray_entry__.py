@@ -1029,6 +1029,39 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_redact": _sql_pii_redact(),
         # MassiveText-style duplicated-n-gram fraction (dedup.py)
         "doc_dup_ngrams": _sql_dup_ngram_stats(tok),
+        # composed curation chain: filter -> langid -> exact dedup ->
+        # split -> summary (mirror of queries.q_doc_pipeline_summary;
+        # each CTE is the already-proven per-stage mirror, joined on
+        # doc_id, dedup first-wins over the KEPT set only)
+        "doc_pipeline_summary": f"""
+            WITH kept AS (
+                SELECT doc_id, n_chars FROM ({_sql_doc_quality(stop)})
+                WHERE n_chars >= 80 AND alpha_ratio >= 0.6
+                  AND stop_ratio <= 0.5),
+            lang AS (SELECT doc_id, lang_pred FROM ({_sql_doc_langid()})),
+            fp AS (SELECT doc_id,
+                          md5(array_to_string({tok}, ' ')) AS fingerprint
+                   FROM documents),
+            dedup AS (
+                SELECT doc_id FROM (
+                    SELECT k.doc_id,
+                           row_number() OVER (PARTITION BY f.fingerprint
+                                              ORDER BY k.doc_id) AS rn
+                    FROM kept k JOIN fp f USING (doc_id))
+                WHERE rn = 1),
+            final AS (
+                SELECT l.lang_pred,
+                       CASE WHEN md5_number_upper(CAST(d.doc_id
+                                AS VARCHAR)) % 100 < 95
+                            THEN 'train' ELSE 'val' END AS split,
+                       k.n_chars
+                FROM dedup d JOIN lang l USING (doc_id)
+                JOIN kept k USING (doc_id))
+            SELECT lang_pred, split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM final GROUP BY lang_pred, split
+        """,
         # benchmark decontamination via shared k-grams (dedup.py)
         "doc_decontaminate": _sql_decontaminate(tok),
         # distributed k-means, integer-exact Lloyd rounds (kmeans.py)

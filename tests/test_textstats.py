@@ -141,3 +141,20 @@ def test_pii_redact_real_shapes():
     assert [r["n_emails"] - o["n_emails"] for r, o in zip(red, out)] \
         == [1, 1, 1]
     assert [r["n_ips"] - o["n_ips"] for r, o in zip(red, out)] == [1, 1, 1]
+
+
+def test_doc_pipeline_summary_invariants():
+    import duckdb
+
+    from wsid_ray.pipelines.queries import q_doc_pipeline_summary
+
+    sf = "/root/testdata/sf0.001"
+    out = q_doc_pipeline_summary(sf).to_pandas()
+    con = duckdb.connect()
+    total = con.sql(f"SELECT count(*) FROM read_parquet("
+                    f"'{sf}/documents.parquet')").fetchone()[0]
+    # the chain only ever drops documents, and the summary partitions the
+    # survivors
+    assert 0 < out["n_docs"].sum() <= total
+    assert set(out["split"]) <= {"train", "val"}
+    assert (out["sum_chars"] >= out["n_docs"] * 80).all()  # filter floor

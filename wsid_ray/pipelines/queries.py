@@ -320,6 +320,59 @@ def q_doc_tfidf_topk(sf_dir: str) -> rd.Dataset:
     return tfidf_topk(read_documents(sf_dir))
 
 
+def q_doc_pipeline_summary(sf_dir: str) -> rd.Dataset:
+    """End-to-end training-data curation chain, one query: C4 quality
+    filter -> language ID -> exact dedup (first doc_id wins per content
+    fingerprint) -> deterministic train/val split -> per-(lang, split)
+    corpus summary.  The four per-doc stages FUSE into a single
+    map_batches (stateless, no barrier between them); only the dedup and
+    the final aggregate shuffle — and both move tiny derived rows, never
+    text."""
+    from ..stages.groups import bucketed_group_apply
+    from ..stages.textstats import (fingerprint_batch, langid_batch,
+                                    quality_batch, quality_filter_batch,
+                                    split_assign_batch)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        kept = quality_filter_batch(t)
+        return pa.table({
+            "doc_id": kept["doc_id"],
+            "n_chars": quality_batch(kept)["n_chars"],
+            "lang_pred": langid_batch(kept)["lang_pred"],
+            "fingerprint": fingerprint_batch(kept)["fingerprint"],
+            "split": split_assign_batch(kept)["split"],
+        })
+
+    rows = read_documents(sf_dir).map_batches(per_doc,
+                                              batch_format="pyarrow")
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["fingerprint", "doc_id"], kind="mergesort")
+                  .drop_duplicates(subset=["fingerprint"], keep="first"))
+
+    schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64()),
+                        ("lang_pred", pa.string()),
+                        ("fingerprint", pa.string()),
+                        ("split", pa.string())])
+    # partial first-wins per batch, then the keyed combine — same shape
+    # as groups.distinct but with the doc_id tie-break made explicit
+    partial = rows.map_batches(keep_first, batch_format="pandas")
+    deduped = bucketed_group_apply(partial, ["fingerprint"], keep_first,
+                                   num_buckets=16, out_schema=schema)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang_pred", "split"], sort=True).agg(
+            n_docs=("n_chars", "size"),
+            sum_chars=("n_chars", "sum")).reset_index()
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["sum_chars"] = g["sum_chars"].astype("int64")
+        return g
+
+    partials = deduped.map_batches(agg, batch_format="pandas")
+    return analytics.bucketed_sum(partials, ["lang_pred", "split"],
+                                  ["n_docs", "sum_chars"], num_buckets=4)
+
+
 def q_doc_dup_ngrams(sf_dir: str) -> rd.Dataset:
     """MassiveText-style duplicated-5-gram count/fraction per document."""
     from ..stages.dedup import dup_ngram_stats
@@ -574,6 +627,7 @@ QUERIES = {
     "customer_running_total": q_customer_running_total,
     "doc_pii_redact": q_doc_pii_redact,
     "doc_dup_ngrams": q_doc_dup_ngrams,
+    "doc_pipeline_summary": q_doc_pipeline_summary,
     "doc_decontaminate": q_doc_decontaminate,
     "event_recent_activity": q_event_recent_activity,
     "events_rollup": q_events_rollup,
