@@ -1146,6 +1146,24 @@ def oracle_sql() -> dict[str, str]:
             WINDOW win AS (PARTITION BY o_custkey
                            ORDER BY o_orderdate, o_orderkey)
         """,
+        # pivot / conditional aggregation (mirror of
+        # analytics.user_event_pivot; the engine discovers the column set
+        # with a distributed distinct — the mirror enumerates the same
+        # sorted set)
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error')
+                        AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view')
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
         # ROLLUP aggregate (mirror of analytics.events_rollup: one scan,
         # coarser levels derived; lvl = the GROUPING bitmask)
         "events_rollup": """

@@ -82,3 +82,21 @@ def test_events_rollup_levels():
     g = out[out["lvl"] == 3]
     assert len(g) == 1
     assert g["n"].iloc[0] == out[out["lvl"] == 1]["n"].sum()
+
+
+def test_user_event_pivot_row_sums():
+    import duckdb
+
+    from wsid_ray.pipelines.analytics import user_event_pivot
+
+    sf = "/root/testdata/sf0.001"
+    out = user_event_pivot(sf).to_pandas()
+    cols = [c for c in out.columns if c.startswith("n_")]
+    con = duckdb.connect()
+    per_user = con.sql(f"""
+        SELECT user_id, count(*) AS n
+        FROM read_parquet('{sf}/events.parquet') GROUP BY user_id
+    """).df()
+    m = out.merge(per_user, on="user_id")
+    assert (m[cols].sum(axis=1) == m["n"]).all()
+    assert len(out) == len(per_user)

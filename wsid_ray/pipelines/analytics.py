@@ -536,3 +536,32 @@ def events_rollup(sf_dir: str) -> rd.Dataset:
     }], schema=schema)
 
     return lvl0.union(lvl1, rd.from_arrow(grand))
+
+
+def user_event_pivot(sf_dir: str) -> rd.Dataset:
+    """Pivot: one row per user, one count column per event_type
+    (conditional aggregation — the wide-table feature layout).  The
+    column set is discovered with a cheap distributed distinct (tiny
+    driver merge — event-type cardinality is bounded by design, the
+    usual pivot contract), then the counts are partial-before-shuffle
+    folds; column order is sorted, so the schema is deterministic."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    types = sorted({
+        r["event_type"]
+        for r in ds.map_batches(
+            lambda t: pa.table(
+                {"event_type": t["event_type"].unique()}),
+            batch_format="pyarrow").take_all()})
+    cols = [f"n_{tp}" for tp in types]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = pd.crosstab(df["user_id"], df["event_type"])
+        x = x.reindex(columns=types, fill_value=0).reset_index()
+        x.columns = ["user_id"] + cols
+        for c in cols:
+            x[c] = x[c].astype("int64")
+        return x
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_sum(partials, ["user_id"], cols, num_buckets=8)

@@ -405,6 +405,12 @@ def q_event_props_k_stats(sf_dir: str) -> rd.Dataset:
     return analytics.event_props_k_stats(sf_dir)
 
 
+def q_user_event_pivot(sf_dir: str) -> rd.Dataset:
+    """Pivot events to a wide per-user feature row (one count column per
+    event_type)."""
+    return analytics.user_event_pivot(sf_dir)
+
+
 def q_events_rollup(sf_dir: str) -> rd.Dataset:
     """GROUP BY ROLLUP(event_type, day): fine level + subtotals + grand
     total, one raw-event scan."""
@@ -631,6 +637,7 @@ QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "event_recent_activity": q_event_recent_activity,
     "events_rollup": q_events_rollup,
+    "user_event_pivot": q_user_event_pivot,
     "doc_simhash": q_doc_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "doc_dup_components": q_doc_dup_components,
