@@ -567,6 +567,74 @@ _SQL_KNN_EXACT = """
 """
 
 
+def _sql_bigram_lm() -> str:
+    """DuckDB mirror of stages/lm.bigram_lm_scores (add-one-smoothed
+    corpus bigram LM; int64 micro-unit terms so distributed sums are
+    order-free) — also the base of doc_importance_sample."""
+    return r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+            bg AS (
+                SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                      FROM w WHERE len(ws) >= 2)),
+            kg AS (SELECT doc_id, w1, w2, count(*) AS k
+                   FROM bg GROUP BY ALL),
+            cbg AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c
+                    FROM kg GROUP BY ALL),
+            ch AS (SELECT w1, CAST(sum(k) AS BIGINT) AS ch
+                   FROM kg GROUP BY w1),
+            v AS (SELECT count(DISTINCT tok) AS v
+                  FROM (SELECT unnest(ws) AS tok FROM w)),
+            terms AS (
+                SELECT kg.doc_id,
+                    CAST(floor(kg.k * ln((cbg.c + 1.0) / (ch.ch + v.v))
+                        * 1000000 + 0.5) AS BIGINT) AS sc,
+                    kg.k
+                FROM kg JOIN cbg USING (w1, w2) JOIN ch USING (w1)
+                CROSS JOIN v)
+            SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+                floor((CAST(sum(sc) AS DOUBLE) / 1000000.0)
+                      / CAST(sum(k) AS DOUBLE) * 1000000 + 0.5)
+                    / 1000000.0 AS lm_score
+            FROM terms GROUP BY doc_id
+    """
+
+
+def _sql_pack_sequences(cap: int = 256) -> str:
+    """DuckDB mirror of stages/packing.pack_sequences: greedy next-fit
+    over doc_id order per lang, expressed as a recursive CTE advancing
+    all partitions in lockstep on the per-lang row index."""
+    return f"""
+        WITH RECURSIVE tc AS (
+            SELECT doc_id, lang,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   w -> w <> '')) AS nt
+            FROM documents),
+        ord AS (
+            SELECT doc_id, lang, nt,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY doc_id) AS idx
+            FROM tc),
+        packs AS (
+            SELECT lang, idx, doc_id, nt, nt AS acc, 0 AS pack_id
+            FROM ord WHERE idx = 1
+            UNION ALL
+            SELECT o.lang, o.idx, o.doc_id, o.nt,
+                   CASE WHEN p.acc + o.nt <= {cap}
+                        THEN p.acc + o.nt ELSE o.nt END,
+                   CASE WHEN p.acc + o.nt <= {cap}
+                        THEN p.pack_id ELSE p.pack_id + 1 END
+            FROM ord o JOIN packs p
+              ON o.lang = p.lang AND o.idx = p.idx + 1)
+        SELECT doc_id, lang, nt, CAST(pack_id AS BIGINT) AS pack_id
+        FROM packs
+    """
+
+
 def _sql_kmeans(k: int = 4, iters: int = 3, dim: int = 64) -> str:
     """DuckDB mirror of stages/kmeans.kmeans_assign — the Lloyd loop
     unrolled to ``iters`` CTE rounds.  Hash-exactness rests on the
@@ -1064,6 +1132,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # benchmark decontamination via shared k-grams (dedup.py)
         "doc_decontaminate": _sql_decontaminate(tok),
+        # greedy next-fit sequence packing per lang (stages/packing.py)
+        "doc_pack_sequences": _sql_pack_sequences(),
         # distributed k-means, integer-exact Lloyd rounds (kmeans.py)
         "kmeans_clusters": _sql_kmeans(),
         # SemDeDup: within-cluster near-identical drops (kmeans.py)
@@ -1071,36 +1141,16 @@ def oracle_sql() -> dict[str, str]:
         # add-one-smoothed corpus bigram LM scores; per-term int64
         # micro-unit scaling makes the per-doc sum order-independent
         # (mirror of stages/lm.bigram_lm_scores)
-        "bigram_lm_score": r"""
-            WITH w AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '\s+'),
-                                   x -> x <> '') AS ws
-                FROM documents),
-            bg AS (
-                SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
-                FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
-                      FROM w WHERE len(ws) >= 2)),
-            kg AS (SELECT doc_id, w1, w2, count(*) AS k
-                   FROM bg GROUP BY ALL),
-            cbg AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c
-                    FROM kg GROUP BY ALL),
-            ch AS (SELECT w1, CAST(sum(k) AS BIGINT) AS ch
-                   FROM kg GROUP BY w1),
-            v AS (SELECT count(DISTINCT tok) AS v
-                  FROM (SELECT unnest(ws) AS tok FROM w)),
-            terms AS (
-                SELECT kg.doc_id,
-                    CAST(floor(kg.k * ln((cbg.c + 1.0) / (ch.ch + v.v))
-                        * 1000000 + 0.5) AS BIGINT) AS sc,
-                    kg.k
-                FROM kg JOIN cbg USING (w1, w2) JOIN ch USING (w1)
-                CROSS JOIN v)
-            SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-                floor((CAST(sum(sc) AS DOUBLE) / 1000000.0)
-                      / CAST(sum(k) AS DOUBLE) * 1000000 + 0.5)
-                    / 1000000.0 AS lm_score
-            FROM terms GROUP BY doc_id
+        "bigram_lm_score": _sql_bigram_lm(),
+        # DSIR-style importance sampling over the LM score (stages/lm.py)
+        "doc_importance_sample": f"""
+            SELECT doc_id, lm_score, rate FROM (
+                SELECT doc_id, lm_score,
+                       CAST(least(95, greatest(5,
+                            floor((lm_score + 4) * 100 + 0.5)))
+                            AS BIGINT) AS rate
+                FROM ({_sql_bigram_lm()}))
+            WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < rate
         """,
         # top-5 tf-idf tokens per doc, smooth sklearn-style idf; rank
         # ties (score DESC, token ASC) — mirror of stages/lm.tfidf_topk

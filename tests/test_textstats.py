@@ -158,3 +158,39 @@ def test_doc_pipeline_summary_invariants():
     assert 0 < out["n_docs"].sum() <= total
     assert set(out["split"]) <= {"train", "val"}
     assert (out["sum_chars"] >= out["n_docs"] * 80).all()  # filter floor
+
+
+def test_pack_sequences_greedy_invariants():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.stages.packing import pack_sequences
+
+    # one lang, token counts 3/3/3/10/2 with cap 8:
+    # pack0 = {0,1} (3+3=6; +3 would be 9>8), pack1 = {2} +10>8 ->
+    # actually pack1 opens with doc2 (3), doc3 (10) overflows -> pack2
+    # alone, doc4 (2) -> pack3
+    texts = ["a b c", "d e f", "g h i", "j k l m n o p q r s", "t u"]
+    t = pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                  "lang": pa.array(["en"] * 5),
+                  "text": pa.array(texts)})
+    out = {r["doc_id"]: r["pack_id"]
+           for r in pack_sequences(rd.from_arrow(t), cap=8,
+                                   num_buckets=2).take_all()}
+    assert out == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_importance_sample_monotone_and_stable():
+    from wsid_ray.pipelines.queries import q_doc_importance_sample
+
+    sf = "/root/testdata/sf0.001"
+    a = q_doc_importance_sample(sf).to_pandas()
+    b = q_doc_importance_sample(sf).to_pandas()
+    # content-stable: identical sample on re-run
+    pd_a = a.sort_values("doc_id", ignore_index=True)
+    pd_b = b.sort_values("doc_id", ignore_index=True)
+    assert pd_a.equals(pd_b)
+    # rates respect the clamp and are monotone in the score
+    assert a["rate"].between(5, 95).all()
+    s = a.sort_values("lm_score")
+    assert (s["rate"].diff().dropna() >= 0).all()

@@ -313,6 +313,22 @@ def q_bigram_lm_score(sf_dir: str) -> rd.Dataset:
     return bigram_lm_scores(read_documents(sf_dir))
 
 
+def q_doc_pack_sequences(sf_dir: str) -> rd.Dataset:
+    """Greedy next-fit sequence packing (256-token budget per pack,
+    per-lang partitions, doc_id order)."""
+    from ..stages.packing import pack_sequences
+    return pack_sequences(
+        read_documents(sf_dir, columns=["doc_id", "lang", "text"]))
+
+
+def q_doc_importance_sample(sf_dir: str) -> rd.Dataset:
+    """DSIR-style quality-proportional sampling: acceptance rate is a
+    monotone map of the bigram-LM score, acceptance is the deterministic
+    doc_id hash test."""
+    from ..stages.lm import importance_sample
+    return importance_sample(read_documents(sf_dir))
+
+
 def q_doc_tfidf_topk(sf_dir: str) -> rd.Dataset:
     """Top-5 tf-idf tokens per document (smooth idf; deterministic
     tie-break score DESC, token ASC)."""
@@ -627,6 +643,8 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_stratified_sample": q_doc_stratified_sample,
     "bigram_lm_score": q_bigram_lm_score,
+    "doc_importance_sample": q_doc_importance_sample,
+    "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "asof_user_order": q_asof_user_order,
     "event_props_k_stats": q_event_props_k_stats,

@@ -239,3 +239,39 @@ def bigram_lm_scores(docs: rd.Dataset,
         })
 
     return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+def importance_sample(docs: rd.Dataset,
+                      num_buckets: int = 32) -> rd.Dataset:
+    """Quality-proportional importance sampling (the DSIR idea — Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — with the corpus bigram LM as the scorer): each
+    document's acceptance RATE is a monotone map of its LM quality score,
+    and acceptance itself is the deterministic content-stable hash test
+    ``md5_number_upper(doc_id) % 100 < rate`` — no RNG state to ship, so
+    re-runs, resumes and repartitions keep the identical sample.
+
+    rate = clamp(floor((lm_score + 4)·100 + 0.5), 5, 95) — the monotone
+    map is the UDF hook; computed on the 6-dp-rounded score, so both
+    sides of the SQL mirror derive the same integer."""
+    import hashlib
+
+    lm = bigram_lm_scores(docs, num_buckets=num_buckets)
+
+    def pick(t: pa.Table) -> pa.Table:
+        s = t["lm_score"].to_numpy(zero_copy_only=False)
+        rate = np.clip(np.floor((s + 4.0) * 100.0 + 0.5),
+                       5, 95).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                            "little") % 100 for i in ids),
+            dtype=np.int64, count=len(ids))
+        keep = h < rate
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "lm_score": t["lm_score"].filter(pa.array(keep)),
+            "rate": pa.array(rate[keep], type=pa.int64()),
+        })
+
+    return lm.map_batches(pick, batch_format="pyarrow")
