@@ -1039,6 +1039,18 @@ def oracle_sql() -> dict[str, str]:
                        '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) AS n_bpe_tokens
             FROM documents
         """,
+        # source-layer parity: the engine side reads the JSONL / CSV
+        # conversion (sources/textfiles.py); the oracle stays on the
+        # parquet view — a hash match proves the ingest path end to end
+        "doc_token_counts_jsonl": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                       w -> w <> '')) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_quality_csv": _sql_doc_quality(stop),
         "doc_quality": _sql_doc_quality(stop),
         # C4-style filter over the same quality signals (thresholds are
         # the engine's quality_filter_batch defaults)

@@ -56,3 +56,21 @@ def test_read_parquet_clean_directory(pandas_meta_parquet):
     d = os.path.dirname(pandas_meta_parquet)
     s = clean_schema(d)
     assert s is not None and s.metadata is None
+
+
+def test_jsonl_csv_sources_match_parquet():
+    """The three ingest paths must produce identical rows and types."""
+    import pyarrow.parquet as pq
+
+    from wsid_ray.sources.textfiles import (read_documents_csv,
+                                            read_documents_jsonl)
+
+    sf = "/root/testdata/sf0.001"
+    want = pq.read_table(f"{sf}/documents.parquet") \
+        .select(["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    for reader in (read_documents_jsonl, read_documents_csv):
+        got = reader(sf, columns=["doc_id", "text"]).to_pandas() \
+            .sort_values("doc_id", ignore_index=True)
+        assert got["doc_id"].dtype == want["doc_id"].dtype
+        assert got.equals(want), reader.__name__

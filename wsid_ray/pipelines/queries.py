@@ -258,6 +258,22 @@ def q_doc_token_counts(sf_dir: str) -> rd.Dataset:
                                               batch_format="pyarrow")
 
 
+def q_doc_token_counts_jsonl(sf_dir: str) -> rd.Dataset:
+    """Same token-count operator over the JSONL ingest path — source-layer
+    parity check (hash-matches the parquet-view oracle)."""
+    from ..sources.textfiles import read_documents_jsonl
+    return read_documents_jsonl(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(token_counts_batch, batch_format="pyarrow")
+
+
+def q_doc_quality_csv(sf_dir: str) -> rd.Dataset:
+    """Quality scoring over the CSV ingest path — source-layer parity
+    check (hash-matches the parquet-view oracle)."""
+    from ..sources.textfiles import read_documents_csv
+    return read_documents_csv(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(quality_batch, batch_format="pyarrow")
+
+
 def q_doc_quality(sf_dir: str) -> rd.Dataset:
     return read_documents(sf_dir).map_batches(quality_batch,
                                               batch_format="pyarrow")
@@ -635,6 +651,8 @@ QUERIES = {
     "order_price_quantiles": q_order_price_quantiles,
     "events_hopping": q_events_hopping,
     "doc_token_counts": q_doc_token_counts,
+    "doc_token_counts_jsonl": q_doc_token_counts_jsonl,
+    "doc_quality_csv": q_doc_quality_csv,
     "doc_quality": q_doc_quality,
     "doc_quality_filter": q_doc_quality_filter,
     "doc_split_counts": q_doc_split_counts,

@@ -1,0 +1,75 @@
+"""JSONL / CSV document sources — format breadth for the ingest layer.
+
+A complete engine must ingest the row formats corpora actually arrive in
+(web-crawl dumps are JSONL; many label/metadata feeds are CSV), not only
+parquet.  These readers wrap ``ray.data.read_json`` / ``read_csv`` and
+are driver-checked end-to-end: the SQL-checked queries run the SAME
+operator over the JSONL/CSV conversion of the documents table and must
+hash-match the oracle computed from the parquet view — any divergence in
+parsing, typing or row order sensitivity fails the check.
+
+The conversions are derived deterministically from the driver's parquet
+(one atomic write per (version, sf_dir), cached under /tmp) — test
+plumbing only; production points the same readers at real files.
+
+Scale note: JSONL/CSV are row formats — column pruning cannot skip bytes
+at the source the way parquet row groups do; ``columns=`` prunes
+post-parse.  Ray parallelises by file, so shard big corpora into many
+files upstream (the readers accept directories).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+_CONV_VERSION = "v1"
+_ROOT = "/tmp/wsid_ray_textsrc"
+
+
+def _converted(sf_dir: str, fmt: str) -> str:
+    """Deterministic JSONL/CSV conversion of documents.parquet (atomic,
+    idempotent, versioned)."""
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    key = sf_dir.strip("/").replace("/", "_")
+    out_dir = os.path.join(_ROOT, _CONV_VERSION, key)
+    path = os.path.join(out_dir, f"documents.{fmt}")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    tmp = path + ".tmp"
+    if fmt == "jsonl":
+        # sorted keys + explicit separators: byte-deterministic output
+        import json
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in t.to_pylist():
+                f.write(json.dumps(row, sort_keys=True,
+                                   separators=(",", ":")) + "\n")
+    else:
+        pacsv.write_csv(t, tmp)
+    os.rename(tmp, path)  # atomic: concurrent callers converge
+    return path
+
+
+def read_documents_jsonl(sf_dir: str,
+                         columns: list[str] | None = None) -> rd.Dataset:
+    ds = rd.read_json(_converted(sf_dir, "jsonl"))
+    return ds.select_columns(columns) if columns else ds
+
+
+def read_documents_csv(sf_dir: str,
+                       columns: list[str] | None = None) -> rd.Dataset:
+    import pyarrow.csv as pacsv
+    # pin the parse schema from the parquet footer: CSV carries no types,
+    # and inference drift (e.g. int32 vs int64) would flap downstream
+    from .pqclean import clean_schema
+    schema = clean_schema(f"{sf_dir}/documents.parquet")
+    conv = pacsv.ConvertOptions(
+        column_types={f.name: f.type for f in schema} if schema else {})
+    ds = rd.read_csv(_converted(sf_dir, "csv"), convert_options=conv)
+    return ds.select_columns(columns) if columns else ds
