@@ -58,8 +58,10 @@ def run_bench() -> dict:
 
     from wsid_ray.pipelines.queries import (q_bigram_lm_score,
                                             q_conv_text_digest,
+                                            q_doc_dup_ngrams,
                                             q_doc_minhash_candidates,
                                             q_doc_tfidf_topk,
+                                            q_kmeans_clusters,
                                             q_knn_cosine_topk,
                                             q_pricing_summary,
                                             q_unigram_counts)
@@ -71,6 +73,8 @@ def run_bench() -> dict:
         "knn_cosine_topk": q_knn_cosine_topk,
         "bigram_lm_score": q_bigram_lm_score,
         "doc_tfidf_topk": q_doc_tfidf_topk,
+        "doc_dup_ngrams": q_doc_dup_ngrams,
+        "kmeans_clusters": q_kmeans_clusters,
     }
     for name, fn in side.items():
         t0 = time.time()
