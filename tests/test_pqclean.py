@@ -74,3 +74,25 @@ def test_jsonl_csv_sources_match_parquet():
             .sort_values("doc_id", ignore_index=True)
         assert got["doc_id"].dtype == want["doc_id"].dtype
         assert got.equals(want), reader.__name__
+
+
+def test_jsonl_csv_sink_round_trip(tmp_path):
+    """write_json / write_csv shards must read back to the same rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.sources.textfiles import write_csv, write_jsonl
+
+    t = pa.table({"doc_id": pa.array([3, 1, 2], type=pa.int64()),
+                  "text": pa.array(["alpha beta", "gamma", "delta eps"])})
+    ds = rd.from_arrow(t)
+    jd, cd = str(tmp_path / "j"), str(tmp_path / "c")
+    write_jsonl(ds, jd)
+    write_csv(ds, cd)
+    want = t.to_pandas().sort_values("doc_id", ignore_index=True)
+    got_j = rd.read_json(jd).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)[want.columns]
+    got_c = rd.read_csv(cd).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)[want.columns]
+    assert got_j.equals(want)
+    assert got_c.equals(want)

@@ -73,3 +73,14 @@ def read_documents_csv(sf_dir: str,
         column_types={f.name: f.type for f in schema} if schema else {})
     ds = rd.read_csv(_converted(sf_dir, "csv"), convert_options=conv)
     return ds.select_columns(columns) if columns else ds
+
+
+def write_jsonl(ds: rd.Dataset, out_dir: str) -> None:
+    """JSONL sink (one shard file per block — Ray's write_json; row format
+    for downstream tools that don't speak parquet)."""
+    ds.write_json(out_dir)
+
+
+def write_csv(ds: rd.Dataset, out_dir: str) -> None:
+    """CSV sink (one shard per block via Ray's write_csv)."""
+    ds.write_csv(out_dir)
