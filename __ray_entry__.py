@@ -1109,6 +1109,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_redact": _sql_pii_redact(),
         # MassiveText-style duplicated-n-gram fraction (dedup.py)
         "doc_dup_ngrams": _sql_dup_ngram_stats(tok),
+        # URL domain counts over planted URLs (stages/pii.py)
+        "doc_url_domains": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' see https://site'
+                            || CAST(doc_id % 7 AS VARCHAR)
+                            || '.example.com/page/'
+                            || CAST(doc_id AS VARCHAR)
+                            || ' and http://cdn'
+                            || CAST(doc_id % 3 AS VARCHAR)
+                            || '.example.org/x' AS ptext
+                FROM documents),
+            hosts AS (
+                SELECT unnest(regexp_extract_all(ptext,
+                       'https?://([A-Za-z0-9.\-]+)', 1)) AS domain
+                FROM planted)
+            SELECT domain, CAST(count(*) AS BIGINT) AS n
+            FROM hosts GROUP BY domain
+        """,
         # composed curation chain: filter -> langid -> exact dedup ->
         # split -> summary (mirror of queries.q_doc_pipeline_summary;
         # each CTE is the already-proven per-stage mirror, joined on

@@ -194,3 +194,17 @@ def test_importance_sample_monotone_and_stable():
     assert a["rate"].between(5, 95).all()
     s = a.sort_values("lm_score")
     assert (s["rate"].diff().dropna() >= 0).all()
+
+
+def test_url_domain_rows_real_shapes():
+    import pyarrow as pa
+
+    from wsid_ray.stages.pii import url_domain_rows
+
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array([
+                      "x https://a.example.com/p?q=1 y http://b.org z",
+                      "no urls here, https not a scheme",
+                  ])})
+    got = sorted(r["domain"] for r in url_domain_rows(t).to_pylist())
+    assert got == ["a.example.com", "b.org"]

@@ -405,6 +405,13 @@ def q_doc_pipeline_summary(sf_dir: str) -> rd.Dataset:
                                   ["n_docs", "sum_chars"], num_buckets=4)
 
 
+def q_doc_url_domains(sf_dir: str) -> rd.Dataset:
+    """Corpus URL-domain counts over deterministic planted URLs
+    (stages/pii.url_domain_stats)."""
+    from ..stages.pii import url_domain_stats
+    return url_domain_stats(read_documents(sf_dir))
+
+
 def q_doc_dup_ngrams(sf_dir: str) -> rd.Dataset:
     """MassiveText-style duplicated-5-gram count/fraction per document."""
     from ..stages.dedup import dup_ngram_stats
@@ -669,6 +676,7 @@ QUERIES = {
     "customer_running_total": q_customer_running_total,
     "doc_pii_redact": q_doc_pii_redact,
     "doc_dup_ngrams": q_doc_dup_ngrams,
+    "doc_url_domains": q_doc_url_domains,
     "doc_pipeline_summary": q_doc_pipeline_summary,
     "doc_decontaminate": q_doc_decontaminate,
     "event_recent_activity": q_event_recent_activity,

@@ -82,3 +82,60 @@ def redact_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
         "n_ips": n_ip,
         "redacted_md5": pa.array(digests, type=pa.string()),
     })
+
+
+URL_HOST_RE = r"https?://([A-Za-z0-9.\-]+)"
+
+
+def plant_urls_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append deterministic doc_id-derived URLs (fixture helper for the
+    SQL-checked domain-stats query, mirrored 1:1 in SQL)."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    site = pa.array((ids % 7).astype("U"), type=pa.string())
+    page = pa.array(ids.astype("U"), type=pa.string())
+    cdn = pa.array((ids % 3).astype("U"), type=pa.string())
+    planted = pc.binary_join_element_wise(
+        t[text_col], " see https://site", site, ".example.com/page/",
+        page, " and http://cdn", cdn, ".example.org/x", "")
+    return t.set_column(t.schema.get_field_index(text_col),
+                        text_col, planted)
+
+
+def url_domain_rows(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """One (domain,) row per URL occurrence — vectorised all-match host
+    extraction: split on the scheme (Arrow's extract_regex only returns
+    the FIRST match per value, so the scheme split turns 'all matches'
+    into 'first match per fragment'), then the leading host-charset run
+    of every non-leading fragment.  Same RE2 semantics as the SQL
+    mirror's regexp_extract_all(..., 1)."""
+    frags = pc.split_pattern_regex(t[text_col], pattern="https?://")
+    if isinstance(frags, pa.ChunkedArray):
+        frags = frags.combine_chunks()
+    flat = frags.flatten()
+    offs = frags.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offs)
+    # drop each row's first fragment (text before the first scheme)
+    idx_in_row = np.arange(len(flat)) - np.repeat(offs[:-1], lens)
+    tail = flat.filter(pa.array(idx_in_row > 0))
+    m = pc.extract_regex(tail, pattern=r"^(?P<h>[A-Za-z0-9.\-]+)")
+    hosts = pc.struct_field(m, "h").drop_null()
+    return pa.table({"domain": hosts.cast(pa.string())})
+
+
+def url_domain_stats(docs, num_buckets: int = 8):
+    """(domain, n) corpus-level URL domain counts — extraction is one
+    vectorised map; only (domain, partial-count) rows shuffle."""
+    from ..pipelines.analytics import bucketed_sum
+
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = url_domain_rows(t)
+        df = d.to_pandas().groupby("domain", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        df["n"] = df["n"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    rows = docs.map_batches(plant_urls_batch, batch_format="pyarrow") \
+               .map_batches(partial, batch_format="pyarrow")
+    return bucketed_sum(rows, ["domain"], ["n"], num_buckets=num_buckets)
