@@ -210,3 +210,82 @@ def test_langid_vectorised_matches_reference(texts):
         total = max(1, len(words))
         want = (best_lang, float(np.floor(best / total * 1e6 + 0.5) / 1e6))
         assert got[i] == want, (i, s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(min_value=-10, max_value=10,
+                          allow_nan=False, allow_infinity=False,
+                          width=32),
+                min_size=1, max_size=64))
+def test_quantize_half_away_and_sign(xs):
+    """quantize == the SQL expression floor(abs(x)*1e6+0.5)*sign(x),
+    element-wise, for any float32 input."""
+    import math
+
+    import numpy as np
+
+    from wsid_ray.stages.kmeans import quantize
+    arr = np.array(xs, dtype=np.float32)
+    got = quantize(arr)
+    for x32, g in zip(arr, got):
+        x = float(x32)
+        want = int(math.floor(abs(x) * 1e6 + 0.5)
+                   * (0 if x == 0 else (1 if x > 0 else -1)))
+        assert g == want, (x, g, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40),
+                min_size=1, max_size=40),
+       st.integers(min_value=1, max_value=30))
+def test_greedy_packing_reference(tokens, cap):
+    """pack_sequences' in-bucket walk == the obvious sequential greedy."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.stages.packing import pack_sequences
+
+    texts = [" ".join(["w"] * n) for n in tokens]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "lang": pa.array(["en"] * len(texts)),
+                  "text": pa.array(texts)})
+    got = {r["doc_id"]: r["pack_id"]
+           for r in pack_sequences(rd.from_arrow(t), cap=cap,
+                                   num_buckets=1).take_all()}
+    acc, pid, want = 0, -1, {}
+    for i, n in enumerate(tokens):
+        if pid < 0 or acc + n > cap:
+            pid, acc = pid + 1, n
+        else:
+            acc += n
+        want[i] = pid
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet=st.sampled_from("abcdefgh "),
+                        min_size=0, max_size=80),
+                min_size=1, max_size=5),
+       st.integers(min_value=2, max_value=4))
+def test_gram_rows_matches_reference(texts, k):
+    """gram_rows' vectorised fold == the per-doc reference fold."""
+    import numpy as np
+    import pyarrow as pa
+
+    from wsid_ray.stages.dedup import _SHINGLE_MOD, _hash30, gram_rows
+    from wsid_ray.stages.tokenize import tokenize_column
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    got = {}
+    for r in gram_rows(t, k=k).to_pylist():
+        got.setdefault(r["doc_id"], set()).add(r["g"])
+    toks = tokenize_column(t["text"]).to_pylist()
+    for i, ts in enumerate(toks):
+        want = set()
+        for j in range(len(ts) - k + 1):
+            s = _hash30(ts[j])
+            for w in ts[j + 1:j + k]:
+                s = (s * 31 + _hash30(w)) % _SHINGLE_MOD
+            want.add(s)
+        assert got.get(i, set()) == want, (i, ts)
