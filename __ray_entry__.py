@@ -514,6 +514,38 @@ def _sql_triples(linked_select: str) -> str:
     """
 
 
+def _sql_order_price_histo(bin_cents: int = 100_000) -> str:
+    """DuckDB mirror of analytics.order_price_histo: same fixed-width
+    integer-cent bins, same exact-integer rank ceil(num*n/den), same
+    first-bin-upper-edge readout — generated from the engine's
+    _HISTO_QS so the quantile list can't drift."""
+    from wsid_ray.pipelines.analytics import _HISTO_QS
+    W = bin_cents
+    picks = ",\n               ".join(
+        f"min(CASE WHEN cum >= ({num}*n + {den - 1}) // {den} "
+        f"THEN (bin + 1) * {W} END) AS {name}_ub_cents"
+        for name, num, den in _HISTO_QS)
+    return f"""
+        WITH b AS (
+            SELECT o_orderstatus,
+                   CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) // {W}
+                       AS bin,
+                   count(*) AS c
+            FROM orders GROUP BY o_orderstatus, bin
+        ), cum AS (
+            SELECT o_orderstatus, bin,
+                   CAST(sum(c) OVER (PARTITION BY o_orderstatus
+                        ORDER BY bin) AS BIGINT) AS cum,
+                   CAST(sum(c) OVER (PARTITION BY o_orderstatus)
+                        AS BIGINT) AS n
+            FROM b
+        )
+        SELECT o_orderstatus, n AS n_orders,
+               {picks}
+        FROM cum GROUP BY o_orderstatus, n
+    """
+
+
 def _sql_events_hopping(size_min: int = 60, hop_min: int = 30) -> str:
     """DuckDB mirror of analytics.events_hopping, GENERATED from the same
     (size_min, hop_min) parameters as the engine function.  The first
@@ -1010,6 +1042,7 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT), 0.75), 6) AS p75
             FROM orders GROUP BY o_orderstatus
         """,
+        "order_price_histo": _sql_order_price_histo(),
         "events_hopping": _sql_events_hopping(size_min=60, hop_min=30),
         "user_sessions": """
             WITH flagged AS (

@@ -100,3 +100,33 @@ def test_user_event_pivot_row_sums():
     m = out.merge(per_user, on="user_id")
     assert (m[cols].sum(axis=1) == m["n"]).all()
     assert len(out) == len(per_user)
+
+
+def test_order_price_histo_brackets_exact():
+    """Each histogram quantile upper bound must sit within one bin width
+    above the exact quantile, and cum-rank semantics must hold: at least
+    ceil(q*n) orders are <= the reported bound, fewer than that are
+    below bound - bin_width."""
+    import duckdb
+
+    from wsid_ray.pipelines.analytics import _HISTO_QS, order_price_histo
+
+    sf = "/root/testdata/sf0.001"
+    W = 100_000
+    out = order_price_histo(sf, bin_cents=W).to_pandas()
+    con = duckdb.connect()
+    cents = con.sql(f"""
+        SELECT o_orderstatus,
+               CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
+        FROM read_parquet('{sf}/orders.parquet')
+    """).df()
+    assert len(out) == cents["o_orderstatus"].nunique()
+    for _, row in out.iterrows():
+        x = cents[cents["o_orderstatus"] == row["o_orderstatus"]]["c"]
+        n = len(x)
+        assert row["n_orders"] == n
+        for name, num, den in _HISTO_QS:
+            ub = row[f"{name}_ub_cents"]
+            k = (num * n + den - 1) // den
+            assert (x < ub).sum() >= k        # bound reaches rank k
+            assert (x < ub - W).sum() < k     # previous bin does not

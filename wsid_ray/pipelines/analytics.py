@@ -264,6 +264,61 @@ def order_price_quantiles(sf_dir: str) -> rd.Dataset:
                                 num_buckets=4)
 
 
+# histogram-sketch quantiles: (numerator, denominator) per quantile so
+# rank = ceil(q*n) is computed in exact integer math (float ceil(0.9*n)
+# can land one rank off when 0.9*n rounds up past the integer)
+_HISTO_QS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def order_price_histo(sf_dir: str, bin_cents: int = 100_000) -> rd.Dataset:
+    """Approximate per-status price quantiles from a fixed-width binned
+    histogram — the 100 TB scale path next to the exact shuffle above.
+
+    One streaming pass builds per-batch (status, bin, count) partials
+    (mergeable, O(statuses x bins) rows per batch regardless of input
+    size); the only shuffle moves those tiny partials.  Each reported
+    quantile is the upper edge of the first bin whose cumulative count
+    reaches rank ceil(q*n) — deterministic integers end to end, so the
+    sketch is exactly mirrorable in SQL (unlike t-digest/KLL, whose
+    merge order changes the result).  Error is bounded by bin width
+    ($1000 here); at scale you trade bins for accuracy, not memory per
+    row."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderstatus", "o_totalprice"])
+
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderstatus": df["o_orderstatus"],
+            "bin": _cents(df["o_totalprice"].to_numpy()) // bin_cents})
+        out = g.groupby(["o_orderstatus", "bin"], sort=False,
+                        observed=True).size().rename("c").reset_index()
+        return out.astype({"bin": "int64", "c": "int64"})
+
+    partials = ds.map_batches(partial_hist, batch_format="pandas")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for status, g in df.groupby("o_orderstatus", sort=True):
+            h = g.groupby("bin")["c"].sum().sort_index()
+            n = int(h.sum())
+            cum = h.cumsum()
+            row = [status, n]
+            for _, num, den in _HISTO_QS:
+                k = (num * n + den - 1) // den        # ceil(num*n/den)
+                b = int(cum.index[cum.to_numpy() >= k][0])
+                row.append((b + 1) * bin_cents)
+            rows.append(row)
+        cols = ["o_orderstatus", "n_orders"] + [
+            f"{name}_ub_cents" for name, _, _ in _HISTO_QS]
+        return pd.DataFrame(rows, columns=cols).astype(
+            {c: "int64" for c in cols[1:]})
+
+    return bucketed_group_apply(partials, ["o_orderstatus"], finalize,
+                                num_buckets=4)
+
+
 def events_hopping(sf_dir: str, size_min: int = 60,
                    hop_min: int = 30) -> rd.Dataset:
     """Hopping (sliding) windows: size 60 min, hop 30 min — every event

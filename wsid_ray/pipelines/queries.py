@@ -244,6 +244,10 @@ def q_order_price_quantiles(sf_dir: str) -> rd.Dataset:
     return analytics.order_price_quantiles(sf_dir)
 
 
+def q_order_price_histo(sf_dir: str) -> rd.Dataset:
+    return analytics.order_price_histo(sf_dir)
+
+
 def q_events_hopping(sf_dir: str) -> rd.Dataset:
     return analytics.events_hopping(sf_dir)
 
@@ -656,6 +660,7 @@ QUERIES = {
     "top_orders_per_status": q_top_orders_per_status,
     "status_distinct_custkeys": q_status_distinct_custkeys,
     "order_price_quantiles": q_order_price_quantiles,
+    "order_price_histo": q_order_price_histo,
     "events_hopping": q_events_hopping,
     "doc_token_counts": q_doc_token_counts,
     "doc_token_counts_jsonl": q_doc_token_counts_jsonl,
