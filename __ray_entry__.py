@@ -1043,6 +1043,26 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus
         """,
         "order_price_histo": _sql_order_price_histo(),
+        # HLL registers (stages/groups.hll_registers): hash =
+        # md5_number_upper == first-8-md5-bytes little-endian; bucket =
+        # top 8 bits, r = 57 - bit_length of the low 56 (bin() is
+        # minimal-length, so length(bin(w)) IS bit_length; w = 0 never
+        # survives max() against r >= 1 rows but the CASE keeps it exact)
+        "user_hll_registers": """
+            WITH b AS (
+                SELECT md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+                FROM events
+            ), f AS (
+                SELECT CAST(hv >> 56 AS BIGINT) AS bucket,
+                       hv & CAST(((1::UBIGINT << 56) - 1) AS UBIGINT) AS w
+                FROM b
+            )
+            SELECT bucket,
+                   CAST(max(CASE WHEN w = 0 THEN 57
+                                 ELSE 57 - length(bin(w)) END)
+                        AS BIGINT) AS r
+            FROM f GROUP BY bucket
+        """,
         "events_hopping": _sql_events_hopping(size_min=60, hop_min=30),
         "user_sessions": """
             WITH flagged AS (

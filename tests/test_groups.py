@@ -130,3 +130,38 @@ def test_order_price_histo_brackets_exact():
             k = (num * n + den - 1) // den
             assert (x < ub).sum() >= k        # bound reaches rank k
             assert (x < ub - W).sum() < k     # previous bin does not
+
+
+def test_bit_length_u64_exact():
+    """Exact everywhere np.log2 would be wrong: 2^56 - 1 rounds UP to
+    2^56 in float64, so a log-based bit length overshoots at exactly
+    the register boundaries HLL reads."""
+    import numpy as np
+
+    from wsid_ray.stages.groups import _bit_length_u64
+
+    vals = [0, 1, 2, 3, (1 << 56) - 1, 1 << 56, (1 << 55) - 1,
+            (1 << 64) - 1, 12345678901234567]
+    got = _bit_length_u64(np.array(vals, dtype=np.uint64))
+    assert list(got) == [v.bit_length() for v in vals]
+
+
+def test_hll_estimate_accuracy():
+    """Registers over sf0.001 events must estimate the exact distinct
+    user count within the ~3 sigma HLL error band (1.04/sqrt(256) ~ 6.5%
+    per sigma at p=8)."""
+    import duckdb
+
+    from wsid_ray.sources.pqclean import read_parquet_clean
+    from wsid_ray.stages.groups import hll_estimate, hll_registers
+
+    sf = "/root/testdata/sf0.001"
+    regs = hll_registers(
+        read_parquet_clean(f"{sf}/events.parquet", columns=["user_id"]),
+        "user_id").to_pandas()
+    est = hll_estimate(regs)
+    exact = duckdb.sql(f"""
+        SELECT count(DISTINCT user_id)
+        FROM read_parquet('{sf}/events.parquet')
+    """).fetchone()[0]
+    assert abs(est - exact) / exact < 0.20, (est, exact)

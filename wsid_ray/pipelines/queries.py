@@ -248,6 +248,14 @@ def q_order_price_histo(sf_dir: str) -> rd.Dataset:
     return analytics.order_price_histo(sf_dir)
 
 
+def q_user_hll_registers(sf_dir: str) -> rd.Dataset:
+    from ..sources.pqclean import read_parquet_clean
+    from ..stages.groups import hll_registers
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+    return hll_registers(ds, "user_id")
+
+
 def q_events_hopping(sf_dir: str) -> rd.Dataset:
     return analytics.events_hopping(sf_dir)
 
@@ -661,6 +669,7 @@ QUERIES = {
     "status_distinct_custkeys": q_status_distinct_custkeys,
     "order_price_quantiles": q_order_price_quantiles,
     "order_price_histo": q_order_price_histo,
+    "user_hll_registers": q_user_hll_registers,
     "events_hopping": q_events_hopping,
     "doc_token_counts": q_doc_token_counts,
     "doc_token_counts_jsonl": q_doc_token_counts_jsonl,

@@ -208,3 +208,82 @@ def distinct(ds: rd.Dataset, key_cols: list[str],
                  .drop_duplicates(subset=key_cols, keep="first"))
     partial = ds.map_batches(fn, batch_format="pandas", batch_size=None)
     return bucketed_group_apply(partial, key_cols, fn, num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog count-distinct sketch (Flajolet et al. 2007)
+
+_HLL_P = 8                     # 2^8 = 256 registers
+_HLL_REM = 64 - _HLL_P         # bits in the rank field
+
+
+def _bit_length_u64(w) -> "np.ndarray":
+    """Exact vectorised bit_length of a uint64 array.
+
+    np.log2 is wrong here: w = 2^56 - 1 rounds UP to 2^56 in float64,
+    so floor(log2)+1 overshoots by one exactly at register boundaries.
+    Six branchless shift/compare rounds stay in integer space."""
+    w = np.asarray(w, dtype=np.uint64)
+    bl = np.zeros(w.shape, dtype=np.int64)
+    v = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v = np.where(m, v >> np.uint64(s), v)
+    return bl + (v > 0)
+
+
+def hll_registers(ds: rd.Dataset, col: str,
+                  num_buckets: int = 4) -> rd.Dataset:
+    """HyperLogLog registers for count-distinct over ``col`` — the scale
+    path beside exact ``distinct``: every batch folds to at most 256
+    (bucket, r) rows regardless of row count, the shuffle moves only
+    those, and merge is max (associative/commutative, so distributed
+    order cannot change the result — HLL is deterministic, unlike
+    sampled sketches).  hash = first 8 md5 bytes little-endian
+    (== DuckDB md5_number_upper) of the value rendered as a string;
+    bucket = top 8 bits, r = 1 + leading zeros of the remaining 56
+    (i.e. 57 - bit_length).  Registers are pure integers, so the whole
+    sketch is SQL-mirrorable; the cardinality estimate is derived from
+    the registers downstream (see hll_estimate)."""
+    import hashlib
+
+    mask = np.uint64((1 << _HLL_REM) - 1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        uniq = pd.unique(df[col])
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(u).encode()).digest()[:8],
+                            "little") for u in uniq),
+            dtype=np.uint64, count=len(uniq))
+        bucket = (hv >> np.uint64(_HLL_REM)).astype(np.int64)
+        r = (_HLL_REM + 1) - _bit_length_u64(hv & mask)
+        out = pd.DataFrame({"bucket": bucket, "r": r})
+        return (out.groupby("bucket", as_index=False)["r"].max()
+                   .astype({"bucket": "int64", "r": "int64"}))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("bucket", as_index=False)["r"].max()
+                 .astype({"bucket": "int64", "r": "int64"}))
+
+    partials = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas")
+    return bucketed_group_apply(partials, ["bucket"], combine,
+                                num_buckets=num_buckets)
+
+
+def hll_estimate(registers: pd.DataFrame) -> float:
+    """Raw HLL cardinality estimate from a (bucket, r) register table
+    (alpha_256 * m^2 / sum 2^-r, absent buckets count as r=0; small- and
+    large-range corrections per Flajolet et al. 2007 sect. 4)."""
+    m = 1 << _HLL_P
+    regs = np.zeros(m, dtype=np.int64)
+    regs[registers["bucket"].to_numpy()] = registers["r"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)          # linear counting
+    elif est > (1 << 32) / 30.0:
+        est = -(1 << 32) * np.log1p(-est / (1 << 32))
+    return float(est)
