@@ -1063,6 +1063,19 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS r
             FROM f GROUP BY bucket
         """,
+        # the Bloom prefilter only shrinks what the shuffle sees; the
+        # exact join removes its false positives, so the mirror is a
+        # plain semi join
+        "flagged_lineitem_revenue": """
+            SELECT l_returnflag,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(floor(l_extendedprice*100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderstatus = 'F')
+            GROUP BY l_returnflag
+        """,
         "events_hopping": _sql_events_hopping(size_min=60, hop_min=30),
         "user_sessions": """
             WITH flagged AS (

@@ -109,3 +109,23 @@ def test_customer_running_total_small():
         ORDER BY o_custkey, rn
     """).df()
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_bloom_semi_join_exact_despite_false_positives():
+    """m_log2=8 (256 bits) over 60 keys forces Bloom false positives;
+    the exact join must remove every one."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.stages.joins import bloom_semi_join
+
+    big = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(1000)), type=pa.int64()),
+        "v": pa.array(range(1000), type=pa.int64())}))
+    keys = rd.from_arrow(pa.table({
+        "k": pa.array([i * 17 for i in range(60)], type=pa.int64())}))
+    out = bloom_semi_join(big, keys, "k", m_log2=8,
+                          num_buckets=4).to_pandas()
+    want = sorted(i * 17 for i in range(60) if i * 17 < 1000)
+    assert sorted(out["k"]) == want
+    assert list(out.columns) == ["k", "v"]

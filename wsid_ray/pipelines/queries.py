@@ -248,6 +248,46 @@ def q_order_price_histo(sf_dir: str) -> rd.Dataset:
     return analytics.order_price_histo(sf_dir)
 
 
+def q_flagged_lineitem_revenue(sf_dir: str) -> rd.Dataset:
+    """Per-returnflag lineitem revenue restricted to status-'F' orders —
+    exercised through the Bloom-prefiltered semi join (stages/joins.py):
+    the order-key filter is a 128 KiB broadcast bitmap, so only matching
+    lineitems (plus Bloom false positives the exact join removes) ever
+    reach the shuffle."""
+    import pyarrow.compute as pc
+
+    from ..sources.pqclean import read_parquet_clean
+    from ..stages.joins import bloom_semi_join
+    from .analytics import _cents, bucketed_sum
+
+    big = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
+
+    def f_keys(t):
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return t.select(["o_orderkey"]).rename_columns(["l_orderkey"])
+
+    keys = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"]).map_batches(
+            f_keys, batch_format="pyarrow")
+    sj = bloom_semi_join(big, keys, "l_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "revenue_cents": _cents(df["l_extendedprice"].to_numpy())})
+        out = g.groupby("l_returnflag", as_index=False).agg(
+            n_items=("revenue_cents", "size"),
+            revenue_cents=("revenue_cents", "sum"))
+        return out.astype({"n_items": "int64", "revenue_cents": "int64"})
+
+    partials = sj.map_batches(partial, batch_format="pandas")
+    return bucketed_sum(partials, ["l_returnflag"],
+                        ["n_items", "revenue_cents"], num_buckets=4)
+
+
 def q_user_hll_registers(sf_dir: str) -> rd.Dataset:
     from ..sources.pqclean import read_parquet_clean
     from ..stages.groups import hll_registers
@@ -670,6 +710,7 @@ QUERIES = {
     "order_price_quantiles": q_order_price_quantiles,
     "order_price_histo": q_order_price_histo,
     "user_hll_registers": q_user_hll_registers,
+    "flagged_lineitem_revenue": q_flagged_lineitem_revenue,
     "events_hopping": q_events_hopping,
     "doc_token_counts": q_doc_token_counts,
     "doc_token_counts_jsonl": q_doc_token_counts_jsonl,

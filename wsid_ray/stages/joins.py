@@ -237,3 +237,90 @@ def semi_join(big: rd.Dataset, keys, key_col: str,
         return t.filter(mask)
 
     return big.map_batches(filt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi join (the 100 TB join optimisation: a compact
+# filter built from the key side prunes the big side BEFORE any shuffle)
+
+_BLOOM_K = 3          # hash functions; 3 x m_log2 bits must fit in 64
+
+
+@ray.remote
+def _block_bloom(t: pa.Table, key_col: str, m_log2: int):
+    """Partial Bloom bitmap (packed uint64) of one key-side block."""
+    import hashlib
+
+    import numpy as np
+
+    m = 1 << m_log2
+    bits = np.zeros(m >> 6, dtype=np.uint64)
+    vals = pa.Table.from_arrays([t[key_col]], names=[key_col])
+    uniq = vals[key_col].combine_chunks().unique()
+    hv = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(u).encode()).digest()[:8],
+                        "little") for u in uniq.to_pylist()),
+        dtype=np.uint64, count=len(uniq))
+    mask = np.uint64(m - 1)
+    for i in range(_BLOOM_K):
+        idx = (hv >> np.uint64(i * m_log2)) & mask
+        np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    return bits
+
+
+@ray.remote
+def _or_blooms(*parts):
+    import numpy as np
+    out = parts[0].copy()
+    for p in parts[1:]:
+        np.bitwise_or(out, p, out=out)
+    return out
+
+
+def bloom_semi_join(big: rd.Dataset, keys: rd.Dataset, key_col: str,
+                    m_log2: int = 20, num_buckets: int = 32) -> rd.Dataset:
+    """Semi join where the key side is too large to broadcast exactly:
+    build a Bloom filter of the keys distributed (per-block partial
+    bitmaps, tree-OR reduce — 2^m_log2 bits = 128 KiB at the default,
+    constant size no matter how many keys), broadcast the ONE bitmap via
+    the object store, prefilter ``big`` with zero shuffle, then remove
+    the Bloom false positives with an exact partitioned hash join over
+    the (much smaller) survivors.  Result is EXACT — the filter only
+    decides how much data the shuffle sees, never the answer."""
+    import hashlib
+
+    import numpy as np
+
+    from .groups import distinct
+
+    krefs = keys.to_arrow_refs()
+    parts = [_block_bloom.remote(b, key_col, m_log2) for b in krefs]
+    while len(parts) > 1:
+        parts = [_or_blooms.remote(*parts[i:i + 8])
+                 for i in range(0, len(parts), 8)]
+    bloom_ref = parts[0]
+    mask = np.uint64((1 << m_log2) - 1)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)          # zero-copy object-store read
+        col = t[key_col].combine_chunks()
+        uniq = col.unique()
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(u).encode()).digest()[:8],
+                            "little") for u in uniq.to_pylist()),
+            dtype=np.uint64, count=len(uniq))
+        ok = np.ones(len(uniq), dtype=bool)
+        for i in range(_BLOOM_K):
+            idx = (hv >> np.uint64(i * m_log2)) & mask
+            word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+            ok &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        import pyarrow.compute as pc
+        keep = pc.is_in(col, value_set=uniq.filter(pa.array(ok)))
+        return t.filter(keep)
+
+    surviving = big.map_batches(prefilter, batch_format="pyarrow")
+    key_only = distinct(keys.select_columns([key_col]), [key_col],
+                        num_buckets=num_buckets)
+    return hash_join(surviving, key_only, on=[key_col], how="inner",
+                     num_buckets=num_buckets)
