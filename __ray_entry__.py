@@ -1063,6 +1063,19 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS r
             FROM f GROUP BY bucket
         """,
+        # the Count-Min sketch only gates the shuffle (never
+        # underestimates -> guaranteed candidate superset); the exact
+        # second-pass count re-applies the threshold, so the mirror is
+        # a plain GROUP BY ... HAVING
+        "corpus_heavy_hitters": r"""
+            WITH w AS (
+                SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+            t AS (SELECT unnest(ws) AS token FROM w)
+            SELECT token, count(*) AS n
+            FROM t GROUP BY token HAVING count(*) >= 500
+        """,
         # the Bloom prefilter only shrinks what the shuffle sees; the
         # exact join removes its false positives, so the mirror is a
         # plain semi join

@@ -110,3 +110,30 @@ def test_tfidf_topk_exact():
     assert got[(2, 1)] == ("date", s(1, "date"))
     # k=2 respected
     assert len(out) == 6
+
+
+def test_cms_heavy_hitters_exact_despite_collisions():
+    """w_log2=4 (16 counters per row) over ~40 distinct tokens forces
+    Count-Min collisions; the exact second pass must still produce
+    exactly the true >= threshold set with exact counts."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.stages.lm import cms_heavy_hitters
+
+    texts = []
+    for i in range(40):
+        reps = 20 if i < 5 else 3          # 5 true heavy hitters
+        texts.append(" ".join([f"tok{i}"] * reps))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)}))
+    out = {r["token"]: r["n"]
+           for r in cms_heavy_hitters(docs, threshold=20, w_log2=4,
+                                      num_buckets=2).take_all()}
+    truth = collections.Counter(
+        t for s in texts for t in s.split())
+    want = {t: n for t, n in truth.items() if n >= 20}
+    assert out == want

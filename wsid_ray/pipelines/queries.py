@@ -248,6 +248,14 @@ def q_order_price_histo(sf_dir: str) -> rd.Dataset:
     return analytics.order_price_histo(sf_dir)
 
 
+def q_corpus_heavy_hitters(sf_dir: str) -> rd.Dataset:
+    from ..sources.pqclean import read_parquet_clean
+    from ..stages.lm import cms_heavy_hitters
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    return cms_heavy_hitters(docs, threshold=500)
+
+
 def q_flagged_lineitem_revenue(sf_dir: str) -> rd.Dataset:
     """Per-returnflag lineitem revenue restricted to status-'F' orders —
     exercised through the Bloom-prefiltered semi join (stages/joins.py):
@@ -711,6 +719,7 @@ QUERIES = {
     "order_price_histo": q_order_price_histo,
     "user_hll_registers": q_user_hll_registers,
     "flagged_lineitem_revenue": q_flagged_lineitem_revenue,
+    "corpus_heavy_hitters": q_corpus_heavy_hitters,
     "events_hopping": q_events_hopping,
     "doc_token_counts": q_doc_token_counts,
     "doc_token_counts_jsonl": q_doc_token_counts_jsonl,

@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from .textstats import _word_rows
@@ -275,3 +276,100 @@ def importance_sample(docs: rd.Dataset,
         })
 
     return lm.map_batches(pick, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters (Cormode & Muthukrishnan 2005)
+
+_CMS_D = 4            # sketch rows; d x w_log2 index bits must fit in 64
+
+
+def _cms_hashes(tokens, w_log2: int) -> "np.ndarray":
+    """(d, n) index matrix: row i uses bits [i*w_log2, (i+1)*w_log2) of
+    the md5-parity 64-bit hash (== DuckDB md5_number_upper — same kernel
+    as the minhash/simhash/HLL family, though the mirror never needs
+    it: the sketch only gates the shuffle, not the answer)."""
+    import hashlib
+    hv = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+         for t in tokens),
+        dtype=np.uint64, count=len(tokens))
+    mask = np.uint64((1 << w_log2) - 1)
+    return np.stack([(hv >> np.uint64(i * w_log2)) & mask
+                     for i in range(_CMS_D)]).astype(np.int64)
+
+
+@ray.remote
+def _block_cms(t: pa.Table, w_log2: int):
+    """Partial Count-Min matrix of one (doc_id, token, tf) block."""
+    import pyarrow.compute as pc
+    cms = np.zeros((_CMS_D, 1 << w_log2), dtype=np.int64)
+    agg = pa.TableGroupBy(t.select(["token", "tf"]),
+                          "token").aggregate([("tf", "sum")])
+    toks = agg["token"].to_pylist()
+    tfs = agg["tf_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = _cms_hashes(toks, w_log2)
+    for i in range(_CMS_D):
+        np.add.at(cms[i], idx[i], tfs)
+    return cms
+
+
+@ray.remote
+def _sum_cms(*parts):
+    out = parts[0].copy()
+    for p in parts[1:]:
+        out += p
+    return out
+
+
+def cms_heavy_hitters(docs: rd.Dataset, threshold: int,
+                      w_log2: int = 13,
+                      num_buckets: int = 16) -> rd.Dataset:
+    """Exact corpus heavy hitters (tokens with total count >= threshold)
+    in two passes that never shuffle the full term set:
+
+    1. fold each block of per-doc term counts into a fixed
+       d x 2^w_log2 Count-Min matrix (here 4 x 8192 = 256 KiB of int64,
+       constant no matter the vocabulary), tree-sum the matrices;
+    2. re-scan the same blocks against the ONE broadcast sketch: a
+       token's estimate min_i cms[i, h_i(token)] never underestimates
+       (all updates are non-negative), so tokens passing the gate are a
+       guaranteed superset of the true heavy hitters — only those few
+       shuffle, get exact-counted, and the exact count applies the
+       threshold again to drop the sketch's false positives.
+
+    Result is EXACT (mirror = plain GROUP BY ... HAVING); the sketch
+    only bounds how much the shuffle sees.  The term-count blocks are
+    consumed twice — at 100 TB checkpoint them to parquet between the
+    passes instead of recomputing the tokenise."""
+    from ..pipelines.analytics import bucketed_sum
+
+    tf = docs.map_batches(doc_term_counts, batch_format="pyarrow")
+    refs = tf.to_arrow_refs()
+    parts = [_block_cms.remote(b, w_log2) for b in refs]
+    while len(parts) > 1:
+        parts = [_sum_cms.remote(*parts[i:i + 8])
+                 for i in range(0, len(parts), 8)]
+    cms_ref = parts[0]
+
+    def gate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cms = ray.get(cms_ref)             # zero-copy object-store read
+        agg = pa.TableGroupBy(t.select(["token", "tf"]),
+                              "token").aggregate([("tf", "sum")])
+        toks = agg["token"].to_pylist()
+        idx = _cms_hashes(toks, w_log2)
+        est = np.min(
+            np.stack([cms[i][idx[i]] for i in range(_CMS_D)]), axis=0)
+        keep = est >= threshold
+        return pa.table({
+            "token": pa.array([t_ for t_, k in zip(toks, keep) if k]),
+            "n": agg["tf_sum"].filter(pa.array(keep)).cast(pa.int64())})
+
+    cand = rd.from_arrow_refs(refs).map_batches(
+        gate, batch_format="pyarrow")
+    totals = bucketed_sum(cand, ["token"], ["n"],
+                          num_buckets=num_buckets)
+    return totals.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["n"], threshold)),
+        batch_format="pyarrow")
