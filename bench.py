@@ -58,9 +58,11 @@ def run_bench() -> dict:
 
     from wsid_ray.pipelines.queries import (q_bigram_lm_score,
                                             q_conv_text_digest,
+                                            q_corpus_heavy_hitters,
                                             q_doc_dup_ngrams,
                                             q_doc_minhash_candidates,
                                             q_doc_tfidf_topk,
+                                            q_flagged_lineitem_revenue,
                                             q_kmeans_clusters,
                                             q_knn_cosine_topk,
                                             q_pricing_summary,
@@ -75,6 +77,8 @@ def run_bench() -> dict:
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "doc_dup_ngrams": q_doc_dup_ngrams,
         "kmeans_clusters": q_kmeans_clusters,
+        "corpus_heavy_hitters": q_corpus_heavy_hitters,
+        "flagged_lineitem_revenue": q_flagged_lineitem_revenue,
     }
     for name, fn in side.items():
         t0 = time.time()
