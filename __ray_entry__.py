@@ -1063,6 +1063,23 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS r
             FROM f GROUP BY bucket
         """,
+        # grouped HLL: same register math per (event_type, bucket)
+        "event_type_hll_registers": """
+            WITH b AS (
+                SELECT event_type,
+                       md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+                FROM events
+            ), f AS (
+                SELECT event_type, CAST(hv >> 56 AS BIGINT) AS bucket,
+                       hv & CAST(((1::UBIGINT << 56) - 1) AS UBIGINT) AS w
+                FROM b
+            )
+            SELECT event_type, bucket,
+                   CAST(max(CASE WHEN w = 0 THEN 57
+                                 ELSE 57 - length(bin(w)) END)
+                        AS BIGINT) AS r
+            FROM f GROUP BY event_type, bucket
+        """,
         # the Count-Min sketch only gates the shuffle (never
         # underestimates -> guaranteed candidate superset); the exact
         # second-pass count re-applies the threshold, so the mirror is

@@ -165,3 +165,27 @@ def test_hll_estimate_accuracy():
         FROM read_parquet('{sf}/events.parquet')
     """).fetchone()[0]
     assert abs(est - exact) / exact < 0.20, (est, exact)
+
+
+def test_hll_grouped_estimates():
+    """Grouped registers: each event_type's estimate must land within
+    the HLL error band of its exact distinct-user count."""
+    import duckdb
+
+    from wsid_ray.sources.pqclean import read_parquet_clean
+    from wsid_ray.stages.groups import hll_estimate, hll_registers
+
+    sf = "/root/testdata/sf0.001"
+    regs = hll_registers(
+        read_parquet_clean(f"{sf}/events.parquet",
+                           columns=["event_type", "user_id"]),
+        "user_id", group_cols=["event_type"]).to_pandas()
+    exact = dict(duckdb.sql(f"""
+        SELECT event_type, count(DISTINCT user_id)
+        FROM read_parquet('{sf}/events.parquet') GROUP BY event_type
+    """).fetchall())
+    assert set(regs["event_type"]) == set(exact)
+    for et, g in regs.groupby("event_type"):
+        est = hll_estimate(g)
+        assert abs(est - exact[et]) / exact[et] < 0.25, (et, est,
+                                                        exact[et])

@@ -256,6 +256,14 @@ def q_corpus_heavy_hitters(sf_dir: str) -> rd.Dataset:
     return cms_heavy_hitters(docs, threshold=500)
 
 
+def q_event_type_hll_registers(sf_dir: str) -> rd.Dataset:
+    from ..sources.pqclean import read_parquet_clean
+    from ..stages.groups import hll_registers
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+    return hll_registers(ds, "user_id", group_cols=["event_type"])
+
+
 def q_flagged_lineitem_revenue(sf_dir: str) -> rd.Dataset:
     """Per-returnflag lineitem revenue restricted to status-'F' orders —
     exercised through the Bloom-prefiltered semi join (stages/joins.py):
@@ -720,6 +728,7 @@ QUERIES = {
     "user_hll_registers": q_user_hll_registers,
     "flagged_lineitem_revenue": q_flagged_lineitem_revenue,
     "corpus_heavy_hitters": q_corpus_heavy_hitters,
+    "event_type_hll_registers": q_event_type_hll_registers,
     "events_hopping": q_events_hopping,
     "doc_token_counts": q_doc_token_counts,
     "doc_token_counts_jsonl": q_doc_token_counts_jsonl,

@@ -234,6 +234,7 @@ def _bit_length_u64(w) -> "np.ndarray":
 
 
 def hll_registers(ds: rd.Dataset, col: str,
+                  group_cols: list[str] | None = None,
                   num_buckets: int = 4) -> rd.Dataset:
     """HyperLogLog registers for count-distinct over ``col`` — the scale
     path beside exact ``distinct``: every batch folds to at most 256
@@ -248,27 +249,33 @@ def hll_registers(ds: rd.Dataset, col: str,
     the registers downstream (see hll_estimate)."""
     import hashlib
 
+    gcols = list(group_cols or [])
+    keys = gcols + ["bucket"]
     mask = np.uint64((1 << _HLL_REM) - 1)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        uniq = pd.unique(df[col])
+        sub = df[gcols + [col]].drop_duplicates()
+        # hash each distinct VALUE once (values repeat across groups)
+        uniq, inv = np.unique(sub[col].to_numpy().astype(str),
+                              return_inverse=True)
         hv = np.fromiter(
-            (int.from_bytes(hashlib.md5(str(u).encode()).digest()[:8],
+            (int.from_bytes(hashlib.md5(u.encode()).digest()[:8],
                             "little") for u in uniq),
-            dtype=np.uint64, count=len(uniq))
-        bucket = (hv >> np.uint64(_HLL_REM)).astype(np.int64)
-        r = (_HLL_REM + 1) - _bit_length_u64(hv & mask)
-        out = pd.DataFrame({"bucket": bucket, "r": r})
-        return (out.groupby("bucket", as_index=False)["r"].max()
+            dtype=np.uint64, count=len(uniq))[inv]
+        out = pd.DataFrame({
+            **{g: sub[g].to_numpy() for g in gcols},
+            "bucket": (hv >> np.uint64(_HLL_REM)).astype(np.int64),
+            "r": (_HLL_REM + 1) - _bit_length_u64(hv & mask)})
+        return (out.groupby(keys, as_index=False)["r"].max()
                    .astype({"bucket": "int64", "r": "int64"}))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.groupby("bucket", as_index=False)["r"].max()
+        return (g.groupby(keys, as_index=False)["r"].max()
                  .astype({"bucket": "int64", "r": "int64"}))
 
-    partials = ds.select_columns([col]).map_batches(
+    partials = ds.select_columns(gcols + [col]).map_batches(
         partial, batch_format="pandas")
-    return bucketed_group_apply(partials, ["bucket"], combine,
+    return bucketed_group_apply(partials, keys, combine,
                                 num_buckets=num_buckets)
 
 
