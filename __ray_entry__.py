@@ -1063,6 +1063,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS r
             FROM f GROUP BY bucket
         """,
+        "order_price_ntile": """
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                       ORDER BY floor(o_totalprice*100 + 0.5),
+                                o_orderkey) AS BIGINT) AS quartile
+            FROM orders
+        """,
         # grouped HLL: same register math per (event_type, bucket)
         "event_type_hll_registers": """
             WITH b AS (

@@ -189,3 +189,24 @@ def test_hll_grouped_estimates():
         est = hll_estimate(g)
         assert abs(est - exact[et]) / exact[et] < 0.25, (et, est,
                                                         exact[et])
+
+
+def test_order_price_ntile_balanced_and_monotone():
+    """NTILE invariants: per status, tile sizes differ by at most 1,
+    earlier tiles get the extras, and tiles are monotone in price."""
+    from wsid_ray.pipelines.analytics import order_price_ntile
+
+    out = order_price_ntile("/root/testdata/sf0.001").to_pandas()
+    import duckdb
+    px = dict(duckdb.sql("""
+        SELECT o_orderkey, CAST(floor(o_totalprice*100+0.5) AS BIGINT)
+        FROM read_parquet('/root/testdata/sf0.001/orders.parquet')
+    """).fetchall())
+    for status, g in out.groupby("o_orderstatus"):
+        sizes = g.groupby("quartile").size()
+        assert set(sizes.index) <= {1, 2, 3, 4}
+        assert sizes.max() - sizes.min() <= 1
+        assert (sizes.sort_index().diff().dropna() <= 0).all()
+        g = g.assign(c=g["o_orderkey"].map(px)).sort_values(
+            ["c", "o_orderkey"], kind="mergesort")
+        assert (g["quartile"].diff().dropna() >= 0).all()

@@ -264,6 +264,51 @@ def order_price_quantiles(sf_dir: str) -> rd.Dataset:
                                 num_buckets=4)
 
 
+def order_price_ntile(sf_dir: str, n_tiles: int = 4) -> rd.Dataset:
+    """NTILE(n) per order status over price — rank-based window function
+    (ties broken by o_orderkey, so fully deterministic).  Like all
+    rank-based windows it needs each partition's rows co-located and
+    sorted: one bucketed shuffle keyed on the partition column, sort
+    inside the bucket.  NTILE semantics: the first n%k tiles get one
+    extra row.  At 100 TB, approximate global tiling goes through the
+    histogram sketch (order_price_histo) instead — exact NTILE of a
+    partition that doesn't fit one task has no cheap distributed form."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    pairs = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "o_orderstatus": df["o_orderstatus"],
+            "price_cents": _cents(df["o_totalprice"].to_numpy())}),
+        batch_format="pandas")
+
+    def tiles(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for status, g in df.groupby("o_orderstatus", sort=True):
+            g = g.sort_values(["price_cents", "o_orderkey"],
+                              kind="mergesort")
+            n = len(g)
+            sizes = np.full(n_tiles, n // n_tiles)
+            sizes[:n % n_tiles] += 1
+            tile = np.repeat(np.arange(1, n_tiles + 1), sizes)
+            outs.append(pd.DataFrame({
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_orderstatus": status,
+                "quartile": tile.astype("int64")}))
+        if not outs:   # empty bucket: typed empty frame, no schema flap
+            return pd.DataFrame({
+                "o_orderkey": pd.Series(dtype="int64"),
+                "o_orderstatus": pd.Series(dtype=object),
+                "quartile": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_apply(pairs, ["o_orderstatus"], tiles,
+                                num_buckets=4)
+
+
 # histogram-sketch quantiles: (numerator, denominator) per quantile so
 # rank = ceil(q*n) is computed in exact integer math (float ceil(0.9*n)
 # can land one rank off when 0.9*n rounds up past the integer)

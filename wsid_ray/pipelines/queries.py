@@ -248,6 +248,10 @@ def q_order_price_histo(sf_dir: str) -> rd.Dataset:
     return analytics.order_price_histo(sf_dir)
 
 
+def q_order_price_ntile(sf_dir: str) -> rd.Dataset:
+    return analytics.order_price_ntile(sf_dir)
+
+
 def q_corpus_heavy_hitters(sf_dir: str) -> rd.Dataset:
     from ..sources.pqclean import read_parquet_clean
     from ..stages.lm import cms_heavy_hitters
@@ -725,6 +729,7 @@ QUERIES = {
     "status_distinct_custkeys": q_status_distinct_custkeys,
     "order_price_quantiles": q_order_price_quantiles,
     "order_price_histo": q_order_price_histo,
+    "order_price_ntile": q_order_price_ntile,
     "user_hll_registers": q_user_hll_registers,
     "flagged_lineitem_revenue": q_flagged_lineitem_revenue,
     "corpus_heavy_hitters": q_corpus_heavy_hitters,
