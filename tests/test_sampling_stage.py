@@ -70,3 +70,26 @@ def test_registry_doc_stages_compose():
     out = pipeline(docs, ["doc_simhash"])
     assert set(out.schema().names) == {"doc_id", "simhash"}
     assert out.count() == 2
+
+
+def test_registry_sketch_stages_run():
+    """The sketch stages registered under U1 execute end to end."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.config import PipelineConfig
+    from wsid_ray.stage import REGISTRY
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(8), type=pa.int64()),
+        "text": pa.array(["alpha beta " * 30] * 8)}))
+    cfg = PipelineConfig()
+    # default threshold 500: 8 docs x 30 reps = 240 each -> empty
+    hh = REGISTRY["corpus_heavy_hitters"].build(docs, cfg).to_pandas()
+    assert len(hh) == 0
+    import dataclasses
+    cfg = dataclasses.replace(cfg, heavy_hitter_threshold=200)
+    hh = REGISTRY["corpus_heavy_hitters"].build(docs, cfg).to_pandas()
+    assert dict(zip(hh["token"], hh["n"])) == {"alpha": 240, "beta": 240}
+    regs = REGISTRY["hll_registers"].build(docs, cfg).to_pandas()
+    assert len(regs) <= 8 and (regs["r"] >= 1).all()

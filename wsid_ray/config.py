@@ -148,6 +148,10 @@ class PipelineConfig:
     # identically in oracle.disambiguate — tested equivalent either way.
     expand_cooc: bool = False
     expand_gamma: float = 0.5
+    # sketch-stage knobs (stage.py registry: corpus_heavy_hitters /
+    # hll_registers)
+    heavy_hitter_threshold: int = 500
+    hll_col: str = "doc_id"
 
     def content_hash(self) -> str:
         """Stable hash of the config — part of checkpoint lineage."""

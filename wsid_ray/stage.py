@@ -134,5 +134,30 @@ def _register_builtins() -> None:
         build=_simdup,
     ))
 
+    def _hh(ds, cfg):
+        from .stages.lm import cms_heavy_hitters
+        return cms_heavy_hitters(
+            ds, threshold=getattr(cfg, "heavy_hitter_threshold", 500))
+
+    register(Stage(
+        name="corpus_heavy_hitters",
+        description="Count-Min-gated exact heavy hitters (two passes, "
+                    "full term set never shuffles)",
+        input_cols=("doc_id", "text"), output_cols=("token", "n"),
+        build=_hh,
+    ))
+
+    def _hll(ds, cfg):
+        from .stages.groups import hll_registers
+        return hll_registers(ds, getattr(cfg, "hll_col", "doc_id"))
+
+    register(Stage(
+        name="hll_registers",
+        description="HyperLogLog distinct-count registers (max-merge, "
+                    "256 ints per corpus)",
+        input_cols=(), output_cols=("bucket", "r"),
+        build=_hll,
+    ))
+
 
 _register_builtins()
