@@ -1087,6 +1087,17 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS r
             FROM f GROUP BY event_type, bucket
         """,
+        # Bloom anti join: a Bloom miss is a definite non-member, so the
+        # filter routes rows, never decides membership — mirror is a
+        # plain NOT EXISTS
+        "segment_customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'O')
+            GROUP BY c_mktsegment
+        """,
         # the Count-Min sketch only gates the shuffle (never
         # underestimates -> guaranteed candidate superset); the exact
         # second-pass count re-applies the threshold, so the mirror is

@@ -129,3 +129,24 @@ def test_bloom_semi_join_exact_despite_false_positives():
     want = sorted(i * 17 for i in range(60) if i * 17 < 1000)
     assert sorted(out["k"]) == want
     assert list(out.columns) == ["k", "v"]
+
+
+def test_bloom_anti_join_exact_despite_false_positives():
+    """m_log2=8 forces Bloom false positives; the exact residual join
+    must recover every one into the anti output."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.stages.joins import bloom_anti_join
+
+    big = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(1000)), type=pa.int64()),
+        "v": pa.array(range(1000), type=pa.int64())}))
+    keys = rd.from_arrow(pa.table({
+        "k": pa.array([i * 17 for i in range(60)], type=pa.int64())}))
+    out = bloom_anti_join(big, keys, "k", m_log2=8,
+                          num_buckets=4).to_pandas()
+    members = {i * 17 for i in range(60)}
+    want = sorted(k for k in range(1000) if k not in members)
+    assert sorted(out["k"]) == want
+    assert sorted(out.columns) == ["k", "v"]

@@ -308,6 +308,33 @@ def q_flagged_lineitem_revenue(sf_dir: str) -> rd.Dataset:
                         ["n_items", "revenue_cents"], num_buckets=4)
 
 
+def q_segment_customers_without_orders(sf_dir: str) -> rd.Dataset:
+    """Per-segment count of customers with no open ('O') orders —
+    through the Bloom anti join: bloom-negative customers are definite
+    non-members (zero shuffle); only the bloom-positive residue takes
+    the exact left join."""
+    import pyarrow.compute as pc
+
+    from ..sources.pqclean import read_parquet_clean
+    from ..stages.joins import bloom_anti_join
+    from .analytics import partial_count
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"])
+
+    def f_keys(t):
+        t = t.filter(pc.equal(t["o_orderstatus"], "O"))
+        return t.select(["o_custkey"]).rename_columns(["c_custkey"])
+
+    keys = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus"]).map_batches(
+            f_keys, batch_format="pyarrow")
+    aj = bloom_anti_join(cust, keys, "c_custkey")
+    return partial_count(aj, ["c_mktsegment"], out_name="n_customers")
+
+
 def q_user_hll_registers(sf_dir: str) -> rd.Dataset:
     from ..sources.pqclean import read_parquet_clean
     from ..stages.groups import hll_registers
@@ -732,6 +759,7 @@ QUERIES = {
     "order_price_ntile": q_order_price_ntile,
     "user_hll_registers": q_user_hll_registers,
     "flagged_lineitem_revenue": q_flagged_lineitem_revenue,
+    "segment_customers_without_orders": q_segment_customers_without_orders,
     "corpus_heavy_hitters": q_corpus_heavy_hitters,
     "event_type_hll_registers": q_event_type_hll_registers,
     "events_hopping": q_events_hopping,

@@ -324,3 +324,64 @@ def bloom_semi_join(big: rd.Dataset, keys: rd.Dataset, key_col: str,
                         num_buckets=num_buckets)
     return hash_join(surviving, key_only, on=[key_col], how="inner",
                      num_buckets=num_buckets)
+
+
+def bloom_anti_join(big: rd.Dataset, keys: rd.Dataset, key_col: str,
+                    m_log2: int = 20, num_buckets: int = 32) -> rd.Dataset:
+    """Anti join with the same distributed Bloom filter as
+    ``bloom_semi_join``, used in the opposite direction: a Bloom MISS is
+    a *definite* non-member (no false negatives), so most anti-join
+    output streams straight through with zero shuffle; only the
+    bloom-positive residue — true members plus the filter's few false
+    positives — takes the exact partitioned left join, where a null
+    marker identifies the false positives to recover.  Result is EXACT."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .groups import distinct
+
+    krefs = keys.to_arrow_refs()
+    parts = [_block_bloom.remote(b, key_col, m_log2) for b in krefs]
+    while len(parts) > 1:
+        parts = [_or_blooms.remote(*parts[i:i + 8])
+                 for i in range(0, len(parts), 8)]
+    bloom_ref = parts[0]
+    mask = np.uint64((1 << m_log2) - 1)
+
+    def hit_mask(t: pa.Table) -> pa.Array:
+        bits = ray.get(bloom_ref)
+        col = t[key_col].combine_chunks()
+        uniq = col.unique()
+        hv = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(u).encode()).digest()[:8],
+                            "little") for u in uniq.to_pylist()),
+            dtype=np.uint64, count=len(uniq))
+        ok = np.ones(len(uniq), dtype=bool)
+        for i in range(_BLOOM_K):
+            idx = (hv >> np.uint64(i * m_log2)) & mask
+            word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+            ok &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        return pc.is_in(col, value_set=uniq.filter(pa.array(ok)))
+
+    # one materialisation of big, consumed twice (definite path + residue)
+    brefs = big.map_batches(lambda t: t, batch_format="pyarrow") \
+               .to_arrow_refs()
+    definite = rd.from_arrow_refs(brefs).map_batches(
+        lambda t: t.filter(pc.invert(hit_mask(t))),
+        batch_format="pyarrow")
+    residue = rd.from_arrow_refs(brefs).map_batches(
+        lambda t: t.filter(hit_mask(t)), batch_format="pyarrow")
+
+    key_marked = distinct(keys.select_columns([key_col]), [key_col],
+                          num_buckets=num_buckets).map_batches(
+        lambda t: t.append_column("__member", pa.array([1] * len(t),
+                                                       type=pa.int64())),
+        batch_format="pyarrow")
+    joined = hash_join(residue, key_marked, on=[key_col], how="left",
+                       num_buckets=num_buckets)
+    false_pos = joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["__member"])).drop(["__member"]),
+        batch_format="pyarrow")
+    return definite.union(false_pos)
