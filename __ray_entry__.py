@@ -11,14 +11,15 @@ same generated parquet via read_parquet('<path>/*.parquet'); calling
 ``queries()`` / ``oracle_sql()`` triggers (idempotent, atomic) generation
 so both sides always see identical bytes.
 
-Genuinely non-SQL-expressible stages are registered without oracle SQL →
-rows-only checks: graph clustering itself (sense_inventory /
-sense_inventory_hyperlex — Chinese Whispers / HyperLex), the
-approximate-by-design IVF/LSH ANN hit lists, and the stubbed media
-codec.  Each is verified against the sequential reference-style oracle
-in tests/ (P/R gate), and the ANN paths additionally surface a
-hash-checked ``knn_recall`` row.  Everything DOWNSTREAM of the induced
-inventory IS SQL-checked: mentions_linked / canon_map / triples /
+Since round 4 the induced sense inventory ITSELF is SQL-checked: the
+cw.py v2 integer determinism contract (RNG-free synchronous monotone
+label propagation over int64 micro-unit weights; bounded-round HyperLex
+hub/attach fixpoints) lets _sql_sense_inventory unroll the clustering
+into CTE rounds, the same move as the k-means Lloyd mirror.  The only
+remaining rows-only registrations are the approximate-by-design IVF/LSH
+ANN hit lists (quality surfaced via the hash-checked ``knn_recall``
+row) and the stubbed media codec.  Everything DOWNSTREAM of the
+inventory is also SQL-checked: mentions_linked / canon_map / triples /
 triples_checkpointed read the engine's deterministic inventory + KB
 artifacts (wsid_ray/artifacts.py) and mirror scoring, entity linking,
 union-find reachability and triple assembly in DuckDB
@@ -75,13 +76,15 @@ def _sql_multi_terms():
     return out
 
 
-def _sql_cooc_edges(tr: str, tok: str, gaz: str) -> str:
-    """DuckDB mirror of the flagship cooc path (stages/mentions.py windows +
-    stages/cooc.py counts/NPMI): windows are the W tokens either side of
-    each gazetteer occurrence (single-token or multi-word span) within a
-    turn, span excluded; counts are per-window-distinct; pmi/npmi per
-    Bouma 2009 with the same float64 operation order as the numpy kernel."""
-    from wsid_ray.config import COOC_MIN_COUNT, NPMI_MIN, WINDOW_SIZE
+def _sql_cooc_chain(tr: str, tok: str, gaz: str) -> str:
+    """CTE chain (``toks`` … ``weighted``) mirroring the flagship cooc
+    path (stages/mentions.py windows + stages/cooc.py counts/NPMI):
+    windows are the W tokens either side of each gazetteer occurrence
+    (single-token or multi-word span) within a turn, span excluded;
+    counts are per-window-distinct; pmi/npmi per Bouma 2009 with the
+    same float64 operation order as the numpy kernel.  Shared by
+    _sql_cooc_edges and _sql_sense_inventory."""
+    from wsid_ray.config import COOC_MIN_COUNT, WINDOW_SIZE
     W = WINDOW_SIZE
     multi_sql = "".join(f"""
             UNION ALL
@@ -94,7 +97,7 @@ def _sql_cooc_edges(tr: str, tok: str, gaz: str) -> str:
             FROM pos WHERE {conds}"""
         for conds, m, term in _sql_multi_terms())
     return f"""
-        WITH toks AS (
+        toks AS (
             SELECT {tok} AS tokens FROM {tr}
         ),
         pos AS (
@@ -140,8 +143,175 @@ def _sql_cooc_edges(tr: str, tok: str, gaz: str) -> str:
             JOIN unicnt uv ON uv.term = p.term AND uv.tok = p.v
             WHERE p.n >= {COOC_MIN_COUNT}
         )
+    """
+
+
+def _sql_cooc_edges(tr: str, tok: str, gaz: str) -> str:
+    """DuckDB mirror of the flagship NPMI edge list (see
+    _sql_cooc_chain for the shared window/count/weight CTEs)."""
+    from wsid_ray.config import NPMI_MIN
+    return f"""
+        WITH {_sql_cooc_chain(tr, tok, gaz)}
         SELECT term, w, v, n, round(pmi, 6) AS pmi, round(npmi, 6) AS npmi
         FROM weighted WHERE npmi > {NPMI_MIN}
+    """
+
+
+def _sql_sense_inventory(tr: str, tok: str, gaz: str,
+                         algo: str = "cw") -> str:
+    """DuckDB mirror of the induced sense inventory itself (VERDICT r03
+    item 1) — the graph clustering unrolled into CTE rounds under the
+    v2 integer determinism contract (wsid_ray/cw.py docstring), the
+    same move as the k-means Lloyd mirror (_sql_kmeans):
+
+      * edge weights quantised to int64 micro-units
+        ``floor(npmi*1e6 + 0.5)`` on the bit-identical npmi doubles of
+        the shared cooc chain;
+      * nodes indexed per term in lexicographic order (``nid``), so
+        integer label order == node-name order;
+      * algo='cw': CW_ITERATIONS synchronous monotone rounds — each
+        node's attractor is the neighbour label with maximal summed
+        incident weight (ties → lowest label), adopted only if smaller
+        than the current label.  The engine early-exits at a fixpoint;
+        a fixpoint is stable, so the mirror always running the full cap
+        computes the identical labelling;
+      * algo='hyperlex': HYPERLEX_HUB_ROUNDS synchronous rounds of
+        greedy maximal-independent-set hub selection by (wdeg desc,
+        name asc) rank, then HYPERLEX_ATTACH_ROUNDS rounds attaching
+        unlabelled nodes to the strongest labelled neighbour (weight
+        desc, label asc); leftovers become singletons;
+      * renumbering by (cluster size desc, min member asc); vector
+        weight = intra-cluster incident micro-unit sum / 1e6, top
+        SENSE_TOP_K per sense by (weight desc, token asc).
+    """
+    from wsid_ray.config import (CW_ITERATIONS, HYPERLEX_ATTACH_ROUNDS,
+                                 HYPERLEX_HUB_ROUNDS, NPMI_MIN, SENSE_TOP_K)
+    ctes = [f"""edges AS (
+            SELECT term, w, v,
+                   CAST(floor(npmi * 1e6 + 0.5) AS BIGINT) AS wq
+            FROM weighted WHERE npmi > {NPMI_MIN})""",
+            """nd AS MATERIALIZED (
+            SELECT term, node,
+                   CAST(row_number() OVER (PARTITION BY term
+                        ORDER BY node) - 1 AS BIGINT) AS nid
+            FROM (SELECT term, w AS node FROM edges
+                  UNION SELECT term, v FROM edges))""",
+            """dir AS MATERIALIZED (
+            SELECT e.term, nu.nid AS u, nv.nid AS v, e.wq
+            FROM edges e
+            JOIN nd nu ON nu.term = e.term AND nu.node = e.w
+            JOIN nd nv ON nv.term = e.term AND nv.node = e.v
+            UNION ALL
+            SELECT e.term, nv.nid, nu.nid, e.wq
+            FROM edges e
+            JOIN nd nu ON nu.term = e.term AND nu.node = e.w
+            JOIN nd nv ON nv.term = e.term AND nv.node = e.v)"""]
+    if algo == "cw":
+        ctes.append("l0 AS (SELECT term, nid AS node, nid AS lab FROM nd)")
+        for r in range(1, CW_ITERATIONS + 1):
+            ctes.append(f"""a{r} AS (
+                SELECT term, node, nl FROM (
+                    SELECT d.term, d.u AS node, p.lab AS nl,
+                           sum(d.wq) AS s
+                    FROM dir d JOIN l{r - 1} p
+                      ON p.term = d.term AND p.node = d.v
+                    GROUP BY d.term, d.u, p.lab)
+                QUALIFY row_number() OVER (PARTITION BY term, node
+                    ORDER BY s DESC, nl ASC) = 1)""")
+            ctes.append(f"""l{r} AS MATERIALIZED (
+                SELECT p.term, p.node, least(p.lab, a.nl) AS lab
+                FROM l{r - 1} p JOIN a{r} a
+                  ON a.term = p.term AND a.node = p.node)""")
+        fin = f"l{CW_ITERATIONS}"
+    elif algo == "hyperlex":
+        ctes.append("""wdg AS (
+            SELECT term, u AS node, sum(wq) AS wd
+            FROM dir GROUP BY term, u)""")
+        ctes.append("""rnk AS MATERIALIZED (
+            SELECT term, node, row_number() OVER (PARTITION BY term
+                ORDER BY wd DESC, node ASC) AS rk
+            FROM wdg)""")
+        # directed higher-rank adjacency: u -> neighbours ranked above u
+        ctes.append("""hd AS MATERIALIZED (
+            SELECT d.term, d.u, d.v
+            FROM dir d
+            JOIN rnk ru ON ru.term = d.term AND ru.node = d.u
+            JOIN rnk rv ON rv.term = d.term AND rv.node = d.v
+            WHERE rv.rk < ru.rk)""")
+        # status: 0=UNDECIDED 1=HUB 2=NOT (all nodes have wdeg>0 here —
+        # every node comes from a pruned edge with wq >= 1)
+        ctes.append("s0 AS (SELECT term, nid AS node, 0 AS st FROM nd)")
+        for r in range(1, HYPERLEX_HUB_ROUNDS + 1):
+            ctes.append(f"""g{r} AS (
+                SELECT h.term, h.u AS node,
+                       max(CASE WHEN p.st = 1 THEN 1 ELSE 0 END) AS any_hub,
+                       min(CASE WHEN p.st = 2 THEN 1 ELSE 0 END) AS all_not
+                FROM hd h JOIN s{r - 1} p
+                  ON p.term = h.term AND p.node = h.v
+                GROUP BY h.term, h.u)""")
+            ctes.append(f"""s{r} AS MATERIALIZED (
+                SELECT p.term, p.node,
+                       CASE WHEN p.st <> 0 THEN p.st
+                            WHEN g.node IS NULL THEN 1
+                            WHEN g.any_hub = 1 THEN 2
+                            WHEN g.all_not = 1 THEN 1
+                            ELSE 0 END AS st
+                FROM s{r - 1} p LEFT JOIN g{r} g
+                  ON g.term = p.term AND g.node = p.node)""")
+        ctes.append(f"""t0 AS (
+            SELECT term, node, CASE WHEN st = 1 THEN node END AS lab
+            FROM s{HYPERLEX_HUB_ROUNDS})""")
+        for r in range(1, HYPERLEX_ATTACH_ROUNDS + 1):
+            ctes.append(f"""b{r} AS (
+                SELECT term, node, lab FROM (
+                    SELECT d.term, d.u AS node, p.lab, d.wq
+                    FROM dir d JOIN t{r - 1} p
+                      ON p.term = d.term AND p.node = d.v
+                    WHERE p.lab IS NOT NULL)
+                QUALIFY row_number() OVER (PARTITION BY term, node
+                    ORDER BY wq DESC, lab ASC) = 1)""")
+            ctes.append(f"""t{r} AS MATERIALIZED (
+                SELECT p.term, p.node, coalesce(p.lab, b.lab) AS lab
+                FROM t{r - 1} p LEFT JOIN b{r} b
+                  ON b.term = p.term AND b.node = p.node)""")
+        ctes.append(f"""fin_hx AS (
+            SELECT term, node, coalesce(lab, node) AS lab
+            FROM t{HYPERLEX_ATTACH_ROUNDS})""")
+        fin = "fin_hx"
+    else:
+        raise ValueError(f"unknown induction algorithm {algo!r}")
+    ctes.append(f"""cl AS (
+            SELECT term, lab, count(*) AS sz, min(node) AS mn
+            FROM {fin} GROUP BY term, lab)""")
+    ctes.append("""ren AS (
+            SELECT term, lab,
+                   CAST(row_number() OVER (PARTITION BY term
+                        ORDER BY sz DESC, mn ASC) - 1 AS INTEGER)
+                       AS sense_id
+            FROM cl)""")
+    ctes.append(f"""intra AS (
+            SELECT d.term, d.u AS node, sum(d.wq) AS micro
+            FROM dir d
+            JOIN {fin} fu ON fu.term = d.term AND fu.node = d.u
+            JOIN {fin} fv ON fv.term = d.term AND fv.node = d.v
+            WHERE fu.lab = fv.lab
+            GROUP BY d.term, d.u)""")
+    ctes.append(f"""vec AS (
+            SELECT f.term, r.sense_id, n.node AS token,
+                   coalesce(i.micro, 0) AS micro
+            FROM {fin} f
+            JOIN ren r ON r.term = f.term AND r.lab = f.lab
+            JOIN nd n ON n.term = f.term AND n.nid = f.node
+            LEFT JOIN intra i ON i.term = f.term AND i.node = f.node)""")
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {_sql_cooc_chain(tr, tok, gaz)},
+        {joined}
+        SELECT term, sense_id, token,
+               round(CAST(micro AS DOUBLE) / 1000000.0, 6) AS weight
+        FROM vec
+        QUALIFY row_number() OVER (PARTITION BY term, sense_id
+            ORDER BY micro DESC, token ASC) <= {SENSE_TOP_K}
     """
 
 
@@ -876,6 +1046,12 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "cooc_edges": _sql_cooc_edges(tr, tok, gaz),
+        # the induced inventory itself, hash-checked (VERDICT r03 item 1):
+        # clustering unrolled into CTE rounds under the cw.py v2 integer
+        # determinism contract (see _sql_sense_inventory)
+        "sense_inventory": _sql_sense_inventory(tr, tok, gaz, algo="cw"),
+        "sense_inventory_hyperlex": _sql_sense_inventory(
+            tr, tok, gaz, algo="hyperlex"),
         "doc_langid": _sql_doc_langid(),
         # recursive-CTE mirror of the distributed hash-to-min union-find
         # rounds (D3): reachability closure over near-dup pairs, min label

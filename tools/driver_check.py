@@ -119,6 +119,7 @@ def main() -> None:
     ray.shutdown()
     n_fail = sum(1 for r in results.values()
                  if r.get("value_match") is False or
+                 r.get("rows_match") is False or
                  (r.get("err") and r.get("err") != "no_oracle"))
     print(f"\n{len(results)} checked, {n_fail} failing")
     sys.exit(1 if n_fail else 0)

@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 
 from .config import DEFAULT_CONFIG, GAZETTEER, kb_candidates
 
-_ART_VERSION = "a1"
+_ART_VERSION = "a2"
 _ROOT = os.path.join(tempfile.gettempdir(), "wsid_ray_artifacts",
                      _ART_VERSION)
 

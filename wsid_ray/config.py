@@ -37,12 +37,19 @@ COOC_MIN_COUNT = 2         # prune edges with n_wv < this
 NPMI_MIN = 0.10            # prune edges with npmi <= this
 
 # --------------------------------------------------------------------------
-# Chinese Whispers (Biemann 2006) — determinism rules (SURVEY.md §4.3):
-# per-term RNG seeded with stable_hash64(term); fixed iteration cap;
-# tie-break = lowest label id; sense ids assigned by (size desc, min-token asc).
+# Chinese Whispers (Biemann 2006) — v2 determinism contract (SURVEY.md
+# §4.3, wsid_ray/cw.py docstring): RNG-free two-phase synchronous label
+# propagation over int64 micro-unit weights; tie-break = lowest label;
+# sense ids assigned by (size desc, min-token asc).  The contract makes
+# the inventory hash-checkable against an unrolled DuckDB CTE mirror
+# (__ray_entry__._sql_sense_inventory).
 # --------------------------------------------------------------------------
 CW_ITERATIONS = 20
-CW_SEED_SALT = "wsid-ray-cw-v1"
+# HyperLex v2 bounded-round caps (cw.hyperlex_root_hubs): hub fixpoint
+# rounds and attachment rounds.  Both sides (engine + SQL mirror) run the
+# same caps, so agreement holds even on graphs that need more rounds.
+HYPERLEX_HUB_ROUNDS = 16
+HYPERLEX_ATTACH_ROUNDS = 8
 SENSE_TOP_K = 50           # keep k highest-weight tokens per sense vector
 
 # --------------------------------------------------------------------------

@@ -264,16 +264,26 @@ def order_price_quantiles(sf_dir: str) -> rd.Dataset:
                                 num_buckets=4)
 
 
-def order_price_ntile(sf_dir: str, n_tiles: int = 4) -> rd.Dataset:
-    """NTILE(n) per order status over price — rank-based window function
-    (ties broken by o_orderkey, so fully deterministic).  Like all
-    rank-based windows it needs each partition's rows co-located and
-    sorted: one bucketed shuffle keyed on the partition column, sort
-    inside the bucket.  NTILE semantics: the first n%k tiles get one
-    extra row.  At 100 TB, approximate global tiling goes through the
-    histogram sketch (order_price_histo) instead — exact NTILE of a
-    partition that doesn't fit one task has no cheap distributed form."""
+def order_price_ntile(sf_dir: str, n_tiles: int = 4,
+                      bin_cents: int = 100_000) -> rd.Dataset:
+    """NTILE(n) per order status over price — EXACT two-pass distributed
+    rank window (VERDICT r03 item 2; ties broken by o_orderkey, fully
+    deterministic).
+
+    No partition is ever co-located in one task.  Pass 1 builds the
+    same mergeable fixed-width histogram as order_price_histo — per
+    (status, bin) counts, O(statuses x bins) rows total regardless of
+    input size — and turns it into exclusive-cumsum START RANKS per
+    bin plus the partition sizes N.  Pass 2 shuffles rows keyed on
+    (status, BIN) — a strictly finer key than the partition column, so
+    a 1/3-of-the-table status splits across every price bin — and each
+    group only sorts its own bin: global_rank = bin_start + local
+    offset, tile = integer split of rank over N (first N%n tiles one
+    extra row).  Scale bound: the largest single (status, bin) group,
+    i.e. the heaviest value bucket — tune bin_cents down to split hot
+    value ranges, not the partition count."""
     from ..stages.groups import bucketed_group_apply
+    from ..util import collect_rows
 
     ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
@@ -285,15 +295,45 @@ def order_price_ntile(sf_dir: str, n_tiles: int = 4) -> rd.Dataset:
             "price_cents": _cents(df["o_totalprice"].to_numpy())}),
         batch_format="pandas")
 
+    # pass 1: per-batch partial histogram -> tiny (status, bin, c) rows,
+    # summed in one bucketed shuffle; the aggregated histogram is
+    # value-range-bounded (a model, not data) so it may live on the
+    # driver and broadcast into pass 2.
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderstatus": df["o_orderstatus"],
+            "bin": df["price_cents"].to_numpy() // bin_cents})
+        out = g.groupby(["o_orderstatus", "bin"], sort=False,
+                        observed=True).size().rename("c").reset_index()
+        return out.astype({"bin": "int64", "c": "int64"})
+
+    hist_rows = collect_rows(bucketed_sum(
+        pairs.map_batches(partial_hist, batch_format="pandas"),
+        ["o_orderstatus", "bin"], ["c"], num_buckets=4))
+    start_of: dict[tuple[str, int], int] = {}
+    n_of: dict[str, int] = {}
+    for r in sorted(hist_rows,
+                    key=lambda r: (r["o_orderstatus"], r["bin"])):
+        s = r["o_orderstatus"]
+        start_of[(s, r["bin"])] = n_of.get(s, 0)
+        n_of[s] = n_of.get(s, 0) + r["c"]
+
     def tiles(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for status, g in df.groupby("o_orderstatus", sort=True):
+        bins = df["price_cents"].to_numpy() // bin_cents
+        for (status, b), g in df.groupby(
+                ["o_orderstatus", bins], sort=True):
             g = g.sort_values(["price_cents", "o_orderkey"],
                               kind="mergesort")
-            n = len(g)
-            sizes = np.full(n_tiles, n // n_tiles)
-            sizes[:n % n_tiles] += 1
-            tile = np.repeat(np.arange(1, n_tiles + 1), sizes)
+            n = n_of[status]
+            rank = start_of[(status, int(b))] + np.arange(len(g),
+                                                          dtype=np.int64)
+            base, extra = n // n_tiles, n % n_tiles
+            cut = (base + 1) * extra
+            tile = np.where(
+                rank < cut,
+                rank // (base + 1),
+                extra + (rank - cut) // max(base, 1)) + 1
             outs.append(pd.DataFrame({
                 "o_orderkey": g["o_orderkey"].to_numpy(),
                 "o_orderstatus": status,
@@ -305,8 +345,17 @@ def order_price_ntile(sf_dir: str, n_tiles: int = 4) -> rd.Dataset:
                 "quartile": pd.Series(dtype="int64")})
         return pd.concat(outs, ignore_index=True)
 
-    return bucketed_group_apply(pairs, ["o_orderstatus"], tiles,
-                                num_buckets=4)
+    # pass 2: shuffle on the FINER (status, bin) key
+    binned = pairs.map_batches(
+        lambda df: df.assign(bin=df["price_cents"].to_numpy()
+                             // bin_cents),
+        batch_format="pandas")
+
+    def tiles_drop_bin(df: pd.DataFrame) -> pd.DataFrame:
+        return tiles(df.drop(columns=["bin"]))
+
+    return bucketed_group_apply(binned, ["o_orderstatus", "bin"],
+                                tiles_drop_bin, num_buckets=16)
 
 
 # histogram-sketch quantiles: (numerator, denominator) per quantile so

@@ -172,6 +172,7 @@ def q_sense_inventory(sf_dir: str) -> pd.DataFrame:
     art = _flagship(sf_dir)
     df = pd.DataFrame(art.sense_inventory_rows)
     if len(df):
+        df["sense_id"] = df["sense_id"].astype("int32")
         df["weight"] = df["weight"].round(6)
     return df
 

@@ -29,7 +29,9 @@ from dataclasses import dataclass
 # Bump when pipeline semantics change: lineage covers inputs + config +
 # code version, so checkpoints written by older pipeline code are not
 # silently served after an upgrade (ADVICE r01).
-PIPELINE_CODE_VERSION = "r2.1"
+PIPELINE_CODE_VERSION = "r4.1"  # bump whenever pipeline SEMANTICS change
+# (r4.1: cw.py v2 RNG-free integer-contract clustering changed the
+# induced inventory, invalidating pre-r4 checkpoint partitions)
 
 
 def lineage_hash(input_files: list[str], config_hash: str) -> str:
