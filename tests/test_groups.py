@@ -210,3 +210,42 @@ def test_order_price_ntile_balanced_and_monotone():
         g = g.assign(c=g["o_orderkey"].map(px)).sort_values(
             ["c", "o_orderkey"], kind="mergesort")
         assert (g["quartile"].diff().dropna() >= 0).all()
+
+
+def test_order_price_ntile_skewed_partition(tmp_path):
+    """VERDICT r03 item 2: exact NTILE must survive a deliberately skewed
+    partition key — 90% of rows in one status, with heavy price ties —
+    because the two-pass rank shuffles on (status, price bin), never
+    co-locating a whole partition.  Exactness checked against DuckDB's
+    NTILE window on the same file."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wsid_ray.pipelines.analytics import order_price_ntile
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    status = np.where(np.arange(n) % 10 == 0, "P", "F")  # 90% 'F'
+    # heavy ties: prices drawn from just 40 distinct values so single
+    # bins carry many rows
+    price = rng.choice(np.arange(40) * 137.5 + 10.0, size=n)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n), type=pa.int64()),
+        "o_orderstatus": pa.array(status.tolist(), type=pa.string()),
+        "o_totalprice": pa.array(price, type=pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+
+    out = order_price_ntile(str(tmp_path)).to_pandas()
+    exp = duckdb.sql(f"""
+        SELECT o_orderkey, o_orderstatus,
+               CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+                    ORDER BY CAST(floor(o_totalprice*100+0.5) AS BIGINT),
+                             o_orderkey) AS BIGINT) AS quartile
+        FROM read_parquet('{tmp_path}/orders.parquet')
+    """).df()
+    merged = out.merge(exp, on=["o_orderkey", "o_orderstatus"],
+                       suffixes=("", "_exp"))
+    assert len(merged) == n == len(out)
+    assert (merged["quartile"] == merged["quartile_exp"]).all()

@@ -87,6 +87,33 @@ class SenseDisambiguator:
                 for tok, w in vec.items():
                     bykey.setdefault(f"{term}\x00{tok}", []).append(
                         (int(sid), float(w)))
+        # Expansion mode (A2 cooc matrices in state) folds into the SAME
+        # structure (VERDICT r03 item 3): for a given sense, a window
+        # token contributes EITHER its base vector weight (t ∈ vec) OR
+        # gamma x its strongest NPMI edge into the vector (t ∉ vec) —
+        # mutually exclusive by the oracle's expansion_score definition —
+        # so the second-order weights are precomputable per (term, token,
+        # sense) and the per-batch scorer stays one index_in + bincount
+        # fold with no per-mention Python.  State stays vocab-bounded:
+        # ≤ |edges| x |senses| pairs per term.
+        if self.edge_maps is not None:
+            for term, emap in self.edge_maps.items():
+                senses = inv.get(term, {})
+                if not senses:
+                    continue
+                best: dict[tuple[str, int], float] = {}
+                for sid, vec in senses.items():
+                    for (w_tok, v_tok), npmi in emap.items():
+                        for t_out, t_in in ((w_tok, v_tok),
+                                            (v_tok, w_tok)):
+                            if t_out in vec or t_in not in vec:
+                                continue
+                            k = (t_out, int(sid))
+                            if npmi > best.get(k, 0.0):
+                                best[k] = npmi
+                for (tok, sid), b in best.items():
+                    bykey.setdefault(f"{term}\x00{tok}", []).append(
+                        (sid, self.expand_gamma * b))
         keys = sorted(bykey)
         counts = np.array([len(bykey[k]) for k in keys], dtype=np.int64)
         self.inv_key_arr = pa.array(keys, type=pa.string())
@@ -111,30 +138,9 @@ class SenseDisambiguator:
         terms_np = np.asarray(batch["term"].to_pylist(), dtype=object)
         sense_ids = np.full(n, -1, dtype=np.int32)
         scores = np.zeros(n, dtype=np.float64)
-        if self.edge_maps is not None:
-            # expansion mode: every sense must be scored (a sense with no
-            # base overlap can still win on second-order edges) → direct
-            # per-mention loop, the literal oracle semantics.
-            from ..oracle import expansion_score
-            wins_py = wins.to_pylist()
-            for i in range(n):
-                term = terms_np[i]
-                senses = self.inventory.get(term, {})
-                emap = self.edge_maps.get(term, {})
-                best_sid, best_score = -1, MIN_LINK_SCORE
-                for sid in sorted(senses):
-                    vec = senses[sid]
-                    s = sum(vec.get(t, 0.0) for t in wins_py[i])
-                    s += expansion_score(wins_py[i], vec, emap,
-                                         self.expand_gamma)
-                    s = round(s, 6)
-                    if s > best_score:
-                        best_sid, best_score = sid, s
-                sense_ids[i] = best_sid
-                scores[i] = best_score if best_sid >= 0 else 0.0
-            return self._emit(batch, terms_np, sense_ids, scores)
-
-        # vectorised scorer: one index_in probe of "term\0token" keys,
+        # vectorised scorer (expansion mode included — its second-order
+        # weights were folded into the flattened inventory in __init__):
+        # one index_in probe of "term\0token" keys,
         # numpy ragged gather of (sense, weight) pairs, bincount fold,
         # lexsort argmax — no pandas, no per-row Python
         if len(flat) and len(self.inv_key_arr):
