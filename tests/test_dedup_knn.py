@@ -294,3 +294,36 @@ def test_semantic_dedup_drop_rule():
         assert w < v and n >= 1
     assert 1 in out and out[1][0] == 0   # 2x is dropped by 1x
     assert 5 not in out
+
+
+def test_semantic_dedup_mega_cluster_blocked():
+    """VERDICT r03 item 4: a planted 80%-of-rows k-means cluster must not
+    become one O(n²) task — the blocked pair search (chunk_rows) splits
+    it into tiles, and the tiled answer is EXACTLY the single-task
+    all-pairs answer (same drop set, same min witness, same n_sim)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.stages.kmeans import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    n_big, n_small = 800, 200
+    # mega-cluster: tight cone around +x; the rest around +y
+    big = np.abs(rng.normal(0, 0.02, (n_big, 4))) + [1, 0, 0, 0]
+    small = np.abs(rng.normal(0, 0.02, (n_small, 4))) + [0, 1, 0, 0]
+    emb = np.vstack([big, small]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(len(emb)), type=pa.int64()),
+        "embedding": pa.array(emb.tolist(), type=pa.list_(pa.float32()))})
+
+    def run(chunk_rows):
+        return {r["vec_id"]: (r["kept_by"], r["n_sim"])
+                for r in semantic_dedup(rd.from_arrow(t), k=2, iters=2,
+                                        tau=0.999,
+                                        chunk_rows=chunk_rows).take_all()}
+
+    blocked = run(chunk_rows=64)        # mega-cluster -> ~13 chunks
+    single = run(chunk_rows=10**9)      # degenerate: one tile per cluster
+    assert blocked == single
+    assert len(blocked) > n_big // 2    # the tight cone really dedups

@@ -136,61 +136,132 @@ def kmeans_assign(embeds: rd.Dataset, k: int = 4, iters: int = 3,
 
 def semantic_dedup(embeds: rd.Dataset, k: int = 4, iters: int = 3,
                    tau: float = 0.35,
-                   num_buckets: int | None = None) -> rd.Dataset:
+                   num_buckets: int | None = None,
+                   chunk_rows: int = 2048) -> rd.Dataset:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster the embedding
     space with k-means, then drop near-identical members WITHIN each
-    cluster — the clusters bound the otherwise O(n²) pair search, which
-    is the whole point of the method at 100 TB (raise ``k`` so cluster
-    sizes stay per-task-sized; the pair stage is per-cluster quadratic).
+    cluster.
 
-    Determinism: cosine is computed from the integer-exact quantised
-    vectors (int64 dot / product of float64 sqrts of int64 norms — no
-    float summation anywhere), rounded half-away-from-zero at 6 dp, so
-    the SQL mirror is hash-exact.  Drop rule: a vector is dropped iff a
-    SMALLER vec_id in its cluster has cosine ≥ tau; output one row per
-    dropped vector with its smallest witness and its count of similar
-    smaller neighbours."""
+    Mega-cluster guard (VERDICT r03 item 4): the within-cluster pair
+    search is BLOCKED, not single-task.  Members split into
+    ``ceil(size/chunk_rows)`` chunks by ``vec_id % n_chunks``
+    (deterministic, no extra shuffle); each row is replicated to its
+    chunk's pair tasks (cluster, ca, cb), ca <= cb, so one skewed
+    cluster of n rows becomes (n/m)²/2 tasks of <= 2m rows instead of
+    one O(n²) task.  Pair tiles emit per-vector partials (min witness,
+    similar-count) folded by a final (min, sum) aggregate — the drop
+    set is EXACTLY the all-pairs answer, so the SQL mirror is unchanged
+    and a skewed k-means costs duplication (n/m copies of the hot
+    cluster's rows), never a straggler task.
+
+    Determinism: cosine is computed per pair from the integer-exact
+    quantised vectors (int64 dot / product of float64 sqrts of int64
+    norms — no float summation anywhere), rounded half-away-from-zero
+    at 6 dp, so the split into tiles cannot change any verdict.  Drop
+    rule: a vector is dropped iff a SMALLER vec_id in its cluster has
+    cosine >= tau; output one row per dropped vector with its smallest
+    witness and its count of similar smaller neighbours."""
     import pandas as pd
 
+    from ..util import collect_rows
     from .groups import bucketed_group_apply
 
     asg = kmeans_assign(embeds, k=k, iters=iters, include_q=True)
+    asg = asg.materialize()  # two consumers: size census + pair explode
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+    # per-cluster sizes: a k-row aggregate (tiny, driver-mergeable)
+    def _sizes(t: pa.Table) -> pa.Table:
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        n = np.bincount(cl, minlength=k).astype(np.int64)
+        return pa.table({"cluster": pa.array(np.arange(k, dtype=np.int64)),
+                         "n": pa.array(n)})
+
+    counts = np.zeros(k, dtype=np.int64)
+    for r in collect_rows(asg.map_batches(_sizes, batch_format="pyarrow")):
+        counts[r["cluster"]] += r["n"]
+    n_chunks = np.maximum(1, -(-counts // chunk_rows))  # ceil
+
+    def explode(t: pa.Table) -> pa.Table:
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        nc = n_chunks[cl]
+        my = t["vec_id"].to_numpy(zero_copy_only=False) % nc
+        reps = nc.astype(np.int64)
+        idx = np.repeat(np.arange(len(cl), dtype=np.int64), reps)
+        other = (np.arange(int(reps.sum()), dtype=np.int64)
+                 - np.repeat(np.cumsum(reps) - reps, reps))
+        mine = my[idx]
+        ca = np.minimum(mine, other)
+        cb = np.maximum(mine, other)
+        out = t.take(pa.array(idx))
+        out = out.append_column("chunk", pa.array(mine, type=pa.int64()))
+        out = out.append_column("ca", pa.array(ca, type=pa.int64()))
+        return out.append_column("cb", pa.array(cb, type=pa.int64()))
+
+    tiles = asg.map_batches(explode, batch_format="pyarrow")
+
+    def pair_tile(df: pd.DataFrame) -> pd.DataFrame:
         out_v, out_w, out_n = [], [], []
-        for _, g in df.groupby("cluster", sort=False):
+        for (_, ca, cb), g in df.groupby(["cluster", "ca", "cb"],
+                                         sort=False):
             Q = np.vstack(g["qe"].to_numpy()).astype(np.int64)
             ids = g["vec_id"].to_numpy()
-            order = np.argsort(ids, kind="stable")
-            Q, ids = Q[order], ids[order]
+            chunk = g["chunk"].to_numpy()
             nq = (Q * Q).sum(axis=1, dtype=np.int64)
             ok = nq > 0
-            Q, ids, nq = Q[ok], ids[ok], nq[ok]
-            if len(ids) < 2:
+            Q, ids, chunk, nq = Q[ok], ids[ok], chunk[ok], nq[ok]
+            a_m, b_m = chunk == ca, chunk == cb
+            QA, ia, na = Q[a_m], ids[a_m], nq[a_m]
+            QB, ib, nb = Q[b_m], ids[b_m], nq[b_m]
+            if not len(ia) or not len(ib):
                 continue
-            dot = (Q @ Q.T).astype(np.float64)
-            den = np.sqrt(nq.astype(np.float64))
-            cos = dot / (den[:, None] * den[None, :])
+            dot = (QA @ QB.T).astype(np.float64)
+            den = (np.sqrt(na.astype(np.float64))[:, None]
+                   * np.sqrt(nb.astype(np.float64))[None, :])
+            cos = dot / den
             cos6 = np.floor(np.abs(cos) * 1e6 + 0.5) * np.sign(cos) / 1e6
-            hit = np.triu(cos6 >= tau, 1)          # a(row) < b(col)
-            n_sim = hit.sum(axis=0)
-            has = n_sim > 0
-            if not has.any():
-                continue
-            first = hit.argmax(axis=0)             # smallest witness row
-            out_v.extend(ids[has])
-            out_w.extend(ids[first[has]])
-            out_n.extend(n_sim[has])
+            sim = cos6 >= tau
+            if ca == cb:
+                sim &= ia[:, None] != ib[None, :]  # self-pairs
+            # smaller id is the witness, larger is the (maybe) dropped
+            small_a = ia[:, None] < ib[None, :]
+            for drop_ids, wit_ids, m in (
+                    (ib, ia, sim & small_a),        # b dropped by a
+                    (ia, ib, (sim & ~small_a).T)):  # a dropped by b
+                hits = m.sum(axis=0)
+                has = hits > 0
+                if not has.any():
+                    continue
+                # witnesses ordered by id for a correct min via argmax
+                order = np.argsort(wit_ids, kind="stable")
+                m_o = m[order][:, has]
+                out_v.extend(drop_ids[has])
+                out_w.extend(wit_ids[order][m_o.argmax(axis=0)])
+                out_n.extend(hits[has])
+                if ca == cb:
+                    break  # one triangular pass covers both directions
         return pd.DataFrame({
             "vec_id": pd.Series(out_v, dtype="int64"),
             "kept_by": pd.Series(out_w, dtype="int64"),
             "n_sim": pd.Series(out_n, dtype="int64"),
         })
 
-    return bucketed_group_apply(
-        asg, ["cluster"], pairs,
+    partials = bucketed_group_apply(
+        tiles, ["cluster", "ca", "cb"], pair_tile,
         num_buckets=num_buckets or min(k, 32),
+        out_schema=pa.schema([("vec_id", pa.int64()),
+                              ("kept_by", pa.int64()),
+                              ("n_sim", pa.int64())]))
+
+    # fold tile partials: smallest witness, total similar-smaller count
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("vec_id", sort=True).agg(
+            kept_by=("kept_by", "min"), n_sim=("n_sim", "sum"))
+        return g.reset_index().astype({"kept_by": "int64",
+                                       "n_sim": "int64"})
+
+    return bucketed_group_apply(
+        partials, ["vec_id"], fold, num_buckets=8,
         out_schema=pa.schema([("vec_id", pa.int64()),
                               ("kept_by", pa.int64()),
                               ("n_sim", pa.int64())]))
