@@ -735,7 +735,32 @@ def q_knn_cosine_topk(sf_dir: str) -> rd.Dataset:
     return knn_topk(read_embeddings(sf_dir), queries, k=10)
 
 
+# Registry order matters: the driver's correctness sweep may be
+# time-bounded (CORRECTNESS_r03 recorded the FIRST 50 of 68 entries), so
+# the queries that were not in the previous round's artifact run FIRST
+# (VERDICT r03 item 5), followed by the long-covered ones in their
+# historical order.
 QUERIES = {
+    # --- first: queries absent from CORRECTNESS_r03 (driver cut-off) ---
+    "event_recent_activity": q_event_recent_activity,
+    "events_rollup": q_events_rollup,
+    "user_event_pivot": q_user_event_pivot,
+    "doc_simhash": q_doc_simhash,
+    "simhash_near_dup": q_simhash_near_dup,
+    "doc_dup_components": q_doc_dup_components,
+    "doc_minhash_candidates": q_doc_minhash_candidates,
+    "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "knn_cosine_topk": q_knn_cosine_topk,
+    "knn_ivf_topk": q_knn_ivf_topk,
+    "knn_lsh_topk": q_knn_lsh_topk,
+    "knn_recall": q_knn_recall,
+    "embedding_near_dup": q_embedding_near_dup,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_drops": q_semdedup_drops,
+    "doc_embed_near_dup": q_doc_embed_near_dup,
+    "user_sessions": q_user_sessions,
+    "media_features": q_media_features,
+    # --- then the long-covered queries, historical order ---
     "turn_counts": q_turn_counts,
     "role_counts": q_role_counts,
     "unigram_counts": q_unigram_counts,
@@ -786,22 +811,4 @@ QUERIES = {
     "doc_url_domains": q_doc_url_domains,
     "doc_pipeline_summary": q_doc_pipeline_summary,
     "doc_decontaminate": q_doc_decontaminate,
-    "event_recent_activity": q_event_recent_activity,
-    "events_rollup": q_events_rollup,
-    "user_event_pivot": q_user_event_pivot,
-    "doc_simhash": q_doc_simhash,
-    "simhash_near_dup": q_simhash_near_dup,
-    "doc_dup_components": q_doc_dup_components,
-    "doc_minhash_candidates": q_doc_minhash_candidates,
-    "doc_jaccard_pairs": q_doc_jaccard_pairs,
-    "knn_cosine_topk": q_knn_cosine_topk,
-    "knn_ivf_topk": q_knn_ivf_topk,
-    "knn_lsh_topk": q_knn_lsh_topk,
-    "knn_recall": q_knn_recall,
-    "embedding_near_dup": q_embedding_near_dup,
-    "kmeans_clusters": q_kmeans_clusters,
-    "semdedup_drops": q_semdedup_drops,
-    "doc_embed_near_dup": q_doc_embed_near_dup,
-    "user_sessions": q_user_sessions,
-    "media_features": q_media_features,
 }
