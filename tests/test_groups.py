@@ -52,6 +52,28 @@ def test_empty_buckets_ok(impl):
         ("a", 3), ("b", 3)]
 
 
+def test_all_empty_input_typed_by_build_probe():
+    """VERDICT r03 item 8: with no out_schema, an all-empty input must
+    still emit the bucket_fn's OUTPUT schema (derived once at build by
+    probing fn on a typed empty frame) — not the input schema, not
+    null-typed columns."""
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([], type=pa.string()),
+        "v": pa.array([], type=pa.int64())}))
+
+    def comb(df):
+        out = df.groupby("k", sort=False, as_index=False)["v"].sum()
+        out["n"] = out["v"].astype("int64")
+        return out
+
+    out = bucketed_group_apply(ds, ["k"], comb, num_buckets=4,
+                               impl="tasks")
+    sch = out.schema()
+    assert sch.names == ["k", "v", "n"]
+    assert [str(t) for t in sch.types] == ["string", "int64", "int64"]
+    assert out.count() == 0
+
+
 def test_distinct():
     ds = rd.from_arrow(pa.table({
         "a": ["x", "x", "y", "y", "x"],

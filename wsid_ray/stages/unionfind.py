@@ -24,19 +24,29 @@ from ray.data.aggregate import Min
 MAX_ROUNDS = 16
 
 
-def _expand_group(g: pd.DataFrame) -> pd.DataFrame:
-    node = g["u"].iloc[0]
-    members = set(g["v"])
-    members.add(node)
-    m = min(members)
-    us, vs = [], []
-    for x in members:
-        if x == m:
-            continue
-        us.append(m); vs.append(x)
-        us.append(x); vs.append(m)
-    if not us:  # singleton
-        us, vs = [node], [node]
+def _expand_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorised hash-to-min expansion over a whole bucket of nodes
+    (VERDICT r03 item 9: one pandas pass per bucket instead of a Python
+    call per node).  Per node u with members = {u} ∪ {v rows}:
+    m = min(members); emit (m, x) and (x, m) for every member x != m;
+    a fully-collapsed singleton (members == {m}) re-emits (m, m)."""
+    import numpy as np
+
+    u = df["u"].to_numpy()
+    v = df["v"].to_numpy()
+    g = df.groupby("u", sort=False)
+    m = np.minimum(g["v"].transform("min").to_numpy(), u)
+    first = (g.cumcount() == 0).to_numpy()
+
+    keep = v != m                       # member x drawn from a v-row
+    fu = first & (u != m)               # u itself is a non-min member
+    # singleton: u == m and no v-member differs from m
+    other_any = (df.assign(_k=keep).groupby("u", sort=False)["_k"]
+                 .transform("any").to_numpy())
+    single = first & (u == m) & ~other_any
+
+    us = np.concatenate([m[keep], v[keep], m[fu], u[fu], u[single]])
+    vs = np.concatenate([v[keep], m[keep], u[fu], m[fu], u[single]])
     return pd.DataFrame({"u": us, "v": vs})
 
 
@@ -86,11 +96,17 @@ def connected_components(edges: rd.Dataset) -> rd.Dataset:
                             "v": pa.concat_arrays([t["v"].combine_chunks(),
                                                    t["u"].combine_chunks()])}),
         batch_format="pyarrow")
+    from .groups import bucketed_group_apply
+    edge_schema = pa.schema([("u", pa.string()), ("v", pa.string())])
     cur = _dedup_edges(sym).materialize()
     prev_sum = _checksum(cur)
     for _ in range(MAX_ROUNDS):
-        nxt = cur.groupby("u").map_groups(_expand_group,
-                                          batch_format="pandas")
+        # all rows of a node land in one bucket; the expansion is one
+        # vectorised pandas pass per bucket (item 9 — the per-node
+        # map_groups Python-call cost is gone)
+        nxt = bucketed_group_apply(cur, ["u"], _expand_bucket,
+                                   num_buckets=16,
+                                   out_schema=edge_schema)
         nxt = _dedup_edges(nxt).materialize()
         s = _checksum(nxt)
         cur = nxt
@@ -98,12 +114,11 @@ def connected_components(edges: rd.Dataset) -> rd.Dataset:
             break
         prev_sum = s
     comp = cur.groupby("u").aggregate(Min("v", alias_name="comp"))
+    import pyarrow.compute as pc
     return comp.map_batches(
         lambda t: pa.table({
             "node": t["u"],
-            "comp": pa.array([min(a, b) for a, b in
-                              zip(t["u"].to_pylist(), t["comp"].to_pylist())],
-                             type=pa.string()),
+            "comp": pc.min_element_wise(t["u"], t["comp"]),
         }), batch_format="pyarrow")
 
 
@@ -169,13 +184,15 @@ def canonicalize(entity_kb_edges: rd.Dataset,
             lambda t: pa.table({"u": t["entity_id"], "v": t["kb_id"]}),
             batch_format="pyarrow"))
 
-    def per_comp(g: pd.DataFrame) -> pd.DataFrame:
-        nodes = g["node"]
-        entities = sorted(n for n in nodes if not n.startswith("kb:"))
-        if not entities:
-            return pd.DataFrame({"entity_id": [], "canon_id": []})
-        canon = entities[0]
-        return pd.DataFrame({"entity_id": entities,
-                             "canon_id": [canon] * len(entities)})
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorised: drop kb nodes, canon = min entity per component
+        df = df[~df["node"].str.startswith("kb:")]
+        canon = df.groupby("comp", sort=False)["node"].transform("min")
+        return pd.DataFrame({"entity_id": df["node"].to_numpy(),
+                             "canon_id": canon.to_numpy()})
 
-    return comps.groupby("comp").map_groups(per_comp, batch_format="pandas")
+    from .groups import bucketed_group_apply
+    return bucketed_group_apply(
+        comps, ["comp"], per_bucket, num_buckets=16,
+        out_schema=pa.schema([("entity_id", pa.string()),
+                              ("canon_id", pa.string())]))
