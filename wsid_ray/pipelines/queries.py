@@ -385,8 +385,8 @@ def q_doc_fingerprint(sf_dir: str) -> rd.Dataset:
 
 
 def q_doc_langid(sf_dir: str) -> rd.Dataset:
-    return read_documents(sf_dir).map_batches(langid_batch,
-                                              batch_format="pyarrow")
+    from ..stages.textstats import langid_documents
+    return langid_documents(read_documents(sf_dir))
 
 
 def q_doc_quality_filter(sf_dir: str) -> rd.Dataset:

@@ -27,10 +27,17 @@ _EMBED_HASH_MEMO: dict[int, dict[str, int]] = {}  # dim -> token -> bucket
 
 class FakeTextEmbedder:
     """Callable class for ``map_batches(..., concurrency=...)`` — the
-    actor-pool inference pattern (state in __init__, batches in __call__)."""
+    actor-pool inference pattern (state in __init__, batches in __call__).
 
-    def __init__(self, dim: int = 32):
+    ``model`` is a pluggable spec (wsid_ray.models.resolve_model):
+    None → the builtin deterministic fake; a callable or "module:attr"
+    import string → a real ``fn(texts) -> (n, dim) ndarray`` embedding
+    model, resolved HERE in __init__ (once per actor process)."""
+
+    def __init__(self, dim: int = 32, model=None):
+        from ..models import resolve_model
         self.dim = dim
+        self.model = resolve_model(model)
         self.memo = _EMBED_HASH_MEMO.setdefault(dim, {})
 
     def _bucket(self, tok: str) -> int:
@@ -44,6 +51,17 @@ class FakeTextEmbedder:
     def __call__(self, t: pa.Table) -> pa.Table:
         from ..util import list_row_indices
         n = t.num_rows
+        if self.model is not None:
+            M = np.asarray(self.model(t["text"].to_pylist()),
+                           dtype=np.float64)
+            if M.shape != (n, self.dim):
+                raise ValueError(
+                    f"embedding model returned {M.shape}, expected "
+                    f"({n}, {self.dim})")
+            emb = pa.FixedSizeListArray.from_arrays(
+                pa.array(M.ravel(), type=pa.float64()), self.dim).cast(
+                pa.list_(pa.float64()))
+            return pa.table({"vec_id": t["doc_id"], "embedding": emb})
         toks = tokenize_column(t["text"])
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -66,9 +84,12 @@ class FakeTextEmbedder:
         return pa.table({"vec_id": t["doc_id"], "embedding": emb})
 
 
-def embed_documents(docs: rd.Dataset, dim: int = 32) -> rd.Dataset:
-    """documents (doc_id, text) -> (vec_id, embedding list<double>)."""
+def embed_documents(docs: rd.Dataset, dim: int = 32,
+                    model=None) -> rd.Dataset:
+    """documents (doc_id, text) -> (vec_id, embedding list<double>).
+    ``model``: pluggable spec (None = builtin fake; callable or
+    "module:attr" string resolved once per actor)."""
     return docs.map_batches(
-        FakeTextEmbedder, fn_constructor_kwargs=dict(dim=dim),
+        FakeTextEmbedder, fn_constructor_kwargs=dict(dim=dim, model=model),
         batch_format="pyarrow", batch_size=1024,
         concurrency=pool_limits(hi=4), num_cpus=1)
