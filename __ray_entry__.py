@@ -1023,6 +1023,26 @@ def _sql_stratified_sample() -> str:
     """
 
 
+def _sql_user_event_pivot(sf: str = "/root/testdata/sf0.01") -> str:
+    """Mirror of analytics.user_event_pivot.  The engine discovers the
+    pivot column set with a distributed distinct; the mirror derives the
+    SAME sorted set directly from the parquet the query reads (ADVICE
+    r03: a literal column list silently desyncs if the events fixture
+    ever gains or loses a type)."""
+    import pyarrow.parquet as _pq
+    types = sorted(set(
+        _pq.read_table(f"{sf}/events.parquet", columns=["event_type"])
+        ["event_type"].to_pylist()))
+    filters = ",\n                   ".join(
+        f"CAST(count(*) FILTER (event_type = '{tp}') AS BIGINT) AS n_{tp}"
+        for tp in types)
+    return f"""
+            SELECT user_id,
+                   {filters}
+            FROM events GROUP BY user_id
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     from wsid_ray.artifacts import ANN_K, ANN_QUERY_IDS, ensure
     from wsid_ray.config import GAZETTEER, STOPWORDS
@@ -1521,20 +1541,7 @@ def oracle_sql() -> dict[str, str]:
         # analytics.user_event_pivot; the engine discovers the column set
         # with a distributed distinct — the mirror enumerates the same
         # sorted set)
-        "user_event_pivot": """
-            SELECT user_id,
-                   CAST(count(*) FILTER (event_type = 'click')
-                        AS BIGINT) AS n_click,
-                   CAST(count(*) FILTER (event_type = 'error')
-                        AS BIGINT) AS n_error,
-                   CAST(count(*) FILTER (event_type = 'purchase')
-                        AS BIGINT) AS n_purchase,
-                   CAST(count(*) FILTER (event_type = 'signup')
-                        AS BIGINT) AS n_signup,
-                   CAST(count(*) FILTER (event_type = 'view')
-                        AS BIGINT) AS n_view
-            FROM events GROUP BY user_id
-        """,
+        "user_event_pivot": _sql_user_event_pivot(),
         # ROLLUP aggregate (mirror of analytics.events_rollup: one scan,
         # coarser levels derived; lvl = the GROUPING bitmask)
         "events_rollup": """

@@ -29,6 +29,45 @@ def test_hash_join_left():
     assert z["y"].isna().all()
 
 
+def test_hash_join_left_schema_stable_int64():
+    """ADVICE r03: every bucket of a left join must emit ONE schema —
+    right-side int64 survives as int64+null in buckets with unmatched
+    left rows instead of flapping to float64."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.stages.joins import hash_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([f"k{i}" for i in range(40)], type=pa.string()),
+        "x": pa.array(range(40), type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["k0", "k7"], type=pa.string()),
+        "y": pa.array([100, 700], type=pa.int64())}))
+    out = hash_join(left, right, on=["k"], how="left", num_buckets=8)
+    sch = out.schema()
+    assert dict(zip(sch.names, map(str, sch.types)))["y"] == "int64"
+    df = out.to_pandas()
+    assert len(df) == 40
+    assert df.loc[df["k"] == "k7", "y"].iloc[0] == 700
+    assert df["y"].isna().sum() == 38
+
+
+def test_anti_join_drops_null_keys():
+    """ADVICE r03: SQL NOT IN semantics — a null key is never kept by
+    the anti join (and never by the semi join either)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from wsid_ray.stages.joins import semi_join
+    big = rd.from_arrow(pa.table({
+        "k": pa.array(["a", None, "b"], type=pa.string()),
+        "x": pa.array([1, 2, 3], type=pa.int64())}))
+    anti = semi_join(big, {"a"}, "k", anti=True).to_pandas()
+    assert list(anti["k"]) == ["b"]
+    semi = semi_join(big, {"a"}, "k").to_pandas()
+    assert list(semi["k"]) == ["a"]
+
+
 def test_broadcast_join():
     big = ds_of(k=["a", "b", "a"], x=[1, 2, 3])
     small = pd.DataFrame({"k": ["a", "b"], "name": ["A", "B"]})

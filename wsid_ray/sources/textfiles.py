@@ -35,13 +35,21 @@ def _converted(sf_dir: str, fmt: str) -> str:
     import pyarrow.csv as pacsv
     import pyarrow.parquet as pq
 
-    key = sf_dir.strip("/").replace("/", "_")
+    src = f"{sf_dir}/documents.parquet"
+    # content key (ADVICE r03): regenerating the parquet with different
+    # content at the same path must not serve a stale conversion — key
+    # the cache on the source's footer identity (rows + size + mtime_ns),
+    # not just its path.
+    st = os.stat(src)
+    meta = pq.read_metadata(src)
+    key = (f"{sf_dir.strip('/').replace('/', '_')}"
+           f"-{meta.num_rows}-{st.st_size}-{st.st_mtime_ns}")
     out_dir = os.path.join(_ROOT, _CONV_VERSION, key)
     path = os.path.join(out_dir, f"documents.{fmt}")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
-    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    t = pq.read_table(src)
     tmp = path + ".tmp"
     if fmt == "jsonl":
         # sorted keys + explicit separators: byte-deterministic output

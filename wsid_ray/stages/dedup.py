@@ -29,6 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ..util import BoundedCache
 from .groups import bucketed_group_apply
 from .tokenize import tokenize_column
 
@@ -57,7 +58,8 @@ def _hash30(s: str) -> int:
                           "little") >> 34
 
 
-_TOKEN_HASH_MEMO: dict[str, int] = {}  # per worker process; vocab-bounded
+# per worker process; bounded (ADVICE r03: open vocabulary at 100 TB)
+_TOKEN_HASH_MEMO: dict[str, int] = BoundedCache(1_000_000)
 
 
 def _token_hashes(tokens: list[str]) -> np.ndarray:
@@ -187,7 +189,7 @@ class MinHasher:
         })
 
 
-_MINHASHER_MEMO: dict[tuple, MinHasher] = {}
+_MINHASHER_MEMO: dict[tuple, MinHasher] = BoundedCache(8)
 
 
 def minhash_band_rows(t: pa.Table, num_perm: int = 64, shingle_k: int = 3,

@@ -22,7 +22,10 @@ import ray.data as rd
 from ..runtime import pool_limits
 from .tokenize import tokenize_column
 
-_EMBED_HASH_MEMO: dict[int, dict[str, int]] = {}  # dim -> token -> bucket
+from ..util import BoundedCache
+
+# dim -> token -> bucket; inner memo bounded (ADVICE r03)
+_EMBED_HASH_MEMO: dict[int, dict[str, int]] = {}
 
 
 class FakeTextEmbedder:
@@ -38,7 +41,8 @@ class FakeTextEmbedder:
         from ..models import resolve_model
         self.dim = dim
         self.model = resolve_model(model)
-        self.memo = _EMBED_HASH_MEMO.setdefault(dim, {})
+        self.memo = _EMBED_HASH_MEMO.setdefault(
+            dim, BoundedCache(1_000_000))
 
     def _bucket(self, tok: str) -> int:
         b = self.memo.get(tok)

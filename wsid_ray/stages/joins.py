@@ -57,11 +57,21 @@ def _join_bucket(on, how, suffixes, n_left, *parts):
     ldf = concat(left_parts, parts[0])
     rdf = concat(right_parts, parts[n_left])
     out = ldf.merge(rdf, on=on, how=how, suffixes=suffixes)
+    target = _merged_schema(parts[0], parts[n_left], on, suffixes)
     if not len(out):
         # empty pandas frames lose Arrow types (object -> null); pin the
         # schema from the input templates so the stream's schema is stable
-        return pa.Table.from_pylist(
-            [], schema=_merged_schema(parts[0], parts[n_left], on, suffixes))
+        return pa.Table.from_pylist([], schema=target)
+    if how != "inner":
+        # ADVICE r03: outer-ish buckets with unmatched rows promote the
+        # other side's int columns to float64 via pandas NaN while fully-
+        # matched buckets stay int64 — cast every bucket to the ONE
+        # merged schema (pa.array(from_pandas=True) turns NaN into null,
+        # so int columns come back int64 + null, not float)
+        return pa.table({
+            name: pa.array(out[name], type=target.field(name).type,
+                           from_pandas=True)
+            for name in target.names})
     return pa.Table.from_pandas(
         out, preserve_index=False).replace_schema_metadata(None)
 
@@ -233,7 +243,10 @@ def semi_join(big: rd.Dataset, keys, key_col: str,
         import pyarrow.compute as pc
         mask = pc.is_in(t[key_col], value_set=ray.get(ref))
         if anti:
-            mask = pc.invert(mask)
+            # SQL NOT IN semantics: a NULL key is never kept (ADVICE
+            # r03 — bare invert would keep it, since is_in yields false
+            # for null)
+            mask = pc.and_(pc.invert(mask), pc.is_valid(t[key_col]))
         return t.filter(mask)
 
     return big.map_batches(filt, batch_format="pyarrow")

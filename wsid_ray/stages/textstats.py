@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..config import STOPWORDS
+from ..util import BoundedCache
 from ..stages.tokenize import tokenize_column
 
 _WS = re.compile(r"\s+")
@@ -197,7 +198,8 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
     })
 
 
-_SIMHASH_BIT_MEMO: dict[str, np.ndarray] = {}  # per process, vocab-bounded
+# per process; bounded (ADVICE r03: open vocabulary at 100 TB)
+_SIMHASH_BIT_MEMO: dict[str, np.ndarray] = BoundedCache(500_000)
 
 
 def simhash_batch(t: pa.Table) -> pa.Table:

@@ -51,6 +51,29 @@ def compact_blocks(ds) -> "object":
     return rd.from_arrow_refs(drop_empty_refs(ds.to_arrow_refs()))
 
 
+class BoundedCache(dict):
+    """Pure-cache dict with a hard size cap (ADVICE r03): on overflow
+    the cache RESETS wholesale — the cheapest policy that bounds
+    long-lived Ray worker memory on open-vocabulary input, correct
+    because every cached value is a recomputable hash.  (An LRU would
+    keep warm entries but pays bookkeeping in the per-token hot loops
+    these memos sit in.)"""
+
+    def __init__(self, cap: int):
+        super().__init__()
+        self.cap = cap
+
+    def __setitem__(self, key, value):
+        if len(self) >= self.cap:
+            self.clear()
+        super().__setitem__(key, value)
+
+    def setdefault(self, key, default=None):
+        if key not in self and len(self) >= self.cap:
+            self.clear()
+        return super().setdefault(key, default)
+
+
 def stable_hash64(value: str | bytes) -> int:
     """Deterministic unsigned 63-bit hash (fits in Arrow int64)."""
     if isinstance(value, str):
