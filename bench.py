@@ -254,7 +254,7 @@ def run_scaling() -> dict:
         "sf": best_hi["sf"],
     }
     out_path = os.environ.get("WSID_SCALING_OUT",
-                              os.path.join(REPO, "SCALING_r03.json"))
+                              os.path.join(REPO, "SCALING_r04.json"))
     with open(out_path, "w") as fh:
         json.dump(artifact, fh, indent=1)
     return {
