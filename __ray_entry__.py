@@ -1075,6 +1075,30 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": _sql_doc_langid(),
         # recursive-CTE mirror of the distributed hash-to-min union-find
         # rounds (D3): reachability closure over near-dup pairs, min label
+        # composed end-to-end MinHash dedup chain: LSH candidates ->
+        # exact Jaccard verify -> reachability closure -> drop non-min
+        "doc_near_dup_drops": f"""
+            WITH RECURSIVE p AS (
+                SELECT doc_a, doc_b
+                FROM ({_sql_jaccard_pairs(tok)})
+            ),
+            nodes AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_a AS doc_id FROM p
+                    UNION ALL SELECT doc_b FROM p)
+            ),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION ALL SELECT doc_b, doc_a FROM p),
+            reach AS (
+                SELECT doc_id, doc_id AS r FROM nodes
+                UNION
+                SELECT e.a AS doc_id, reach.r
+                FROM e JOIN reach ON reach.doc_id = e.b
+            ),
+            canon AS (SELECT doc_id, min(r) AS kept_by
+                      FROM reach GROUP BY doc_id)
+            SELECT doc_id, kept_by FROM canon WHERE doc_id <> kept_by
+        """,
         "doc_dup_components": f"""
             WITH RECURSIVE p AS (
                 SELECT doc_a, doc_b FROM (

@@ -123,9 +123,11 @@ def q_conv_text_digest(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
-# flagship KG pipeline stages (rows-only checks: CW/union-find are not
-# SQL-expressible; set-equality vs the sequential oracle is covered by
-# tests/test_flagship.py)
+# flagship KG pipeline stages — ALL SQL-checked since r4: the induced
+# inventory itself via the cw.py v2 integer contract + unrolled CTE
+# mirrors, and everything downstream via the artifact-anchored mirrors;
+# set-equality vs the sequential oracle additionally covered by
+# tests/test_flagship.py
 # ---------------------------------------------------------------------------
 
 _FLAGSHIP_CACHE: dict[str, object] = {}
@@ -614,6 +616,15 @@ def q_doc_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     return jaccard_pairs(read_documents(sf_dir), threshold=0.5, shingle_k=3)
 
 
+def q_doc_near_dup_drops(sf_dir: str) -> rd.Dataset:
+    """Composed end-to-end MinHash dedup: LSH candidates -> exact
+    Jaccard verify -> connected components -> drop list (keep smallest
+    doc_id per component)."""
+    from ..stages.dedup import near_dup_drop_list
+    return near_dup_drop_list(read_documents(sf_dir), threshold=0.5,
+                              shingle_k=3)
+
+
 def q_user_sessions(sf_dir: str) -> rd.Dataset:
     """Gap-based sessionization of the events stream (30-min gap)."""
     from ..stages.sessions import sessionize
@@ -750,6 +761,7 @@ QUERIES = {
     "doc_dup_components": q_doc_dup_components,
     "doc_minhash_candidates": q_doc_minhash_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "doc_near_dup_drops": q_doc_near_dup_drops,
     "knn_cosine_topk": q_knn_cosine_topk,
     "knn_ivf_topk": q_knn_ivf_topk,
     "knn_lsh_topk": q_knn_lsh_topk,

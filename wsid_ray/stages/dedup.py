@@ -230,6 +230,46 @@ def minhash_candidates(docs: rd.Dataset, num_perm: int = 64,
     return distinct(cands, ["doc_a", "doc_b"], num_buckets=16)
 
 
+def near_dup_drop_list(docs: rd.Dataset, threshold: float = 0.5,
+                       shingle_k: int = 3) -> rd.Dataset:
+    """The composed end-to-end near-dup DEDUP pipeline (the shape large
+    corpus curation actually runs — cf. Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): MinHash-LSH candidates
+    → exact Jaccard verify (>= threshold) → connected components over
+    the verified pairs → keep the smallest doc_id per component.
+
+    Returns one row per DROPPED document: (doc_id, kept_by) with
+    kept_by the component's minimum doc_id.  Every stage is the already
+    SQL-checked bucketed machinery (jaccard_pairs, unionfind) — nothing
+    new moves at scale; the CC node set is near-dup-pair-bounded, far
+    below corpus size."""
+    import pyarrow.compute as pc
+
+    from .unionfind import connected_components
+
+    pairs = jaccard_pairs(docs, threshold=threshold, shingle_k=shingle_k)
+
+    # CC labels are strings with lexicographic min — zero-pad the int64
+    # doc ids so lexicographic == numeric order
+    def to_edges(t: pa.Table) -> pa.Table:
+        def pad(col):
+            return pc.utf8_lpad(pc.cast(t[col], pa.string()), 20, "0")
+        return pa.table({"u": pad("doc_a"), "v": pad("doc_b")})
+
+    comp = connected_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow"))
+
+    def drops(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["node"], t["comp"])
+        t = t.filter(keep)
+        return pa.table({
+            "doc_id": pc.cast(t["node"], pa.int64()),
+            "kept_by": pc.cast(t["comp"], pa.int64()),
+        })
+
+    return comp.map_batches(drops, batch_format="pyarrow")
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorised popcount over uint64 (numpy<2 has no bitwise_count)."""
     return np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8).sum(
