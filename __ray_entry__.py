@@ -1065,6 +1065,143 @@ def oracle_sql() -> dict[str, str]:
         for conds, _m, term in _sql_multi_terms())
 
     return {
+        # --- new this round: sequence / relational / fuzzy extensions ---
+        # pipelines/sequences.user_event_gaps: LAG window, exact integer
+        # microsecond arithmetic, (ts, event_id) tie-break
+        "user_event_gaps": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER win AS BIGINT) AS rn,
+                   CAST(epoch_us(ts) - epoch_us(lag(ts) OVER win)
+                        AS BIGINT) AS gap_us
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # pipelines/sequences.user_event_path: ordered string_agg funnel
+        "user_event_path": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS path
+            FROM events GROUP BY user_id
+        """,
+        # pipelines/sequences.user_top_event_type: grouped argmax, ties
+        # to the lexicographically smallest type
+        "user_top_event_type": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY user_id, event_type),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY n DESC, event_type) AS rk FROM c)
+            SELECT user_id, event_type, n FROM r WHERE rk = 1
+        """,
+        # relational_ext.customer_order_event_recon: FULL OUTER join of
+        # two pre-aggregated sides, COALESCE both ways
+        "customer_order_event_recon": """
+            WITH o AS (SELECT o_custkey AS k,
+                              CAST(count(*) AS BIGINT) AS n_orders,
+                              SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                  AS BIGINT)) AS order_cents
+                       FROM orders GROUP BY o_custkey),
+            e AS (SELECT user_id AS k,
+                         CAST(count(*) AS BIGINT) AS n_events,
+                         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                             AS event_cents
+                  FROM events GROUP BY user_id)
+            SELECT COALESCE(o.k, e.k) AS k,
+                   COALESCE(o.n_orders, 0) AS n_orders,
+                   CAST(COALESCE(o.order_cents, 0) AS BIGINT)
+                       AS order_cents,
+                   COALESCE(e.n_events, 0) AS n_events,
+                   CAST(COALESCE(e.event_cents, 0) AS BIGINT)
+                       AS event_cents
+            FROM o FULL OUTER JOIN e ON o.k = e.k
+        """,
+        # relational_ext.repeat_buyers: INTERSECT set semantics
+        "repeat_buyers": """
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        """,
+        # relational_ext.orders_cube: GROUP BY CUBE, lvl = GROUPING mask
+        # (first argument most significant)
+        "orders_cube": """
+            WITH c AS (SELECT o_orderstatus,
+                              CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM orders)
+            SELECT o_orderstatus, o_year,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   CAST(GROUPING(o_orderstatus, o_year) AS BIGINT) AS lvl
+            FROM c GROUP BY CUBE (o_orderstatus, o_year)
+        """,
+        # relational_ext.lineitem_moments: exact HUGEINT moment sums cast
+        # to DOUBLE once; corr from the same integers, identical float
+        # operation order, half-up 6 dp; whole-dollar price quantisation
+        # (headroom contract — see the module docstring)
+        "lineitem_moments": """
+            WITH q AS (SELECT l_returnflag,
+                              CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                              CAST(floor(l_extendedprice + 0.5) AS BIGINT)
+                                  AS y
+                       FROM lineitem),
+            m AS (SELECT l_returnflag,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         SUM(CAST(x AS HUGEINT)) AS sx,
+                         SUM(CAST(y AS HUGEINT)) AS sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM q GROUP BY l_returnflag),
+            d AS (SELECT *, n * sxx - sx * sx AS d1,
+                         n * syy - sy * sy AS d2,
+                         n * sxy - sx * sy AS num FROM m)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(sx AS BIGINT) AS sum_qty,
+                   CAST(sy AS BIGINT) AS sum_price_d,
+                   CAST(sxx AS DOUBLE) AS sxx,
+                   CAST(syy AS DOUBLE) AS syy,
+                   CAST(sxy AS DOUBLE) AS sxy,
+                   CASE WHEN d1 = 0 OR d2 = 0 THEN NULL
+                        ELSE floor(CAST(num AS DOUBLE)
+                                   / sqrt(CAST(d1 AS DOUBLE)
+                                          * CAST(d2 AS DOUBLE))
+                                   * 1e6 + 0.5) / 1e6 END AS corr6
+            FROM d
+        """,
+        # stages/fuzzy.fuzzy_pairs_lev1: the oracle is the all-pairs
+        # DEFINITION; the engine is deletion-neighborhood blocked with
+        # exact verify (recall 1.0 for lev<=1) — same oracle-vs-engine
+        # asymmetry as simhash_near_dup
+        "part_name_fuzzy_pairs": """
+            WITH v AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b
+            FROM v a JOIN v b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 1
+        """,
+        # stages/textstats.entropy_batch: per-term micro-nat quantisation
+        # BEFORE the sum (order-free integer addition both sides), final
+        # exact integer division
+        "doc_entropy": r"""
+            WITH tokrows AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           w -> w <> '')) AS tok
+                FROM documents),
+            c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+                  FROM tokrows GROUP BY doc_id, tok),
+            s AS (SELECT doc_id,
+                         SUM(CAST(floor((c * ln(c)) * 1e6 + 0.5)
+                             AS BIGINT)) AS s,
+                         CAST(SUM(c) AS BIGINT) AS n
+                  FROM c GROUP BY doc_id)
+            SELECT doc_id, n AS n_tokens,
+                   CAST(CAST(floor(ln(n) * 1e6 + 0.5) AS BIGINT)
+                        - (s // n) AS BIGINT) AS ent_micro
+            FROM s WHERE n > 0
+        """,
         "cooc_edges": _sql_cooc_edges(tr, tok, gaz),
         # the induced inventory itself, hash-checked (VERDICT r03 item 1):
         # clustering unrolled into CTE rounds under the cw.py v2 integer

@@ -569,6 +569,66 @@ def q_event_recent_activity(sf_dir: str) -> rd.Dataset:
     return analytics.event_recent_activity(sf_dir)
 
 
+def q_user_event_gaps(sf_dir: str) -> rd.Dataset:
+    """LAG window: exact microsecond gap to the same user's previous
+    event (pipelines/sequences.py)."""
+    from .sequences import user_event_gaps
+    return user_event_gaps(sf_dir)
+
+
+def q_user_event_path(sf_dir: str) -> rd.Dataset:
+    """Ordered string aggregation: per-user event_type funnel path."""
+    from .sequences import user_event_path
+    return user_event_path(sf_dir)
+
+
+def q_user_top_event_type(sf_dir: str) -> rd.Dataset:
+    """Grouped mode/argmax: each user's most frequent event type."""
+    from .sequences import user_top_event_type
+    return user_top_event_type(sf_dir)
+
+
+def q_customer_order_event_recon(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER join: per-key order totals vs event totals."""
+    from .relational_ext import customer_order_event_recon
+    return customer_order_event_recon(sf_dir)
+
+
+def q_repeat_buyers(sf_dir: str) -> rd.Dataset:
+    """INTERSECT: customers ordering in both 1995 and 1996."""
+    from .relational_ext import repeat_buyers
+    return repeat_buyers(sf_dir)
+
+
+def q_orders_cube(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE(status, year): all four grouping sets, one scan."""
+    from .relational_ext import orders_cube
+    return orders_cube(sf_dir)
+
+
+def q_lineitem_moments(sf_dir: str) -> rd.Dataset:
+    """Single-pass distributed moments + 6dp Pearson corr per flag."""
+    from .relational_ext import lineitem_moments
+    return lineitem_moments(sf_dir)
+
+
+def q_part_name_fuzzy_pairs(sf_dir: str) -> rd.Dataset:
+    """Levenshtein<=1 near-match pairs over distinct part names via
+    deletion-neighborhood blocking (stages/fuzzy.py — candidates only,
+    never all-pairs; the SQL oracle is the all-pairs definition)."""
+    from ..stages.fuzzy import fuzzy_pairs_lev1
+    parts = read_parquet_clean(f"{sf_dir}/part.parquet",
+                               columns=["p_name"])
+    return fuzzy_pairs_lev1(parts, "p_name")
+
+
+def q_doc_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-doc unigram entropy in integer micro-nats (quality signal)."""
+    from ..stages.textstats import entropy_batch
+    return read_documents(sf_dir).map_batches(entropy_batch,
+                                              batch_format="pyarrow")
+
+
 def q_doc_simhash(sf_dir: str) -> rd.Dataset:
     return read_documents(sf_dir).map_batches(simhash_batch,
                                               batch_format="pyarrow")
@@ -752,7 +812,17 @@ def q_knn_cosine_topk(sf_dir: str) -> rd.Dataset:
 # (VERDICT r03 item 5), followed by the long-covered ones in their
 # historical order.
 QUERIES = {
-    # --- first: queries absent from CORRECTNESS_r03 (driver cut-off) ---
+    # --- first: queries new this round (driver cut-off ordering) ---
+    "user_event_gaps": q_user_event_gaps,
+    "user_event_path": q_user_event_path,
+    "user_top_event_type": q_user_top_event_type,
+    "customer_order_event_recon": q_customer_order_event_recon,
+    "repeat_buyers": q_repeat_buyers,
+    "orders_cube": q_orders_cube,
+    "lineitem_moments": q_lineitem_moments,
+    "part_name_fuzzy_pairs": q_part_name_fuzzy_pairs,
+    "doc_entropy": q_doc_entropy,
+    # --- then: queries absent from CORRECTNESS_r03 (driver cut-off) ---
     "event_recent_activity": q_event_recent_activity,
     "events_rollup": q_events_rollup,
     "user_event_pivot": q_user_event_pivot,

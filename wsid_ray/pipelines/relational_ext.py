@@ -1,0 +1,256 @@
+"""Relational completions (SURVEY.md §2.4/§2.6 extensions): FULL OUTER
+join reconciliation, INTERSECT set semantics, CUBE grouping sets, and
+single-pass distributed moment sums (covariance / correlation).
+
+Shared determinism contracts:
+  * monetary values -> exact integer cents floor(x*100 + 0.5) (module
+    float rule, see analytics.py);
+  * moment sums use whole-dollar quantisation floor(x + 0.5) so squared
+    terms keep int64 headroom per partial block, are combined in Python
+    arbitrary-precision ints (never float accumulation), and only the
+    FINAL exact integer is converted to float64 — DuckDB mirrors the
+    same with HUGEINT sums cast to DOUBLE, so both sides round the same
+    single integer once;
+  * correlation is rounded half-up to 6 dp after an identical float
+    operation order on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..sources.pqclean import read_parquet_clean
+from ..stages.groups import bucketed_group_apply
+from .analytics import _cents, bucketed_sum
+
+
+def customer_order_event_recon(sf_dir: str,
+                               num_buckets: int = 16) -> rd.Dataset:
+    """FULL OUTER join (completes the J-family beyond inner/left/semi/
+    anti/as-of): per-customer order totals reconciled against per-user
+    event totals on the shared key, with COALESCE(…, 0) on both sides —
+    the classic two-system reconciliation report.  Both inputs are
+    pre-aggregated (one row per key) BEFORE the join, so the partitioned
+    hash join shuffles aggregates, never raw rows."""
+    from ..stages.joins import hash_join
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+
+    def opart(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"k": df["o_custkey"],
+                          "cents": _cents(df["o_totalprice"].to_numpy())})
+        g = g.groupby("k", sort=True).agg(
+            n_orders=("cents", "size"),
+            order_cents=("cents", "sum")).reset_index()
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return g
+
+    oagg = bucketed_sum(orders.map_batches(opart, batch_format="pandas"),
+                        ["k"], ["n_orders", "order_cents"],
+                        num_buckets=num_buckets)
+
+    events = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["user_id", "value"])
+
+    def epart(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"k": df["user_id"],
+                          "cents": _cents(df["value"].to_numpy())})
+        g = g.groupby("k", sort=True).agg(
+            n_events=("cents", "size"),
+            event_cents=("cents", "sum")).reset_index()
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    eagg = bucketed_sum(events.map_batches(epart, batch_format="pandas"),
+                        ["k"], ["n_events", "event_cents"],
+                        num_buckets=num_buckets)
+
+    joined = hash_join(oagg, eagg, on=["k"], how="outer",
+                       num_buckets=num_buckets)
+    out_schema = pa.schema([("k", pa.int64()),
+                            ("n_orders", pa.int64()),
+                            ("order_cents", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("event_cents", pa.int64())])
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        cols = {"k": t["k"]}
+        for name in out_schema.names[1:]:
+            cols[name] = pc.fill_null(t[name].cast(pa.int64()), 0)
+        return pa.table(cols)
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+def repeat_buyers(sf_dir: str, year_a: int = 1995, year_b: int = 1996,
+                  num_buckets: int = 16) -> rd.Dataset:
+    """INTERSECT set semantics: customers with at least one order in
+    BOTH ``year_a`` and ``year_b``.  Plan: filter to the two years at
+    the scan, per-batch distinct (custkey, year) pairs (the partial
+    dedup collapses each batch to <= 2 rows per key), ONE bucketed
+    shuffle on the key, emit keys whose bucket holds both years."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["o_orderdate"].dt.year
+        keep = y.isin([year_a, year_b])
+        out = pd.DataFrame({"o_custkey": df["o_custkey"][keep],
+                            "y": y[keep].astype("int64")})
+        return out.drop_duplicates(ignore_index=True)
+
+    pairs = ds.map_batches(partial, batch_format="pandas")
+
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("o_custkey", sort=False)["y"] \
+              .nunique()
+        keys = g[g == 2].index.to_numpy()
+        return pd.DataFrame({"o_custkey": pd.Series(keys, dtype="int64")})
+
+    out_schema = pa.schema([("o_custkey", pa.int64())])
+    return bucketed_group_apply(pairs, ["o_custkey"], both,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
+
+
+def orders_cube(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE(o_orderstatus, year) — count + exact cent sum at
+    all four grouping sets, ``lvl`` = the SQL GROUPING bitmask with the
+    first argument as the most significant bit (0 = both keys, 1 = year
+    rolled up, 2 = status rolled up, 3 = grand total).  Same plan as
+    events_rollup: shuffle ONCE for the finest level, derive every
+    coarser set from the (tiny) fine aggregate — raw orders are scanned
+    exactly once at any scale."""
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderstatus", "o_orderdate",
+                                     "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderstatus": df["o_orderstatus"],
+            "o_year": df["o_orderdate"].dt.year.astype("int64"),
+            "cents": _cents(df["o_totalprice"].to_numpy())})
+        out = g.groupby(["o_orderstatus", "o_year"], sort=True).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    fine = bucketed_sum(ds.map_batches(partial, batch_format="pandas"),
+                        ["o_orderstatus", "o_year"], ["n", "sum_cents"],
+                        num_buckets=8).materialize()
+
+    schema = pa.schema([("o_orderstatus", pa.string()),
+                        ("o_year", pa.int64()),
+                        ("n", pa.int64()), ("sum_cents", pa.int64()),
+                        ("lvl", pa.int64())])
+
+    def with_lvl(lvl: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "lvl", pa.array([lvl] * t.num_rows, type=pa.int64())) \
+                .select(schema.names).cast(schema)
+        return fn
+
+    lvl0 = fine.map_batches(with_lvl(0), batch_format="pyarrow")
+
+    def by_status(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderstatus", sort=False, as_index=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+        g["o_year"] = pd.Series([pd.NA] * len(g), dtype="Int64")
+        g["lvl"] = np.int64(1)
+        return g[["o_orderstatus", "o_year", "n", "sum_cents", "lvl"]]
+
+    lvl1 = bucketed_group_apply(fine, ["o_orderstatus"], by_status,
+                                num_buckets=2, out_schema=schema)
+
+    def by_year(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_year", sort=False, as_index=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum"))
+        g["o_orderstatus"] = pd.Series([pd.NA] * len(g), dtype="string")
+        g["lvl"] = np.int64(2)
+        return g[["o_orderstatus", "o_year", "n", "sum_cents", "lvl"]]
+
+    lvl2 = bucketed_group_apply(fine, ["o_year"], by_year,
+                                num_buckets=2, out_schema=schema)
+
+    # grand total from the per-status subtotals (a handful of rows)
+    tot = lvl1.to_pandas()
+    grand = pa.Table.from_pylist(
+        [{"o_orderstatus": None, "o_year": None,
+          "n": int(tot["n"].sum()), "sum_cents": int(tot["sum_cents"].sum()),
+          "lvl": 3}], schema=schema)
+    return lvl0.union(lvl1, lvl2, rd.from_arrow(grand))
+
+
+def lineitem_moments(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
+    """Single-pass distributed moment sums per l_returnflag over
+    x = l_quantity (integral) and y = l_extendedprice quantised to whole
+    dollars: n, sum_x, sum_y, and the second moments sxx/syy/sxy, plus
+    Pearson correlation at 6 dp derived from the exact integers.
+
+    Scale/overflow contract: per-block partial squared sums stay in
+    int64 (dollar quantisation keeps y^2 <= ~1e10 per row); cross-block
+    combination runs in Python arbitrary-precision ints, so no block
+    size or row count overflows; the final exact integers are converted
+    to float64 once (DuckDB mirror: HUGEINT sums cast to DOUBLE — the
+    same single rounding of the same integer)."""
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_quantity",
+                                     "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(df["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        y = np.floor(df["l_extendedprice"].to_numpy() + 0.5) \
+            .astype(np.int64)
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                          "x": x, "y": y, "xx": x * x, "yy": y * y,
+                          "xy": x * y})
+        out = g.groupby("l_returnflag", sort=True).agg(
+            n=("x", "size"), sum_qty=("x", "sum"), sum_price_d=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"),
+            sxy=("xy", "sum")).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            # Python-int accumulation: exact at any scale (no int64
+            # ceiling across blocks, no float accumulation)
+            n = int(g["n"].sum())
+            sx = sum(int(v) for v in g["sum_qty"])
+            sy = sum(int(v) for v in g["sum_price_d"])
+            sxx = sum(int(v) for v in g["sxx"])
+            syy = sum(int(v) for v in g["syy"])
+            sxy = sum(int(v) for v in g["sxy"])
+            d1 = n * sxx - sx * sx
+            d2 = n * syy - sy * sy
+            if d1 == 0 or d2 == 0:
+                corr = None
+            else:
+                c = float(n * sxy - sx * sy) / np.sqrt(float(d1) * float(d2))
+                corr = np.floor(c * 1e6 + 0.5) / 1e6
+            rows.append({"l_returnflag": flag, "n": n,
+                         "sum_qty": sx, "sum_price_d": sy,
+                         "sxx": float(sxx), "syy": float(syy),
+                         "sxy": float(sxy), "corr6": corr})
+        return pd.DataFrame(rows, columns=[
+            "l_returnflag", "n", "sum_qty", "sum_price_d",
+            "sxx", "syy", "sxy", "corr6"])
+
+    out_schema = pa.schema([("l_returnflag", pa.string()),
+                            ("n", pa.int64()), ("sum_qty", pa.int64()),
+                            ("sum_price_d", pa.int64()),
+                            ("sxx", pa.float64()), ("syy", pa.float64()),
+                            ("sxy", pa.float64()),
+                            ("corr6", pa.float64())])
+    return bucketed_group_apply(partials, ["l_returnflag"], combine,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)

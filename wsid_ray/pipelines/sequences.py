@@ -1,0 +1,120 @@
+"""Per-key ordered-sequence operators over the events stream (SURVEY.md
+§2.9 extensions beyond sessions/hopping): LAG-style inter-event gaps,
+ordered path aggregation (funnel analysis), and grouped argmax (top
+event type per user).
+
+All three share one physical plan — the classic "never a global sort"
+window shape (same as analytics.customer_running_total): rows are hash-
+bucketed on the partition key, and each bucket does a vectorised pandas
+sort + groupby scan.  A user's whole history lands in one bucket, so the
+per-key ordered semantics hold exactly; hot keys are handled by raising
+``num_buckets`` (one key still can't split — salt upstream if a single
+user's history exceeds a task, and note that paths/gaps are per-key
+sequential by definition).
+
+Determinism contracts (shared verbatim with the SQL mirrors):
+  * ordering is always (ts, event_id) — the id tie-break makes every
+    window frame unique;
+  * gaps are exact integer microseconds (timestamp64[us] arithmetic);
+  * argmax ties resolve to the lexicographically smallest event_type.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..sources.pqclean import read_parquet_clean
+from ..stages.groups import bucketed_group_apply
+
+
+def _events(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def user_event_gaps(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """LAG window function: for each event, row number and the exact
+    microsecond gap to the SAME user's previous event (NULL for the
+    first event of a user) — `ROW_NUMBER()` + `ts - LAG(ts)` OVER
+    (PARTITION BY user_id ORDER BY ts, event_id)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort", ignore_index=True)
+        g = df.groupby("user_id", sort=False)
+        rn = (g.cumcount() + 1).astype("int64")
+        # datetime64[us] view -> epoch microseconds; diff within the
+        # group is exact integer arithmetic (no float on the path)
+        tsi = df["ts"].astype("datetime64[us]").astype("int64")
+        gap = tsi.groupby(df["user_id"], sort=False).diff().astype("Int64")
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "user_id": df["user_id"],
+                             "rn": rn, "gap_us": gap})
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("rn", pa.int64()),
+                            ("gap_us", pa.int64())])
+    return bucketed_group_apply(ds, ["user_id"], win,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
+
+
+def user_event_path(sf_dir: str, sep: str = ">",
+                    num_buckets: int = 16) -> rd.Dataset:
+    """Ordered string aggregation (funnel / clickstream path): per user,
+    the event_type sequence joined by ``sep`` in (ts, event_id) order,
+    plus the event count.  Scale note: the path string is O(events of
+    one user) — bounded fan-in per key, but a single pathological key
+    produces a single giant string; cap upstream if user histories are
+    unbounded."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort", ignore_index=True)
+        g = df.groupby("user_id", sort=False)
+        out = g.agg(n=("event_type", "size"),
+                    path=("event_type", sep.join)).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out[["user_id", "n", "path"]]
+
+    out_schema = pa.schema([("user_id", pa.int64()), ("n", pa.int64()),
+                            ("path", pa.string())])
+    return bucketed_group_apply(ds, ["user_id"], agg,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
+
+
+def user_top_event_type(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Grouped mode / argmax: each user's most frequent event type (ties
+    to the lexicographically smallest type).  Two-level aggregation —
+    per-batch (user, type) partial counts, ONE bucketed shuffle keyed on
+    user (all of a user's type-rows co-locate because the bucket key is
+    the user alone), then a per-bucket combine + argmax."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], sort=True) \
+              .size().rename("n").reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], sort=False,
+                       as_index=False)["n"].sum()
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+        return g.drop_duplicates("user_id", keep="first")
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("event_type", pa.string()),
+                            ("n", pa.int64())])
+    return bucketed_group_apply(partials, ["user_id"], top1,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)

@@ -54,6 +54,46 @@ def token_counts_batch(t: pa.Table) -> pa.Table:
     })
 
 
+def entropy_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, ent_micro) — unigram Shannon entropy per doc
+    in integer micro-nats (a quality/diversity signal: near-zero for
+    degenerate repeated-token docs, ~ln(vocab) for uniform ones).
+
+    Determinism contract (shared verbatim with the SQL mirror): for
+    token counts c over whitespace tokens,
+        H = ln(n) - (sum_tok c*ln(c)) / n
+    each c*ln(c) term is quantised to int64 micro-units
+    floor((c*ln(c))*1e6 + 0.5) BEFORE summing — integer addition is
+    order-free, so the unordered SQL GROUP BY and the engine's batch
+    order produce the identical sum — and the final value is
+    floor(ln(n)*1e6 + 0.5) - S // n (exact integer division).
+    Vectorised: one RE2 split + a (row, token) groupby fold; zero-token
+    docs are dropped (mirror: WHERE n > 0)."""
+    row_of, nonempty, flat, n_rows = _word_rows(t)
+    rows_ne = row_of[nonempty]
+    toks = flat.filter(pa.array(nonempty))
+    cnt = (pd.DataFrame({"r": rows_ne,
+                         "tok": toks.to_numpy(zero_copy_only=False)})
+           .groupby(["r", "tok"], sort=False).size())
+    c = cnt.to_numpy().astype(np.float64)
+    term = np.floor((c * np.log(c)) * 1e6 + 0.5).astype(np.int64)
+    r = cnt.index.get_level_values("r").to_numpy()
+    # int64 scatter-add (bincount's float64 weights would cap exactness
+    # at 2^53 — fine for real docs, but the contract says exact)
+    s = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(s, r, term)
+    n_tok = np.bincount(rows_ne, minlength=n_rows).astype(np.int64)
+    keep = n_tok > 0
+    ln_n = np.floor(np.log(n_tok[keep].astype(np.float64)) * 1e6
+                    + 0.5).astype(np.int64)
+    ent = ln_n - s[keep] // n_tok[keep]
+    return pa.table({
+        "doc_id": t["doc_id"].filter(pa.array(keep)),
+        "n_tokens": pa.array(n_tok[keep], type=pa.int64()),
+        "ent_micro": pa.array(ent, type=pa.int64()),
+    })
+
+
 _STOPSET = frozenset(STOPWORDS)
 
 
