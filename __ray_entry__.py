@@ -1045,7 +1045,7 @@ def _sql_user_event_pivot(sf: str = "/root/testdata/sf0.01") -> str:
 
 def oracle_sql() -> dict[str, str]:
     from wsid_ray.artifacts import ANN_K, ANN_QUERY_IDS, ensure
-    from wsid_ray.config import GAZETTEER, STOPWORDS
+    from wsid_ray.config import GAZETTEER, NPMI_MIN, STOPWORDS
     from wsid_ray.fixtures import generate, transcripts_dir
 
     generate("sf0.01")
@@ -1179,6 +1179,148 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.p_name AS name_a, b.p_name AS name_b
             FROM v a JOIN v b ON a.p_name < b.p_name
             WHERE levenshtein(a.p_name, b.p_name) <= 1
+        """,
+        # relational_ext.lapsed_buyers: EXCEPT set semantics
+        "lapsed_buyers": """
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        """,
+        # relational_ext.nation_region_cross: broadcast nested-loop
+        # cartesian (J-family CROSS JOIN case)
+        "nation_region_cross": """
+            SELECT n.n_name, r.r_name FROM nation n CROSS JOIN region r
+        """,
+        # analytics.order_price_rank: exact two-pass distributed rank
+        # windows — rn has the o_orderkey tie-break, rnk orders by value
+        # alone (SQL ties), pct6 = (rnk-1)/(N-1) from exact integers
+        "order_price_rank": """
+            WITH c AS (SELECT o_orderkey, o_orderstatus,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM orders),
+            w AS (SELECT o_orderkey, o_orderstatus,
+                         CAST(row_number() OVER (
+                             PARTITION BY o_orderstatus
+                             ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+                         CAST(rank() OVER (
+                             PARTITION BY o_orderstatus
+                             ORDER BY cents) AS BIGINT) AS rnk,
+                         CAST(count(*) OVER (
+                             PARTITION BY o_orderstatus) AS BIGINT) AS nn
+                  FROM c)
+            SELECT o_orderkey, o_orderstatus, rn, rnk,
+                   CASE WHEN nn = 1 THEN NULL
+                        ELSE floor(CAST(rnk - 1 AS DOUBLE) / (nn - 1)
+                                   * 1e6 + 0.5) / 1e6 END AS pct6
+            FROM w
+        """,
+        # relational_ext.lineitem_price_zscore: z lifted to integer
+        # numerators, z = (n*y - sy)/sqrt(n*syy - sy^2), HUGEINT exact,
+        # one double divide+sqrt in the engine's operation order
+        "lineitem_price_zscore": """
+            WITH q AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                              CAST(floor(l_extendedprice + 0.5) AS BIGINT)
+                                  AS y
+                       FROM lineitem),
+            m AS (SELECT l_returnflag,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         SUM(CAST(y AS HUGEINT)) AS sy,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy
+                  FROM q GROUP BY l_returnflag),
+            d AS (SELECT l_returnflag, n, sy,
+                         n * syy - sy * sy AS den FROM m)
+            SELECT q.l_orderkey, q.l_linenumber,
+                   CASE WHEN d.den <= 0 THEN NULL
+                        ELSE floor(CAST(d.n * q.y - d.sy AS DOUBLE)
+                                   / sqrt(CAST(d.den AS DOUBLE))
+                                   * 1e6 + 0.5) / 1e6 END AS z6
+            FROM q JOIN d USING (l_returnflag)
+        """,
+        # analytics.order_next_event: FORWARD as-of join — smallest
+        # ts >= o_orderdate, ties to the smallest event_id
+        "order_next_event": """
+            SELECT o_orderkey, event_id FROM (
+                SELECT o.o_orderkey, e.event_id,
+                       row_number() OVER (PARTITION BY o.o_orderkey
+                           ORDER BY e.ts ASC, e.event_id ASC) AS rn
+                FROM orders o JOIN events e
+                  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ) WHERE rn = 1
+        """,
+        # q_all_actor_keys: UNION (distinct) of two key streams
+        "all_actor_keys": """
+            SELECT o_custkey AS k FROM orders
+            UNION
+            SELECT user_id FROM events
+        """,
+        # stages/knn.quantize_stats: int8 scalar quantization; every
+        # operand cast FLOAT->DOUBLE before the identical float op order
+        "embedding_quantize_stats": """
+            WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE)
+                              AS x
+                       FROM embeddings),
+            m AS (SELECT vec_id, min(x) AS vmin, max(x) AS vmax,
+                         CAST(count(*) AS BIGINT) AS n_dims
+                  FROM e GROUP BY vec_id),
+            c AS (SELECT e.vec_id,
+                         CAST(floor((e.x - m.vmin) / (m.vmax - m.vmin)
+                                    * 255 + 0.5) AS BIGINT) AS code
+                  FROM e JOIN m USING (vec_id) WHERE m.vmax > m.vmin),
+            s AS (SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum
+                  FROM c GROUP BY vec_id)
+            SELECT s.vec_id, m.n_dims, s.code_sum,
+                   floor(m.vmin * 1e6 + 0.5) / 1e6 AS vmin6,
+                   floor(m.vmax * 1e6 + 0.5) / 1e6 AS vmax6
+            FROM s JOIN m USING (vec_id)
+        """,
+        # stages/sessions.session_conversions: same session rule as
+        # user_sessions; conversion = a 'view' strictly before a
+        # 'purchase' within the session, (ts, event_id) order
+        "session_conversions": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, event_type,
+                       sum(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS sid,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pos
+                FROM flagged
+            ), agg AS (
+                SELECT user_id, sid,
+                       min(CASE WHEN event_type = 'view' THEN pos END)
+                           AS vpos,
+                       max(CASE WHEN event_type = 'purchase' THEN pos END)
+                           AS ppos
+                FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN vpos IS NOT NULL
+                                 AND ppos IS NOT NULL AND vpos < ppos
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+            FROM agg GROUP BY user_id
+        """,
+        # q_cooc_degree_stats: shape of the pruned NPMI ego graphs —
+        # shares the flagship's window/count/weight CTE chain verbatim
+        "cooc_degree_stats": f"""
+            WITH {_sql_cooc_chain(tr, tok, gaz)},
+            edges AS (SELECT term, w, v FROM weighted
+                      WHERE npmi > {NPMI_MIN}),
+            ec AS (SELECT term, CAST(count(*) AS BIGINT) AS n_edges
+                   FROM edges GROUP BY term),
+            nd AS (SELECT DISTINCT term, w AS nd FROM edges
+                   UNION SELECT DISTINCT term, v FROM edges),
+            nc AS (SELECT term, CAST(count(*) AS BIGINT) AS n_nodes
+                   FROM nd GROUP BY term)
+            SELECT ec.term, ec.n_edges, nc.n_nodes
+            FROM ec JOIN nc USING (term)
         """,
         # stages/textstats.entropy_batch: per-term micro-nat quantisation
         # BEFORE the sum (order-free integer addition both sides), final

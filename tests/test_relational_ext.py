@@ -13,7 +13,8 @@ SF = "/root/testdata/sf0.001"
 
 def _duck(sql: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("events", "orders", "lineitem", "part", "documents"):
+    for t in ("events", "orders", "lineitem", "part", "documents",
+              "nation", "region"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{SF}/{t}.parquet')")
     return con.sql(sql).df()
@@ -199,6 +200,197 @@ def test_fuzzy_pairs_lev1_small():
     got = set(zip(out["name_a"], out["name_b"]))
     assert got == {("small ring", "small rings"),
                    ("blue bolt", "blue colt")}
+
+
+def test_lapsed_buyers_parity():
+    from wsid_ray.pipelines.relational_ext import lapsed_buyers
+    got = _canon(lapsed_buyers(SF).to_pandas())
+    exp = _canon(_duck("""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996"""))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_nation_region_cross_parity():
+    from wsid_ray.pipelines.relational_ext import nation_region_cross
+    got = _canon(nation_region_cross(SF).to_pandas())
+    exp = _canon(_duck("""
+        SELECT a.n_name, b.r_name FROM
+            (SELECT n_name FROM read_parquet(
+                '/root/testdata/sf0.001/nation.parquet')) a
+        CROSS JOIN
+            (SELECT r_name FROM read_parquet(
+                '/root/testdata/sf0.001/region.parquet')) b"""))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) == len(_duck("SELECT * FROM nation")) \
+        * len(_duck("SELECT * FROM region"))
+
+
+def test_order_price_rank_parity():
+    from wsid_ray.pipelines.analytics import order_price_rank
+    got = _canon(order_price_rank(SF).to_pandas())
+    exp = _canon(_duck("""
+        WITH c AS (SELECT o_orderkey, o_orderstatus,
+                          CAST(floor(o_totalprice*100+0.5) AS BIGINT)
+                              AS cents
+                   FROM orders),
+        w AS (SELECT o_orderkey, o_orderstatus,
+                     CAST(row_number() OVER (PARTITION BY o_orderstatus
+                         ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+                     CAST(rank() OVER (PARTITION BY o_orderstatus
+                         ORDER BY cents) AS BIGINT) AS rnk,
+                     CAST(count(*) OVER (PARTITION BY o_orderstatus)
+                         AS BIGINT) AS nn
+              FROM c)
+        SELECT o_orderkey, o_orderstatus, rn, rnk,
+               CASE WHEN nn = 1 THEN NULL
+                    ELSE floor(CAST(rnk-1 AS DOUBLE)/(nn-1)*1e6+0.5)/1e6
+               END AS pct6
+        FROM w"""))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_order_price_rank_tiny_bins_skewed():
+    # tiny bins force every partition across MANY (status, bin) groups;
+    # result must stay identical to the single-window SQL
+    from wsid_ray.pipelines.analytics import order_price_rank
+    a = _canon(order_price_rank(SF).to_pandas())
+    b = _canon(order_price_rank(SF, bin_cents=1_000).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_lineitem_price_zscore_parity():
+    from wsid_ray.pipelines.relational_ext import lineitem_price_zscore
+    got = _canon(lineitem_price_zscore(SF).to_pandas())
+    exp = _canon(_duck("""
+        WITH q AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                          CAST(floor(l_extendedprice+0.5) AS BIGINT) AS y
+                   FROM lineitem),
+        m AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+                     SUM(CAST(y AS HUGEINT)) AS sy,
+                     SUM(CAST(y AS HUGEINT)*y) AS syy
+              FROM q GROUP BY l_returnflag),
+        d AS (SELECT l_returnflag, n, sy, n*syy - sy*sy AS den FROM m)
+        SELECT q.l_orderkey, q.l_linenumber,
+               CASE WHEN d.den <= 0 THEN NULL
+                    ELSE floor(CAST(d.n*q.y - d.sy AS DOUBLE)
+                               / sqrt(CAST(d.den AS DOUBLE))
+                               * 1e6 + 0.5) / 1e6 END AS z6
+        FROM q JOIN d USING (l_returnflag)"""))
+    pd.testing.assert_frame_equal(got, exp)
+    # standardised column: near-zero mean, near-unit spread
+    assert abs(got["z6"].mean()) < 0.05
+    assert 0.8 < got["z6"].std() < 1.2
+
+
+def test_session_conversions_parity():
+    from wsid_ray.stages.sessions import session_conversions
+    import ray.data as rd
+    from wsid_ray.sources.pqclean import read_parquet_clean
+    ev = read_parquet_clean(f"{SF}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+    got = _canon(session_conversions(ev).to_pandas())
+    exp = _canon(_duck("""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, event_type,
+                   sum(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS sid,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS pos
+            FROM flagged
+        ), agg AS (
+            SELECT user_id, sid,
+                   min(CASE WHEN event_type='view' THEN pos END) AS vpos,
+                   max(CASE WHEN event_type='purchase' THEN pos END)
+                       AS ppos
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN vpos IS NOT NULL AND ppos IS NOT NULL
+                             AND vpos < ppos THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_converted
+        FROM agg GROUP BY user_id"""))
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["n_converted"] <= got["n_sessions"]).all()
+
+
+def test_session_conversions_hand_case():
+    # one user: view -> purchase in session 1 (converted); purchase ->
+    # view in session 2 (wrong order, not converted)
+    import ray.data as rd
+
+    from wsid_ray.stages.sessions import session_conversions
+    ts = pd.to_datetime([
+        "2025-01-01 10:00", "2025-01-01 10:05",     # s0: view, purchase
+        "2025-01-01 12:00", "2025-01-01 12:05",     # s1: purchase, view
+    ]).astype("datetime64[us]")
+    df = pd.DataFrame({
+        "user_id": [7, 7, 7, 7],
+        "ts": ts,
+        "event_id": [1, 2, 3, 4],
+        "event_type": ["view", "purchase", "purchase", "view"]})
+    out = session_conversions(rd.from_pandas(df), num_buckets=2) \
+        .to_pandas()
+    assert out.iloc[0].tolist() == [7, 2, 1]
+
+
+def test_embedding_quantize_stats_parity():
+    from wsid_ray.stages.knn import quantize_stats, read_embeddings
+    got = _canon(quantize_stats(read_embeddings(SF)).to_pandas())
+    exp = _canon(_duck(f"""
+        WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+                   FROM read_parquet('{SF}/embeddings.parquet')),
+        m AS (SELECT vec_id, min(x) AS vmin, max(x) AS vmax,
+                     CAST(count(*) AS BIGINT) AS n_dims
+              FROM e GROUP BY vec_id),
+        c AS (SELECT e.vec_id,
+                     CAST(floor((e.x - m.vmin)/(m.vmax - m.vmin)*255+0.5)
+                          AS BIGINT) AS code
+              FROM e JOIN m USING (vec_id) WHERE m.vmax > m.vmin),
+        s AS (SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum
+              FROM c GROUP BY vec_id)
+        SELECT s.vec_id, m.n_dims, s.code_sum,
+               floor(m.vmin*1e6+0.5)/1e6 AS vmin6,
+               floor(m.vmax*1e6+0.5)/1e6 AS vmax6
+        FROM s JOIN m USING (vec_id)"""))
+    pd.testing.assert_frame_equal(got, exp)
+    # codes live in 0..255: sum bounded by 255 * dims
+    assert (got["code_sum"] <= 255 * got["n_dims"]).all()
+    assert (got["code_sum"] >= 0).all()
+
+
+def test_order_next_event_parity():
+    from wsid_ray.pipelines.analytics import order_next_event
+    got = _canon(order_next_event(SF).to_pandas())
+    exp = _canon(_duck("""
+        SELECT o_orderkey, event_id FROM (
+            SELECT o.o_orderkey, e.event_id,
+                   row_number() OVER (PARTITION BY o.o_orderkey
+                       ORDER BY e.ts ASC, e.event_id ASC) AS rn
+            FROM orders o JOIN events e
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ) WHERE rn = 1"""))
+    assert len(got) > 0  # the forward direction genuinely matches
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_all_actor_keys_parity():
+    from wsid_ray.pipelines.queries import q_all_actor_keys
+    got = _canon(q_all_actor_keys(SF).to_pandas())
+    exp = _canon(_duck("""
+        SELECT o_custkey AS k FROM orders
+        UNION SELECT user_id FROM events"""))
+    pd.testing.assert_frame_equal(got, exp)
 
 
 def test_entropy_batch_hand_values():

@@ -358,6 +358,95 @@ def order_price_ntile(sf_dir: str, n_tiles: int = 4,
                                 tiles_drop_bin, num_buckets=16)
 
 
+def order_price_rank(sf_dir: str, bin_cents: int = 100_000) -> rd.Dataset:
+    """Exact distributed ROW_NUMBER + RANK + PERCENT_RANK per order
+    status over price — the same two-pass plan as order_price_ntile
+    (histogram start ranks, pass-2 shuffle on the FINER (status, bin)
+    key, so no partition is ever co-located in one task).
+
+    Semantics shared with the SQL mirror: rn orders by (price_cents,
+    o_orderkey) — unique, so deterministic; rnk orders by price_cents
+    alone (ties share a rank: start + first-occurrence offset of the
+    value inside its bin — correct globally because equal values always
+    land in the same bin); pct6 = (rnk-1)/(N-1) rounded half-up to 6 dp
+    from the exact integers (NULL when N = 1)."""
+    from ..stages.groups import bucketed_group_apply
+    from ..util import collect_rows
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    pairs = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "o_orderstatus": df["o_orderstatus"],
+            "price_cents": _cents(df["o_totalprice"].to_numpy())}),
+        batch_format="pandas")
+
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderstatus": df["o_orderstatus"],
+            "bin": df["price_cents"].to_numpy() // bin_cents})
+        out = g.groupby(["o_orderstatus", "bin"], sort=False,
+                        observed=True).size().rename("c").reset_index()
+        return out.astype({"bin": "int64", "c": "int64"})
+
+    hist_rows = collect_rows(bucketed_sum(
+        pairs.map_batches(partial_hist, batch_format="pandas"),
+        ["o_orderstatus", "bin"], ["c"], num_buckets=4))
+    start_of: dict[tuple[str, int], int] = {}
+    n_of: dict[str, int] = {}
+    for r in sorted(hist_rows,
+                    key=lambda r: (r["o_orderstatus"], r["bin"])):
+        s = r["o_orderstatus"]
+        start_of[(s, r["bin"])] = n_of.get(s, 0)
+        n_of[s] = n_of.get(s, 0) + r["c"]
+
+    def ranks(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        bins = df["price_cents"].to_numpy() // bin_cents
+        for (status, b), g in df.groupby(
+                ["o_orderstatus", bins], sort=True):
+            g = g.sort_values(["price_cents", "o_orderkey"],
+                              kind="mergesort")
+            start = start_of[(status, int(b))]
+            n = n_of[status]
+            rn = start + np.arange(len(g), dtype=np.int64) + 1
+            cents = g["price_cents"].to_numpy()
+            # first-occurrence offset of each value within its sorted
+            # bin — equal values can't straddle bins, so this is the
+            # global SQL RANK
+            rnk = start + np.searchsorted(cents, cents, side="left") + 1
+            if n > 1:
+                pct = np.floor((rnk - 1).astype(np.float64) / (n - 1)
+                               * 1e6 + 0.5) / 1e6
+            else:
+                pct = np.full(len(g), np.nan)
+            outs.append(pd.DataFrame({
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_orderstatus": status,
+                "rn": rn, "rnk": rnk.astype("int64"), "pct6": pct}))
+        if not outs:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series(dtype="int64"),
+                "o_orderstatus": pd.Series(dtype=object),
+                "rn": pd.Series(dtype="int64"),
+                "rnk": pd.Series(dtype="int64"),
+                "pct6": pd.Series(dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    binned = pairs.map_batches(
+        lambda df: df.assign(bin=df["price_cents"].to_numpy()
+                             // bin_cents),
+        batch_format="pandas")
+
+    def ranks_drop_bin(df: pd.DataFrame) -> pd.DataFrame:
+        return ranks(df.drop(columns=["bin"]))
+
+    return bucketed_group_apply(binned, ["o_orderstatus", "bin"],
+                                ranks_drop_bin, num_buckets=16)
+
+
 # histogram-sketch quantiles: (numerator, denominator) per quantile so
 # rank = ceil(q*n) is computed in exact integer math (float ceil(0.9*n)
 # can land one rank off when 0.9*n rounds up past the integer)
@@ -541,6 +630,28 @@ def asof_user_order(sf_dir: str) -> rd.Dataset:
                   tie_right="o_orderkey", num_buckets=16)
     return j.map_batches(
         lambda t: t.select(["event_id", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow")
+
+
+def order_next_event(sf_dir: str) -> rd.Dataset:
+    """FORWARD as-of join (completes the as-of family): each order
+    matched to the customer's FIRST event at or after the order date —
+    smallest ts >= o_orderdate, equal-ts ties to the smallest event_id.
+    Same co-partitioned sorted-merge plan as asof_user_order, direction
+    flipped; inner, so orders of customers with no events drop."""
+    from ..stages.joins import asof_join
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    events = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "ts", "user_id"])
+    j = asof_join(orders, events, by_left="o_custkey", by_right="user_id",
+                  on_left="o_orderdate", on_right="ts",
+                  tie_right="event_id", num_buckets=16,
+                  direction="forward")
+    return j.map_batches(
+        lambda t: t.select(["o_orderkey", "event_id"]),
         batch_format="pyarrow")
 
 

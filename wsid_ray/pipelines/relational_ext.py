@@ -87,13 +87,14 @@ def customer_order_event_recon(sf_dir: str,
     return joined.map_batches(coalesce, batch_format="pyarrow")
 
 
-def repeat_buyers(sf_dir: str, year_a: int = 1995, year_b: int = 1996,
-                  num_buckets: int = 16) -> rd.Dataset:
-    """INTERSECT set semantics: customers with at least one order in
-    BOTH ``year_a`` and ``year_b``.  Plan: filter to the two years at
-    the scan, per-batch distinct (custkey, year) pairs (the partial
-    dedup collapses each batch to <= 2 rows per key), ONE bucketed
-    shuffle on the key, emit keys whose bucket holds both years."""
+def _year_key_sets(sf_dir: str, year_a: int, year_b: int, mode: str,
+                   num_buckets: int) -> rd.Dataset:
+    """Shared INTERSECT / EXCEPT plan over order years: filter to the
+    two years at the scan, per-batch distinct (custkey, year) pairs
+    (each batch collapses to <= 2 rows per key), ONE bucketed shuffle
+    on the key, then emit per the set operation — 'both' (INTERSECT:
+    key seen in year_a AND year_b) or 'a_only' (EXCEPT: year_a but
+    never year_b)."""
     ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
                             columns=["o_custkey", "o_orderdate"])
 
@@ -106,16 +107,120 @@ def repeat_buyers(sf_dir: str, year_a: int = 1995, year_b: int = 1996,
 
     pairs = ds.map_batches(partial, batch_format="pandas")
 
-    def both(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.drop_duplicates().groupby("o_custkey", sort=False)["y"] \
-              .nunique()
-        keys = g[g == 2].index.to_numpy()
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("o_custkey", sort=False)["y"]
+        if mode == "both":
+            keys = g.nunique()
+            keys = keys[keys == 2].index.to_numpy()
+        else:  # a_only
+            agg = g.agg(["min", "max"])
+            m = (agg["min"] == year_a) & (agg["max"] == year_a)
+            keys = agg[m].index.to_numpy()
         return pd.DataFrame({"o_custkey": pd.Series(keys, dtype="int64")})
 
     out_schema = pa.schema([("o_custkey", pa.int64())])
-    return bucketed_group_apply(pairs, ["o_custkey"], both,
+    return bucketed_group_apply(pairs, ["o_custkey"], emit,
                                 num_buckets=num_buckets,
                                 out_schema=out_schema)
+
+
+def repeat_buyers(sf_dir: str, year_a: int = 1995, year_b: int = 1996,
+                  num_buckets: int = 16) -> rd.Dataset:
+    """INTERSECT set semantics: customers with at least one order in
+    BOTH ``year_a`` and ``year_b`` (see _year_key_sets)."""
+    return _year_key_sets(sf_dir, year_a, year_b, "both", num_buckets)
+
+
+def lapsed_buyers(sf_dir: str, year_a: int = 1995, year_b: int = 1996,
+                  num_buckets: int = 16) -> rd.Dataset:
+    """EXCEPT set semantics: customers who ordered in ``year_a`` but
+    never in ``year_b`` (see _year_key_sets)."""
+    return _year_key_sets(sf_dir, year_a, year_b, "a_only", num_buckets)
+
+
+def nation_region_cross(sf_dir: str) -> rd.Dataset:
+    """CROSS JOIN (broadcast nested loop): every (nation, region) pair —
+    the J-family's cartesian case.  The small side is read once on the
+    driver and ``ray.put`` broadcast; each nation batch replicates
+    against it in one vectorised repeat/tile — no shuffle, the right
+    pattern whenever one side is model-sized."""
+    import ray
+
+    from ..util import collect_rows
+
+    regions = sorted(
+        r["r_name"] for r in collect_rows(
+            read_parquet_clean(f"{sf_dir}/region.parquet",
+                               columns=["r_name"])))
+    r_ref = ray.put(regions)
+    nations = read_parquet_clean(f"{sf_dir}/nation.parquet",
+                                 columns=["n_name"])
+
+    def cross(t: pa.Table) -> pa.Table:
+        import numpy as np
+        rs = ray.get(r_ref)
+        n = t.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), len(rs)))
+        return pa.table({
+            "n_name": t["n_name"].take(idx),
+            "r_name": pa.array(np.tile(np.asarray(rs, dtype=object), n),
+                               type=pa.string()),
+        })
+
+    return nations.map_batches(cross, batch_format="pyarrow")
+
+
+def lineitem_price_zscore(sf_dir: str) -> rd.Dataset:
+    """Per-group feature standardisation (the classic ML-preprocessing
+    op): z-score of whole-dollar price within each l_returnflag, 6 dp.
+
+    Exact-integer contract: pass 1 computes (n, sy, syy) per flag via
+    the moments machinery (int64 block partials, python-int combine);
+    the z formula is algebraically lifted to integer numerators —
+        z = (n*y - sy) / sqrt(n*syy - sy^2)
+    so the ONLY float ops are one cast of each exact integer and one
+    divide/sqrt, in the identical order as the SQL mirror.  The tiny
+    per-flag model is broadcast into a stateless pass-2 map; groups
+    with zero variance emit NULL."""
+    import ray
+
+    from ..util import collect_rows
+
+    # pass 1: per-block partials (one tiny row per block x flag) folded
+    # on the driver in python ints — exact past any int64/float64
+    # ceiling, and the fold input is model-sized, never data-sized
+    acc: dict[str, list[int]] = {}
+    for r in collect_rows(_moment_partials(sf_dir)):
+        a = acc.setdefault(r["l_returnflag"], [0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["sum_price_d"])
+        a[2] += int(r["syy"])
+    model = {f: (n, sy, n * syy - sy * sy)
+             for f, (n, sy, syy) in acc.items()}
+    m_ref = ray.put(model)
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_returnflag", "l_extendedprice"])
+
+    def z(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(m_ref)
+        y = np.floor(df["l_extendedprice"].to_numpy() + 0.5) \
+            .astype(np.int64)
+        out = np.full(len(df), np.nan)
+        flags = df["l_returnflag"].to_numpy()
+        for f, (n, sy, den) in m.items():
+            sel = flags == f
+            if den <= 0 or not sel.any():
+                continue
+            num = (n * y[sel] - sy).astype(np.float64)
+            out[sel] = np.floor(num / np.sqrt(float(den)) * 1e6
+                                + 0.5) / 1e6
+        return pd.DataFrame({"l_orderkey": df["l_orderkey"],
+                             "l_linenumber": df["l_linenumber"],
+                             "z6": out})
+
+    return ds.map_batches(z, batch_format="pandas")
 
 
 def orders_cube(sf_dir: str) -> rd.Dataset:
@@ -187,18 +292,13 @@ def orders_cube(sf_dir: str) -> rd.Dataset:
     return lvl0.union(lvl1, lvl2, rd.from_arrow(grand))
 
 
-def lineitem_moments(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
-    """Single-pass distributed moment sums per l_returnflag over
-    x = l_quantity (integral) and y = l_extendedprice quantised to whole
-    dollars: n, sum_x, sum_y, and the second moments sxx/syy/sxy, plus
-    Pearson correlation at 6 dp derived from the exact integers.
-
-    Scale/overflow contract: per-block partial squared sums stay in
-    int64 (dollar quantisation keeps y^2 <= ~1e10 per row); cross-block
-    combination runs in Python arbitrary-precision ints, so no block
-    size or row count overflows; the final exact integers are converted
-    to float64 once (DuckDB mirror: HUGEINT sums cast to DOUBLE — the
-    same single rounding of the same integer)."""
+def _moment_partials(sf_dir: str) -> rd.Dataset:
+    """Per-block int64 moment partials over (x = quantity, y = price in
+    whole dollars) grouped by l_returnflag — one tiny row per (block,
+    flag).  Per-row products stay well inside int64 (dollar
+    quantisation: y^2 <= ~1e10); cross-block combination is the
+    CALLER's job and must use python ints (see lineitem_moments /
+    lineitem_price_zscore)."""
     ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                             columns=["l_returnflag", "l_quantity",
                                      "l_extendedprice"])
@@ -217,7 +317,22 @@ def lineitem_moments(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
         out["n"] = out["n"].astype("int64")
         return out
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    return ds.map_batches(partial, batch_format="pandas")
+
+
+def lineitem_moments(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
+    """Single-pass distributed moment sums per l_returnflag over
+    x = l_quantity (integral) and y = l_extendedprice quantised to whole
+    dollars: n, sum_x, sum_y, and the second moments sxx/syy/sxy, plus
+    Pearson correlation at 6 dp derived from the exact integers.
+
+    Scale/overflow contract: per-block partial squared sums stay in
+    int64 (dollar quantisation keeps y^2 <= ~1e10 per row); cross-block
+    combination runs in Python arbitrary-precision ints, so no block
+    size or row count overflows; the final exact integers are converted
+    to float64 once (DuckDB mirror: HUGEINT sums cast to DOUBLE — the
+    same single rounding of the same integer)."""
+    partials = _moment_partials(sf_dir)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         rows = []

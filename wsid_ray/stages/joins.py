@@ -103,7 +103,7 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
 
 @ray.remote
 def _asof_bucket(by_l, by_r, on_l, on_r, tie_r, suffixes, inner,
-                 n_left, *parts):
+                 direction, n_left, *parts):
     left_parts = [p for p in parts[:n_left] if p.num_rows]
     right_parts = [p for p in parts[n_left:] if p.num_rows]
 
@@ -117,32 +117,43 @@ def _asof_bucket(by_l, by_r, on_l, on_r, tie_r, suffixes, inner,
     ldf = concat(left_parts, parts[0])
     rdf = concat(right_parts, parts[n_left])
     # merge_asof needs both sides globally sorted on the 'on' column;
-    # sorting the right by (on, tie) makes "last match wins" resolve
-    # equal-timestamp ties to the greatest tie_r — the deterministic rule
-    # shared with the SQL mirror (ORDER BY on DESC, tie DESC ... = 1)
+    # sorting the right by (on, tie) makes the tie rule deterministic
+    # and shared with the SQL mirror: backward = "last match wins" =
+    # greatest tie_r among equal timestamps (ORDER BY on DESC, tie DESC
+    # ... = 1); forward = first match = SMALLEST tie_r (ORDER BY on ASC,
+    # tie ASC ... = 1)
     ldf = ldf.sort_values(on_l, kind="mergesort", ignore_index=True)
     rdf = rdf.sort_values([on_r, tie_r], kind="mergesort",
                           ignore_index=True)
     out = pd.merge_asof(ldf, rdf, left_on=on_l, right_on=on_r,
                         left_by=by_l, right_by=by_r,
-                        direction="backward", suffixes=suffixes)
+                        direction=direction, suffixes=suffixes)
     if inner:
         out = out[out[tie_r].notna()]
+    target = _merged_schema(parts[0], parts[n_left], [], suffixes)
     if not len(out):
-        return pa.Table.from_pylist(
-            [], schema=_merged_schema(parts[0], parts[n_left], [],
-                                      suffixes))
-    return pa.Table.from_pandas(
-        out, preserve_index=False).replace_schema_metadata(None)
+        return pa.Table.from_pylist([], schema=target)
+    # same trap as hash_join's outer buckets (ADVICE r03): a bucket with
+    # ANY unmatched left row promotes right-side int columns to float64
+    # via NaN — even under inner (the filter runs after the dtype
+    # promotion).  Cast every bucket to the ONE merged schema;
+    # from_pandas=True turns NaN into null, keeping int64 + null.
+    return pa.table({
+        name: pa.array(out[name], type=target.field(name).type,
+                       from_pandas=True)
+        for name in target.names})
 
 
 def asof_join(left: rd.Dataset, right: rd.Dataset, *,
               by_left: str, by_right: str, on_left: str, on_right: str,
               tie_right: str, inner: bool = True, num_buckets: int = 32,
-              suffixes=("_l", "_r")) -> rd.Dataset:
-    """Backward as-of join: for each left row, the one right row of the
-    same ``by`` key with the greatest ``on_right <= on_left``; equal
-    ``on_right`` ties break to the greatest ``tie_right``.
+              suffixes=("_l", "_r"),
+              direction: str = "backward") -> rd.Dataset:
+    """As-of join: for each left row, the one right row of the same
+    ``by`` key — ``direction='backward'`` (default): greatest
+    ``on_right <= on_left``, equal-``on`` ties to the GREATEST
+    ``tie_right``; ``direction='forward'``: smallest
+    ``on_right >= on_left``, ties to the SMALLEST ``tie_right``.
 
     Physical plan mirrors ``hash_join``: both sides split into B hash
     buckets on the ``by`` key (co-partitioned — the asof lookup never
@@ -166,7 +177,7 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *,
         parts = [s[b] for s in lsplit] + [s[b] for s in rsplit]
         outs.append(_asof_bucket.remote(
             by_left, by_right, on_left, on_right, tie_right, suffixes,
-            inner, len(lsplit), *parts))
+            inner, direction, len(lsplit), *parts))
     return rd.from_arrow_refs(drop_empty_refs(outs))
 
 

@@ -383,3 +383,45 @@ class LshBucketScorer:
             "vec_id": pa.array(vid_col, type=pa.int64()),
             "score": pa.array(s_col, type=pa.float64()),
         })
+
+
+def quantize_stats(embeddings: rd.Dataset) -> rd.Dataset:
+    """Scalar int8 quantization of an embedding column (the memory-side
+    scale path for ANN: 4x smaller vectors, distance in uint8 space) —
+    per-vector min/max scaling to 0..255 codes, emitted as verifiable
+    per-vector stats (n_dims, integer code sum, 6dp min/max) rather
+    than the raw code blob.
+
+    Determinism contract (shared with the SQL mirror): min/max are pure
+    float comparisons (no accumulation); each code is
+    floor((x - vmin) / (vmax - vmin) * 255 + 0.5) with every operand
+    first cast float32 -> float64 (both sides), and the code SUM is
+    exact int64.  Constant vectors (vmax == vmin) are dropped (mirror:
+    WHERE vmax > vmin).  Stateless map — no shuffle at any scale."""
+    def fn(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        offs = emb.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0] if len(offs) else offs  # sliced-array safe
+        lens = np.diff(offs).astype(np.int64)
+        vmin = np.minimum.reduceat(flat, offs[:-1])
+        vmax = np.maximum.reduceat(flat, offs[:-1])
+        keep = vmax > vmin
+        span = np.where(keep, vmax - vmin, 1.0)
+        codes = np.floor((flat - np.repeat(vmin, lens))
+                         / np.repeat(span, lens) * 255 + 0.5) \
+            .astype(np.int64)
+        code_sum = np.add.reduceat(codes, offs[:-1])
+        round6 = lambda a: np.floor(a * 1e6 + 0.5) / 1e6  # noqa: E731
+        return pa.table({
+            "vec_id": t["vec_id"].filter(pa.array(keep)),
+            "n_dims": pa.array(lens[keep], type=pa.int64()),
+            "code_sum": pa.array(code_sum[keep], type=pa.int64()),
+            "vmin6": pa.array(round6(vmin[keep]), type=pa.float64()),
+            "vmax6": pa.array(round6(vmax[keep]), type=pa.float64()),
+        })
+
+    return embeddings.map_batches(fn, batch_format="pyarrow")
