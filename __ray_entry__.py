@@ -1254,6 +1254,34 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT user_id FROM events
         """,
+        # relational_ext.region_revenue: TPC-H Q5-shaped join chain,
+        # re-aggregated before every hop in the engine
+        "region_revenue": """
+            SELECT r_name,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders   ON l_orderkey  = o_orderkey
+            JOIN customer ON o_custkey   = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        # q_lang_top_tokens: grouped top-k over text, deterministic ties
+        "lang_top_tokens": r"""
+            WITH w AS (SELECT lang,
+                              unnest(list_filter(
+                                  regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS tok
+                       FROM documents),
+            c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+                  FROM w GROUP BY lang, tok),
+            r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                      ORDER BY n DESC, tok) AS rk FROM c)
+            SELECT lang, tok, n, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 3
+        """,
         # stages/knn.quantize_stats: int8 scalar quantization; every
         # operand cast FLOAT->DOUBLE before the identical float op order
         "embedding_quantize_stats": """

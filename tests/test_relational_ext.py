@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 def _duck(sql: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in ("events", "orders", "lineitem", "part", "documents",
-              "nation", "region"):
+              "nation", "region", "customer"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{SF}/{t}.parquet')")
     return con.sql(sql).df()
@@ -391,6 +391,42 @@ def test_all_actor_keys_parity():
         SELECT o_custkey AS k FROM orders
         UNION SELECT user_id FROM events"""))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_region_revenue_parity():
+    from wsid_ray.pipelines.relational_ext import region_revenue
+    got = _canon(region_revenue(SF).to_pandas())
+    exp = _canon(_duck("""
+        SELECT r_name, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem
+        JOIN orders   ON l_orderkey  = o_orderkey
+        JOIN customer ON o_custkey   = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name"""))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) == 5  # every region reached through the 4-hop chain
+
+
+def test_lang_top_tokens_parity():
+    from wsid_ray.pipelines.queries import q_lang_top_tokens
+    got = _canon(q_lang_top_tokens(SF).to_pandas())
+    exp = _canon(_duck(r"""
+        WITH w AS (SELECT lang,
+                          unnest(list_filter(
+                              regexp_split_to_array(text, '\s+'),
+                              x -> x <> '')) AS tok
+                   FROM documents),
+        c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+              FROM w GROUP BY lang, tok),
+        r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                  ORDER BY n DESC, tok) AS rk FROM c)
+        SELECT lang, tok, n, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 3"""))
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got.groupby("lang")["rk"].max() <= 3).all()
 
 
 def test_entropy_batch_hand_values():

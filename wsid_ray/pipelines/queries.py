@@ -689,6 +689,61 @@ def q_all_actor_keys(sf_dir: str) -> rd.Dataset:
     return distinct(orders.union(events), ["k"], num_buckets=8)
 
 
+def q_region_revenue(sf_dir: str) -> rd.Dataset:
+    """Multi-hop join chain (TPC-H Q5 shape): revenue per region with
+    re-aggregation before every hop."""
+    from .relational_ext import region_revenue
+    return region_revenue(sf_dir)
+
+
+def q_lang_top_tokens(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Grouped top-k over text: the k most frequent whitespace tokens
+    per language (ties to the lexicographically smallest token).  Two
+    shuffles of shrinking aggregates: per-batch (lang, token) partials
+    -> bucketed sum keyed on (lang, token) -> per-lang head keyed on
+    lang alone."""
+    from ..stages.groups import bucketed_group_apply
+
+    docs = read_documents(sf_dir, columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        from ..util import list_row_indices
+        flat = words.flatten()
+        row_of = list_row_indices(words)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "lang": lang[row_of[ne]],
+            "tok": flat.filter(pa.array(ne)).to_numpy(
+                zero_copy_only=False)})
+        g = df.groupby(["lang", "tok"], sort=True).size() \
+              .rename("n").reset_index()
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = analytics.bucketed_sum(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "tok"], ["n"], num_buckets=16)
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n", "tok"],
+                            ascending=[True, False, True],
+                            kind="mergesort", ignore_index=True)
+        df["rk"] = df.groupby("lang", sort=False).cumcount() + 1
+        out = df[df["rk"] <= k].copy()
+        out["rk"] = out["rk"].astype("int64")
+        return out[["lang", "tok", "n", "rk"]]
+
+    out_schema = pa.schema([("lang", pa.string()), ("tok", pa.string()),
+                            ("n", pa.int64()), ("rk", pa.int64())])
+    return bucketed_group_apply(counts, ["lang"], head, num_buckets=4,
+                                out_schema=out_schema)
+
+
 def q_cooc_degree_stats(sf_dir: str) -> rd.Dataset:
     """Graph shape of the flagship's NPMI ego networks: per term, edge
     count and distinct node count of the pruned co-occurrence graph —
@@ -919,6 +974,8 @@ QUERIES = {
     "cooc_degree_stats": q_cooc_degree_stats,
     "order_next_event": q_order_next_event,
     "all_actor_keys": q_all_actor_keys,
+    "region_revenue": q_region_revenue,
+    "lang_top_tokens": q_lang_top_tokens,
     # --- then: queries absent from CORRECTNESS_r03 (driver cut-off) ---
     "event_recent_activity": q_event_recent_activity,
     "events_rollup": q_events_rollup,

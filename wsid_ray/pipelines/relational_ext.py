@@ -170,6 +170,81 @@ def nation_region_cross(sf_dir: str) -> rd.Dataset:
     return nations.map_batches(cross, batch_format="pyarrow")
 
 
+def region_revenue(sf_dir: str) -> rd.Dataset:
+    """Multi-hop join chain (TPC-H Q5 shape): lineitem → orders →
+    customer → nation → region, revenue + item count per region.
+
+    The scale discipline is the point: the fact stream is RE-AGGREGATED
+    to one row per join key BEFORE every hop (orderkey → custkey →
+    nationkey), so each partitioned hash join shuffles a shrinking
+    aggregate, never raw lineitems; the two genuinely tiny dimensions
+    (nation, region) are applied as ONE broadcast lookup dict inside
+    the final map — zero shuffle for the last two hops."""
+    import ray
+
+    from ..stages.joins import hash_join
+    from ..util import collect_rows
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice"])
+
+    def li_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"o_orderkey": df["l_orderkey"],
+                          "cents": _cents(df["l_extendedprice"]
+                                          .to_numpy())})
+        out = g.groupby("o_orderkey", sort=True).agg(
+            n_items=("cents", "size"),
+            revenue_cents=("cents", "sum")).reset_index()
+        out["n_items"] = out["n_items"].astype("int64")
+        return out
+
+    by_order = bucketed_sum(li.map_batches(li_part, batch_format="pandas"),
+                            ["o_orderkey"], ["n_items", "revenue_cents"],
+                            num_buckets=16)
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    j1 = hash_join(by_order, orders, on=["o_orderkey"], num_buckets=16)
+
+    def cust_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", sort=True, as_index=False)[
+            ["n_items", "revenue_cents"]].sum()
+
+    by_cust = bucketed_sum(j1.map_batches(cust_part,
+                                          batch_format="pandas"),
+                           ["o_custkey"], ["n_items", "revenue_cents"],
+                           num_buckets=16)
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda df: df.rename(columns={"c_custkey":
+                                                   "o_custkey"}),
+                     batch_format="pandas")
+    j2 = hash_join(by_cust, cust, on=["o_custkey"], num_buckets=16)
+
+    # nation + region: model-sized -> one broadcast nation->region map
+    n2r = {r["n_nationkey"]: r["n_regionkey"] for r in collect_rows(
+        read_parquet_clean(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"]))}
+    r2name = {r["r_regionkey"]: r["r_name"] for r in collect_rows(
+        read_parquet_clean(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"]))}
+    lookup_ref = ray.put({n: r2name[rk] for n, rk in n2r.items()})
+
+    def to_region(df: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(lookup_ref)
+        g = pd.DataFrame({
+            "r_name": df["c_nationkey"].map(lk),
+            "n_items": df["n_items"],
+            "revenue_cents": df["revenue_cents"]})
+        return g.groupby("r_name", sort=True, as_index=False)[
+            ["n_items", "revenue_cents"]].sum()
+
+    return bucketed_sum(j2.map_batches(to_region, batch_format="pandas"),
+                        ["r_name"], ["n_items", "revenue_cents"],
+                        num_buckets=2)
+
+
 def lineitem_price_zscore(sf_dir: str) -> rd.Dataset:
     """Per-group feature standardisation (the classic ML-preprocessing
     op): z-score of whole-dollar price within each l_returnflag, 6 dp.
