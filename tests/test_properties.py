@@ -289,3 +289,92 @@ def test_gram_rows_matches_reference(texts, k):
                 s = (s * 31 + _hash30(w)) % _SHINGLE_MOD
             want.add(s)
         assert got.get(i, set()) == want, (i, ts)
+
+
+# --- round-4 extension kernels -------------------------------------------
+
+def _lev_dp(a: str, b: str) -> int:
+    """Reference full-DP Levenshtein (test-only)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+short_words = st.text(alphabet="abcd", min_size=0, max_size=6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(short_words, short_words)
+def test_lev_le1_matches_dp(a, b):
+    from wsid_ray.stages.fuzzy import _lev_le1
+    if a == b:
+        return
+    assert _lev_le1(a, b) == (_lev_dp(a, b) <= 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+                min_size=1, max_size=12, unique=True))
+def test_deletion_blocking_recall(vocab):
+    # every lev<=1 pair shares a deletion key (FastSS recall-1.0 claim)
+    import pandas as pd
+
+    from wsid_ray.stages.fuzzy import _deletion_keys, _lev_le1
+    keys = _deletion_keys(pd.Series(vocab))
+    by_name = keys.groupby("name")["key"].apply(set)
+    for a, b in combinations(sorted(vocab), 2):
+        if _lev_le1(a, b):
+            assert by_name[a] & by_name[b], (a, b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(["x", "yy", "z3", "w", "v5"]),
+                min_size=1, max_size=30))
+def test_entropy_batch_matches_direct(toks):
+    import numpy as np
+    import pyarrow as pa
+
+    from wsid_ray.stages.textstats import entropy_batch
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "text": [" ".join(toks)]})
+    out = entropy_batch(t).to_pandas()
+    n = len(toks)
+    s = sum(int(math.floor((c * math.log(c)) * 1e6 + 0.5))
+            for c in Counter(toks).values())
+    want = int(math.floor(math.log(n) * 1e6 + 0.5)) - s // n
+    assert out.iloc[0]["n_tokens"] == n
+    assert out.iloc[0]["ent_micro"] == want
+    # entropy is bounded by ln(n) and non-negative up to quantisation
+    assert -1 <= out.iloc[0]["ent_micro"] <= math.log(max(n, 2)) * 1e6 + 1
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False,
+              width=32),
+    min_size=2, max_size=8), min_size=1, max_size=10))
+def test_quantize_codes_bounded_and_reconstructable(vecs):
+    import numpy as np
+    import pyarrow as pa
+
+    from wsid_ray.stages.knn import quantize_stats
+
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32()))})
+    import ray.data as rd
+    out = quantize_stats(rd.from_arrow(t)).to_pandas()
+    for _, row in out.iterrows():
+        v = np.asarray(vecs[int(row["vec_id"])], dtype=np.float64)
+        vmin, vmax = v.min(), v.max()
+        codes = np.floor((v - vmin) / (vmax - vmin) * 255 + 0.5)
+        assert row["code_sum"] == codes.sum()
+        assert 0 <= row["code_sum"] <= 255 * row["n_dims"]
+        # dequantised max error is half a quantisation step
+        recon = vmin + codes / 255 * (vmax - vmin)
+        assert np.abs(recon - v).max() <= (vmax - vmin) / 255 / 2 + 1e-12
