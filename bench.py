@@ -65,7 +65,10 @@ def run_bench() -> dict:
                                             q_flagged_lineitem_revenue,
                                             q_kmeans_clusters,
                                             q_knn_cosine_topk,
+                                            q_lineitem_price_zscore,
+                                            q_order_price_rank,
                                             q_pricing_summary,
+                                            q_region_revenue,
                                             q_unigram_counts)
     side = {} if os.environ.get("WSID_BENCH_HEADLINE_ONLY") else {
         "unigram_counts": q_unigram_counts,
@@ -79,6 +82,11 @@ def run_bench() -> dict:
         "kmeans_clusters": q_kmeans_clusters,
         "corpus_heavy_hitters": q_corpus_heavy_hitters,
         "flagged_lineitem_revenue": q_flagged_lineitem_revenue,
+        # r4 extension family (first tracked this round — their own
+        # baselines)
+        "order_price_rank": q_order_price_rank,
+        "region_revenue": q_region_revenue,
+        "lineitem_price_zscore": q_lineitem_price_zscore,
     }
     for name, fn in side.items():
         t0 = time.time()
