@@ -749,6 +749,79 @@ def _sql_events_hopping(size_min: int = 60, hop_min: int = 30) -> str:
 # exact brute-force cosine top-k over the fixed query set — used both as
 # the knn_cosine_topk oracle and as the independent "exact" side of the
 # knn_recall check
+def _sql_cooc_pagerank(tr: str, tok: str, gaz: str,
+                       rounds: int = 5) -> str:
+    """DuckDB mirror of stages/pagerank.pagerank_micro — the fixed
+    synchronous rounds unrolled as CTE pairs (c{k}: integer
+    contributions summed per target; r{k}: damping in exact integer
+    arithmetic), same move as the k-means and CW mirrors."""
+    from wsid_ray.config import NPMI_MIN
+    rounds_sql, prev = "", "r0"
+    for k in range(1, rounds + 1):
+        rounds_sql += f""",
+        c{k} AS (SELECT e.term, e.x AS node, SUM(r.r // d.deg) AS s
+                 FROM ed e
+                 JOIN {prev} r ON r.term = e.term AND r.node = e.u
+                 JOIN deg d ON d.term = e.term AND d.u = e.u
+                 GROUP BY e.term, e.x),
+        r{k} AS (SELECT c.term, c.node,
+                        CAST((15 * 1000000) // (100 * nn.n)
+                             + (85 * c.s) // 100 AS BIGINT) AS r
+                 FROM c{k} c JOIN nn ON nn.term = c.term)"""
+        prev = f"r{k}"
+    return f"""
+        WITH {_sql_cooc_chain(tr, tok, gaz)},
+        edges0 AS (SELECT term, w, v FROM weighted
+                   WHERE npmi > {NPMI_MIN}),
+        ed AS (SELECT term, w AS u, v AS x FROM edges0
+               UNION ALL SELECT term, v, w FROM edges0),
+        deg AS (SELECT term, u, CAST(count(*) AS BIGINT) AS deg
+                FROM ed GROUP BY term, u),
+        nn AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+               FROM deg GROUP BY term),
+        r0 AS (SELECT d.term, d.u AS node,
+                      CAST(1000000 // nn.n AS BIGINT) AS r
+               FROM deg d JOIN nn ON nn.term = d.term){rounds_sql}
+        SELECT term, node, r AS rank_micro FROM {prev}
+    """
+
+
+# dequantized-vector CTE chain (int8 scalar quantization round trip,
+# operation order shared verbatim with stages/knn.dequantize_batch) —
+# the base of knn_quantized_topk / knn_quantized_recall
+_SQL_DQ_VECS = """
+    e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+    m AS (SELECT vec_id, min(x) AS vmin, max(x) AS vmax
+          FROM e GROUP BY vec_id),
+    dqv AS (SELECT e.vec_id, e.i,
+                   m.vmin + floor((e.x - m.vmin) / (m.vmax - m.vmin)
+                                  * 255 + 0.5)
+                            / 255 * (m.vmax - m.vmin) AS v
+            FROM e JOIN m USING (vec_id) WHERE m.vmax > m.vmin),
+    vecs AS (SELECT vec_id, array_agg(v ORDER BY i) AS embedding
+             FROM dqv GROUP BY vec_id)
+"""
+
+_SQL_KNN_QUANT_TOPK = f"""
+    WITH {_SQL_DQ_VECS}
+    SELECT query_id, vec_id, score FROM (
+        SELECT q.vec_id AS query_id, e2.vec_id AS vec_id,
+               round(list_cosine_similarity(e2.embedding, q.embedding),
+                     6) AS score,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(e2.embedding,
+                                                   q.embedding) DESC,
+                       e2.vec_id) AS rk
+        FROM vecs e2
+        CROSS JOIN (SELECT vec_id, embedding FROM vecs
+                    WHERE vec_id < 5) q
+        WHERE e2.vec_id <> q.vec_id)
+    WHERE rk <= 10
+"""
+
 _SQL_KNN_EXACT = """
     SELECT query_id, vec_id, score FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
@@ -1373,6 +1446,9 @@ def oracle_sql() -> dict[str, str]:
             FROM s WHERE n > 0
         """,
         "cooc_edges": _sql_cooc_edges(tr, tok, gaz),
+        # integer-contract PageRank over the per-term NPMI ego graphs —
+        # the third unrolled-CTE iterative mirror (stages/pagerank.py)
+        "cooc_pagerank": _sql_cooc_pagerank(tr, tok, gaz, rounds=5),
         # the induced inventory itself, hash-checked (VERDICT r03 item 1):
         # clustering unrolled into CTE rounds under the cw.py v2 integer
         # determinism contract (see _sql_sense_inventory)
@@ -1953,4 +2029,20 @@ def oracle_sql() -> dict[str, str]:
                   > 0.4
         """,
         "knn_cosine_topk": _SQL_KNN_EXACT,
+        # stages/knn.dequantize_batch + knn_topk: the int8-at-rest ANN
+        # path, hit lists hash-checked (deterministic quantization)
+        "knn_quantized_topk": _SQL_KNN_QUANT_TOPK,
+        # quality of the quantized path vs the exact float top-k — the
+        # recall number itself is SQL-checked
+        "knn_quantized_recall": f"""
+            WITH exact AS (SELECT query_id, vec_id
+                           FROM ({_SQL_KNN_EXACT})),
+            quant AS (SELECT query_id, vec_id
+                      FROM ({_SQL_KNN_QUANT_TOPK}))
+            SELECT 'int8' AS method,
+                   floor(CAST((SELECT count(*) FROM exact
+                               JOIN quant USING (query_id, vec_id))
+                              AS DOUBLE) / 50 * 1e6 + 0.5) / 1e6
+                       AS recall_at_10
+        """,
     }

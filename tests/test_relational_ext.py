@@ -429,6 +429,92 @@ def test_lang_top_tokens_parity():
     assert (got.groupby("lang")["rk"].max() <= 3).all()
 
 
+def test_knn_quantized_topk_parity():
+    from wsid_ray.pipelines.queries import q_knn_quantized_topk
+    got = _canon(q_knn_quantized_topk(SF).to_pandas())
+    exp = _canon(_duck(f"""
+        WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM read_parquet('{SF}/embeddings.parquet')),
+        m AS (SELECT vec_id, min(x) AS vmin, max(x) AS vmax
+              FROM e GROUP BY vec_id),
+        dqv AS (SELECT e.vec_id, e.i,
+                       m.vmin + floor((e.x - m.vmin)/(m.vmax - m.vmin)
+                                      *255 + 0.5)/255*(m.vmax - m.vmin)
+                           AS v
+                FROM e JOIN m USING (vec_id) WHERE m.vmax > m.vmin),
+        vecs AS (SELECT vec_id, array_agg(v ORDER BY i) AS embedding
+                 FROM dqv GROUP BY vec_id)
+        SELECT query_id, vec_id, score FROM (
+            SELECT q.vec_id AS query_id, e2.vec_id AS vec_id,
+                   round(list_cosine_similarity(e2.embedding,
+                                                q.embedding), 6) AS score,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e2.embedding,
+                                                       q.embedding) DESC,
+                           e2.vec_id) AS rk
+            FROM vecs e2
+            CROSS JOIN (SELECT vec_id, embedding FROM vecs
+                        WHERE vec_id < 5) q
+            WHERE e2.vec_id <> q.vec_id)
+        WHERE rk <= 10"""))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_dequantize_round_trip_changes_values():
+    # the round trip must be lossy-but-bounded: not identity (codes are
+    # 8-bit), error <= half a quantisation step per dim
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wsid_ray.stages.knn import dequantize_batch
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    out = dequantize_batch(t)
+    raw = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    dq = np.array(out["embedding"].to_pylist(), dtype=np.float64)
+    assert dq.shape == raw.shape
+    err = np.abs(dq - raw)
+    span = raw.max(axis=1) - raw.min(axis=1)
+    assert (err.max(axis=1) <= span / 255 / 2 + 1e-12).all()
+    assert err.max() > 0  # genuinely quantised, not a copy
+
+
+def test_pagerank_micro_matches_sequential_reference():
+    import ray.data as rd
+
+    from wsid_ray.stages.pagerank import MICRO, pagerank_micro
+
+    # two term graphs: a 4-node path and a 3-node triangle
+    edges = pd.DataFrame({
+        "term": ["a", "a", "a", "b", "b", "b"],
+        "w":    ["n1", "n2", "n3", "x", "x", "y"],
+        "v":    ["n2", "n3", "n4", "y", "z", "z"]})
+    got = pagerank_micro(rd.from_pandas(edges), rounds=5,
+                         num_buckets=2).to_pandas()
+    got = {(r.term, r.node): r.rank_micro for r in got.itertuples()}
+
+    # sequential reference of the exact integer contract
+    for term, g in edges.groupby("term"):
+        adj: dict = {}
+        for _, e in g.iterrows():
+            adj.setdefault(e["w"], set()).add(e["v"])
+            adj.setdefault(e["v"], set()).add(e["w"])
+        n = len(adj)
+        r = {u: MICRO // n for u in adj}
+        for _ in range(5):
+            c = {u: r[u] // len(adj[u]) for u in adj}
+            s = {x: sum(c[u] for u in adj[x]) for x in adj}
+            r = {x: (15 * MICRO) // (100 * n) + (85 * s[x]) // 100
+                 for x in adj}
+        for u, want in r.items():
+            assert got[(term, u)] == want, (term, u, got[(term, u)], want)
+    # rank mass stays ~1.0 per graph (integer floors leak < n micro each
+    # round)
+    tot_a = sum(v for (t, _), v in got.items() if t == "a")
+    assert 0.9 * MICRO < tot_a <= MICRO + 5
+
+
 def test_entropy_batch_hand_values():
     from wsid_ray.stages.textstats import entropy_batch
     t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),

@@ -744,6 +744,60 @@ def q_lang_top_tokens(sf_dir: str, k: int = 3) -> rd.Dataset:
                                 out_schema=out_schema)
 
 
+def q_cooc_pagerank(sf_dir: str) -> rd.Dataset:
+    """Integer-contract PageRank over the per-term pruned NPMI graphs
+    (stages/pagerank.py) — ranks the context words of each gazetteer
+    term's ego network; the third iterative algorithm with an unrolled
+    CTE mirror (after k-means and Chinese Whispers)."""
+    from ..stages.cooc import cooc_edges
+    from ..stages.pagerank import pagerank_micro
+    from .flagship import detect_mentions
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG)
+    edges = cooc_edges(mentions, CFG.cooc_min_count, CFG.npmi_min)
+    return pagerank_micro(edges, rounds=5)
+
+
+def q_knn_quantized_topk(sf_dir: str) -> rd.Dataset:
+    """Cosine top-k over the int8-quantized-at-rest embedding stream
+    (dequantize -> same exact scorer).  Unlike IVF/LSH this approximate
+    path is fully SQL-checkable: the quantize->dequantize round trip is
+    deterministic on both sides, so the driver hash-checks the actual
+    hit lists, not just a recall summary."""
+    from ..artifacts import ANN_QUERY_IDS
+    from ..stages.knn import (dequantize_batch, dequantized_queries,
+                              knn_topk)
+    ds = read_embeddings(sf_dir).map_batches(dequantize_batch,
+                                             batch_format="pyarrow")
+    return knn_topk(ds, dequantized_queries(sf_dir, ANN_QUERY_IDS), k=10)
+
+
+def q_knn_quantized_recall(sf_dir: str) -> pa.Table:
+    """recall@10 of the int8-quantized path vs the exact float top-k —
+    both sides computed in-engine AND mirrored in SQL, so the quality
+    number itself is hash-checked (stronger than the IVF/LSH rows-only
+    treatment, possible because quantization is deterministic)."""
+    from ..artifacts import ANN_QUERY_IDS, ann_queries
+    from ..stages.knn import (dequantize_batch, dequantized_queries,
+                              knn_topk)
+    from ..util import collect_table
+
+    et = collect_table(knn_topk(read_embeddings(sf_dir),
+                                ann_queries(sf_dir), k=10))
+    dq = read_embeddings(sf_dir).map_batches(dequantize_batch,
+                                             batch_format="pyarrow")
+    qt = collect_table(knn_topk(dq, dequantized_queries(
+        sf_dir, ANN_QUERY_IDS), k=10))
+    exact = set(zip(et["query_id"].to_pylist(), et["vec_id"].to_pylist()))
+    quant = set(zip(qt["query_id"].to_pylist(), qt["vec_id"].to_pylist()))
+    denom = len(ANN_QUERY_IDS) * 10
+    rec = np.floor(len(exact & quant) * 1.0 / denom * 1e6 + 0.5) / 1e6
+    return pa.table({"method": pa.array(["int8"], type=pa.string()),
+                     "recall_at_10": pa.array([rec], type=pa.float64())})
+
+
 def q_cooc_degree_stats(sf_dir: str) -> rd.Dataset:
     """Graph shape of the flagship's NPMI ego networks: per term, edge
     count and distinct node count of the pruned co-occurrence graph —
@@ -976,6 +1030,9 @@ QUERIES = {
     "all_actor_keys": q_all_actor_keys,
     "region_revenue": q_region_revenue,
     "lang_top_tokens": q_lang_top_tokens,
+    "knn_quantized_topk": q_knn_quantized_topk,
+    "knn_quantized_recall": q_knn_quantized_recall,
+    "cooc_pagerank": q_cooc_pagerank,
     # --- then: queries absent from CORRECTNESS_r03 (driver cut-off) ---
     "event_recent_activity": q_event_recent_activity,
     "events_rollup": q_events_rollup,

@@ -425,3 +425,58 @@ def quantize_stats(embeddings: rd.Dataset) -> rd.Dataset:
         })
 
     return embeddings.map_batches(fn, batch_format="pyarrow")
+
+
+def dequantize_batch(t: pa.Table) -> pa.Table:
+    """Round-trip the int8 scalar quantization (quantize_stats) back to
+    float64 vectors — the stream an int8-at-rest ANN deployment actually
+    scores against.  Operation order shared verbatim with the SQL
+    mirror: x -> code = floor((x - vmin)/(vmax - vmin)*255 + 0.5) ->
+    dq = vmin + code/255*(vmax - vmin), every operand cast
+    FLOAT -> DOUBLE first.  Constant vectors (vmax == vmin) drop, as in
+    the mirror's WHERE vmax > vmin."""
+    emb = t["embedding"]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = emb.offsets.to_numpy(zero_copy_only=False)
+    offs = offs - offs[0] if len(offs) else offs
+    lens = np.diff(offs).astype(np.int64)
+    vmin = np.minimum.reduceat(flat, offs[:-1])
+    vmax = np.maximum.reduceat(flat, offs[:-1])
+    keep = vmax > vmin
+    span = np.where(keep, vmax - vmin, 1.0)
+    vmin_r, span_r = np.repeat(vmin, lens), np.repeat(span, lens)
+    codes = np.floor((flat - vmin_r) / span_r * 255 + 0.5)
+    dq = vmin_r + codes / 255 * span_r
+    keep_flat = np.repeat(keep, lens)
+    new_lens = lens[keep]
+    new_offs = np.zeros(len(new_lens) + 1, dtype=np.int32)
+    np.cumsum(new_lens, out=new_offs[1:])
+    out = pa.ListArray.from_arrays(
+        pa.array(new_offs), pa.array(dq[keep_flat], type=pa.float64()))
+    return pa.table({
+        "vec_id": t["vec_id"].filter(pa.array(keep)),
+        "embedding": out,
+    })
+
+
+def dequantized_queries(sf_dir: str,
+                        query_ids) -> dict[int, np.ndarray]:
+    """The query vectors under the same quantize->dequantize round trip
+    (numpy ops identical to dequantize_batch)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    wanted = set(query_ids)
+    out: dict[int, np.ndarray] = {}
+    for r in t.to_pylist():
+        if r["vec_id"] not in wanted:
+            continue
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        vmin, vmax = v.min(), v.max()
+        if vmax <= vmin:
+            continue
+        codes = np.floor((v - vmin) / (vmax - vmin) * 255 + 0.5)
+        out[r["vec_id"]] = vmin + codes / 255 * (vmax - vmin)
+    return out

@@ -1,0 +1,123 @@
+"""Integer-contract PageRank over the per-term pruned NPMI graphs —
+the third iterative algorithm made hash-checkable by a determinism
+contract (precedents: k-means Lloyd rounds, Chinese-Whispers label
+rounds; the SQL mirror unrolls the same fixed number of rounds).
+
+Contract (v1, shared verbatim with the oracle):
+  * graphs are undirected: every pruned edge (term, w, v) contributes
+    both directions; deg(u) = undirected degree;
+  * ranks live in int64 MICRO-UNITS; r0(node) = 1_000_000 // N_term;
+  * one synchronous round:
+        c(u)     = r(u) // deg(u)                  (exact int division)
+        s(x)     = sum over neighbours u of c(u)   (order-free int sum)
+        r'(x)    = (15 * 1_000_000) // (100 * N_term)
+                   + (85 * s(x)) // 100
+    i.e. damping 0.85 applied in exact integer arithmetic;
+  * a fixed number of rounds (no convergence test — fixpoint-free
+    determinism, same rationale as the CW mirror).
+
+Physical plan: the edge stream (already the PRUNED aggregate — model-
+shaped, not corpus-shaped) is joined once with the degree table and
+reused every round; each round is ONE partitioned hash join (rank →
+out-edges) plus ONE bucketed sum (contributions → nodes).  Ranks and
+degrees are vocabulary-bounded per term, so at 10^12-turn scale the
+stream through each round stays |gazetteer| x |window vocab| rows —
+the 100 TB input only ever influences this operator through the edge
+weights upstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+MICRO = 1_000_000
+
+
+def pagerank_micro(edges: rd.Dataset, rounds: int = 5,
+                   num_buckets: int = 8) -> rd.Dataset:
+    """edges(term, w, v) -> (term, node, rank_micro) after ``rounds``
+    synchronous integer-contract PageRank rounds per term graph."""
+    from ..pipelines.analytics import bucketed_sum
+    from ..util import collect_rows
+    from .joins import hash_join
+
+    def undirect(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"term": t["term"], "u": t["w"], "x": t["v"]}),
+            pa.table({"term": t["term"], "u": t["v"], "x": t["w"]})])
+
+    ed = edges.map_batches(undirect, batch_format="pyarrow")
+
+    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["term", "u"], sort=True).size() \
+              .rename("deg").reset_index()
+        g["deg"] = g["deg"].astype("int64")
+        return g
+
+    deg = bucketed_sum(ed.map_batches(deg_part, batch_format="pandas"),
+                       ["term", "u"], ["deg"], num_buckets=num_buckets)
+
+    # edges with the source degree attached — built once, reused every
+    # round (the per-round join only moves the rank column)
+    ed_deg = hash_join(ed, deg, on=["term", "u"],
+                       num_buckets=num_buckets).materialize()
+
+    # N_term (node counts) is gazetteer-bounded — a broadcast model
+    n_of: dict[str, int] = {}
+    for r in collect_rows(deg):
+        n_of[r["term"]] = n_of.get(r["term"], 0) + 1
+    base_of = {t: (15 * MICRO) // (100 * n) for t, n in n_of.items()}
+    init_of = {t: MICRO // n for t, n in n_of.items()}
+    b_ref = ray.put((base_of, init_of))
+
+    def init_rank(df: pd.DataFrame) -> pd.DataFrame:
+        _, init = ray.get(b_ref)
+        return pd.DataFrame({
+            "term": df["term"], "node": df["u"],
+            "r": df["term"].map(init).astype("int64")})
+
+    rank = deg.map_batches(init_rank, batch_format="pandas") \
+        .materialize()
+
+    rank_schema = pa.schema([("term", pa.string()),
+                             ("node", pa.string()), ("r", pa.int64())])
+
+    for _ in range(rounds):
+        j = hash_join(
+            ed_deg,
+            rank.map_batches(lambda df: df.rename(columns={"node": "u"}),
+                             batch_format="pandas"),
+            on=["term", "u"], num_buckets=num_buckets)
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            c = (df["r"].to_numpy() // df["deg"].to_numpy()) \
+                .astype(np.int64)
+            g = pd.DataFrame({"term": df["term"], "node": df["x"],
+                              "s": c}) \
+                .groupby(["term", "node"], sort=True, as_index=False) \
+                .agg(s=("s", "sum"))
+            return g
+
+        s = bucketed_sum(j.map_batches(contrib, batch_format="pandas"),
+                         ["term", "node"], ["s"],
+                         num_buckets=num_buckets)
+
+        def apply_damping(df: pd.DataFrame) -> pd.DataFrame:
+            base, _ = ray.get(b_ref)
+            r = (df["term"].map(base).to_numpy(dtype=np.int64)
+                 + (85 * df["s"].to_numpy()) // 100)
+            return pd.DataFrame({"term": df["term"], "node": df["node"],
+                                 "r": r.astype("int64")})
+
+        rank = s.map_batches(apply_damping, batch_format="pandas") \
+            .map_batches(lambda t: t.select(rank_schema.names)
+                         .cast(rank_schema), batch_format="pyarrow") \
+            .materialize()
+
+    return rank.map_batches(
+        lambda t: t.rename_columns(["term", "node", "rank_micro"]),
+        batch_format="pyarrow")
