@@ -1449,6 +1449,37 @@ def oracle_sql() -> dict[str, str]:
         # integer-contract PageRank over the per-term NPMI ego graphs —
         # the third unrolled-CTE iterative mirror (stages/pagerank.py)
         "cooc_pagerank": _sql_cooc_pagerank(tr, tok, gaz, rounds=5),
+        # triangles + clustering coefficient (pagerank.triangle_stats):
+        # canonical w<v edges make the path join enumerate each a<b<c
+        # wedge once; wedges are exact integers d*(d-1)//2
+        "cooc_triangles": f"""
+            WITH {_sql_cooc_chain(tr, tok, gaz)},
+            ed AS (SELECT term, w, v FROM weighted
+                   WHERE npmi > {NPMI_MIN}),
+            tri AS (SELECT e1.term,
+                           CAST(count(*) AS BIGINT) AS n_triangles
+                    FROM ed e1
+                    JOIN ed e2 ON e2.term = e1.term AND e2.w = e1.v
+                    JOIN ed e3 ON e3.term = e1.term AND e3.w = e1.w
+                              AND e3.v = e2.v
+                    GROUP BY e1.term),
+            deg AS (SELECT term, node, CAST(count(*) AS BIGINT) AS d
+                    FROM (SELECT term, w AS node FROM ed
+                          UNION ALL SELECT term, v FROM ed)
+                    GROUP BY term, node),
+            wed AS (SELECT term,
+                           CAST(SUM(d * (d - 1) // 2) AS BIGINT)
+                               AS n_wedges
+                    FROM deg GROUP BY term)
+            SELECT w.term,
+                   COALESCE(t.n_triangles, 0) AS n_triangles,
+                   w.n_wedges,
+                   CASE WHEN w.n_wedges = 0 THEN NULL
+                        ELSE CAST((3 * COALESCE(t.n_triangles, 0)
+                                   * 1000000) // w.n_wedges AS BIGINT)
+                   END AS gcc_micro
+            FROM wed w LEFT JOIN tri t ON t.term = w.term
+        """,
         # the induced inventory itself, hash-checked (VERDICT r03 item 1):
         # clustering unrolled into CTE rounds under the cw.py v2 integer
         # determinism contract (see _sql_sense_inventory)

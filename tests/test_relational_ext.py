@@ -515,6 +515,33 @@ def test_pagerank_micro_matches_sequential_reference():
     assert 0.9 * MICRO < tot_a <= MICRO + 5
 
 
+def test_triangle_stats_hand_case():
+    import ray.data as rd
+
+    from wsid_ray.stages.pagerank import triangle_stats
+
+    # term "a": K4 on n1..n4 (4 triangles, 12 wedges, gcc=1);
+    # term "b": a path x-y-z (0 triangles, 1 wedge, gcc=0);
+    # term "c": single edge (no wedge -> NULL gcc)
+    k4 = [("n1", "n2"), ("n1", "n3"), ("n1", "n4"),
+          ("n2", "n3"), ("n2", "n4"), ("n3", "n4")]
+    edges = pd.DataFrame(
+        [("a", w, v) for w, v in k4]
+        + [("b", "x", "y"), ("b", "y", "z")]
+        + [("c", "p", "q")],
+        columns=["term", "w", "v"])
+    out = triangle_stats(rd.from_pandas(edges), num_buckets=2) \
+        .to_pandas().set_index("term")
+    assert out.loc["a", "n_triangles"] == 4
+    assert out.loc["a", "n_wedges"] == 12
+    assert out.loc["a", "gcc_micro"] == 1_000_000
+    assert out.loc["b", "n_triangles"] == 0
+    assert out.loc["b", "n_wedges"] == 1
+    assert out.loc["b", "gcc_micro"] == 0
+    assert out.loc["c", "n_wedges"] == 0
+    assert pd.isna(out.loc["c", "gcc_micro"])
+
+
 def test_entropy_batch_hand_values():
     from wsid_ray.stages.textstats import entropy_batch
     t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),

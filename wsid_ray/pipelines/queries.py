@@ -760,6 +760,23 @@ def q_cooc_pagerank(sf_dir: str) -> rd.Dataset:
     return pagerank_micro(edges, rounds=5)
 
 
+def q_cooc_triangles(sf_dir: str) -> rd.Dataset:
+    """Triangle count + global clustering coefficient per term graph
+    (stages/pagerank.triangle_stats) — completes the graph-analytics
+    trio beside connected components and PageRank."""
+    from ..stages.cooc import cooc_edges
+    from ..stages.pagerank import triangle_stats
+    from .flagship import detect_mentions
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG)
+    edges = cooc_edges(mentions, CFG.cooc_min_count, CFG.npmi_min)
+    edges3 = edges.map_batches(lambda t: t.select(["term", "w", "v"]),
+                               batch_format="pyarrow")
+    return triangle_stats(edges3)
+
+
 def q_knn_quantized_topk(sf_dir: str) -> rd.Dataset:
     """Cosine top-k over the int8-quantized-at-rest embedding stream
     (dequantize -> same exact scorer).  Unlike IVF/LSH this approximate
@@ -1033,6 +1050,7 @@ QUERIES = {
     "knn_quantized_topk": q_knn_quantized_topk,
     "knn_quantized_recall": q_knn_quantized_recall,
     "cooc_pagerank": q_cooc_pagerank,
+    "cooc_triangles": q_cooc_triangles,
     # --- then: queries absent from CORRECTNESS_r03 (driver cut-off) ---
     "event_recent_activity": q_event_recent_activity,
     "events_rollup": q_events_rollup,

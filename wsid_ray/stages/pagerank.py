@@ -121,3 +121,98 @@ def pagerank_micro(edges: rd.Dataset, rounds: int = 5,
     return rank.map_batches(
         lambda t: t.rename_columns(["term", "node", "rank_micro"]),
         batch_format="pyarrow")
+
+
+def triangle_stats(edges: rd.Dataset,
+                   num_buckets: int = 8) -> rd.Dataset:
+    """Distributed triangle counting + global clustering coefficient per
+    term graph — (term, n_triangles, n_wedges, gcc_micro) with
+    gcc = 3*triangles/wedges in integer micro-units (NULL when the graph
+    has no wedge).
+
+    Plan: edges are canonical (w < v), so the path join e1.v = e2.w
+    enumerates each ordered wedge a<b<c exactly once, and one more join
+    against the edge set closes the triangle — the standard two-join
+    distributed triangle count (node order stands in for the
+    degree-order optimisation; wedges from the degree table are exact
+    integers d*(d-1)//2, no float anywhere)."""
+    from ..pipelines.analytics import bucketed_sum
+    from .joins import hash_join
+
+    def rename(cols):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+        return fn
+
+    e_ab = edges.map_batches(rename(["term", "a", "b"]),
+                             batch_format="pyarrow")
+    e_bc = edges.map_batches(rename(["term", "b", "c"]),
+                             batch_format="pyarrow")
+    # a<b<c paths: join on (term, b)
+    paths = hash_join(e_ab, e_bc, on=["term", "b"],
+                      num_buckets=num_buckets)
+    # close the triangle: (term, a, c) must be an edge (inner join)
+    e_ac = edges.map_batches(rename(["term", "a", "c"]),
+                             batch_format="pyarrow")
+    closed = hash_join(
+        paths.map_batches(lambda t: t.select(["term", "a", "c"]),
+                          batch_format="pyarrow"),
+        e_ac, on=["term", "a", "c"], num_buckets=num_buckets)
+
+    def tri_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", sort=True).size() \
+              .rename("n_triangles").reset_index()
+        g["n_triangles"] = g["n_triangles"].astype("int64")
+        return g
+
+    tri = bucketed_sum(closed.map_batches(tri_part,
+                                          batch_format="pandas"),
+                       ["term"], ["n_triangles"], num_buckets=2)
+
+    def und(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"term": t["term"], "node": t["w"]}),
+            pa.table({"term": t["term"], "node": t["v"]})])
+
+    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["term", "node"], sort=True).size() \
+              .rename("d").reset_index()
+        g["d"] = g["d"].astype("int64")
+        return g
+
+    deg = bucketed_sum(
+        edges.map_batches(und, batch_format="pyarrow")
+             .map_batches(deg_part, batch_format="pandas"),
+        ["term", "node"], ["d"], num_buckets=num_buckets)
+
+    def wedge_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["d"].to_numpy()
+        g = pd.DataFrame({"term": df["term"],
+                          "n_wedges": d * (d - 1) // 2}) \
+            .groupby("term", sort=True, as_index=False) \
+            .agg(n_wedges=("n_wedges", "sum"))
+        return g
+
+    wed = bucketed_sum(deg.map_batches(wedge_part,
+                                       batch_format="pandas"),
+                       ["term"], ["n_wedges"], num_buckets=2)
+
+    j = hash_join(wed, tri, on=["term"], how="left", num_buckets=2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ntri = pc.fill_null(t["n_triangles"].cast(pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        nw = t["n_wedges"].to_numpy(zero_copy_only=False)
+        gcc = np.where(nw > 0, (3 * ntri * MICRO) // np.maximum(nw, 1),
+                       -1)
+        return pa.table({
+            "term": t["term"],
+            "n_triangles": pa.array(ntri, type=pa.int64()),
+            "n_wedges": pa.array(nw, type=pa.int64()),
+            "gcc_micro": pa.array(
+                [None if v < 0 else int(v) for v in gcc],
+                type=pa.int64()),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
