@@ -1355,6 +1355,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, tok, n, CAST(rk AS BIGINT) AS rk
             FROM r WHERE rk <= 3
         """,
+        # analytics.user_activity_deciles: NTILE(10) cohort segmentation
+        # on the generic exact two-pass rank machinery
+        "user_activity_deciles": """
+            WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY user_id)
+            SELECT user_id, n,
+                   CAST(ntile(10) OVER (ORDER BY n, user_id) AS BIGINT)
+                       AS decile
+            FROM c
+        """,
+        # q_status_priciest_order: max_by aggregate, smallest-key ties
+        "status_priciest_order": """
+            WITH c AS (SELECT o_orderstatus, o_orderkey,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS max_cents
+                       FROM orders),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY o_orderstatus
+                      ORDER BY max_cents DESC, o_orderkey) AS rk FROM c)
+            SELECT o_orderstatus, o_orderkey, max_cents
+            FROM r WHERE rk = 1
+        """,
         # stages/knn.quantize_stats: int8 scalar quantization; every
         # operand cast FLOAT->DOUBLE before the identical float op order
         "embedding_quantize_stats": """

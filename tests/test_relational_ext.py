@@ -542,6 +542,36 @@ def test_triangle_stats_hand_case():
     assert pd.isna(out.loc["c", "gcc_micro"])
 
 
+def test_user_activity_deciles_parity():
+    from wsid_ray.pipelines.analytics import user_activity_deciles
+    got = _canon(user_activity_deciles(SF).to_pandas())
+    exp = _canon(_duck("""
+        WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY user_id)
+        SELECT user_id, n,
+               CAST(ntile(10) OVER (ORDER BY n, user_id) AS BIGINT)
+                   AS decile
+        FROM c"""))
+    pd.testing.assert_frame_equal(got, exp)
+    # tiny bins must give the identical answer (two-pass exactness)
+    got2 = _canon(user_activity_deciles(SF, bin_width=1).to_pandas())
+    pd.testing.assert_frame_equal(got2, exp)
+
+
+def test_status_priciest_order_parity():
+    from wsid_ray.pipelines.queries import q_status_priciest_order
+    got = _canon(q_status_priciest_order(SF).to_pandas())
+    exp = _canon(_duck("""
+        WITH c AS (SELECT o_orderstatus, o_orderkey,
+                          CAST(floor(o_totalprice*100+0.5) AS BIGINT)
+                              AS max_cents
+                   FROM orders),
+        r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                  ORDER BY max_cents DESC, o_orderkey) AS rk FROM c)
+        SELECT o_orderstatus, o_orderkey, max_cents FROM r WHERE rk = 1"""))
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_entropy_batch_hand_values():
     from wsid_ray.stages.textstats import entropy_batch
     t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),

@@ -264,105 +264,110 @@ def order_price_quantiles(sf_dir: str) -> rd.Dataset:
                                 num_buckets=4)
 
 
-def order_price_ntile(sf_dir: str, n_tiles: int = 4,
-                      bin_cents: int = 100_000) -> rd.Dataset:
-    """NTILE(n) per order status over price — EXACT two-pass distributed
-    rank window (VERDICT r03 item 2; ties broken by o_orderkey, fully
-    deterministic).
+def exact_partitioned_ranks(pairs: rd.Dataset, part_col: str,
+                            value_col: str, id_col: str,
+                            bin_width: int, emit,
+                            out_schema: pa.Schema,
+                            num_buckets: int = 16) -> rd.Dataset:
+    """Generic EXACT two-pass distributed rank-window machinery
+    (VERDICT r03 item 2; shared by NTILE, ROW_NUMBER/RANK/PERCENT_RANK
+    and activity deciles).
 
-    No partition is ever co-located in one task.  Pass 1 builds the
-    same mergeable fixed-width histogram as order_price_histo — per
-    (status, bin) counts, O(statuses x bins) rows total regardless of
-    input size — and turns it into exclusive-cumsum START RANKS per
-    bin plus the partition sizes N.  Pass 2 shuffles rows keyed on
-    (status, BIN) — a strictly finer key than the partition column, so
-    a 1/3-of-the-table status splits across every price bin — and each
-    group only sorts its own bin: global_rank = bin_start + local
-    offset, tile = integer split of rank over N (first N%n tiles one
-    extra row).  Scale bound: the largest single (status, bin) group,
-    i.e. the heaviest value bucket — tune bin_cents down to split hot
-    value ranges, not the partition count."""
+    ``pairs`` carries (part_col, integer value_col, id_col).  No
+    partition is ever co-located in one task: pass 1 builds a mergeable
+    fixed-width histogram — per (partition, bin) counts, O(partitions x
+    bins) rows regardless of input size — and turns it into
+    exclusive-cumsum START RANKS per bin plus partition sizes N; pass 2
+    shuffles rows keyed on (partition, BIN) — strictly finer than the
+    partition column — and calls ``emit(g, start, n)`` once per group
+    with g sorted by (value, id), the bin's partition-global exclusive
+    start rank, and the partition size.  Scale bound: the heaviest
+    single (partition, bin) group — tune bin_width down to split hot
+    value ranges, never the partition count."""
     from ..stages.groups import bucketed_group_apply
     from ..util import collect_rows
 
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({part_col: df[part_col],
+                          "bin": df[value_col].to_numpy() // bin_width})
+        out = g.groupby([part_col, "bin"], sort=False,
+                        observed=True).size().rename("c").reset_index()
+        return out.astype({"bin": "int64", "c": "int64"})
+
+    hist_rows = collect_rows(bucketed_sum(
+        pairs.map_batches(partial_hist, batch_format="pandas"),
+        [part_col, "bin"], ["c"], num_buckets=4))
+    start_of: dict[tuple, int] = {}
+    n_of: dict = {}
+    for r in sorted(hist_rows, key=lambda r: (r[part_col], r["bin"])):
+        p = r[part_col]
+        start_of[(p, r["bin"])] = n_of.get(p, 0)
+        n_of[p] = n_of.get(p, 0) + r["c"]
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["bin"])
+        outs = []
+        bins = df[value_col].to_numpy() // bin_width
+        for (p, b), g in df.groupby([part_col, bins], sort=True):
+            g = g.sort_values([value_col, id_col], kind="mergesort")
+            outs.append(emit(g, start_of[(p, int(b))], n_of[p]))
+        if not outs:   # guard; _reduce_bucket never calls on empty
+            return out_schema.empty_table().to_pandas()
+        return pd.concat(outs, ignore_index=True)
+
+    binned = pairs.map_batches(
+        lambda df: df.assign(bin=df[value_col].to_numpy() // bin_width),
+        batch_format="pandas")
+    return bucketed_group_apply(binned, [part_col, "bin"], run,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
+
+
+def ntile_emit(n_tiles: int, rank: "np.ndarray", n: int) -> "np.ndarray":
+    """SQL NTILE from global ranks: the first N % n_tiles tiles get one
+    extra row (exact integer split, shared with the oracle)."""
+    base, extra = n // n_tiles, n % n_tiles
+    cut = (base + 1) * extra
+    return np.where(rank < cut, rank // (base + 1),
+                    extra + (rank - cut) // max(base, 1)) + 1
+
+
+def _order_price_pairs(sf_dir: str) -> rd.Dataset:
     ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
-    pairs = ds.map_batches(
+    return ds.map_batches(
         lambda df: pd.DataFrame({
             "o_orderkey": df["o_orderkey"],
             "o_orderstatus": df["o_orderstatus"],
             "price_cents": _cents(df["o_totalprice"].to_numpy())}),
         batch_format="pandas")
 
-    # pass 1: per-batch partial histogram -> tiny (status, bin, c) rows,
-    # summed in one bucketed shuffle; the aggregated histogram is
-    # value-range-bounded (a model, not data) so it may live on the
-    # driver and broadcast into pass 2.
-    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
-        g = pd.DataFrame({
-            "o_orderstatus": df["o_orderstatus"],
-            "bin": df["price_cents"].to_numpy() // bin_cents})
-        out = g.groupby(["o_orderstatus", "bin"], sort=False,
-                        observed=True).size().rename("c").reset_index()
-        return out.astype({"bin": "int64", "c": "int64"})
 
-    hist_rows = collect_rows(bucketed_sum(
-        pairs.map_batches(partial_hist, batch_format="pandas"),
-        ["o_orderstatus", "bin"], ["c"], num_buckets=4))
-    start_of: dict[tuple[str, int], int] = {}
-    n_of: dict[str, int] = {}
-    for r in sorted(hist_rows,
-                    key=lambda r: (r["o_orderstatus"], r["bin"])):
-        s = r["o_orderstatus"]
-        start_of[(s, r["bin"])] = n_of.get(s, 0)
-        n_of[s] = n_of.get(s, 0) + r["c"]
+def order_price_ntile(sf_dir: str, n_tiles: int = 4,
+                      bin_cents: int = 100_000) -> rd.Dataset:
+    """NTILE(n) per order status over price — exact two-pass rank
+    window (machinery: exact_partitioned_ranks; ties broken by
+    o_orderkey, fully deterministic)."""
+    schema = pa.schema([("o_orderkey", pa.int64()),
+                        ("o_orderstatus", pa.string()),
+                        ("quartile", pa.int64())])
 
-    def tiles(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        bins = df["price_cents"].to_numpy() // bin_cents
-        for (status, b), g in df.groupby(
-                ["o_orderstatus", bins], sort=True):
-            g = g.sort_values(["price_cents", "o_orderkey"],
-                              kind="mergesort")
-            n = n_of[status]
-            rank = start_of[(status, int(b))] + np.arange(len(g),
-                                                          dtype=np.int64)
-            base, extra = n // n_tiles, n % n_tiles
-            cut = (base + 1) * extra
-            tile = np.where(
-                rank < cut,
-                rank // (base + 1),
-                extra + (rank - cut) // max(base, 1)) + 1
-            outs.append(pd.DataFrame({
-                "o_orderkey": g["o_orderkey"].to_numpy(),
-                "o_orderstatus": status,
-                "quartile": tile.astype("int64")}))
-        if not outs:   # empty bucket: typed empty frame, no schema flap
-            return pd.DataFrame({
-                "o_orderkey": pd.Series(dtype="int64"),
-                "o_orderstatus": pd.Series(dtype=object),
-                "quartile": pd.Series(dtype="int64")})
-        return pd.concat(outs, ignore_index=True)
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        rank = start + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "o_orderstatus": g["o_orderstatus"].to_numpy(),
+            "quartile": ntile_emit(n_tiles, rank, n).astype("int64")})
 
-    # pass 2: shuffle on the FINER (status, bin) key
-    binned = pairs.map_batches(
-        lambda df: df.assign(bin=df["price_cents"].to_numpy()
-                             // bin_cents),
-        batch_format="pandas")
-
-    def tiles_drop_bin(df: pd.DataFrame) -> pd.DataFrame:
-        return tiles(df.drop(columns=["bin"]))
-
-    return bucketed_group_apply(binned, ["o_orderstatus", "bin"],
-                                tiles_drop_bin, num_buckets=16)
+    return exact_partitioned_ranks(_order_price_pairs(sf_dir),
+                                   "o_orderstatus", "price_cents",
+                                   "o_orderkey", bin_cents, emit, schema)
 
 
 def order_price_rank(sf_dir: str, bin_cents: int = 100_000) -> rd.Dataset:
     """Exact distributed ROW_NUMBER + RANK + PERCENT_RANK per order
-    status over price — the same two-pass plan as order_price_ntile
-    (histogram start ranks, pass-2 shuffle on the FINER (status, bin)
-    key, so no partition is ever co-located in one task).
+    status over price (machinery: exact_partitioned_ranks).
 
     Semantics shared with the SQL mirror: rn orders by (price_cents,
     o_orderkey) — unique, so deterministic; rnk orders by price_cents
@@ -370,81 +375,54 @@ def order_price_rank(sf_dir: str, bin_cents: int = 100_000) -> rd.Dataset:
     value inside its bin — correct globally because equal values always
     land in the same bin); pct6 = (rnk-1)/(N-1) rounded half-up to 6 dp
     from the exact integers (NULL when N = 1)."""
-    from ..stages.groups import bucketed_group_apply
-    from ..util import collect_rows
+    schema = pa.schema([("o_orderkey", pa.int64()),
+                        ("o_orderstatus", pa.string()),
+                        ("rn", pa.int64()), ("rnk", pa.int64()),
+                        ("pct6", pa.float64())])
 
-    ds = read_parquet_clean(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
-    pairs = ds.map_batches(
-        lambda df: pd.DataFrame({
-            "o_orderkey": df["o_orderkey"],
-            "o_orderstatus": df["o_orderstatus"],
-            "price_cents": _cents(df["o_totalprice"].to_numpy())}),
-        batch_format="pandas")
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        rn = start + np.arange(len(g), dtype=np.int64) + 1
+        cents = g["price_cents"].to_numpy()
+        rnk = start + np.searchsorted(cents, cents, side="left") + 1
+        if n > 1:
+            pct = np.floor((rnk - 1).astype(np.float64) / (n - 1)
+                           * 1e6 + 0.5) / 1e6
+        else:
+            pct = np.full(len(g), np.nan)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "o_orderstatus": g["o_orderstatus"].to_numpy(),
+            "rn": rn, "rnk": rnk.astype("int64"), "pct6": pct})
 
-    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
-        g = pd.DataFrame({
-            "o_orderstatus": df["o_orderstatus"],
-            "bin": df["price_cents"].to_numpy() // bin_cents})
-        out = g.groupby(["o_orderstatus", "bin"], sort=False,
-                        observed=True).size().rename("c").reset_index()
-        return out.astype({"bin": "int64", "c": "int64"})
+    return exact_partitioned_ranks(_order_price_pairs(sf_dir),
+                                   "o_orderstatus", "price_cents",
+                                   "o_orderkey", bin_cents, emit, schema)
 
-    hist_rows = collect_rows(bucketed_sum(
-        pairs.map_batches(partial_hist, batch_format="pandas"),
-        ["o_orderstatus", "bin"], ["c"], num_buckets=4))
-    start_of: dict[tuple[str, int], int] = {}
-    n_of: dict[str, int] = {}
-    for r in sorted(hist_rows,
-                    key=lambda r: (r["o_orderstatus"], r["bin"])):
-        s = r["o_orderstatus"]
-        start_of[(s, r["bin"])] = n_of.get(s, 0)
-        n_of[s] = n_of.get(s, 0) + r["c"]
 
-    def ranks(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        bins = df["price_cents"].to_numpy() // bin_cents
-        for (status, b), g in df.groupby(
-                ["o_orderstatus", bins], sort=True):
-            g = g.sort_values(["price_cents", "o_orderkey"],
-                              kind="mergesort")
-            start = start_of[(status, int(b))]
-            n = n_of[status]
-            rn = start + np.arange(len(g), dtype=np.int64) + 1
-            cents = g["price_cents"].to_numpy()
-            # first-occurrence offset of each value within its sorted
-            # bin — equal values can't straddle bins, so this is the
-            # global SQL RANK
-            rnk = start + np.searchsorted(cents, cents, side="left") + 1
-            if n > 1:
-                pct = np.floor((rnk - 1).astype(np.float64) / (n - 1)
-                               * 1e6 + 0.5) / 1e6
-            else:
-                pct = np.full(len(g), np.nan)
-            outs.append(pd.DataFrame({
-                "o_orderkey": g["o_orderkey"].to_numpy(),
-                "o_orderstatus": status,
-                "rn": rn, "rnk": rnk.astype("int64"), "pct6": pct}))
-        if not outs:
-            return pd.DataFrame({
-                "o_orderkey": pd.Series(dtype="int64"),
-                "o_orderstatus": pd.Series(dtype=object),
-                "rn": pd.Series(dtype="int64"),
-                "rnk": pd.Series(dtype="int64"),
-                "pct6": pd.Series(dtype="float64")})
-        return pd.concat(outs, ignore_index=True)
+def user_activity_deciles(sf_dir: str, n_tiles: int = 10,
+                          bin_width: int = 16) -> rd.Dataset:
+    """Activity deciles: NTILE(10) over each user's event count — the
+    classic cohort segmentation, on the same exact two-pass machinery
+    with a single global partition (no per-key co-location even though
+    the partition is the whole table)."""
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+    counts = partial_count(ev, ["user_id"], out_name="n")
+    pairs = counts.map_batches(lambda df: df.assign(part="all"),
+                               batch_format="pandas")
+    schema = pa.schema([("user_id", pa.int64()), ("n", pa.int64()),
+                        ("decile", pa.int64())])
 
-    binned = pairs.map_batches(
-        lambda df: df.assign(bin=df["price_cents"].to_numpy()
-                             // bin_cents),
-        batch_format="pandas")
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        rank = start + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "n": g["n"].to_numpy(),
+            "decile": ntile_emit(n_tiles, rank, n).astype("int64")})
 
-    def ranks_drop_bin(df: pd.DataFrame) -> pd.DataFrame:
-        return ranks(df.drop(columns=["bin"]))
-
-    return bucketed_group_apply(binned, ["o_orderstatus", "bin"],
-                                ranks_drop_bin, num_buckets=16)
+    return exact_partitioned_ranks(pairs, "part", "n", "user_id",
+                                   bin_width, emit, schema,
+                                   num_buckets=8)
 
 
 # histogram-sketch quantiles: (numerator, denominator) per quantile so

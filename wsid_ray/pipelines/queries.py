@@ -760,6 +760,45 @@ def q_cooc_pagerank(sf_dir: str) -> rd.Dataset:
     return pagerank_micro(edges, rounds=5)
 
 
+def q_user_activity_deciles(sf_dir: str) -> rd.Dataset:
+    """NTILE(10) cohort segmentation over per-user event counts, on the
+    generic exact two-pass rank machinery."""
+    return analytics.user_activity_deciles(sf_dir)
+
+
+def q_status_priciest_order(sf_dir: str) -> rd.Dataset:
+    """max_by aggregate: per status, the order achieving the maximum
+    price (ties to the smallest orderkey) — per-batch partial argmax
+    rows, ONE bucketed shuffle, per-bucket argmax combine."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_orderstatus",
+                                     "o_totalprice"])
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderstatus", "max_cents", "o_orderkey"],
+                            ascending=[True, False, True],
+                            kind="mergesort", ignore_index=True)
+        return df.drop_duplicates("o_orderstatus", keep="first")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..pipelines.analytics import _cents
+        g = pd.DataFrame({"o_orderstatus": df["o_orderstatus"],
+                          "o_orderkey": df["o_orderkey"],
+                          "max_cents": _cents(df["o_totalprice"]
+                                              .to_numpy())})
+        return argmax(g)
+
+    out_schema = pa.schema([("o_orderstatus", pa.string()),
+                            ("o_orderkey", pa.int64()),
+                            ("max_cents", pa.int64())])
+    return bucketed_group_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_orderstatus"], argmax, num_buckets=2,
+        out_schema=out_schema)
+
+
 def q_cooc_triangles(sf_dir: str) -> rd.Dataset:
     """Triangle count + global clustering coefficient per term graph
     (stages/pagerank.triangle_stats) — completes the graph-analytics
@@ -1051,6 +1090,8 @@ QUERIES = {
     "knn_quantized_recall": q_knn_quantized_recall,
     "cooc_pagerank": q_cooc_pagerank,
     "cooc_triangles": q_cooc_triangles,
+    "user_activity_deciles": q_user_activity_deciles,
+    "status_priciest_order": q_status_priciest_order,
     # --- then: queries absent from CORRECTNESS_r03 (driver cut-off) ---
     "event_recent_activity": q_event_recent_activity,
     "events_rollup": q_events_rollup,
