@@ -749,17 +749,21 @@ def _sql_events_hopping(size_min: int = 60, hop_min: int = 30) -> str:
 # exact brute-force cosine top-k over the fixed query set — used both as
 # the knn_cosine_topk oracle and as the independent "exact" side of the
 # knn_recall check
-def _sql_cooc_pagerank(tr: str, tok: str, gaz: str,
-                       rounds: int = 5) -> str:
+def _sql_cooc_pagerank(tr: str, tok: str, gaz: str, rounds: int = 5,
+                       weighted: bool = False) -> str:
     """DuckDB mirror of stages/pagerank.pagerank_micro — the fixed
     synchronous rounds unrolled as CTE pairs (c{k}: integer
     contributions summed per target; r{k}: damping in exact integer
-    arithmetic), same move as the k-means and CW mirrors."""
+    arithmetic), same move as the k-means and CW mirrors.  ``weighted``
+    mirrors the weighted contract: per-edge (r * wq) // W_u with wq =
+    the NPMI edge weight in micro-units and W_u the incident sum."""
     from wsid_ray.config import NPMI_MIN
+    contrib = ("SUM((r.r * e.wq) // d.deg)" if weighted
+               else "SUM(r.r // d.deg)")
     rounds_sql, prev = "", "r0"
     for k in range(1, rounds + 1):
         rounds_sql += f""",
-        c{k} AS (SELECT e.term, e.x AS node, SUM(r.r // d.deg) AS s
+        c{k} AS (SELECT e.term, e.x AS node, {contrib} AS s
                  FROM ed e
                  JOIN {prev} r ON r.term = e.term AND r.node = e.u
                  JOIN deg d ON d.term = e.term AND d.u = e.u
@@ -769,13 +773,18 @@ def _sql_cooc_pagerank(tr: str, tok: str, gaz: str,
                              + (85 * c.s) // 100 AS BIGINT) AS r
                  FROM c{k} c JOIN nn ON nn.term = c.term)"""
         prev = f"r{k}"
+    wq_sel = (", CAST(floor(npmi * 1e6 + 0.5) AS BIGINT) AS wq"
+              if weighted else "")
+    wq_ed = ", wq" if weighted else ""
+    deg_expr = ("CAST(SUM(wq) AS BIGINT)" if weighted
+                else "CAST(count(*) AS BIGINT)")
     return f"""
         WITH {_sql_cooc_chain(tr, tok, gaz)},
-        edges0 AS (SELECT term, w, v FROM weighted
+        edges0 AS (SELECT term, w, v{wq_sel} FROM weighted
                    WHERE npmi > {NPMI_MIN}),
-        ed AS (SELECT term, w AS u, v AS x FROM edges0
-               UNION ALL SELECT term, v, w FROM edges0),
-        deg AS (SELECT term, u, CAST(count(*) AS BIGINT) AS deg
+        ed AS (SELECT term, w AS u, v AS x{wq_ed} FROM edges0
+               UNION ALL SELECT term, v, w{wq_ed} FROM edges0),
+        deg AS (SELECT term, u, {deg_expr} AS deg
                 FROM ed GROUP BY term, u),
         nn AS (SELECT term, CAST(count(*) AS BIGINT) AS n
                FROM deg GROUP BY term),
@@ -1471,6 +1480,8 @@ def oracle_sql() -> dict[str, str]:
         # integer-contract PageRank over the per-term NPMI ego graphs —
         # the third unrolled-CTE iterative mirror (stages/pagerank.py)
         "cooc_pagerank": _sql_cooc_pagerank(tr, tok, gaz, rounds=5),
+        "cooc_pagerank_weighted": _sql_cooc_pagerank(
+            tr, tok, gaz, rounds=5, weighted=True),
         # triangles + clustering coefficient (pagerank.triangle_stats):
         # canonical w<v edges make the path join enumerate each a<b<c
         # wedge once; wedges are exact integers d*(d-1)//2

@@ -515,6 +515,37 @@ def test_pagerank_micro_matches_sequential_reference():
     assert 0.9 * MICRO < tot_a <= MICRO + 5
 
 
+def test_weighted_pagerank_matches_sequential_reference():
+    import ray.data as rd
+
+    from wsid_ray.stages.pagerank import MICRO, pagerank_micro
+
+    edges = pd.DataFrame({
+        "term": ["a", "a", "a"],
+        "w": ["n1", "n1", "n2"],
+        "v": ["n2", "n3", "n3"],
+        "wq": [900_000, 100_000, 500_000]})
+    got = pagerank_micro(rd.from_pandas(edges), rounds=4,
+                         num_buckets=2, weight_col="wq").to_pandas()
+    got = {r.node: r.rank_micro for r in got.itertuples()}
+
+    adj = {"n1": {"n2": 900_000, "n3": 100_000},
+           "n2": {"n1": 900_000, "n3": 500_000},
+           "n3": {"n1": 100_000, "n2": 500_000}}
+    n = 3
+    r = {u: MICRO // n for u in adj}
+    for _ in range(4):
+        W = {u: sum(adj[u].values()) for u in adj}
+        s = {x: sum((r[u] * adj[u][x]) // W[u] for u in adj
+                    if x in adj[u]) for x in adj}
+        r = {x: (15 * MICRO) // (100 * n) + (85 * s[x]) // 100
+             for x in adj}
+    for u, want in r.items():
+        assert got[u] == want, (u, got[u], want)
+    # the heavy n1<->n2 edge concentrates rank away from n3
+    assert got["n3"] < got["n1"] and got["n3"] < got["n2"]
+
+
 def test_triangle_stats_hand_case():
     import ray.data as rd
 

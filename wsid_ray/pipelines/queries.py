@@ -760,6 +760,30 @@ def q_cooc_pagerank(sf_dir: str) -> rd.Dataset:
     return pagerank_micro(edges, rounds=5)
 
 
+def q_cooc_pagerank_weighted(sf_dir: str) -> rd.Dataset:
+    """Weighted PageRank: NPMI edge weights in micro-units drive the
+    per-edge contributions (r*w)//W_u — the weighted-graph contract of
+    stages/pagerank.pagerank_micro."""
+    from ..stages.cooc import cooc_edges
+    from ..stages.pagerank import pagerank_micro
+    from .flagship import detect_mentions
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG)
+    edges = cooc_edges(mentions, CFG.cooc_min_count, CFG.npmi_min)
+
+    def quantize(t: pa.Table) -> pa.Table:
+        wq = np.floor(t["npmi"].to_numpy(zero_copy_only=False)
+                      * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"term": t["term"], "w": t["w"], "v": t["v"],
+                         "wq": pa.array(wq, type=pa.int64())})
+
+    return pagerank_micro(edges.map_batches(quantize,
+                                            batch_format="pyarrow"),
+                          rounds=5, weight_col="wq")
+
+
 def q_user_activity_deciles(sf_dir: str) -> rd.Dataset:
     """NTILE(10) cohort segmentation over per-user event counts, on the
     generic exact two-pass rank machinery."""
@@ -1092,6 +1116,7 @@ QUERIES = {
     "cooc_triangles": q_cooc_triangles,
     "user_activity_deciles": q_user_activity_deciles,
     "status_priciest_order": q_status_priciest_order,
+    "cooc_pagerank_weighted": q_cooc_pagerank_weighted,
     # --- then: queries absent from CORRECTNESS_r03 (driver cut-off) ---
     "event_recent_activity": q_event_recent_activity,
     "events_rollup": q_events_rollup,

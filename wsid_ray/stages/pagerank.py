@@ -38,23 +38,34 @@ MICRO = 1_000_000
 
 
 def pagerank_micro(edges: rd.Dataset, rounds: int = 5,
-                   num_buckets: int = 8) -> rd.Dataset:
-    """edges(term, w, v) -> (term, node, rank_micro) after ``rounds``
-    synchronous integer-contract PageRank rounds per term graph."""
+                   num_buckets: int = 8,
+                   weight_col: str | None = None) -> rd.Dataset:
+    """edges(term, w, v[, weight_col]) -> (term, node, rank_micro)
+    after ``rounds`` synchronous integer-contract PageRank rounds per
+    term graph.
+
+    ``weight_col`` (int64 micro-unit edge weights, > 0) switches to the
+    weighted contract: per edge c(u→x) = (r(u) * w_e) // W_u with
+    W_u = sum of u's incident weights — the unweighted case is exactly
+    w_e = 1 (then c = r // deg per edge, the v1 contract)."""
     from ..pipelines.analytics import bucketed_sum
     from ..util import collect_rows
     from .joins import hash_join
 
     def undirect(t: pa.Table) -> pa.Table:
+        w = (t[weight_col] if weight_col is not None
+             else pa.array(np.ones(t.num_rows, dtype=np.int64)))
         return pa.concat_tables([
-            pa.table({"term": t["term"], "u": t["w"], "x": t["v"]}),
-            pa.table({"term": t["term"], "u": t["v"], "x": t["w"]})])
+            pa.table({"term": t["term"], "u": t["w"], "x": t["v"],
+                      "we": w}),
+            pa.table({"term": t["term"], "u": t["v"], "x": t["w"],
+                      "we": w})])
 
     ed = edges.map_batches(undirect, batch_format="pyarrow")
 
     def deg_part(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["term", "u"], sort=True).size() \
-              .rename("deg").reset_index()
+        g = df.groupby(["term", "u"], sort=True, as_index=False) \
+              .agg(deg=("we", "sum"))
         g["deg"] = g["deg"].astype("int64")
         return g
 
@@ -94,8 +105,10 @@ def pagerank_micro(edges: rd.Dataset, rounds: int = 5,
             on=["term", "u"], num_buckets=num_buckets)
 
         def contrib(df: pd.DataFrame) -> pd.DataFrame:
-            c = (df["r"].to_numpy() // df["deg"].to_numpy()) \
-                .astype(np.int64)
+            # per-edge weighted contribution; unweighted (we == 1)
+            # reduces exactly to r // deg
+            c = ((df["r"].to_numpy() * df["we"].to_numpy())
+                 // df["deg"].to_numpy()).astype(np.int64)
             g = pd.DataFrame({"term": df["term"], "node": df["x"],
                               "s": c}) \
                 .groupby(["term", "node"], sort=True, as_index=False) \
