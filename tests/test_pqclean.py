@@ -96,3 +96,38 @@ def test_jsonl_csv_sink_round_trip(tmp_path):
         .sort_values("doc_id", ignore_index=True)[want.columns]
     assert got_j.equals(want)
     assert got_c.equals(want)
+
+
+def test_range_partitioned_sink_round_trip(tmp_path):
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from wsid_ray.sources.rangesink import write_range_partitioned
+
+    rng_vals = (np.arange(10_000, dtype=np.int64) * 7919) % 1_000_000
+    import pandas as pd
+    df = pd.DataFrame({"k": np.arange(10_000, dtype=np.int64),
+                       "cents": rng_vals})
+    out = str(tmp_path / "ranged")
+    splits = write_range_partitioned(rd.from_pandas(df), "cents", out,
+                                     num_partitions=4, bin_width=1_000)
+    assert len(splits) == 3 and splits == sorted(splits)
+
+    dset = pads.dataset(out, partitioning="hive")
+    tb = dset.to_table()
+    assert tb.num_rows == len(df)
+    # partitions hold disjoint, ordered ranges and are roughly equi-depth
+    pdf = tb.to_pandas()
+    pdf["part_id"] = pdf["part_id"].astype(int)
+    bounds = [-1] + list(splits) + [2_000_000]
+    sizes = []
+    for pid, g in pdf.groupby("part_id"):
+        assert g["cents"].min() > bounds[pid] - 1
+        assert g["cents"].max() < bounds[pid + 1]
+        sizes.append(len(g))
+    assert len(sizes) == 4
+    assert max(sizes) < 2 * min(sizes)  # equi-depth within histogram bin
+    # range pruning: reading one partition touches only its rows
+    one = dset.to_table(filter=pads.field("part_id") == 0)
+    assert 0 < one.num_rows < len(df)
