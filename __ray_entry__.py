@@ -1176,6 +1176,30 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY n DESC, event_type) AS rk FROM c)
             SELECT user_id, event_type, n FROM r WHERE rk = 1
         """,
+        # sequences.user_event_neighbors: LAG + LEAD linkage
+        "user_event_neighbors": """
+            SELECT event_id, user_id,
+                   lag(event_id) OVER win AS prev_event_id,
+                   lead(event_id) OVER win AS next_event_id
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # relational_ext.lineitem_cube3: 3-dim CUBE, GROUPING mask with
+        # the first argument most significant
+        "lineitem_cube3": """
+            WITH c AS (SELECT l_returnflag, l_linestatus,
+                              CAST(year(l_shipdate) AS BIGINT)
+                                  AS ship_year,
+                              CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM lineitem)
+            SELECT l_returnflag, l_linestatus, ship_year,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   CAST(GROUPING(l_returnflag, l_linestatus, ship_year)
+                        AS BIGINT) AS lvl
+            FROM c GROUP BY CUBE (l_returnflag, l_linestatus, ship_year)
+        """,
         # relational_ext.customer_order_event_recon: FULL OUTER join of
         # two pre-aggregated sides, COALESCE both ways
         "customer_order_event_recon": """

@@ -603,6 +603,45 @@ def test_status_priciest_order_parity():
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_user_event_neighbors_parity():
+    from wsid_ray.pipelines.sequences import user_event_neighbors
+    got = _canon(user_event_neighbors(SF).to_pandas())
+    exp = _canon(_duck("""
+        SELECT event_id, user_id,
+               lag(event_id) OVER win AS prev_event_id,
+               lead(event_id) OVER win AS next_event_id
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+    for c in ("prev_event_id", "next_event_id"):
+        got[c] = got[c].astype("Int64")
+        exp[c] = exp[c].astype("Int64")
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_lineitem_cube3_parity():
+    from wsid_ray.pipelines.relational_ext import lineitem_cube3
+    got = _canon(lineitem_cube3(SF).to_pandas())
+    exp = _canon(_duck("""
+        WITH c AS (SELECT l_returnflag, l_linestatus,
+                          CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                          CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+                              AS cents
+                   FROM lineitem)
+        SELECT l_returnflag, l_linestatus, ship_year,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(GROUPING(l_returnflag, l_linestatus, ship_year)
+                    AS BIGINT) AS lvl
+        FROM c GROUP BY CUBE (l_returnflag, l_linestatus, ship_year)"""))
+    for c in ("l_returnflag", "l_linestatus"):
+        got[c] = got[c].astype(object)
+        exp[c] = exp[c].astype(object)
+    got["ship_year"] = got["ship_year"].astype("Int64")
+    exp["ship_year"] = exp["ship_year"].astype("Int64")
+    pd.testing.assert_frame_equal(got, exp)
+    assert sorted(got["lvl"].unique()) == list(range(8))
+
+
 def test_entropy_batch_hand_values():
     from wsid_ray.stages.textstats import entropy_batch
     t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),

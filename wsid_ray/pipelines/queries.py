@@ -760,6 +760,18 @@ def q_cooc_pagerank(sf_dir: str) -> rd.Dataset:
     return pagerank_micro(edges, rounds=5)
 
 
+def q_user_event_neighbors(sf_dir: str) -> rd.Dataset:
+    """LAG + LEAD: previous/next event ids per user."""
+    from .sequences import user_event_neighbors
+    return user_event_neighbors(sf_dir)
+
+
+def q_lineitem_cube3(sf_dir: str) -> rd.Dataset:
+    """3-dim CUBE: all 8 grouping sets from one raw scan."""
+    from .relational_ext import lineitem_cube3
+    return lineitem_cube3(sf_dir)
+
+
 def q_cooc_pagerank_weighted(sf_dir: str) -> rd.Dataset:
     """Weighted PageRank: NPMI edge weights in micro-units drive the
     per-edge contributions (r*w)//W_u — the weighted-graph contract of
@@ -1117,6 +1129,8 @@ QUERIES = {
     "user_activity_deciles": q_user_activity_deciles,
     "status_priciest_order": q_status_priciest_order,
     "cooc_pagerank_weighted": q_cooc_pagerank_weighted,
+    "user_event_neighbors": q_user_event_neighbors,
+    "lineitem_cube3": q_lineitem_cube3,
     # --- then: queries absent from CORRECTNESS_r03 (driver cut-off) ---
     "event_recent_activity": q_event_recent_activity,
     "events_rollup": q_events_rollup,

@@ -395,6 +395,65 @@ def _moment_partials(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(partial, batch_format="pandas")
 
 
+def lineitem_cube3(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE over THREE dimensions (returnflag, linestatus,
+    ship year) — all 2^3 grouping sets, ``lvl`` = the GROUPING bitmask
+    (first argument most significant).  Same one-scan plan as the 2-dim
+    cube: the raw table is aggregated ONCE at the finest set
+    (distributed, bucketed); every coarser set re-aggregates the fine
+    result, which is model-sized (O(distinct key triples)), so the
+    2^k - 1 derivations run on the driver without touching the input
+    again — the rollup/grand-total precedent generalised."""
+    from ..util import collect_rows
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_returnflag", "l_linestatus",
+                                     "l_shipdate", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "ship_year": df["l_shipdate"].dt.year.astype("int64"),
+            "cents": _cents(df["l_extendedprice"].to_numpy())})
+        out = g.groupby(["l_returnflag", "l_linestatus", "ship_year"],
+                        sort=True).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum")).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    keys = ["l_returnflag", "l_linestatus", "ship_year"]
+    fine = bucketed_sum(ds.map_batches(partial, batch_format="pandas"),
+                        keys, ["n", "sum_cents"], num_buckets=8)
+
+    fdf = pd.DataFrame(collect_rows(fine))
+    frames = []
+    for mask in range(8):
+        rolled = [keys[i] for i in range(3) if mask & (4 >> i)]
+        kept = [k for k in keys if k not in rolled]
+        if kept:
+            g = fdf.groupby(kept, sort=True, as_index=False)[
+                ["n", "sum_cents"]].sum()
+        else:
+            g = pd.DataFrame({"n": [int(fdf["n"].sum())],
+                              "sum_cents": [int(fdf["sum_cents"].sum())]})
+        for r in rolled:
+            g[r] = pd.Series([pd.NA] * len(g),
+                             dtype="Int64" if r == "ship_year"
+                             else "string")
+        g["lvl"] = np.int64(mask)
+        frames.append(g[keys + ["n", "sum_cents", "lvl"]])
+
+    out = pd.concat(frames, ignore_index=True)
+    schema = pa.schema([("l_returnflag", pa.string()),
+                        ("l_linestatus", pa.string()),
+                        ("ship_year", pa.int64()),
+                        ("n", pa.int64()), ("sum_cents", pa.int64()),
+                        ("lvl", pa.int64())])
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False)
+                         .select(schema.names).cast(schema))
+
+
 def lineitem_moments(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
     """Single-pass distributed moment sums per l_returnflag over
     x = l_quantity (integral) and y = l_extendedprice quantised to whole

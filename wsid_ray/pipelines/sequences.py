@@ -62,6 +62,32 @@ def user_event_gaps(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
                                 out_schema=out_schema)
 
 
+def user_event_neighbors(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """LAG + LEAD linkage: for each event, the previous and next
+    event_id of the same user in (ts, event_id) order (NULL at the
+    partition edges) — the neighbor projection sequence models train
+    on.  Same bucketed plan as user_event_gaps."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort", ignore_index=True)
+        g = df.groupby("user_id", sort=False)
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "user_id": df["user_id"],
+            "prev_event_id": g["event_id"].shift(1).astype("Int64"),
+            "next_event_id": g["event_id"].shift(-1).astype("Int64")})
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("prev_event_id", pa.int64()),
+                            ("next_event_id", pa.int64())])
+    return bucketed_group_apply(ds, ["user_id"], win,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
+
+
 def user_event_path(sf_dir: str, sep: str = ">",
                     num_buckets: int = 16) -> rd.Dataset:
     """Ordered string aggregation (funnel / clickstream path): per user,
