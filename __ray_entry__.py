@@ -52,6 +52,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return dict(QUERIES)
 
 
+# planted-duplicate derived corpus (stages/setsim.py module docstring):
+# a pure SQL transform of the driver's documents table — exact dups via
+# case/whitespace perturbation, near-dups via an 80%-prefix cut.  The
+# engine's planted_docs() builds the identical rows.
+_SQL_PLANTED = """planted AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, ' ' || upper(text) || '  '
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 2000000,
+                       substr(text, 1, (length(text) * 4) // 5)
+                FROM documents WHERE doc_id % 11 = 0
+            )"""
+
+
 def _sql_token_expr(col: str = "text") -> str:
     """DuckDB mirror of wsid_ray.stages.tokenize.tokenize_column."""
     from wsid_ray.config import MIN_TOKEN_LEN, STOPWORDS
@@ -1147,6 +1163,46 @@ def oracle_sql() -> dict[str, str]:
         for conds, _m, term in _sql_multi_terms())
 
     return {
+        # --- planted-duplicate curation ops (stages/setsim.py): the
+        # derived corpus is a pure SQL transform of the driver's own
+        # documents table, shared verbatim between engine and mirror ---
+        "doc_normalized_dedup": f"""
+            WITH {_SQL_PLANTED},
+            n AS (SELECT doc_id,
+                         trim(regexp_replace(lower(text), '\\s+', ' ',
+                                             'g')) AS norm
+                  FROM planted),
+            g AS (SELECT norm, min(doc_id) AS kept_by,
+                         CAST(count(*) AS BIGINT) AS n_group
+                  FROM n GROUP BY norm)
+            SELECT n.doc_id, g.kept_by, g.n_group
+            FROM n JOIN g USING (norm) WHERE g.n_group > 1
+        """,
+        # all-pairs ground truth for the prefix-filtered set-similarity
+        # join — a hash match proves the engine's SSJoin prefix filter
+        # generated every qualifying candidate (completeness), not just
+        # that its verify math agrees
+        "doc_setsim_join": f"""
+            WITH {_SQL_PLANTED},
+            t AS (SELECT doc_id, {tok} AS toks FROM planted),
+            sh AS (SELECT doc_id,
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(
+                              range(len(toks) - 2),
+                              i -> array_to_string(
+                                  list_slice(toks, i + 1, i + 3), ' ')))
+                     END AS s
+                   FROM t WHERE len(toks) > 0),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         len(list_intersect(a.s, b.s)) AS i,
+                         len(a.s) + len(b.s)
+                             - len(list_intersect(a.s, b.s)) AS u
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST((i * 1000000) // u AS BIGINT) AS jacc_micro
+            FROM p WHERE 2 * i >= u AND i > 0
+        """,
         # --- new this round: sequence / relational / fuzzy extensions ---
         # pipelines/sequences.user_event_gaps: LAG window, exact integer
         # microsecond arithmetic, (ts, event_id) tie-break

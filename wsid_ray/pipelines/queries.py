@@ -1100,8 +1100,29 @@ def q_knn_cosine_topk(sf_dir: str) -> rd.Dataset:
 # the queries that were not in the previous round's artifact run FIRST
 # (VERDICT r03 item 5), followed by the long-covered ones in their
 # historical order.
+def q_doc_normalized_dedup(sf_dir: str) -> rd.Dataset:
+    """Normalized exact dedup over the planted-duplicate corpus
+    (stages/setsim.py module docstring): texts equal after
+    (lower, collapse-whitespace, trim) form one group; emits every
+    member of a group with n_group > 1 plus its first-wins canonical."""
+    from ..stages.setsim import normalized_dedup, planted_docs
+    return normalized_dedup(planted_docs(sf_dir))
+
+
+def q_doc_setsim_join(sf_dir: str) -> rd.Dataset:
+    """Exact Jaccard >= 1/2 shingle-set self-join via SSJoin/PPJoin
+    prefix filtering over the planted-duplicate corpus — candidates
+    from rare-shingle prefixes only (never all pairs), verified with
+    exact integer cross-multiplication.  The oracle is the ALL-PAIRS
+    ground truth, so a hash match proves the prefix filter complete."""
+    from ..stages.setsim import planted_docs, setsim_pairs
+    return setsim_pairs(planted_docs(sf_dir))
+
+
 QUERIES = {
     # --- first: queries new this round (driver cut-off ordering) ---
+    "doc_normalized_dedup": q_doc_normalized_dedup,
+    "doc_setsim_join": q_doc_setsim_join,
     "user_event_gaps": q_user_event_gaps,
     "user_event_path": q_user_event_path,
     "user_top_event_type": q_user_top_event_type,
