@@ -1203,6 +1203,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST((i * 1000000) // u AS BIGINT) AS jacc_micro
             FROM p WHERE 2 * i >= u AND i > 0
         """,
+        # analytics.lineitem_winsorized: percentile_disc-style cutoffs
+        # as the value at ROW_NUMBER == ceil(q*n) under the shared
+        # (cents, id) sort, then clip + sum — all exact integer math
+        "lineitem_winsorized": """
+            WITH c AS (SELECT l_returnflag AS f,
+                              CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) AS cents,
+                              l_orderkey * 10 + l_linenumber AS id
+                       FROM lineitem),
+            r AS (SELECT f, cents,
+                         row_number() OVER (PARTITION BY f
+                                            ORDER BY cents, id) AS rn,
+                         count(*) OVER (PARTITION BY f) AS n
+                  FROM c),
+            cut AS (SELECT f,
+                           max(CASE WHEN rn = (n * 5 + 99) // 100
+                                    THEN cents END) AS lo_cents,
+                           max(CASE WHEN rn = (n * 95 + 99) // 100
+                                    THEN cents END) AS hi_cents
+                    FROM r GROUP BY f)
+            SELECT c.f AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(c.cents) AS BIGINT) AS sum_cents,
+                   CAST(SUM(LEAST(GREATEST(c.cents, cut.lo_cents),
+                                  cut.hi_cents)) AS BIGINT)
+                       AS sum_wins_cents,
+                   cut.lo_cents, cut.hi_cents
+            FROM c JOIN cut ON cut.f = c.f
+            GROUP BY c.f, cut.lo_cents, cut.hi_cents
+        """,
+        # relational_ext.orders_skyline: dominance-free frontier — the
+        # mirror derives it the window way (per-cents max day vs the
+        # exclusive running max over higher cents); pytest additionally
+        # checks the NOT EXISTS dominance definition at sf0.001
+        "orders_skyline": """
+            WITH c AS (SELECT o_orderkey,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS cents,
+                              CAST(epoch_us(o_orderdate) // 86400000000
+                                   AS BIGINT) AS d
+                       FROM orders),
+            m AS (SELECT cents, max(d) AS dmax FROM c GROUP BY cents),
+            r AS (SELECT cents, dmax,
+                         max(dmax) OVER (ORDER BY cents DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS best_prev
+                  FROM m),
+            k AS (SELECT cents, dmax FROM r
+                  WHERE best_prev IS NULL OR dmax > best_prev)
+            SELECT c.o_orderkey, c.cents, c.d
+            FROM c JOIN k ON k.cents = c.cents AND c.d = k.dmax
+        """,
+        # relational_ext.order_brand_pairs: co-purchase pair mining
+        "order_brand_pairs": """
+            WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+                        FROM lineitem JOIN part
+                             ON p_partkey = l_partkey)
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                              AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+        """,
         # --- new this round: sequence / relational / fuzzy extensions ---
         # pipelines/sequences.user_event_gaps: LAG window, exact integer
         # microsecond arithmetic, (ts, event_id) tie-break

@@ -803,3 +803,90 @@ def user_event_pivot(sf_dir: str) -> rd.Dataset:
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return bucketed_sum(partials, ["user_id"], cols, num_buckets=8)
+
+
+def lineitem_winsorized(sf_dir: str, lo_pct: int = 5, hi_pct: int = 95,
+                        bin_cents: int = 100_000) -> rd.Dataset:
+    """Winsorized per-group sum: extended prices clipped to the exact
+    per-returnflag [p05, p95] before summing — the outlier-robust
+    aggregate every quality/score pipeline wants before thresholding.
+
+    Exactness without co-location: the cutoffs are percentile_disc-style
+    order statistics (the value whose ROW_NUMBER equals ceil(q*n) under
+    the deterministic (cents, id) sort), extracted with the same
+    exact_partitioned_ranks two-pass machinery as NTILE/RANK — rows at
+    the target ranks identify themselves from (bin start rank, offset),
+    so no partition ever sits in one task.  The 3-groups × 2 cutoffs
+    result is driver-collected (model-shaped) and broadcast into a
+    second clipping pass that partial-sums before one tiny shuffle."""
+    from ..stages.groups import bucketed_group_apply  # noqa: F401
+    from ..util import collect_rows
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "cents": _cents(df["l_extendedprice"].to_numpy()),
+            "id": (df["l_orderkey"].to_numpy() * 10
+                   + df["l_linenumber"].to_numpy()).astype("int64")})
+
+    src = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_extendedprice"])
+    pr = src.map_batches(pairs, batch_format="pandas")
+
+    cut_schema = pa.schema([("l_returnflag", pa.string()),
+                            ("which", pa.string()),
+                            ("cents", pa.int64())])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        rn = start + np.arange(len(g), dtype=np.int64) + 1
+        targets = (("lo", (n * lo_pct + 99) // 100),
+                   ("hi", (n * hi_pct + 99) // 100))
+        outs = []
+        for which, r in targets:
+            hit = g[rn == r]
+            if len(hit):
+                outs.append(pd.DataFrame({
+                    "l_returnflag": hit["l_returnflag"].to_numpy(),
+                    "which": which,
+                    "cents": hit["cents"].to_numpy()}))
+        if not outs:
+            return cut_schema.empty_table().to_pandas()
+        return pd.concat(outs, ignore_index=True)
+
+    cuts = collect_rows(exact_partitioned_ranks(
+        pr, "l_returnflag", "cents", "id", bin_cents, emit, cut_schema))
+    lo_of = {r["l_returnflag"]: r["cents"] for r in cuts
+             if r["which"] == "lo"}
+    hi_of = {r["l_returnflag"]: r["cents"] for r in cuts
+             if r["which"] == "hi"}
+    b_ref = ray.put((lo_of, hi_of))
+
+    def clip_partial(df: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = ray.get(b_ref)
+        c = df["cents"].to_numpy()
+        lov = df["l_returnflag"].map(lo).to_numpy(dtype=np.int64)
+        hiv = df["l_returnflag"].map(hi).to_numpy(dtype=np.int64)
+        w = np.clip(c, lov, hiv)
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "n": np.ones(len(df), dtype=np.int64),
+            "sum_cents": c, "sum_wins_cents": w})
+        return g.groupby("l_returnflag", sort=True, as_index=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum"),
+            sum_wins_cents=("sum_wins_cents", "sum"))
+
+    partial = pr.map_batches(clip_partial, batch_format="pandas")
+    summed = bucketed_sum(partial, ["l_returnflag"],
+                          ["n", "sum_cents", "sum_wins_cents"],
+                          num_buckets=2)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = ray.get(b_ref)
+        df = df.copy()
+        df["lo_cents"] = df["l_returnflag"].map(lo).astype("int64")
+        df["hi_cents"] = df["l_returnflag"].map(hi).astype("int64")
+        return df
+
+    return summed.map_batches(attach, batch_format="pandas")

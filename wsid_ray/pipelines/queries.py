@@ -1100,6 +1100,26 @@ def q_knn_cosine_topk(sf_dir: str) -> rd.Dataset:
 # the queries that were not in the previous round's artifact run FIRST
 # (VERDICT r03 item 5), followed by the long-covered ones in their
 # historical order.
+def q_lineitem_winsorized(sf_dir: str) -> rd.Dataset:
+    """Winsorized per-returnflag price sum: exact p05/p95 order-statistic
+    cutoffs via the two-pass rank machinery, then clip + sum."""
+    return analytics.lineitem_winsorized(sf_dir)
+
+
+def q_orders_skyline(sf_dir: str) -> pa.Table:
+    """Pareto frontier of orders on (price, recency) — per-block local
+    skylines merged once on the driver (algebraic operator)."""
+    from .relational_ext import orders_skyline
+    return orders_skyline(sf_dir)
+
+
+def q_order_brand_pairs(sf_dir: str) -> rd.Dataset:
+    """Market-basket brand pair counts: lineitem ⋈ part, distinct
+    (order, brand), vectorised per-order pair fan-out, bucketed sum."""
+    from .relational_ext import order_brand_pairs
+    return order_brand_pairs(sf_dir)
+
+
 def q_doc_normalized_dedup(sf_dir: str) -> rd.Dataset:
     """Normalized exact dedup over the planted-duplicate corpus
     (stages/setsim.py module docstring): texts equal after
@@ -1123,6 +1143,9 @@ QUERIES = {
     # --- first: queries new this round (driver cut-off ordering) ---
     "doc_normalized_dedup": q_doc_normalized_dedup,
     "doc_setsim_join": q_doc_setsim_join,
+    "lineitem_winsorized": q_lineitem_winsorized,
+    "orders_skyline": q_orders_skyline,
+    "order_brand_pairs": q_order_brand_pairs,
     "user_event_gaps": q_user_event_gaps,
     "user_event_path": q_user_event_path,
     "user_top_event_type": q_user_top_event_type,

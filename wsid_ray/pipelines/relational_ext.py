@@ -503,3 +503,99 @@ def lineitem_moments(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
     return bucketed_group_apply(partials, ["l_returnflag"], combine,
                                 num_buckets=num_buckets,
                                 out_schema=out_schema)
+
+
+def orders_skyline(sf_dir: str) -> pa.Table:
+    """Pareto frontier (skyline) of orders maximizing (price, recency):
+    an order is on the skyline iff no other order has cents >= AND
+    day >= with at least one strict.  Duplicated points all survive
+    (neither dominates the other).
+
+    Distributed shape: the skyline operator is algebraic —
+    skyline(S1 ∪ S2) = skyline(skyline(S1) ∪ skyline(S2)) — so each
+    block computes its LOCAL skyline vectorised (per-cents max day +
+    an exclusive running max over descending cents), and only those
+    survivors (O(distinct cents) worst case, typically tiny) reach the
+    driver for one final identical pass.  The 100 TB input only ever
+    ships its per-block frontiers."""
+    from ..util import collect_rows
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def sky_core(c: pd.DataFrame) -> pd.DataFrame:
+        """Exact skyline of (o_orderkey, cents, d) int64 rows: per-cents
+        max day, then an exclusive running max over DESCENDING cents —
+        a cents class survives iff its max day strictly beats every
+        higher-cents class (a higher-cents point with an equal day
+        dominates); within a class only max-day rows survive."""
+        m = c.groupby("cents", sort=True)["d"].max() \
+             .sort_index(ascending=False)
+        best_prev = m.cummax().shift(1, fill_value=np.iinfo(np.int64).min)
+        keep = m[m > best_prev]
+        out = c.merge(keep.rename("dmax").reset_index(), on="cents")
+        out = out[out["d"] == out["dmax"]]
+        out = out[["o_orderkey", "cents", "d"]].astype("int64")
+        return out.sort_values(["cents", "o_orderkey"],
+                               kind="mergesort", ignore_index=True)
+
+    def local_sky(df: pd.DataFrame) -> pd.DataFrame:
+        return sky_core(pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "cents": _cents(df["o_totalprice"].to_numpy()),
+            "d": (df["o_orderdate"].astype("int64").to_numpy()
+                  // 86_400_000_000),
+        }))
+
+    locals_ = orders.map_batches(local_sky, batch_format="pandas")
+    rows = collect_rows(locals_)   # per-block frontiers only (tiny)
+    if not rows:
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "cents": pa.array([], pa.int64()),
+                         "d": pa.array([], pa.int64())})
+    final = sky_core(pd.DataFrame(rows))
+    return pa.Table.from_pandas(final, preserve_index=False)
+
+
+def order_brand_pairs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Market-basket pair mining: for every unordered pair of part
+    brands co-occurring in one order, the number of orders containing
+    both — the co-purchase / frequent-itemset-pairs primitive.
+
+    Plan: lineitem ⋈ part on partkey (partitioned hash join — the part
+    side grows with scale, so no broadcast), DISTINCT (order, brand),
+    then pairs are generated per order-bucket with one vectorised
+    self-merge (order baskets are small: pair fan-out per order is
+    C(#brands,2) ≤ C(lines,2)) and summed with one bucketed shuffle on
+    the pair key."""
+    from ..stages.groups import distinct
+    from ..stages.joins import hash_join
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    pt = read_parquet_clean(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_brand"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["l_partkey", "p_brand"]), batch_format="pyarrow")
+    j = hash_join(li, pt, on=["l_partkey"], num_buckets=num_buckets) \
+        .map_batches(lambda t: t.select(["l_orderkey", "p_brand"]),
+                     batch_format="pyarrow")
+    ob = distinct(j, ["l_orderkey", "p_brand"], num_buckets=num_buckets)
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["p_brand_x"] < m["p_brand_y"]]
+        g = m.groupby(["p_brand_x", "p_brand_y"], sort=True) \
+             .size().rename("n_orders").reset_index()
+        g.columns = ["brand_a", "brand_b", "n_orders"]
+        return g.astype({"n_orders": "int64"})
+
+    pair_schema = pa.schema([("brand_a", pa.string()),
+                             ("brand_b", pa.string()),
+                             ("n_orders", pa.int64())])
+    partial = bucketed_group_apply(ob, ["l_orderkey"], pairs_in_bucket,
+                                   num_buckets=num_buckets,
+                                   out_schema=pair_schema)
+    return bucketed_sum(partial, ["brand_a", "brand_b"], ["n_orders"],
+                        num_buckets=4)
