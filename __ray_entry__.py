@@ -811,6 +811,40 @@ def _sql_cooc_pagerank(tr: str, tok: str, gaz: str, rounds: int = 5,
     """
 
 
+def _sql_cooc_kcore(tr: str, tok: str, gaz: str, k: int = 3,
+                    rounds: int = 8) -> str:
+    """DuckDB mirror of stages/pagerank.kcore — the fixed peel rounds
+    unrolled as CTE triples (d{i}: undirected degrees, a{i}: nodes
+    still >= k, und{i}: the induced surviving edge stream), the 4th
+    bounded-iteration mirror after k-means / CW / PageRank.  Every
+    level is AS MATERIALIZED: each und is referenced three times, so
+    inlining would re-expand the whole cooc chain 3^rounds times."""
+    from wsid_ray.config import NPMI_MIN
+    ctes, prev = "", "und0"
+    for i in range(1, rounds + 1):
+        ctes += f""",
+        d{i} AS MATERIALIZED (
+            SELECT term, u, CAST(count(*) AS BIGINT) AS d
+            FROM {prev} GROUP BY term, u),
+        a{i} AS MATERIALIZED (SELECT term, u FROM d{i} WHERE d >= {k}),
+        und{i} AS MATERIALIZED (
+            SELECT e.term, e.u, e.x FROM {prev} e
+            JOIN a{i} s ON s.term = e.term AND s.u = e.u
+            JOIN a{i} t ON t.term = e.term AND t.u = e.x)"""
+        prev = f"und{i}"
+    return f"""
+        WITH {_sql_cooc_chain(tr, tok, gaz)},
+        kc_ed AS (SELECT term, w, v FROM weighted
+                  WHERE npmi > {NPMI_MIN}),
+        und0 AS MATERIALIZED (
+            SELECT term, w AS u, v AS x FROM kc_ed
+            UNION ALL SELECT term, v, w FROM kc_ed){ctes},
+        dfin AS (SELECT term, u, CAST(count(*) AS BIGINT) AS d
+                 FROM {prev} GROUP BY term, u)
+        SELECT term, u AS node, d AS deg FROM dfin WHERE d >= {k}
+    """
+
+
 # dequantized-vector CTE chain (int8 scalar quantization round trip,
 # operation order shared verbatim with stages/knn.dequantize_batch) —
 # the base of knn_quantized_topk / knn_quantized_recall
@@ -1203,6 +1237,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST((i * 1000000) // u AS BIGINT) AS jacc_micro
             FROM p WHERE 2 * i >= u AND i > 0
         """,
+        # stages/pagerank.edge_jaccard: per-edge embeddedness (the a<b<c
+        # triangle enumeration exploded back onto its three canonical
+        # edges) + open-neighbourhood Jaccard in integer micro-units
+        "cooc_edge_jaccard": f"""
+            WITH {_sql_cooc_chain(tr, tok, gaz)},
+            ej_ed AS MATERIALIZED (SELECT term, w, v FROM weighted
+                                   WHERE npmi > {NPMI_MIN}),
+            tri AS MATERIALIZED (
+                SELECT e1.term, e1.w AS a, e1.v AS b, e2.v AS c
+                FROM ej_ed e1
+                JOIN ej_ed e2 ON e2.term = e1.term AND e2.w = e1.v
+                JOIN ej_ed e3 ON e3.term = e1.term AND e3.w = e1.w
+                             AND e3.v = e2.v),
+            cn AS (SELECT term, x AS w, y AS v,
+                          CAST(count(*) AS BIGINT) AS cn
+                   FROM (SELECT term, a AS x, b AS y FROM tri
+                         UNION ALL SELECT term, b, c FROM tri
+                         UNION ALL SELECT term, a, c FROM tri)
+                   GROUP BY term, x, y),
+            deg AS MATERIALIZED (
+                SELECT term, node, CAST(count(*) AS BIGINT) AS d
+                FROM (SELECT term, w AS node FROM ej_ed
+                      UNION ALL SELECT term, v FROM ej_ed)
+                GROUP BY term, node)
+            SELECT e.term, e.w, e.v,
+                   CAST(COALESCE(cn.cn, 0) AS BIGINT) AS cn,
+                   dw.d AS deg_w, dv.d AS deg_v,
+                   CAST((COALESCE(cn.cn, 0) * 1000000)
+                        // (dw.d + dv.d - COALESCE(cn.cn, 0))
+                        AS BIGINT) AS jacc_micro
+            FROM ej_ed e
+            LEFT JOIN cn ON cn.term = e.term AND cn.w = e.w
+                        AND cn.v = e.v
+            JOIN deg dw ON dw.term = e.term AND dw.node = e.w
+            JOIN deg dv ON dv.term = e.term AND dv.node = e.v
+        """,
+        # stages/pagerank.kcore: 8 bounded peel rounds, k = 3
+        "cooc_kcore": _sql_cooc_kcore(tr, tok, gaz),
         # analytics.lineitem_winsorized: percentile_disc-style cutoffs
         # as the value at ROW_NUMBER == ceil(q*n) under the shared
         # (cents, id) sort, then clip + sum — all exact integer math

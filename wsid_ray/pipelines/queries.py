@@ -1100,6 +1100,35 @@ def q_knn_cosine_topk(sf_dir: str) -> rd.Dataset:
 # the queries that were not in the previous round's artifact run FIRST
 # (VERDICT r03 item 5), followed by the long-covered ones in their
 # historical order.
+def _cooc_edge_stream(sf_dir: str) -> rd.Dataset:
+    """Shared front end of the graph-analytics queries: the pruned NPMI
+    edge set (term, w, v) from the flagship cooc chain."""
+    from ..stages.cooc import cooc_edges
+    from .flagship import detect_mentions
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG)
+    edges = cooc_edges(mentions, CFG.cooc_min_count, CFG.npmi_min)
+    return edges.map_batches(lambda t: t.select(["term", "w", "v"]),
+                             batch_format="pyarrow")
+
+
+def q_cooc_edge_jaccard(sf_dir: str) -> rd.Dataset:
+    """Per-edge embeddedness + open-neighbourhood Jaccard (SCAN-style
+    structural similarity) over the NPMI ego graphs."""
+    from ..stages.pagerank import edge_jaccard
+    return edge_jaccard(_cooc_edge_stream(sf_dir))
+
+
+def q_cooc_kcore(sf_dir: str) -> rd.Dataset:
+    """3-core membership after 8 bounded peel rounds per term graph —
+    the 4th fixed-round iterative contract (k-means/CW/PageRank
+    precedents), unrolled identically in the SQL mirror."""
+    from ..stages.pagerank import kcore
+    return kcore(_cooc_edge_stream(sf_dir))
+
+
 def q_lineitem_winsorized(sf_dir: str) -> rd.Dataset:
     """Winsorized per-returnflag price sum: exact p05/p95 order-statistic
     cutoffs via the two-pass rank machinery, then clip + sum."""
@@ -1143,6 +1172,8 @@ QUERIES = {
     # --- first: queries new this round (driver cut-off ordering) ---
     "doc_normalized_dedup": q_doc_normalized_dedup,
     "doc_setsim_join": q_doc_setsim_join,
+    "cooc_edge_jaccard": q_cooc_edge_jaccard,
+    "cooc_kcore": q_cooc_kcore,
     "lineitem_winsorized": q_lineitem_winsorized,
     "orders_skyline": q_orders_skyline,
     "order_brand_pairs": q_order_brand_pairs,

@@ -229,3 +229,163 @@ def triangle_stats(edges: rd.Dataset,
         })
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def edge_jaccard(edges: rd.Dataset, num_buckets: int = 8) -> rd.Dataset:
+    """Per-edge structural similarity (SCAN-style): for every canonical
+    pruned edge (term, w, v) — common-neighbour count, both endpoint
+    degrees, and the open-neighbourhood Jaccard in integer micro-units:
+    jacc = cn / (deg_w + deg_v - cn) (v ∈ N(w) and w ∈ N(v) sit in the
+    union but never the intersection, so the denominator is ≥ 2).
+
+    Plan: the same two-join a<b<c triangle enumeration as
+    triangle_stats, but each closed triple is exploded back onto its
+    THREE canonical edges (one bucketed sum on the edge key) instead of
+    folded per term — triangles-per-edge is the classic edge
+    embeddedness.  Everything is model-shaped (pruned NPMI edges)."""
+    from ..pipelines.analytics import bucketed_sum
+    from .joins import hash_join
+
+    def rename(cols):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+        return fn
+
+    e_ab = edges.map_batches(rename(["term", "a", "b"]),
+                             batch_format="pyarrow")
+    e_bc = edges.map_batches(rename(["term", "b", "c"]),
+                             batch_format="pyarrow")
+    e_ac = edges.map_batches(rename(["term", "a", "c"]),
+                             batch_format="pyarrow")
+    paths = hash_join(e_ab, e_bc, on=["term", "b"],
+                      num_buckets=num_buckets)
+    closed = hash_join(paths, e_ac, on=["term", "a", "c"],
+                       num_buckets=num_buckets)
+
+    def explode(t: pa.Table) -> pa.Table:
+        # each a<b<c triangle increments edges (a,b), (b,c), (a,c) —
+        # all already canonical
+        return pa.concat_tables([
+            pa.table({"term": t["term"], "w": t["a"], "v": t["b"]}),
+            pa.table({"term": t["term"], "w": t["b"], "v": t["c"]}),
+            pa.table({"term": t["term"], "w": t["a"], "v": t["c"]})])
+
+    def cn_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["term", "w", "v"], sort=True).size() \
+              .rename("cn").reset_index()
+        g["cn"] = g["cn"].astype("int64")
+        return g
+
+    cn = bucketed_sum(
+        closed.map_batches(explode, batch_format="pyarrow")
+              .map_batches(cn_part, batch_format="pandas"),
+        ["term", "w", "v"], ["cn"], num_buckets=num_buckets)
+
+    def und(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"term": t["term"], "node": t["w"]}),
+            pa.table({"term": t["term"], "node": t["v"]})])
+
+    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["term", "node"], sort=True).size() \
+              .rename("d").reset_index()
+        g["d"] = g["d"].astype("int64")
+        return g
+
+    deg = bucketed_sum(
+        edges.map_batches(und, batch_format="pyarrow")
+             .map_batches(deg_part, batch_format="pandas"),
+        ["term", "node"], ["d"], num_buckets=num_buckets)
+
+    j = hash_join(edges, cn, on=["term", "w", "v"], how="left",
+                  num_buckets=num_buckets)
+    j = hash_join(
+        j, deg.map_batches(rename(["term", "w", "deg_w"]),
+                           batch_format="pyarrow"),
+        on=["term", "w"], num_buckets=num_buckets)
+    j = hash_join(
+        j, deg.map_batches(rename(["term", "v", "deg_v"]),
+                           batch_format="pyarrow"),
+        on=["term", "v"], num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cnv = pc.fill_null(t["cn"].cast(pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        dw = t["deg_w"].to_numpy(zero_copy_only=False)
+        dv = t["deg_v"].to_numpy(zero_copy_only=False)
+        jm = (cnv * MICRO) // (dw + dv - cnv)
+        return pa.table({
+            "term": t["term"], "w": t["w"], "v": t["v"],
+            "cn": pa.array(cnv, type=pa.int64()),
+            "deg_w": pa.array(dw, type=pa.int64()),
+            "deg_v": pa.array(dv, type=pa.int64()),
+            "jacc_micro": pa.array(jm, type=pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def kcore(edges: rd.Dataset, k: int = 3, rounds: int = 8,
+          num_buckets: int = 8) -> rd.Dataset:
+    """Bounded-round k-core peel per term graph — (term, node, deg)
+    for every node still holding degree >= k after ``rounds``
+    synchronous peel rounds (round = recompute undirected degrees on
+    the surviving subgraph, drop nodes below k, drop their edges).
+
+    Determinism contract (4th bounded-iteration mirror, after k-means /
+    CW / PageRank): a FIXED round count, no convergence test — the SQL
+    oracle unrolls the identical rounds, so engine and mirror agree
+    even mid-convergence.  The alive-node set is vocabulary-bounded
+    (same argument as pagerank's N_term broadcast), so the per-round
+    driver collect is model-shaped; each round costs one bucketed
+    degree sum over the shrinking edge stream — never a growing one."""
+    from ..pipelines.analytics import bucketed_sum
+    from ..util import collect_rows
+
+    def undirect(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"term": t["term"], "u": t["w"], "x": t["v"]}),
+            pa.table({"term": t["term"], "u": t["v"], "x": t["w"]})])
+
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
+               .materialize()
+
+    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["term", "u"], sort=True).size() \
+              .rename("d").reset_index()
+        g["d"] = g["d"].astype("int64")
+        return g
+
+    def degrees(ds: rd.Dataset) -> rd.Dataset:
+        return bucketed_sum(
+            ds.map_batches(deg_part, batch_format="pandas"),
+            ["term", "u"], ["d"], num_buckets=num_buckets)
+
+    out_schema = pa.schema([("term", pa.string()),
+                            ("node", pa.string()),
+                            ("deg", pa.int64())])
+
+    for _ in range(rounds):
+        alive = {(r["term"], r["u"]) for r in collect_rows(degrees(und))
+                 if r["d"] >= k}
+        if not alive:   # whole graph peeled away — stable empty result
+            return rd.from_arrow(out_schema.empty_table())
+        a_ref = ray.put(alive)
+
+        def prune(df: pd.DataFrame) -> pd.DataFrame:
+            a = ray.get(a_ref)
+            mu = pd.MultiIndex.from_arrays([df["term"], df["u"]])
+            mx = pd.MultiIndex.from_arrays([df["term"], df["x"]])
+            return df[mu.isin(a) & mx.isin(a)]
+
+        und = und.map_batches(prune, batch_format="pandas") \
+                 .materialize()
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["d"] >= k].rename(columns={"u": "node",
+                                               "d": "deg"})
+        return out[["term", "node", "deg"]]
+
+    return degrees(und).map_batches(emit, batch_format="pandas") \
+        .map_batches(lambda t: t.cast(out_schema),
+                     batch_format="pyarrow")
