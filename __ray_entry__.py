@@ -845,6 +845,45 @@ def _sql_cooc_kcore(tr: str, tok: str, gaz: str, k: int = 3,
     """
 
 
+def _sql_embedding_pca(rounds: int = 8) -> str:
+    """DuckDB mirror of stages/pca.pca_projection — micro-unit
+    quantisation, the exact HUGEINT Gram matrix, and the FIXED power
+    rounds unrolled as CTE triples (u{i}: G @ v, m{i}: max|u| guard,
+    v{i}: rescale by truncating division — DuckDB's native ``//``
+    semantics, matched by the engine's tdiv).  5th bounded-iteration
+    mirror after k-means / CW / PageRank / k-core."""
+    ctes, prev = "", "v0"
+    for i in range(1, rounds + 1):
+        ctes += f""",
+        u{i} AS MATERIALIZED (
+            SELECT g.i, SUM(g.g * v.val) AS u
+            FROM gram g JOIN {prev} v ON v.i = g.j GROUP BY g.i),
+        m{i} AS (SELECT GREATEST(MAX(ABS(u)), 1) AS m FROM u{i}),
+        v{i} AS MATERIALIZED (
+            SELECT i, (u * 1000000) // m AS val FROM u{i}, m{i})"""
+        prev = f"v{i}"
+    return f"""
+        WITH qe AS MATERIALIZED (
+            SELECT vec_id, i,
+                   CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q
+            FROM (SELECT vec_id, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)),
+        gram AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j,
+                   SUM(CAST(a.q AS HUGEINT) * b.q) AS g
+            FROM qe a JOIN qe b ON b.vec_id = a.vec_id
+            GROUP BY a.i, b.i),
+        v0 AS (SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS val
+               FROM gram){ctes}
+        SELECT qe.vec_id,
+               CAST(SUM(CAST(qe.q AS HUGEINT) * v.val) // 1000000
+                    AS BIGINT) AS proj
+        FROM qe JOIN {prev} v USING (i) GROUP BY qe.vec_id
+    """
+
+
 # dequantized-vector CTE chain (int8 scalar quantization round trip,
 # operation order shared verbatim with stages/knn.dequantize_batch) —
 # the base of knn_quantized_topk / knn_quantized_recall
@@ -1275,6 +1314,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # stages/pagerank.kcore: 8 bounded peel rounds, k = 3
         "cooc_kcore": _sql_cooc_kcore(tr, tok, gaz),
+        # stages/pca.pca_projection: integer-contract power-iteration
+        # principal direction + per-vector projections, 8 fixed rounds
+        "embedding_pca_projection": _sql_embedding_pca(),
         # analytics.lineitem_winsorized: percentile_disc-style cutoffs
         # as the value at ROW_NUMBER == ceil(q*n) under the shared
         # (cents, id) sort, then clip + sum — all exact integer math

@@ -1129,6 +1129,14 @@ def q_cooc_kcore(sf_dir: str) -> rd.Dataset:
     return kcore(_cooc_edge_stream(sf_dir))
 
 
+def q_embedding_pca_projection(sf_dir: str) -> rd.Dataset:
+    """Integer-contract PCA power iteration: distributed micro-unit Gram
+    partials (python-int combine), 8 exact power rounds on the driver's
+    dim x dim matrix, broadcast direction, per-vector projections."""
+    from ..stages.pca import pca_projection_query
+    return pca_projection_query(sf_dir)
+
+
 def q_lineitem_winsorized(sf_dir: str) -> rd.Dataset:
     """Winsorized per-returnflag price sum: exact p05/p95 order-statistic
     cutoffs via the two-pass rank machinery, then clip + sum."""
@@ -1174,6 +1182,7 @@ QUERIES = {
     "doc_setsim_join": q_doc_setsim_join,
     "cooc_edge_jaccard": q_cooc_edge_jaccard,
     "cooc_kcore": q_cooc_kcore,
+    "embedding_pca_projection": q_embedding_pca_projection,
     "lineitem_winsorized": q_lineitem_winsorized,
     "orders_skyline": q_orders_skyline,
     "order_brand_pairs": q_order_brand_pairs,

@@ -1,0 +1,127 @@
+"""Integer-contract PCA by power iteration over the embedding column —
+the principal-direction projection used for embedding whitening /
+spectral dedup in training-data pipelines.
+
+Distributed shape (the only part that touches the corpus): each batch
+quantises its vectors to int64 micro-units and emits the 64x64 partial
+Gram matrix ``q.T @ q`` as (i, j, g) rows — O(dim^2) per block, bounded
+by int64 (|q| <= ~1e6 for unit-range embeddings, so a 4096-row block's
+partial entry is <= ~4e15).  Cross-block combination runs in Python
+arbitrary-precision ints (the lineitem_moments overflow contract), and
+the combined Gram — dim^2 rows, model-sized — is collected once on the
+driver.  The power rounds themselves are exact integer math on that
+dim x dim matrix; the resulting direction (each component <= 1e6 in
+magnitude) is broadcast back and every vector's projection is one
+int64-safe matvec per batch.  No shuffle moves more than dim^2 rows per
+block at any corpus size.
+
+Determinism contract (5th bounded-iteration mirror after k-means / CW /
+PageRank / k-core): q = floor(x*1e6 + 0.5) after float32 -> float64;
+v0 = 1e6 for every dim; each of the FIXED ``rounds`` rounds computes
+u = G @ v exactly, m = max(|u|, 1), v' = tdiv(u * 1e6, m) where tdiv
+truncates toward zero — DuckDB's integer ``//`` semantics, NOT Python
+floor — so engine and unrolled-CTE mirror agree to the last bit even
+mid-convergence.  Final projection per vector: tdiv(q . v, 1e6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .knn import _to_matrix, read_embeddings
+
+MICRO = 1_000_000
+
+
+def _tdiv_int(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — DuckDB ``//``."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def _tdiv_np(a: np.ndarray, b: int) -> np.ndarray:
+    """Vectorised truncating division for int64 arrays."""
+    return np.sign(a) * (np.abs(a) // b)
+
+
+def _quantize(t: pa.Table) -> np.ndarray:
+    x = _to_matrix(t["embedding"])
+    return np.floor(x * MICRO + 0.5).astype(np.int64)
+
+
+def gram_partials(embeddings: rd.Dataset) -> rd.Dataset:
+    """Per-batch (i, j, g) rows of the quantised Gram matrix."""
+    def fn(t: pa.Table) -> pa.Table:
+        q = _quantize(t)
+        d = q.shape[1] if q.size else 0
+        if d == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int64())})
+        g = q.T @ q          # int64-exact: |entry| <= rows * 1e12
+        ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
+                             indexing="ij")
+        return pa.table({"i": pa.array(ii.ravel(), pa.int64()),
+                         "j": pa.array(jj.ravel(), pa.int64()),
+                         "g": pa.array(g.ravel(), pa.int64())})
+
+    return embeddings.map_batches(fn, batch_format="pyarrow")
+
+
+def fit_direction(embeddings: rd.Dataset, rounds: int = 8) -> np.ndarray:
+    """Combined Gram -> ``rounds`` exact power rounds -> int64 direction
+    (1-indexed dense vector, each |component| <= 1e6)."""
+    from ..util import collect_rows
+    from .groups import bucketed_group_apply
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # Python-int accumulation: exact at any block count (no int64
+        # ceiling across blocks); emitted as decimal strings so the
+        # driver parse stays exact past int64 too.
+        g = df.groupby(["i", "j"], sort=False)["g"] \
+              .apply(lambda s: str(sum(int(v) for v in s))).reset_index()
+        return g.rename(columns={"g": "gs"})
+
+    out_schema = pa.schema([("i", pa.int64()), ("j", pa.int64()),
+                            ("gs", pa.string())])
+    rows = collect_rows(bucketed_group_apply(
+        gram_partials(embeddings), ["i", "j"], combine,
+        num_buckets=4, out_schema=out_schema))
+    if not rows:
+        return np.zeros(0, dtype=np.int64)
+    d = max(r["i"] for r in rows)
+    G = [[0] * d for _ in range(d)]
+    for r in rows:
+        G[r["i"] - 1][r["j"] - 1] = int(r["gs"])
+    v = [MICRO] * d
+    for _ in range(rounds):
+        u = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(max(abs(x) for x in u), 1)
+        v = [_tdiv_int(x * MICRO, m) for x in u]
+    return np.asarray(v, dtype=np.int64)
+
+
+def pca_projection(embeddings: rd.Dataset, rounds: int = 8) -> rd.Dataset:
+    """(vec_id, proj) — each vector's exact integer projection onto the
+    power-iteration direction, tdiv(q . v, 1e6)."""
+    direction = fit_direction(embeddings, rounds=rounds)
+    v_ref = ray.put(direction)
+
+    def project(t: pa.Table) -> pa.Table:
+        v = ray.get(v_ref)
+        q = _quantize(t)
+        if q.size == 0 or len(v) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "proj": pa.array([], pa.int64())})
+        s = q @ v            # <= dim * 1e12 in magnitude: int64-safe
+        return pa.table({"vec_id": t["vec_id"],
+                         "proj": pa.array(_tdiv_np(s, MICRO), pa.int64())})
+
+    return embeddings.map_batches(project, batch_format="pyarrow")
+
+
+def pca_projection_query(sf_dir: str, rounds: int = 8) -> rd.Dataset:
+    return pca_projection(read_embeddings(sf_dir), rounds=rounds)
