@@ -1320,6 +1320,50 @@ def oracle_sql() -> dict[str, str]:
         # analytics.lineitem_winsorized: percentile_disc-style cutoffs
         # as the value at ROW_NUMBER == ceil(q*n) under the shared
         # (cents, id) sort, then clip + sum — all exact integer math
+        # analytics.lineitem_mad: two percentile_disc(0.5)-style order
+        # statistics under the shared (value, id) sort — median of
+        # cents, then median of |cents - median|
+        "lineitem_mad": """
+            WITH p AS (SELECT l_returnflag AS f,
+                              CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) AS cents,
+                              l_orderkey * 10 + l_linenumber AS id
+                       FROM lineitem),
+            r1 AS (SELECT f, cents,
+                          row_number() OVER (PARTITION BY f
+                                             ORDER BY cents, id) AS rn,
+                          count(*) OVER (PARTITION BY f) AS n
+                   FROM p),
+            med AS (SELECT f, CAST(n AS BIGINT) AS n,
+                           cents AS median_cents
+                    FROM r1 WHERE rn = (n * 50 + 99) // 100),
+            d AS (SELECT p.f, ABS(p.cents - m.median_cents) AS dev,
+                         p.id, m.n, m.median_cents
+                  FROM p JOIN med m ON m.f = p.f),
+            r2 AS (SELECT f, dev, n, median_cents,
+                          row_number() OVER (PARTITION BY f
+                                             ORDER BY dev, id) AS rn
+                   FROM d)
+            SELECT f AS l_returnflag, n, median_cents,
+                   dev AS mad_cents
+            FROM r2 WHERE rn = (n * 50 + 99) // 100
+        """,
+        # analytics.orders_weighted_sample: integer exponential-race
+        # stand-in — k smallest (md5_64(key) >> 34) * 1e6 // w_cents
+        "orders_weighted_sample": """
+            WITH w AS (SELECT o_orderkey,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS w_cents
+                       FROM orders),
+            pr AS (SELECT o_orderkey, w_cents,
+                          CAST(((md5_number_upper(
+                                     CAST(o_orderkey AS VARCHAR)) >> 34)
+                                * 1000000) // w_cents AS BIGINT)
+                              AS priority
+                   FROM w)
+            SELECT o_orderkey, w_cents, priority FROM pr
+            ORDER BY priority, o_orderkey LIMIT 100
+        """,
         "lineitem_winsorized": """
             WITH c AS (SELECT l_returnflag AS f,
                               CAST(floor(l_extendedprice * 100 + 0.5)

@@ -1,0 +1,68 @@
+"""Grouped median/MAD order statistics + deterministic weighted
+priority sampling (pipelines/analytics.lineitem_mad /
+orders_weighted_sample)."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort",
+                          ignore_index=True)
+
+
+def _duck(sql: str, tables=("lineitem", "orders")) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in tables:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+def test_mad_parity_and_definition():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.analytics import lineitem_mad
+    got = _canon(lineitem_mad(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["lineitem_mad"]))
+    pd.testing.assert_frame_equal(got, exp)
+    # cross-check one group against a direct driver computation
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    cents = np.floor(li["l_extendedprice"].to_numpy() * 100 + 0.5) \
+        .astype("int64")
+    for _, row in got.iterrows():
+        c = np.sort(cents[li["l_returnflag"].to_numpy()
+                          == row["l_returnflag"]])
+        n = len(c)
+        med = c[(n * 50 + 99) // 100 - 1]
+        assert row["median_cents"] == med and row["n"] == n
+        dev = np.sort(np.abs(c - med))
+        assert row["mad_cents"] == dev[(n * 50 + 99) // 100 - 1]
+
+
+def test_weighted_sample_parity_and_weight_bias():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.analytics import orders_weighted_sample
+    got = orders_weighted_sample(SF).to_pandas()
+    exp = _duck(E.oracle_sql()["orders_weighted_sample"])
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+    assert len(got) == 100
+    # priority recomputes from the shared integer contract
+    for _, r in got.head(20).iterrows():
+        h = int.from_bytes(
+            hashlib.md5(str(int(r["o_orderkey"])).encode()).digest()[:8],
+            "little") >> 34
+        assert r["priority"] == (h * 1_000_000) // int(r["w_cents"])
+    # weighted bias: sampled orders skew pricier than the population
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_totalprice"])
+    assert got["w_cents"].mean() > orders["o_totalprice"].mean() * 100

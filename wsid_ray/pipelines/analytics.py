@@ -890,3 +890,107 @@ def lineitem_winsorized(sf_dir: str, lo_pct: int = 5, hi_pct: int = 95,
         return df
 
     return summed.map_batches(attach, batch_format="pandas")
+
+
+def lineitem_mad(sf_dir: str, bin_cents: int = 100_000) -> pa.Table:
+    """Per-returnflag median + median absolute deviation of extended
+    price — the robust dispersion pair every outlier-gate wants before
+    setting a threshold (score > med + k*MAD).
+
+    Both medians are percentile_disc(0.5)-style order statistics (the
+    value at ROW_NUMBER == ceil(n/2) under the deterministic
+    (value, id) sort), each extracted with the exact_partitioned_ranks
+    two-pass machinery — no partition is ever co-located in one task.
+    Pass 1 finds the per-group median; its 3-row result broadcasts into
+    pass 2, which ranks |cents - median| the same way.  Final result is
+    group-cardinality-sized (model-shaped driver assembly)."""
+    from ..util import collect_rows
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "cents": _cents(df["l_extendedprice"].to_numpy()),
+            "id": (df["l_orderkey"].to_numpy() * 10
+                   + df["l_linenumber"].to_numpy()).astype("int64")})
+
+    src = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_extendedprice"])
+    pr = src.map_batches(pairs, batch_format="pandas")
+
+    med_schema = pa.schema([("l_returnflag", pa.string()),
+                            ("n", pa.int64()), ("cents", pa.int64())])
+
+    def emit_median(value_col):
+        def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+            rn = start + np.arange(len(g), dtype=np.int64) + 1
+            hit = g[rn == (n * 50 + 99) // 100]
+            if not len(hit):
+                return med_schema.empty_table().to_pandas()
+            return pd.DataFrame({
+                "l_returnflag": hit["l_returnflag"].to_numpy(),
+                "n": np.int64(n),
+                "cents": hit[value_col].to_numpy()})
+        return emit
+
+    meds = collect_rows(exact_partitioned_ranks(
+        pr, "l_returnflag", "cents", "id", bin_cents,
+        emit_median("cents"), med_schema))
+    med_of = {r["l_returnflag"]: r["cents"] for r in meds}
+    m_ref = ray.put(med_of)
+
+    def dev_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        med = ray.get(m_ref)
+        mv = df["l_returnflag"].map(med).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "cents": np.abs(df["cents"].to_numpy() - mv),
+            "id": df["id"]})
+
+    mads = collect_rows(exact_partitioned_ranks(
+        pr.map_batches(dev_pairs, batch_format="pandas"),
+        "l_returnflag", "cents", "id", bin_cents,
+        emit_median("cents"), med_schema))
+    mad_of = {r["l_returnflag"]: (r["n"], r["cents"]) for r in mads}
+    flags = sorted(med_of)
+    return pa.table({
+        "l_returnflag": pa.array(flags, pa.string()),
+        "n": pa.array([mad_of[f][0] for f in flags], pa.int64()),
+        "median_cents": pa.array([med_of[f] for f in flags], pa.int64()),
+        "mad_cents": pa.array([mad_of[f][1] for f in flags], pa.int64()),
+    })
+
+
+def orders_weighted_sample(sf_dir: str, k: int = 100) -> pa.Table:
+    """Deterministic weighted priority sample of orders: priority =
+    ((md5_64(o_orderkey) >> 34) * 1e6) // w_cents — a content-stable
+    stand-in for the -ln(u)/w exponential-race key (heavier orders draw
+    smaller priorities more often), with the float ln replaced by exact
+    integer math so engine and mirror bit-agree.  Global k smallest by
+    (priority, o_orderkey).
+
+    Distributed shape: stateless per-block hash + partial top-k, then a
+    driver merge of the k-per-block survivors (O(k x blocks) rows, the
+    top_customers pattern) — no shuffle, no global sort."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["o_orderkey"].to_numpy()
+        w = _cents(df["o_totalprice"].to_numpy())
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(x).encode()).digest()[:8],
+                            "little") >> 34 for x in keys),
+            dtype=np.int64, count=len(keys))
+        pr = (h * 1_000_000) // w
+        out = pd.DataFrame({"o_orderkey": keys, "w_cents": w,
+                            "priority": pr})
+        return out.nsmallest(k, ["priority", "o_orderkey"])
+
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    cand = src.map_batches(partial, batch_format="pandas").to_pandas()
+    top = cand.sort_values(["priority", "o_orderkey"],
+                           kind="mergesort").head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True),
+                                preserve_index=False)

@@ -1137,6 +1137,18 @@ def q_embedding_pca_projection(sf_dir: str) -> rd.Dataset:
     return pca_projection_query(sf_dir)
 
 
+def q_lineitem_mad(sf_dir: str) -> "pa.Table":
+    """Per-returnflag exact median + MAD via two passes of the
+    distributed order-statistic machinery."""
+    return analytics.lineitem_mad(sf_dir)
+
+
+def q_orders_weighted_sample(sf_dir: str) -> "pa.Table":
+    """Deterministic weighted priority sample: global k smallest
+    (md5_64 >> 34) * 1e6 // w_cents keys, per-block partial top-k."""
+    return analytics.orders_weighted_sample(sf_dir)
+
+
 def q_lineitem_winsorized(sf_dir: str) -> rd.Dataset:
     """Winsorized per-returnflag price sum: exact p05/p95 order-statistic
     cutoffs via the two-pass rank machinery, then clip + sum."""
@@ -1183,6 +1195,8 @@ QUERIES = {
     "cooc_edge_jaccard": q_cooc_edge_jaccard,
     "cooc_kcore": q_cooc_kcore,
     "embedding_pca_projection": q_embedding_pca_projection,
+    "lineitem_mad": q_lineitem_mad,
+    "orders_weighted_sample": q_orders_weighted_sample,
     "lineitem_winsorized": q_lineitem_winsorized,
     "orders_skyline": q_orders_skyline,
     "order_brand_pairs": q_order_brand_pairs,
