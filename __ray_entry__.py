@@ -1146,6 +1146,47 @@ def _sql_grams(tok: str, k: int) -> str:
     """
 
 
+def _sql_dedup_spans(tok: str, k: int = 5) -> str:
+    """DuckDB mirror of dedup.dedup_spans: grams at every 0-based start
+    position, dup = >= 2 distinct docs, covered = union of [p, p+k)
+    ranges, kept fingerprint = md5 of the surviving token stream."""
+    from wsid_ray.stages.dedup import _SHINGLE_MOD
+    fold = "h[p + 1]"
+    for j in range(2, k + 1):
+        fold = f"(({fold}) * 31 + h[p + {j}]) % {_SHINGLE_MOD}"
+    return f"""
+        WITH src AS MATERIALIZED (
+            SELECT doc_id, {tok} AS toks FROM documents),
+        hh AS MATERIALIZED (
+            SELECT doc_id, list_transform(toks, y ->
+                       CAST((md5_number_upper(y) >> 34) AS BIGINT)) AS h
+            FROM src),
+        pg AS MATERIALIZED (
+            SELECT doc_id, p, {fold} AS g
+            FROM (SELECT doc_id, h,
+                         unnest(range(len(h) - {k} + 1)) AS p
+                  FROM hh WHERE len(h) >= {k})),
+        dupg AS (SELECT g FROM pg
+                 GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + {k})) AS t
+                FROM pg WHERE g IN (SELECT g FROM dupg)),
+        tokpos AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS t,
+                          unnest(toks) AS tok
+                   FROM src),
+        kept AS (SELECT tp.doc_id, tp.t, tp.tok FROM tokpos tp
+                 ANTI JOIN cov ON cov.doc_id = tp.doc_id
+                              AND cov.t = tp.t),
+        kc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                      md5(string_agg(tok, ' ' ORDER BY t)) AS kept_fp
+               FROM kept GROUP BY doc_id)
+        SELECT s.doc_id, CAST(len(s.toks) AS BIGINT) AS n_tokens,
+               CAST(len(s.toks) - COALESCE(kc.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               COALESCE(kc.kept_fp, md5('')) AS kept_fp
+        FROM src s LEFT JOIN kc USING (doc_id)
+    """
+
+
 def _sql_dup_ngram_stats(tok: str, k: int = 5) -> str:
     """DuckDB mirror of dedup.dup_ngram_stats."""
     return f"""
@@ -2190,6 +2231,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_redact": _sql_pii_redact(),
         # MassiveText-style duplicated-n-gram fraction (dedup.py)
         "doc_dup_ngrams": _sql_dup_ngram_stats(tok),
+        # dedup.dedup_spans: Lee-et-al-style duplicate-span removal
+        "doc_dedup_spans": _sql_dedup_spans(tok),
         # URL domain counts over planted URLs (stages/pii.py)
         "doc_url_domains": r"""
             WITH planted AS (

@@ -1137,6 +1137,13 @@ def q_embedding_pca_projection(sf_dir: str) -> rd.Dataset:
     return pca_projection_query(sf_dir)
 
 
+def q_doc_dedup_spans(sf_dir: str) -> rd.Dataset:
+    """Exact duplicate-span removal: tokens covered by any cross-doc
+    duplicated 5-gram drop from every copy; per-doc kept fingerprint."""
+    from ..stages.dedup import dedup_spans
+    return dedup_spans(read_documents(sf_dir))
+
+
 def q_lineitem_mad(sf_dir: str) -> "pa.Table":
     """Per-returnflag exact median + MAD via two passes of the
     distributed order-statistic machinery."""
@@ -1195,6 +1202,7 @@ QUERIES = {
     "cooc_edge_jaccard": q_cooc_edge_jaccard,
     "cooc_kcore": q_cooc_kcore,
     "embedding_pca_projection": q_embedding_pca_projection,
+    "doc_dedup_spans": q_doc_dedup_spans,
     "lineitem_mad": q_lineitem_mad,
     "orders_weighted_sample": q_orders_weighted_sample,
     "lineitem_winsorized": q_lineitem_winsorized,

@@ -541,3 +541,119 @@ def decontaminate(docs: rd.Dataset, k: int = 5, bench_pct: int = 5,
         hits, ["doc_id"], per_doc, num_buckets=num_buckets,
         out_schema=pa.schema([("doc_id", pa.int64()),
                               ("n_hits", pa.int64())]))
+
+
+def gram_pos_rows(t: pa.Table, k: int = 5) -> pa.Table:
+    """ALL k-gram start positions as (doc_id, pos, g) rows (pos 0-based
+    within the doc) — the positional front end of span-level dedup.
+    Same vectorised fold + hash domain as gram_rows, WITHOUT the per-doc
+    distinct (removal needs every occurrence)."""
+    import pyarrow.compute as pc
+
+    from ..util import list_row_indices
+
+    toks = tokenize_column(t["text"])
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "pos": pa.array([], type=pa.int64()),
+                      "g": pa.array([], type=pa.int64())})
+    n = len(flat)
+    if n < k:
+        return empty
+    row_of = list_row_indices(toks)
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = offs[:-1] - offs[0]
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    vocab_h = _token_hashes(enc.dictionary.to_pylist())
+    th = vocab_h[enc.indices.to_numpy(zero_copy_only=False)]
+    m = n - k + 1
+    s = th[:m].copy()
+    for j in range(1, k):
+        s = (s * 31 + th[j:j + m]) % _SHINGLE_MOD
+    valid = row_of[:m] == row_of[k - 1:]
+    if not valid.any():
+        return empty
+    rows = row_of[:m][valid]
+    pos = np.flatnonzero(valid) - starts[rows]
+    return pa.table({
+        "doc_id": t["doc_id"].take(pa.array(rows)),
+        "pos": pa.array(pos.astype(np.int64), type=pa.int64()),
+        "g": pa.array(s[valid], type=pa.int64())})
+
+
+def dedup_spans(docs: rd.Dataset, k: int = 5,
+                num_buckets: int = 16) -> rd.Dataset:
+    """Exact duplicate-SPAN removal (the k-gram form of Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" exact
+    substring dedup): every token position covered by a k-gram that
+    occurs in >= 2 distinct documents is removed — from ALL copies —
+    and each doc reports its kept-stream fingerprint.
+
+    Scale shape: dup-gram discovery is one bucketed shuffle of per-doc
+    DISTINCT (doc_id, g) int64 rows; coverage is a PARTITIONED hash
+    semi-join of the all-positions gram stream against the dup-gram set
+    keyed on g (never broadcast — the dup set scales with the corpus);
+    covered starts fold per doc through one bucketed shuffle of
+    (int64, int64) rows; the text itself shuffles exactly once, in the
+    final doc-keyed reconstruction join."""
+    from .joins import hash_join
+
+    pos_grams = docs.map_batches(lambda t: gram_pos_rows(t, k),
+                                 batch_format="pyarrow")
+    distinct = docs.map_batches(lambda t: gram_rows(t, k),
+                                batch_format="pyarrow")
+
+    def dup_only(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df.groupby("g", sort=False).size()
+        return pd.DataFrame({"g": nd[nd > 1].index.to_numpy()
+                             .astype("int64")})
+
+    dupg = bucketed_group_apply(
+        distinct, ["g"], dup_only, num_buckets=num_buckets,
+        out_schema=pa.schema([("g", pa.int64())]))
+
+    covered = hash_join(pos_grams, dupg, on=["g"],
+                        num_buckets=num_buckets)
+
+    def starts_csv(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False)["pos"] \
+            .apply(lambda s: ",".join(
+                str(x) for x in np.unique(s.to_numpy()))).reset_index()
+        return g.rename(columns={"pos": "starts"})
+
+    cov_agg = bucketed_group_apply(
+        covered.map_batches(lambda t: t.select(["doc_id", "pos"]),
+                            batch_format="pyarrow"),
+        ["doc_id"], starts_csv, num_buckets=num_buckets,
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("starts", pa.string())]))
+
+    joined = hash_join(docs, cov_agg, on=["doc_id"], how="left",
+                       num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"]).to_pylist()
+        starts = t["starts"].to_pylist()
+        ids, n_tok, n_rm, fps = [], [], [], []
+        for did, tk, st in zip(t["doc_id"].to_pylist(), toks, starts):
+            cov = np.zeros(len(tk), dtype=bool)
+            if st:
+                for p in st.split(","):
+                    p = int(p)
+                    cov[p:p + k] = True
+            kept = [w for w, c in zip(tk, cov) if not c]
+            ids.append(did)
+            n_tok.append(len(tk))
+            n_rm.append(int(cov.sum()))
+            fps.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_removed": pa.array(n_rm, pa.int64()),
+            "kept_fp": pa.array(fps, pa.string())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
