@@ -2309,6 +2309,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         # top-5 tf-idf tokens per doc, smooth sklearn-style idf; rank
         # ties (score DESC, token ASC) — mirror of stages/lm.tfidf_topk
+        # lm.tfidf_pair_sim: inverted-index all-pairs cosine over the
+        # top-5 tf-idf vectors, milli-unit integer dot/norms, one float
+        # op for cos6; posting lists over 1000 docs skipped (shared cap)
+        "doc_tfidf_pair_sim": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+            tfs AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+            tf AS (SELECT doc_id, tok, count(*) AS c
+                   FROM tfs GROUP BY ALL),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS df
+                   FROM tfs GROUP BY tok),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.tok AS token,
+                       floor(tf.c * (ln((1.0 + n.n) / (1.0 + df.df))
+                             + 1.0) * 1000000 + 0.5) / 1000000.0 AS score
+                FROM tf JOIN df USING (tok) CROSS JOIN n),
+            v AS MATERIALIZED (
+                SELECT doc_id, token,
+                       CAST(floor(score * 1000 + 0.5) AS BIGINT) AS s
+                FROM (SELECT doc_id, token, score,
+                             row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, token ASC) AS rank
+                      FROM scored)
+                WHERE rank <= 5),
+            keep AS (SELECT token FROM v GROUP BY token
+                     HAVING count(*) BETWEEN 2 AND 1000),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.s * b.s AS prod
+                  FROM v a JOIN v b ON b.token = a.token
+                                   AND b.doc_id > a.doc_id
+                  WHERE a.token IN (SELECT token FROM keep)),
+            d AS (SELECT doc_a, doc_b,
+                         CAST(SUM(prod) AS BIGINT) AS dot,
+                         CAST(count(*) AS BIGINT) AS shared
+                  FROM p GROUP BY doc_a, doc_b),
+            nrm AS (SELECT doc_id, CAST(SUM(s * s) AS BIGINT) AS n2
+                    FROM v GROUP BY doc_id)
+            SELECT d.doc_a, d.doc_b, d.shared, d.dot,
+                   na.n2 AS na2, nb.n2 AS nb2,
+                   floor(CAST(d.dot AS DOUBLE)
+                         / sqrt(CAST(na.n2 AS DOUBLE)
+                                * CAST(nb.n2 AS DOUBLE))
+                         * 1e6 + 0.5) / 1e6 AS cos6
+            FROM d JOIN nrm na ON na.doc_id = d.doc_a
+                   JOIN nrm nb ON nb.doc_id = d.doc_b
+        """,
         "doc_tfidf_topk": r"""
             WITH w AS (
                 SELECT doc_id,

@@ -1137,6 +1137,13 @@ def q_embedding_pca_projection(sf_dir: str) -> rd.Dataset:
     return pca_projection_query(sf_dir)
 
 
+def q_doc_tfidf_pair_sim(sf_dir: str) -> rd.Dataset:
+    """Inverted-index all-pairs cosine over top-5 tf-idf vectors:
+    integer milli-unit dots/norms, capped posting lists."""
+    from ..stages.lm import tfidf_pair_sim
+    return tfidf_pair_sim(read_documents(sf_dir))
+
+
 def q_doc_dedup_spans(sf_dir: str) -> rd.Dataset:
     """Exact duplicate-span removal: tokens covered by any cross-doc
     duplicated 5-gram drop from every copy; per-doc kept fingerprint."""
@@ -1203,6 +1210,7 @@ QUERIES = {
     "cooc_kcore": q_cooc_kcore,
     "embedding_pca_projection": q_embedding_pca_projection,
     "doc_dedup_spans": q_doc_dedup_spans,
+    "doc_tfidf_pair_sim": q_doc_tfidf_pair_sim,
     "lineitem_mad": q_lineitem_mad,
     "orders_weighted_sample": q_orders_weighted_sample,
     "lineitem_winsorized": q_lineitem_winsorized,

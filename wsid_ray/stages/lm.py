@@ -373,3 +373,110 @@ def cms_heavy_hitters(docs: rd.Dataset, threshold: int,
     return totals.map_batches(
         lambda t: t.filter(pa.compute.greater_equal(t["n"], threshold)),
         batch_format="pyarrow")
+
+
+def tfidf_pair_sim(docs: rd.Dataset, k: int = 5, group_cap: int = 1000,
+                   num_buckets: int = 16) -> rd.Dataset:
+    """Sparse-vector document similarity join: cosine between the top-k
+    tf-idf vectors of every doc pair sharing at least one top-k term —
+    the classic inverted-index self-join (Bayardo et al. 2007 "Scaling
+    Up All Pairs Similarity Search" family), here exact over the
+    k-sparse vectors.
+
+    Integer contract: each retained term weight is
+    floor(score6 * 1000 + 0.5) (milli-units of the already-6dp-rounded
+    tf-idf score — one shared double op chain), so dot products and
+    norms are exact int64 (|s| <= ~1.5e6 -> products <= ~2.3e12);
+    cosine is ONE float op from those exact ints, rounded half-up 6dp.
+
+    Scale shape: candidate pairs generate inside per-TOKEN groups
+    (bucketed shuffle of (token, doc_id, s) rows); tokens whose posting
+    list exceeds ``group_cap`` are skipped — a top-k term of that many
+    docs is not discriminative (shared rule with the mirror), and the
+    cap bounds the worst group at O(cap^2) regardless of corpus size.
+    Pair partials fold through one bucketed sum on (doc_a, doc_b);
+    norms attach via two partitioned hash joins (never broadcast)."""
+    from ..pipelines.analytics import bucketed_sum
+    from .groups import bucketed_group_apply
+    from .joins import hash_join
+
+    top = tfidf_topk(docs, k=k, num_buckets=num_buckets)
+
+    def milli(t: pa.Table) -> pa.Table:
+        s = np.floor(t["score"].to_numpy(zero_copy_only=False)
+                     * 1000 + 0.5).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "token": t["token"],
+                         "s": pa.array(s, pa.int64())})
+
+    v = top.map_batches(milli, batch_format="pyarrow")
+
+    def norm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"doc_id": df["doc_id"],
+                          "n2": df["s"].to_numpy() ** 2})
+        return g.groupby("doc_id", as_index=False)["n2"].sum() \
+            .astype({"n2": "int64"})
+
+    norms = bucketed_sum(
+        v.map_batches(norm_partial, batch_format="pandas"),
+        ["doc_id"], ["n2"], num_buckets=4)
+
+    pair_schema = pa.schema([("doc_a", pa.int64()),
+                             ("doc_b", pa.int64()),
+                             ("prod", pa.int64()),
+                             ("one", pa.int64())])
+
+    def pair_fn(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("token", sort=False):
+            c = len(g)
+            if c < 2 or c > group_cap:
+                continue
+            g = g.sort_values("doc_id", kind="mergesort")
+            ids = g["doc_id"].to_numpy()
+            sv = g["s"].to_numpy()
+            ia, ib = np.triu_indices(c, 1)
+            outs.append(pd.DataFrame({
+                "doc_a": ids[ia], "doc_b": ids[ib],
+                "prod": sv[ia] * sv[ib],
+                "one": np.ones(len(ia), dtype=np.int64)}))
+        if not outs:
+            return pair_schema.empty_table().to_pandas()
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = bucketed_group_apply(v, ["token"], pair_fn,
+                                 num_buckets=num_buckets,
+                                 out_schema=pair_schema)
+    dots = bucketed_sum(pairs, ["doc_a", "doc_b"], ["prod", "one"],
+                        num_buckets=num_buckets)
+
+    j = hash_join(
+        dots,
+        norms.map_batches(
+            lambda t: t.rename_columns(["doc_a", "na2"]),
+            batch_format="pyarrow"),
+        on=["doc_a"], num_buckets=num_buckets)
+    j = hash_join(
+        j,
+        norms.map_batches(
+            lambda t: t.rename_columns(["doc_b", "nb2"]),
+            batch_format="pyarrow"),
+        on=["doc_b"], num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        dot = t["prod"].to_numpy(zero_copy_only=False)
+        na2 = t["na2"].to_numpy(zero_copy_only=False)
+        nb2 = t["nb2"].to_numpy(zero_copy_only=False)
+        cos = np.floor(dot.astype(np.float64)
+                       / np.sqrt(na2.astype(np.float64)
+                                 * nb2.astype(np.float64))
+                       * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_a": t["doc_a"], "doc_b": t["doc_b"],
+            "shared": t["one"].cast(pa.int64()),
+            "dot": pa.array(dot, pa.int64()),
+            "na2": pa.array(na2, pa.int64()),
+            "nb2": pa.array(nb2, pa.int64()),
+            "cos6": pa.array(cos, pa.float64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
