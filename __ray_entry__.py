@@ -1358,9 +1358,39 @@ def oracle_sql() -> dict[str, str]:
         # stages/pca.pca_projection: integer-contract power-iteration
         # principal direction + per-vector projections, 8 fixed rounds
         "embedding_pca_projection": _sql_embedding_pca(),
+        # stages/pca.label_centroids: per-label micro-unit centroid,
+        # truncating mean (DuckDB // == engine tdiv)
+        "embedding_label_centroids": """
+            WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+                              CAST(generate_subscripts(embedding, 1)
+                                   AS BIGINT) AS i,
+                              CAST(floor(CAST(unnest(embedding)
+                                              AS DOUBLE) * 1000000 + 0.5)
+                                   AS BIGINT) AS q
+                       FROM embeddings)
+            SELECT label, i, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(q) // count(*) AS BIGINT) AS mean_micro
+            FROM e GROUP BY label, i
+        """,
         # analytics.lineitem_winsorized: percentile_disc-style cutoffs
         # as the value at ROW_NUMBER == ceil(q*n) under the shared
         # (cents, id) sort, then clip + sum — all exact integer math
+        # analytics.customer_cohort_retention: first-order-month cohorts
+        # x months-since-cohort, distinct customers per cell
+        "customer_cohort_retention": """
+            WITH o AS (SELECT o_custkey,
+                              CAST(year(o_orderdate) * 12
+                                   + month(o_orderdate) AS BIGINT) AS m
+                       FROM orders),
+            c AS (SELECT o_custkey, MIN(m) AS cm FROM o
+                  GROUP BY o_custkey),
+            j AS (SELECT DISTINCT o.o_custkey, c.cm AS cohort_m,
+                         o.m - c.cm AS delta_months
+                  FROM o JOIN c USING (o_custkey))
+            SELECT cohort_m, delta_months,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM j GROUP BY cohort_m, delta_months
+        """,
         # analytics.lineitem_mad: two percentile_disc(0.5)-style order
         # statistics under the shared (value, id) sort — median of
         # cents, then median of |cents - median|

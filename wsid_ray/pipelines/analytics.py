@@ -994,3 +994,67 @@ def orders_weighted_sample(sf_dir: str, k: int = 100) -> pa.Table:
                            kind="mergesort").head(k)
     return pa.Table.from_pandas(top.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def customer_cohort_retention(sf_dir: str,
+                              num_buckets: int = 8) -> rd.Dataset:
+    """Cohort retention matrix: customers grouped by first-order month
+    (cohort), counted per months-since-cohort delta — the standard
+    retention triangle.
+
+    Distributed shape: per-batch partial MIN month per customer folds
+    through one bucketed shuffle (cohort table); orders re-key on
+    customer for a partitioned hash join against it (never broadcast —
+    the cohort table scales with customers); per-(cohort, delta)
+    distinct-customer counting dedupes (custkey, cohort, delta) rows in
+    one more bucketed pass, partial-before-shuffle at every step."""
+    from ..stages.groups import bucketed_group_apply
+    from ..stages.joins import hash_join
+
+    def months(df: pd.DataFrame) -> pd.DataFrame:
+        dt = pd.DatetimeIndex(df["o_orderdate"])
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"],
+            "m": (dt.year * 12 + dt.month).astype("int64")})
+
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+    om = src.map_batches(months, batch_format="pandas")
+
+    def min_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False)["m"].min() \
+            .rename(columns={"m": "cm"})
+
+    def min_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False)["cm"].min()
+
+    cohort = bucketed_group_apply(
+        om.map_batches(min_partial, batch_format="pandas"),
+        ["o_custkey"], min_final, num_buckets=num_buckets,
+        out_schema=pa.schema([("o_custkey", pa.int64()),
+                              ("cm", pa.int64())]))
+
+    j = hash_join(om, cohort, on=["o_custkey"],
+                  num_buckets=num_buckets)
+
+    def delta_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "o_custkey": df["o_custkey"],
+            "cohort_m": df["cm"],
+            "delta_months": df["m"].to_numpy() - df["cm"].to_numpy()})
+        return out.drop_duplicates(ignore_index=True)
+
+    trip = j.map_batches(delta_partial, batch_format="pandas")
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        g = d.groupby(["cohort_m", "delta_months"], as_index=False) \
+            .agg(n_customers=("o_custkey", "size"))
+        return g.astype({"n_customers": "int64"})
+
+    return bucketed_group_apply(
+        trip, ["cohort_m", "delta_months"], count_distinct,
+        num_buckets=num_buckets,
+        out_schema=pa.schema([("cohort_m", pa.int64()),
+                              ("delta_months", pa.int64()),
+                              ("n_customers", pa.int64())]))

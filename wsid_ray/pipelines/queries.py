@@ -1137,6 +1137,19 @@ def q_embedding_pca_projection(sf_dir: str) -> rd.Dataset:
     return pca_projection_query(sf_dir)
 
 
+def q_customer_cohort_retention(sf_dir: str) -> rd.Dataset:
+    """Retention triangle: first-order-month cohorts x months-since,
+    distinct customers per cell."""
+    return analytics.customer_cohort_retention(sf_dir)
+
+
+def q_embedding_label_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label micro-unit centroids of the quantised embeddings —
+    one bucketed shuffle of labels x dim partial-sum rows."""
+    from ..stages.pca import label_centroids_query
+    return label_centroids_query(sf_dir)
+
+
 def q_doc_tfidf_pair_sim(sf_dir: str) -> rd.Dataset:
     """Inverted-index all-pairs cosine over top-5 tf-idf vectors:
     integer milli-unit dots/norms, capped posting lists."""
@@ -1211,6 +1224,8 @@ QUERIES = {
     "embedding_pca_projection": q_embedding_pca_projection,
     "doc_dedup_spans": q_doc_dedup_spans,
     "doc_tfidf_pair_sim": q_doc_tfidf_pair_sim,
+    "embedding_label_centroids": q_embedding_label_centroids,
+    "customer_cohort_retention": q_customer_cohort_retention,
     "lineitem_mad": q_lineitem_mad,
     "orders_weighted_sample": q_orders_weighted_sample,
     "lineitem_winsorized": q_lineitem_winsorized,

@@ -125,3 +125,59 @@ def pca_projection(embeddings: rd.Dataset, rounds: int = 8) -> rd.Dataset:
 
 def pca_projection_query(sf_dir: str, rounds: int = 8) -> rd.Dataset:
     return pca_projection(read_embeddings(sf_dir), rounds=rounds)
+
+
+def label_centroids(embeddings: rd.Dataset,
+                    num_buckets: int = 4) -> rd.Dataset:
+    """(label, i, n, mean_micro) — per-label centroid of the quantised
+    embeddings, the class-prototype table (nearest-centroid classifiers,
+    SemDeDup-style cluster summaries).
+
+    Integer contract: per-(label, dim) micro-unit sums are exact int64
+    block partials (|q| <= ~1e6 -> a 4096-row block sum <= 4e9) folded
+    through one bucketed shuffle of O(labels x dim) rows per block;
+    mean_micro = tdiv(sum, n) with truncating division (DuckDB ``//``).
+    Output is model-shaped: labels x dim rows."""
+    def partials(t: pa.Table) -> pa.Table:
+        q = _quantize(t)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if q.size == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        d = q.shape[1]
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        ll = np.repeat(ulab, d)
+        ii = np.tile(np.arange(1, d + 1), len(ulab))
+        return pa.table({
+            "label": pa.array(ll, pa.int64()),
+            "i": pa.array(ii, pa.int64()),
+            "s": pa.array(sums.ravel(), pa.int64()),
+            "n": pa.array(np.repeat(cnt, d), pa.int64())})
+
+    from ..pipelines.analytics import bucketed_sum
+    src = embeddings.map_batches(partials, batch_format="pyarrow")
+    summed = bucketed_sum(src, ["label", "i"], ["s", "n"],
+                          num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        mean = np.sign(s) * (np.abs(s) // n)
+        return pa.table({
+            "label": t["label"], "i": t["i"],
+            "n": t["n"].cast(pa.int64()),
+            "mean_micro": pa.array(mean, pa.int64())})
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def label_centroids_query(sf_dir: str) -> rd.Dataset:
+    from ..sources.pqclean import read_parquet_clean
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding", "label"])
+    return label_centroids(emb)
