@@ -1375,6 +1375,35 @@ def oracle_sql() -> dict[str, str]:
         # analytics.lineitem_winsorized: percentile_disc-style cutoffs
         # as the value at ROW_NUMBER == ceil(q*n) under the shared
         # (cents, id) sort, then clip + sum — all exact integer math
+        # analytics.order_price_percentile_cont: interpolated
+        # percentiles lifted to exact integer centi-cents
+        "order_price_percentile_cont": """
+            WITH c AS (SELECT o_orderstatus AS f,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS cents,
+                              o_orderkey AS id
+                       FROM orders),
+            r AS (SELECT f, cents,
+                         row_number() OVER (PARTITION BY f
+                                            ORDER BY cents, id) AS rn,
+                         count(*) OVER (PARTITION BY f) AS n
+                  FROM c),
+            ps AS (SELECT unnest([25, 50, 75]) AS p),
+            t AS (SELECT f, p,
+                         (p * (n - 1)) // 100 + 1 AS lo_rn,
+                         (p * (n - 1)) % 100 AS rem
+                  FROM (SELECT DISTINCT f, n FROM r) CROSS JOIN ps),
+            lo AS (SELECT t.f, t.p, t.rem, r.cents AS vlo
+                   FROM t JOIN r ON r.f = t.f AND r.rn = t.lo_rn),
+            hi AS (SELECT t.f, t.p, r.cents AS vhi
+                   FROM t JOIN r ON r.f = t.f AND r.rn = t.lo_rn + 1
+                   WHERE t.rem > 0)
+            SELECT lo.f AS o_orderstatus, CAST(lo.p AS BIGINT) AS p,
+                   CAST(100 * vlo + lo.rem
+                        * (COALESCE(hi.vhi, vlo) - vlo) AS BIGINT)
+                       AS val_centi
+            FROM lo LEFT JOIN hi ON hi.f = lo.f AND hi.p = lo.p
+        """,
         # analytics.customer_cohort_retention: first-order-month cohorts
         # x months-since-cohort, distinct customers per cell
         "customer_cohort_retention": """

@@ -66,3 +66,21 @@ def test_weighted_sample_parity_and_weight_bias():
     orders = pd.read_parquet(f"{SF}/orders.parquet",
                              columns=["o_totalprice"])
     assert got["w_cents"].mean() > orders["o_totalprice"].mean() * 100
+
+
+def test_percentile_cont_parity_and_semantics():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.analytics import order_price_percentile_cont
+    got = _canon(order_price_percentile_cont(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["order_price_percentile_cont"]))
+    pd.testing.assert_frame_equal(got, exp)
+    # val_centi / 100.0 must equal numpy's linear percentile on cents
+    orders = pd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderstatus", "o_totalprice"])
+    cents = np.floor(orders["o_totalprice"].to_numpy() * 100 + 0.5) \
+        .astype("int64")
+    for _, r in got.iterrows():
+        c = cents[orders["o_orderstatus"].to_numpy()
+                  == r["o_orderstatus"]]
+        want = np.percentile(c, r["p"], method="linear")
+        assert abs(r["val_centi"] / 100.0 - want) < 1e-6

@@ -1058,3 +1058,77 @@ def customer_cohort_retention(sf_dir: str,
         out_schema=pa.schema([("cohort_m", pa.int64()),
                               ("delta_months", pa.int64()),
                               ("n_customers", pa.int64())]))
+
+
+def order_price_percentile_cont(sf_dir: str, ps=(25, 50, 75),
+                                bin_cents: int = 100_000) -> pa.Table:
+    """Exact INTERPOLATED percentiles (SQL percentile_cont semantics)
+    per o_orderstatus, in integer centi-cents: for percentile p the
+    0-based position is p*(n-1)/100, so
+    val_centi = 100*v[lo] + rem*(v[lo+1] - v[lo]) with
+    lo = (p*(n-1)) // 100 and rem = (p*(n-1)) % 100 — the linear
+    interpolation lifted to exact integers (no float ever).
+
+    The two bracketing order statistics per (group, p) come out of the
+    exact_partitioned_ranks two-pass machinery (rows at target ranks
+    identify themselves from bin start + offset) — no partition is ever
+    co-located; the groups x ps x 2 result is driver-assembled."""
+    from ..util import collect_rows
+
+    pr = _order_price_pairs(sf_dir).map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderstatus": df["o_orderstatus"],
+            "cents": df["price_cents"],
+            "id": df["o_orderkey"]}),
+        batch_format="pandas")
+
+    hit_schema = pa.schema([("o_orderstatus", pa.string()),
+                            ("p", pa.int64()), ("which", pa.string()),
+                            ("cents", pa.int64())])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        rn = start + np.arange(len(g), dtype=np.int64) + 1
+        outs = []
+        for p in ps:
+            lo_rn = (p * (n - 1)) // 100 + 1
+            rem = (p * (n - 1)) % 100
+            for which, r in (("lo", lo_rn),
+                             ("hi", lo_rn + 1 if rem else None)):
+                if r is None:
+                    continue
+                hit = g[rn == r]
+                if len(hit):
+                    outs.append(pd.DataFrame({
+                        "o_orderstatus":
+                            hit["o_orderstatus"].to_numpy(),
+                        "p": np.int64(p), "which": which,
+                        "cents": hit["cents"].to_numpy()}))
+        if not outs:
+            return hit_schema.empty_table().to_pandas()
+        return pd.concat(outs, ignore_index=True)
+
+    hits = collect_rows(exact_partitioned_ranks(
+        pr, "o_orderstatus", "cents", "id", bin_cents, emit,
+        hit_schema))
+    # n per group rides in via a tiny count pass (needed for rem)
+    cnt = collect_rows(bucketed_sum(
+        pr.map_batches(
+            lambda df: df.groupby("o_orderstatus", as_index=False)
+            .size().rename(columns={"size": "n"})
+            .astype({"n": "int64"}),
+            batch_format="pandas"),
+        ["o_orderstatus"], ["n"], num_buckets=2))
+    n_of = {r["o_orderstatus"]: r["n"] for r in cnt}
+    lo = {(r["o_orderstatus"], r["p"]): r["cents"] for r in hits
+          if r["which"] == "lo"}
+    hi = {(r["o_orderstatus"], r["p"]): r["cents"] for r in hits
+          if r["which"] == "hi"}
+    rows = []
+    for (s, p), vlo in sorted(lo.items()):
+        rem = (p * (n_of[s] - 1)) % 100
+        vhi = hi.get((s, p), vlo)
+        rows.append((s, p, 100 * vlo + rem * (vhi - vlo)))
+    return pa.table({
+        "o_orderstatus": pa.array([r[0] for r in rows], pa.string()),
+        "p": pa.array([r[1] for r in rows], pa.int64()),
+        "val_centi": pa.array([r[2] for r in rows], pa.int64())})

@@ -1137,6 +1137,12 @@ def q_embedding_pca_projection(sf_dir: str) -> rd.Dataset:
     return pca_projection_query(sf_dir)
 
 
+def q_order_price_percentile_cont(sf_dir: str) -> "pa.Table":
+    """Interpolated percentiles (percentile_cont) per status in exact
+    integer centi-cents via the two-pass rank machinery."""
+    return analytics.order_price_percentile_cont(sf_dir)
+
+
 def q_customer_cohort_retention(sf_dir: str) -> rd.Dataset:
     """Retention triangle: first-order-month cohorts x months-since,
     distinct customers per cell."""
@@ -1226,6 +1232,7 @@ QUERIES = {
     "doc_tfidf_pair_sim": q_doc_tfidf_pair_sim,
     "embedding_label_centroids": q_embedding_label_centroids,
     "customer_cohort_retention": q_customer_cohort_retention,
+    "order_price_percentile_cont": q_order_price_percentile_cont,
     "lineitem_mad": q_lineitem_mad,
     "orders_weighted_sample": q_orders_weighted_sample,
     "lineitem_winsorized": q_lineitem_winsorized,
