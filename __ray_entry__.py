@@ -1375,6 +1375,48 @@ def oracle_sql() -> dict[str, str]:
         # analytics.lineitem_winsorized: percentile_disc-style cutoffs
         # as the value at ROW_NUMBER == ceil(q*n) under the shared
         # (cents, id) sort, then clip + sum — all exact integer math
+        # stages/chunking.doc_chunks: RAG overlapping token windows
+        # (whitespace tokens, stride-48 starts, window-64 slices)
+        "doc_chunks": r"""
+            WITH w AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                  text, '\s+'), x -> x <> '') AS ws
+                       FROM documents),
+            st AS (SELECT doc_id, ws,
+                          unnest(range(0, len(ws), 48)) AS start
+                   FROM w WHERE len(ws) > 0),
+            ch AS (SELECT doc_id, start,
+                          list_slice(ws, start + 1,
+                                     least(start + 64, len(ws))) AS c
+                   FROM st)
+            SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+                   CAST(start AS BIGINT) AS start,
+                   CAST(len(c) AS BIGINT) AS n_chunk_tokens,
+                   md5(array_to_string(c, ' ')) AS chunk_fp
+            FROM ch
+        """,
+        # relational_ext.orders_cdc_merge: last-wins upsert — base
+        # version 1, derived version-2 updates/inserts, max version
+        # survives per key
+        "orders_cdc_merge": """
+            WITH base AS (
+                SELECT o_orderkey, 1 AS version,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders),
+            chg AS (
+                SELECT o_orderkey, 2 AS version, cents + 500 AS cents
+                FROM base WHERE o_orderkey % 10 = 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, 2, cents
+                FROM base WHERE o_orderkey % 97 = 0),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM chg)
+            SELECT o_orderkey, CAST(version AS BIGINT) AS version,
+                   cents
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                          ORDER BY version DESC) AS rn FROM u)
+            WHERE rn = 1
+        """,
         # analytics.order_price_percentile_cont: interpolated
         # percentiles lifted to exact integer centi-cents
         "order_price_percentile_cont": """

@@ -88,6 +88,14 @@ def run_bench() -> dict:
         "region_revenue": q_region_revenue,
         "lineitem_price_zscore": q_lineitem_price_zscore,
     }
+    # r4 batch-2 additions (corpus-heavy new operators — first baselines)
+    from wsid_ray.pipelines.queries import (q_doc_dedup_spans,
+                                            q_doc_tfidf_pair_sim,
+                                            q_embedding_pca_projection)
+    if side:
+        side["doc_dedup_spans"] = q_doc_dedup_spans
+        side["doc_tfidf_pair_sim"] = q_doc_tfidf_pair_sim
+        side["embedding_pca_projection"] = q_embedding_pca_projection
     for name, fn in side.items():
         t0 = time.time()
         res = fn(sf_dir)

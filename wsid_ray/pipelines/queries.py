@@ -1137,6 +1137,20 @@ def q_embedding_pca_projection(sf_dir: str) -> rd.Dataset:
     return pca_projection_query(sf_dir)
 
 
+def q_doc_chunks(sf_dir: str) -> rd.Dataset:
+    """RAG chunking: stride-48 / window-64 whitespace-token windows,
+    per-chunk md5 fingerprint; stateless map, no shuffle."""
+    from ..stages.chunking import doc_chunks
+    return doc_chunks(read_documents(sf_dir))
+
+
+def q_orders_cdc_merge(sf_dir: str) -> rd.Dataset:
+    """CDC last-wins upsert: base + derived change stream, per-key max
+    version via partial argmax before one bucketed shuffle."""
+    from .relational_ext import orders_cdc_merge
+    return orders_cdc_merge(sf_dir)
+
+
 def q_order_price_percentile_cont(sf_dir: str) -> "pa.Table":
     """Interpolated percentiles (percentile_cont) per status in exact
     integer centi-cents via the two-pass rank machinery."""
@@ -1233,6 +1247,8 @@ QUERIES = {
     "embedding_label_centroids": q_embedding_label_centroids,
     "customer_cohort_retention": q_customer_cohort_retention,
     "order_price_percentile_cont": q_order_price_percentile_cont,
+    "doc_chunks": q_doc_chunks,
+    "orders_cdc_merge": q_orders_cdc_merge,
     "lineitem_mad": q_lineitem_mad,
     "orders_weighted_sample": q_orders_weighted_sample,
     "lineitem_winsorized": q_lineitem_winsorized,

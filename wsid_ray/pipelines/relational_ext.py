@@ -599,3 +599,57 @@ def order_brand_pairs(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
                                    out_schema=pair_schema)
     return bucketed_sum(partial, ["brand_a", "brand_b"], ["n_orders"],
                         num_buckets=4)
+
+
+def orders_cdc_merge(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """CDC upsert / MERGE semantics (the lakehouse last-wins merge):
+    base snapshot + a change stream, one surviving row per key = the
+    highest version.  The change stream here is a pure derivation of
+    the driver's orders table (shared verbatim with the mirror):
+    version-2 price updates for o_orderkey % 10 == 0 (cents + 500) and
+    version-2 inserts at o_orderkey + 100000000 for o_orderkey % 97 ==
+    0 — in production it is the real CDC feed, same plumbing.
+
+    Distributed shape: per-batch partial argmax by (version) collapses
+    each block to one row per key BEFORE the single bucketed shuffle —
+    the max_by plan, associative under any blocking."""
+    from ..stages.groups import bucketed_group_apply
+    from .analytics import _cents
+
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def base_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "version": np.int64(1),
+            "cents": _cents(df["o_totalprice"].to_numpy())})
+
+    def update_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy()
+        c = _cents(df["o_totalprice"].to_numpy())
+        upd = pd.DataFrame({"o_orderkey": k[k % 10 == 0],
+                            "version": np.int64(2),
+                            "cents": c[k % 10 == 0] + 500})
+        ins = pd.DataFrame({"o_orderkey": k[k % 97 == 0] + 100_000_000,
+                            "version": np.int64(2),
+                            "cents": c[k % 97 == 0]})
+        return pd.concat([upd, ins], ignore_index=True)
+
+    base = src.map_batches(base_rows, batch_format="pandas")
+    updates = src.map_batches(update_rows, batch_format="pandas")
+
+    def argmax_version(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderkey", "version"],
+                            ascending=[True, False], kind="mergesort")
+        return df.drop_duplicates("o_orderkey", keep="first",
+                                  ignore_index=True)
+
+    merged = base.union(updates) \
+        .map_batches(argmax_version, batch_format="pandas")
+    return bucketed_group_apply(
+        merged, ["o_orderkey"], argmax_version,
+        num_buckets=num_buckets,
+        out_schema=pa.schema([("o_orderkey", pa.int64()),
+                              ("version", pa.int64()),
+                              ("cents", pa.int64())]))
