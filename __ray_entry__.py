@@ -1375,6 +1375,47 @@ def oracle_sql() -> dict[str, str]:
         # analytics.lineitem_winsorized: percentile_disc-style cutoffs
         # as the value at ROW_NUMBER == ceil(q*n) under the shared
         # (cents, id) sort, then clip + sum — all exact integer math
+        # analytics.trailing_active_users: 7-day rolling distinct users
+        # per event day
+        "daily_trailing_active_users": """
+            WITH p AS (SELECT DISTINCT
+                              CAST(epoch_us(date_trunc('day', ts))
+                                   // 86400000000 AS BIGINT) AS day,
+                              user_id
+                       FROM events),
+            d AS (SELECT DISTINCT day FROM p)
+            SELECT d.day AS report_day,
+                   CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+            FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
+        """,
+        # stages/pca.nearest_centroid: exact integer squared-distance
+        # assignment to the per-label centroids, smallest-label ties
+        "embedding_nearest_centroid": """
+            WITH e AS (SELECT vec_id, CAST(label AS BIGINT)
+                                  AS true_label,
+                              CAST(generate_subscripts(embedding, 1)
+                                   AS BIGINT) AS i,
+                              CAST(floor(CAST(unnest(embedding)
+                                              AS DOUBLE) * 1000000 + 0.5)
+                                   AS BIGINT) AS q
+                       FROM embeddings),
+            cent AS (SELECT true_label AS clabel, i,
+                            CAST(SUM(q) // count(*) AS BIGINT) AS m
+                     FROM e GROUP BY true_label, i),
+            dist AS (SELECT e.vec_id, MIN(e.true_label) AS true_label,
+                            cent.clabel,
+                            SUM((e.q - cent.m) * (e.q - cent.m)) AS d2
+                     FROM e JOIN cent ON cent.i = e.i
+                     GROUP BY e.vec_id, cent.clabel)
+            SELECT vec_id, true_label, clabel AS assigned_label,
+                   CAST(d2 AS BIGINT) AS dist2,
+                   CAST(CASE WHEN clabel = true_label THEN 1 ELSE 0 END
+                        AS BIGINT) AS correct
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY d2, clabel) AS rn FROM dist)
+            WHERE rn = 1
+        """,
         # stages/chunking.doc_chunks: RAG overlapping token windows
         # (whitespace tokens, stride-48 starts, window-64 slices)
         "doc_chunks": r"""

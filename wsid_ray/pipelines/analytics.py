@@ -1132,3 +1132,92 @@ def order_price_percentile_cont(sf_dir: str, ps=(25, 50, 75),
         "o_orderstatus": pa.array([r[0] for r in rows], pa.string()),
         "p": pa.array([r[1] for r in rows], pa.int64()),
         "val_centi": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def trailing_active_users(sf_dir: str, win_days: int = 7,
+                          num_buckets: int = 8) -> rd.Dataset:
+    """Rolling distinct-user count per day (the 7-day WAU curve): for
+    every day with events, the number of distinct users active in the
+    trailing ``win_days`` window ending that day.
+
+    Distributed shape: the raw stream collapses to distinct
+    (day, user) pairs (in-batch dedup, then one bucketed distinct) —
+    already tiny vs the event stream; each pair then fans out to the
+    <= win_days report-days it supports (day .. day+win-1, only days
+    that themselves have events — shared rule with the mirror so
+    trailing windows of EVENT days, not calendar gaps, never appear),
+    and a second bucketed pass counts distinct users per report day.
+    The fan-out factor is the window length, never the data size."""
+    from ..stages.groups import bucketed_group_apply
+
+    src = read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["ts", "user_id"])
+
+    def day_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # pin the unit: parquet timestamp[us] loads as datetime64[us]
+        # in pandas 2, so asi8 is unit-dependent without as_unit
+        idx = pd.DatetimeIndex(df["ts"]).as_unit("us").normalize()
+        day = (idx.asi8 // 86_400_000_000).astype("int64")
+        return pd.DataFrame({"day": day, "user_id": df["user_id"]}) \
+            .drop_duplicates(ignore_index=True)
+
+    pairs = src.map_batches(day_pairs, batch_format="pandas")
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(ignore_index=True)
+
+    dpairs = bucketed_group_apply(
+        pairs, ["day", "user_id"], dedup, num_buckets=num_buckets,
+        out_schema=pa.schema([("day", pa.int64()),
+                              ("user_id", pa.int64())]))
+
+    # the set of report days (days with >= 1 event) is calendar-bounded
+    # — collect + broadcast (same model-shaped argument as cohorts)
+    from ..util import collect_rows
+    days = sorted({r["day"] for r in collect_rows(
+        bucketed_group_apply(
+            pairs.map_batches(
+                lambda df: df[["day"]].drop_duplicates(),
+                batch_format="pandas"),
+            ["day"], dedup, num_buckets=2,
+            out_schema=pa.schema([("day", pa.int64())])))})
+    days_arr = np.asarray(days, dtype=np.int64)
+    d_ref = ray.put(days_arr)
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        dv = ray.get(d_ref)
+        day = df["day"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        # report days in [day, day + win) that actually have events
+        lo = np.searchsorted(dv, day, side="left")
+        hi = np.searchsorted(dv, day + win_days, side="left")
+        cnt = hi - lo
+        idx = np.repeat(lo, cnt) + _ragged_arange(cnt)
+        return pd.DataFrame({
+            "report_day": dv[idx],
+            "user_id": np.repeat(uid, cnt)}).drop_duplicates(
+                ignore_index=True)
+
+    fanned = dpairs.map_batches(fan_out, batch_format="pandas")
+
+    def count_users(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        g = d.groupby("report_day", as_index=False) \
+            .agg(n_users=("user_id", "size"))
+        return g.astype({"n_users": "int64"})
+
+    return bucketed_group_apply(
+        fanned, ["report_day"], count_users, num_buckets=num_buckets,
+        out_schema=pa.schema([("report_day", pa.int64()),
+                              ("n_users", pa.int64())]))
+
+
+def _ragged_arange(counts: "np.ndarray") -> "np.ndarray":
+    """[0..c0), [0..c1), ... concatenated — vectorised (index minus the
+    repeated segment start)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    seg_start = np.repeat(ends - counts, counts)
+    return np.arange(total, dtype=np.int64) - seg_start

@@ -1137,6 +1137,19 @@ def q_embedding_pca_projection(sf_dir: str) -> rd.Dataset:
     return pca_projection_query(sf_dir)
 
 
+def q_daily_trailing_active_users(sf_dir: str) -> rd.Dataset:
+    """7-day rolling distinct users per event day: distinct (day, user)
+    pairs fan out to <= 7 report days, window-length-bounded."""
+    return analytics.trailing_active_users(sf_dir)
+
+
+def q_embedding_nearest_centroid(sf_dir: str) -> rd.Dataset:
+    """Nearest-centroid assignment by exact integer squared distance,
+    broadcast labels x dim centroid matrix."""
+    from ..stages.pca import nearest_centroid_query
+    return nearest_centroid_query(sf_dir)
+
+
 def q_doc_chunks(sf_dir: str) -> rd.Dataset:
     """RAG chunking: stride-48 / window-64 whitespace-token windows,
     per-chunk md5 fingerprint; stateless map, no shuffle."""
@@ -1249,6 +1262,8 @@ QUERIES = {
     "order_price_percentile_cont": q_order_price_percentile_cont,
     "doc_chunks": q_doc_chunks,
     "orders_cdc_merge": q_orders_cdc_merge,
+    "daily_trailing_active_users": q_daily_trailing_active_users,
+    "embedding_nearest_centroid": q_embedding_nearest_centroid,
     "lineitem_mad": q_lineitem_mad,
     "orders_weighted_sample": q_orders_weighted_sample,
     "lineitem_winsorized": q_lineitem_winsorized,

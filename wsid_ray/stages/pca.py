@@ -181,3 +181,65 @@ def label_centroids_query(sf_dir: str) -> rd.Dataset:
     emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding", "label"])
     return label_centroids(emb)
+
+
+def nearest_centroid(embeddings: rd.Dataset,
+                     num_buckets: int = 4) -> rd.Dataset:
+    """(vec_id, true_label, assigned_label, dist2, correct) — every
+    vector assigned to its nearest per-label centroid by exact integer
+    squared distance (ties to the smallest label), with the
+    self-evaluation flag; the nearest-centroid-classifier pass that
+    audits label quality / cluster purity.
+
+    Fit = label_centroids (one bucketed shuffle of labels x dim rows);
+    the labels x dim centroid matrix is model-shaped — collected once,
+    broadcast via ray.put, and scored per batch with vectorised int64
+    math (|q - c| <= ~2e6 -> dist2 <= ~2.6e14 at dim 64)."""
+    from ..util import collect_rows
+
+    cent_rows = collect_rows(label_centroids(embeddings,
+                                             num_buckets=num_buckets))
+    labels = sorted({r["label"] for r in cent_rows})
+    if not labels:
+        return rd.from_arrow(pa.schema(
+            [("vec_id", pa.int64()), ("true_label", pa.int64()),
+             ("assigned_label", pa.int64()), ("dist2", pa.int64()),
+             ("correct", pa.int64())]).empty_table())
+    d = max(r["i"] for r in cent_rows)
+    C = np.zeros((len(labels), d), dtype=np.int64)
+    pos = {l: ix for ix, l in enumerate(labels)}
+    for r in cent_rows:
+        C[pos[r["label"]], r["i"] - 1] = r["mean_micro"]
+    lab_arr = np.asarray(labels, dtype=np.int64)
+    c_ref = ray.put((lab_arr, C))
+
+    def assign(t: pa.Table) -> pa.Table:
+        labs, cm = ray.get(c_ref)
+        q = _quantize(t)
+        true = t["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # (B, L) exact squared distances, one label at a time to keep
+        # the temporary at B x dim
+        d2 = np.empty((q.shape[0], len(labs)), dtype=np.int64)
+        for li in range(len(labs)):
+            diff = q - cm[li]
+            d2[:, li] = np.einsum("ij,ij->i", diff, diff)
+        amin = np.argmin(d2, axis=1)    # first occurrence = min label
+        assigned = labs[amin]
+        dist2 = d2[np.arange(len(amin)), amin]
+        return pa.table({
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "true_label": pa.array(true, pa.int64()),
+            "assigned_label": pa.array(assigned, pa.int64()),
+            "dist2": pa.array(dist2, pa.int64()),
+            "correct": pa.array((assigned == true).astype(np.int64),
+                                pa.int64())})
+
+    return embeddings.map_batches(assign, batch_format="pyarrow")
+
+
+def nearest_centroid_query(sf_dir: str) -> rd.Dataset:
+    from ..sources.pqclean import read_parquet_clean
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding", "label"])
+    return nearest_centroid(emb)
