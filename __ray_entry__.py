@@ -1375,6 +1375,54 @@ def oracle_sql() -> dict[str, str]:
         # analytics.lineitem_winsorized: percentile_disc-style cutoffs
         # as the value at ROW_NUMBER == ceil(q*n) under the shared
         # (cents, id) sort, then clip + sum — all exact integer math
+        # relational_ext.monthly_revenue_yoy: monthly cent sums + the
+        # same-month-last-year join; truncating // for yoy_micro
+        "monthly_revenue_yoy": """
+            WITH m AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                              CAST(month(o_orderdate) AS BIGINT) AS m,
+                              CAST(SUM(CAST(floor(o_totalprice * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                                  AS cents
+                       FROM orders GROUP BY y, m)
+            SELECT a.y, a.m, a.cents, b.cents AS prev_cents,
+                   CAST((a.cents - b.cents) * 1000000 // b.cents
+                        AS BIGINT) AS yoy_micro
+            FROM m a LEFT JOIN m b ON b.y = a.y - 1 AND b.m = a.m
+        """,
+        # relational_ext.status_revenue_share: percent-of-total in
+        # exact integer micro-units
+        "status_revenue_share": """
+            WITH s AS (SELECT o_orderstatus,
+                              CAST(SUM(CAST(floor(o_totalprice * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                                  AS cents
+                       FROM orders GROUP BY o_orderstatus)
+            SELECT o_orderstatus, cents,
+                   CAST(cents * 1000000
+                        // (SELECT SUM(cents) FROM s) AS BIGINT)
+                       AS share_micro
+            FROM s
+        """,
+        # textstats.readability_batch: Flesch Reading Ease from exact
+        # RE2 counts, one shared double op chain, 6dp half-up
+        "doc_readability": r"""
+            WITH c AS (SELECT doc_id,
+                              CAST(len(list_filter(
+                                  regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS w,
+                              CAST(greatest(len(regexp_extract_all(
+                                  text, '[.!?]+')), 1) AS BIGINT) AS s,
+                              CAST(len(regexp_extract_all(
+                                  lower(text), '[aeiouy]+'))
+                                  AS BIGINT) AS sy
+                       FROM documents)
+            SELECT doc_id, w AS n_words, s AS n_sentences,
+                   sy AS n_syllables,
+                   floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                          - 84.6 * (CAST(sy AS DOUBLE) / w))
+                         * 1e6 + 0.5) / 1e6 AS fre6
+            FROM c WHERE w > 0
+        """,
         # analytics.trailing_active_users: 7-day rolling distinct users
         # per event day
         "daily_trailing_active_users": """

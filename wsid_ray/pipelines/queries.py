@@ -1137,6 +1137,26 @@ def q_embedding_pca_projection(sf_dir: str) -> rd.Dataset:
     return pca_projection_query(sf_dir)
 
 
+def q_monthly_revenue_yoy(sf_dir: str) -> "pa.Table":
+    """Monthly revenue + same-month-last-year growth in micro-units."""
+    from .relational_ext import monthly_revenue_yoy
+    return monthly_revenue_yoy(sf_dir)
+
+
+def q_status_revenue_share(sf_dir: str) -> "pa.Table":
+    """Percent-of-total per status in exact integer micro-units."""
+    from .relational_ext import status_revenue_share
+    return status_revenue_share(sf_dir)
+
+
+def q_doc_readability(sf_dir: str) -> rd.Dataset:
+    """Flesch Reading Ease from exact RE2 counts (words / sentence
+    runs / vowel-group syllable proxy)."""
+    from ..stages.textstats import readability_batch
+    return read_documents(sf_dir).map_batches(readability_batch,
+                                              batch_format="pyarrow")
+
+
 def q_daily_trailing_active_users(sf_dir: str) -> rd.Dataset:
     """7-day rolling distinct users per event day: distinct (day, user)
     pairs fan out to <= 7 report days, window-length-bounded."""
@@ -1264,6 +1284,9 @@ QUERIES = {
     "orders_cdc_merge": q_orders_cdc_merge,
     "daily_trailing_active_users": q_daily_trailing_active_users,
     "embedding_nearest_centroid": q_embedding_nearest_centroid,
+    "monthly_revenue_yoy": q_monthly_revenue_yoy,
+    "status_revenue_share": q_status_revenue_share,
+    "doc_readability": q_doc_readability,
     "lineitem_mad": q_lineitem_mad,
     "orders_weighted_sample": q_orders_weighted_sample,
     "lineitem_winsorized": q_lineitem_winsorized,

@@ -653,3 +653,73 @@ def orders_cdc_merge(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
         out_schema=pa.schema([("o_orderkey", pa.int64()),
                               ("version", pa.int64()),
                               ("cents", pa.int64())]))
+
+
+def monthly_revenue_yoy(sf_dir: str) -> pa.Table:
+    """Month-over-same-month-last-year revenue growth: exact monthly
+    cent sums (partial-before-shuffle), then the year-over-year join on
+    the model-shaped monthly aggregate (driver-assembled — at most
+    years x 12 rows at any corpus size).  yoy_micro uses truncating
+    integer division (DuckDB ``//``), NULL where no prior year."""
+    from ..stages.pca import _tdiv_int
+    from ..util import collect_rows
+    from .analytics import _cents, bucketed_sum
+
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        idx = pd.DatetimeIndex(df["o_orderdate"])
+        g = pd.DataFrame({"y": idx.year.astype("int64"),
+                          "m": idx.month.astype("int64"),
+                          "cents": _cents(df["o_totalprice"]
+                                          .to_numpy())})
+        return g.groupby(["y", "m"], as_index=False)["cents"].sum()
+
+    rows = collect_rows(bucketed_sum(
+        src.map_batches(partial, batch_format="pandas"),
+        ["y", "m"], ["cents"], num_buckets=2))
+    cents_of = {(r["y"], r["m"]): r["cents"] for r in rows}
+    out = []
+    for (y, m) in sorted(cents_of):
+        c = cents_of[(y, m)]
+        prev = cents_of.get((y - 1, m))
+        yoy = (_tdiv_int((c - prev) * 1_000_000, prev)
+               if prev else None)
+        out.append((y, m, c, prev, yoy))
+    return pa.table({
+        "y": pa.array([r[0] for r in out], pa.int64()),
+        "m": pa.array([r[1] for r in out], pa.int64()),
+        "cents": pa.array([r[2] for r in out], pa.int64()),
+        "prev_cents": pa.array([r[3] for r in out], pa.int64()),
+        "yoy_micro": pa.array([r[4] for r in out], pa.int64())})
+
+
+def status_revenue_share(sf_dir: str) -> pa.Table:
+    """Percent-of-total (ratio_to_report): per-status exact cent sums
+    and each status's share of the grand total in integer micro-units
+    — one bucketed shuffle, grand total folded from the group sums."""
+    from ..util import collect_rows
+    from .analytics import _cents, bucketed_sum
+
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderstatus", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"o_orderstatus": df["o_orderstatus"],
+                          "cents": _cents(df["o_totalprice"]
+                                          .to_numpy())})
+        return g.groupby("o_orderstatus", as_index=False)["cents"].sum()
+
+    rows = collect_rows(bucketed_sum(
+        src.map_batches(partial, batch_format="pandas"),
+        ["o_orderstatus"], ["cents"], num_buckets=2))
+    total = sum(int(r["cents"]) for r in rows)
+    rows = sorted(rows, key=lambda r: r["o_orderstatus"])
+    return pa.table({
+        "o_orderstatus": pa.array([r["o_orderstatus"] for r in rows],
+                                  pa.string()),
+        "cents": pa.array([r["cents"] for r in rows], pa.int64()),
+        "share_micro": pa.array(
+            [(int(r["cents"]) * 1_000_000) // total for r in rows],
+            pa.int64())})

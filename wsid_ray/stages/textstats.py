@@ -428,3 +428,33 @@ def _read_blocks(path: str, min_rows_per_block: int = 256) -> int:
     except Exception:
         return 8
     return max(1, min(4 * cpus, rows // min_rows_per_block))
+
+
+def readability_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, n_words, n_sentences, n_syllables, fre6) — Flesch
+    Reading Ease with the standard cheap proxies: sentences = runs of
+    [.!?] (min 1), syllables = vowel-group runs [aeiouy]+ on the
+    lowercased text.  The three counts are exact integers from RE2
+    kernels (no per-row Python); FRE = 206.835 - 1.015*(w/s) -
+    84.6*(sy/w) is computed in double from those exact ints and rounded
+    half-up 6dp ONCE (shared op order with the mirror).  Zero-word docs
+    drop (mirror: WHERE w > 0).  Stateless map — no shuffle."""
+    row_of, nonempty, _flat, n = _word_rows(t)
+    w = np.bincount(row_of[nonempty], minlength=n).astype(np.int64)
+    low = pc.utf8_lower(t["text"])
+    sy = pc.count_substring_regex(low, pattern="[aeiouy]+") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    se = pc.count_substring_regex(t["text"], pattern="[.!?]+") \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    se = np.maximum(se, 1)
+    keep = w > 0
+    wv, sv, syv = w[keep], se[keep], sy[keep]
+    fre = 206.835 - 1.015 * (wv.astype(np.float64) / sv) \
+        - 84.6 * (syv.astype(np.float64) / wv)
+    fre6 = np.floor(fre * 1e6 + 0.5) / 1e6
+    return pa.table({
+        "doc_id": t["doc_id"].filter(pa.array(keep)),
+        "n_words": pa.array(wv, pa.int64()),
+        "n_sentences": pa.array(sv, pa.int64()),
+        "n_syllables": pa.array(syv, pa.int64()),
+        "fre6": pa.array(fre6, pa.float64())})
