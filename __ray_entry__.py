@@ -2423,6 +2423,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_ngrams": _sql_dup_ngram_stats(tok),
         # dedup.dedup_spans: Lee-et-al-style duplicate-span removal
         "doc_dedup_spans": _sql_dedup_spans(tok),
+        # composed chain v2: span removal x language rollup
+        "doc_pipeline_spans_summary": f"""
+            SELECT d.lang, l.lang_pred,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN s.n_removed > 0 THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_docs_touched,
+                   CAST(SUM(s.n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(SUM(s.n_removed) AS BIGINT) AS sum_removed
+            FROM ({_sql_dedup_spans(tok)}) s
+            JOIN ({_sql_doc_langid()}) l USING (doc_id)
+            JOIN documents d USING (doc_id)
+            GROUP BY d.lang, l.lang_pred
+        """,
         # URL domain counts over planted URLs (stages/pii.py)
         "doc_url_domains": r"""
             WITH planted AS (

@@ -73,3 +73,20 @@ def test_dedup_spans_removes_on_fixture():
     out = dedup_spans(read_documents(SF)).to_pandas()
     assert (out["n_removed"] > 0).any()
     assert (out["n_removed"] <= out["n_tokens"]).all()
+
+
+def test_pipeline_spans_summary_parity():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import q_doc_pipeline_spans_summary
+    got = _canon(q_doc_pipeline_spans_summary(SF).to_pandas())
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+        exp = _canon(con.sql(
+            E.oracle_sql()["doc_pipeline_spans_summary"]).df())
+    finally:
+        con.close()
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["n_docs"].sum() == 500
+    assert (got["sum_removed"] <= got["sum_tokens"]).all()

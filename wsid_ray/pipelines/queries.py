@@ -1137,6 +1137,46 @@ def q_embedding_pca_projection(sf_dir: str) -> rd.Dataset:
     return pca_projection_query(sf_dir)
 
 
+def q_doc_pipeline_spans_summary(sf_dir: str) -> rd.Dataset:
+    """Composed curation chain v2: duplicate-SPAN removal + language ID
+    joined per doc, rolled up per language — how much text each
+    language loses to cross-doc boilerplate.  Spans and langid run as
+    independent streams; the join and the rollup shuffle tiny derived
+    rows (never text beyond dedup_spans' single reconstruction pass)."""
+    from ..stages.dedup import dedup_spans
+    from ..stages.groups import bucketed_group_apply
+    from ..stages.joins import hash_join
+
+    docs = read_documents(sf_dir)
+    spans = dedup_spans(docs).map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "n_removed"]),
+        batch_format="pyarrow")
+    tagged = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def lang_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "lang_pred": langid_batch(t)["lang_pred"]})
+
+    lang = tagged.map_batches(lang_rows, batch_format="pyarrow")
+    j = hash_join(spans, lang, on=["doc_id"], num_buckets=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(touched=(df["n_removed"] > 0).astype("int64"),
+                      one=np.int64(1))
+        out = g.groupby(["lang", "lang_pred"], as_index=False).agg(
+            n_docs=("one", "sum"), n_docs_touched=("touched", "sum"),
+            sum_tokens=("n_tokens", "sum"),
+            sum_removed=("n_removed", "sum"))
+        return out.astype({c: "int64" for c in out.columns
+                           if c not in ("lang", "lang_pred")})
+
+    return analytics.bucketed_sum(
+        j.map_batches(partial, batch_format="pandas"),
+        ["lang", "lang_pred"],
+        ["n_docs", "n_docs_touched", "sum_tokens", "sum_removed"],
+        num_buckets=2)
+
+
 def q_monthly_revenue_yoy(sf_dir: str) -> "pa.Table":
     """Monthly revenue + same-month-last-year growth in micro-units."""
     from .relational_ext import monthly_revenue_yoy
@@ -1284,6 +1324,7 @@ QUERIES = {
     "orders_cdc_merge": q_orders_cdc_merge,
     "daily_trailing_active_users": q_daily_trailing_active_users,
     "embedding_nearest_centroid": q_embedding_nearest_centroid,
+    "doc_pipeline_spans_summary": q_doc_pipeline_spans_summary,
     "monthly_revenue_yoy": q_monthly_revenue_yoy,
     "status_revenue_share": q_status_revenue_share,
     "doc_readability": q_doc_readability,
