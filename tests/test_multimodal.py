@@ -266,3 +266,104 @@ def test_real_codecs_pass_synthetic_payloads_through():
                   BuiltinVideoCodec()):
         assert (codec.decode(payload) == want).all()
     assert isinstance(want, np.ndarray)
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW) builtin codec
+# ---------------------------------------------------------------------------
+
+def _lzw_encode_real(indices, min_size):
+    """A REAL GIF-LZW compressor (dictionary growth, width bumps) so the
+    decoder's table-growth and KwKwK paths get exercised — the module's
+    test encoder intentionally emits only literal codes."""
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    codes = [clear]
+    table = {bytes((i,)): i for i in range(clear)}
+    nxt = end + 1
+    width = min_size + 1
+    run = b""
+    widths = []          # width AT EMISSION time, for the packer
+    for v in indices:
+        cand = run + bytes((int(v),))
+        if cand in table:
+            run = cand
+            continue
+        codes.append(table[run])
+        widths.append(width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt - 1 == (1 << width) and width < 12:
+            width += 1
+        run = bytes((int(v),))
+    if run:
+        codes.append(table[run])
+        widths.append(width)
+    codes.append(end)
+    widths.append(width)
+    widths = [min_size + 1] + widths   # the leading CLEAR
+    acc = nbits = 0
+    out = bytearray()
+    for c, wd in zip(codes, widths):
+        acc |= c << nbits
+        nbits += wd
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_roundtrip_trivial_encoder():
+    import numpy as np
+
+    from wsid_ray.stages.multimodal import decode_gif, encode_gif
+    rng = np.random.RandomState(5)
+    idx = rng.randint(0, 6, (11, 13)).astype(np.uint8)
+    pal = rng.randint(0, 256, (6, 3)).astype(np.uint8)
+    got = decode_gif(encode_gif(idx, pal))
+    assert np.array_equal(got, pal[idx.ravel()].ravel())
+
+
+def test_gif_decode_real_lzw_stream():
+    """Hand-built GIF with a REAL LZW stream (repetitive data → long
+    dictionary entries, width growth) decodes exactly."""
+    import struct
+
+    import numpy as np
+
+    from wsid_ray.stages.multimodal import decode_gif
+    w, h = 32, 8
+    idx = np.tile(np.array([0, 0, 1, 1, 2, 2, 3, 3], np.uint8), w * h // 8)
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    min_size = 2
+    data = _lzw_encode_real(idx.tolist(), min_size)
+    gct = np.zeros((4, 3), np.uint8)
+    gct[:4] = pal
+    buf = bytearray(b"GIF89a")
+    buf += struct.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)
+    buf += gct.tobytes()
+    # a graphic-control extension the decoder must skip
+    buf += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    buf += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    buf.append(min_size)
+    for i in range(0, len(data), 255):
+        block = data[i:i + 255]
+        buf.append(len(block))
+        buf += block
+    buf += b"\x00\x3b"
+    got = decode_gif(bytes(buf))
+    assert np.array_equal(got, pal[idx].ravel())
+
+
+def test_builtin_codec_routes_gif():
+    import numpy as np
+
+    from wsid_ray.stages.multimodal import (BuiltinImageCodec,
+                                            decode_gif, encode_gif)
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    pal = np.array([[255, 0, 0], [0, 0, 255]], np.uint8)
+    payload = encode_gif(idx, pal)
+    got = BuiltinImageCodec().decode(payload)
+    assert np.array_equal(got, decode_gif(payload))

@@ -9,11 +9,12 @@ tiers per kind:
 1. library codec when importable — Pillow (image), soundfile (audio),
    PyAV (video): all compressed formats;
 2. BUILTIN pure-numpy/stdlib codecs (this module) for public formats —
-   Netpbm P5/P6, 24-bit BI_RGB BMP and 8-bit PNG incl. full
-   sub/up/average/Paeth filter reconstruction via stdlib zlib (image),
-   RIFF/WAVE PCM via the stdlib ``wave`` module (audio), YUV4MPEG2
-   ``Cmono`` (video).  These are REAL decoders of real on-disk formats
-   — PNG is a real COMPRESSED format — fully exercised in this
+   Netpbm P5/P6, 24-bit BI_RGB BMP, 8-bit PNG incl. full
+   sub/up/average/Paeth filter reconstruction via stdlib zlib, and
+   GIF87a/89a incl. a full 12-bit LZW decoder (image), RIFF/WAVE PCM
+   via the stdlib ``wave`` module (audio), YUV4MPEG2 ``Cmono``
+   (video).  These are REAL decoders of real on-disk formats — PNG
+   and GIF are real COMPRESSED formats — fully exercised in this
    container (no codec libraries shipped);
 3. the clearly marked ``FakeCodec`` stub, which decodes only this
    module's deterministic ``_MAGIC`` synthetic payloads and raises
@@ -229,6 +230,144 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.ravel()
 
 
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def encode_gif(idx: "np.ndarray", palette: "np.ndarray") -> bytes:
+    """GIF87a from an (h, w) uint8 index raster + (n, 3) uint8 palette —
+    stdlib struct only.  The LZW stream is the trivially-valid form
+    (CLEAR before every literal code), which every conformant decoder
+    accepts; compression is not the point of the test encoder."""
+    import struct
+    h, w = idx.shape
+    n = len(palette)
+    bits = max(2, int(n - 1).bit_length())
+    gct = np.zeros((1 << bits, 3), np.uint8)
+    gct[:n] = palette
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += gct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_size = bits
+    clear = 1 << min_size
+    out.append(min_size)
+    # bit-pack LSB-first: CLEAR, (CLEAR, literal)*, END
+    codes = [clear]
+    for v in idx.ravel():
+        codes.extend((clear, int(v)))
+    codes.append(clear + 1)
+    acc = nbits = 0
+    width = min_size + 1
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):
+        block = data[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_size: int) -> "np.ndarray":
+    """GIF-variant LZW to index stream (12-bit cap, LSB-first codes)."""
+    clear, end = 1 << min_size, (1 << min_size) + 1
+    table: list[bytes] = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    width = min_size + 1
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return np.frombuffer(bytes(out), np.uint8)
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+            width = min_size + 1
+            prev = None
+            continue
+        if code == end:
+            return np.frombuffer(bytes(out), np.uint8)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:                      # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def decode_gif(payload: bytes) -> "np.ndarray":
+    """GIF87a/89a -> flat RGB raster of the FIRST image block (palette
+    expanded, non-interlaced; extensions skipped).  Stdlib struct +
+    pure-python LZW — public spec (GIF89a, CompuServe 1990)."""
+    import struct
+    if payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF stream")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x21:              # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:            # image descriptor
+            _l, _t, iw, ih, ip = struct.unpack_from("<HHHHB", payload,
+                                                    pos)
+            pos += 9
+            pal = gct
+            if ip & 0x80:
+                n = 2 << (ip & 0x07)
+                pal = np.frombuffer(payload, np.uint8,
+                                    n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            if ip & 0x40:
+                raise NotImplementedError(
+                    "builtin GIF decoder handles non-interlaced images; "
+                    "install Pillow for interlaced GIFs")
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_size = payload[pos]
+            pos += 1
+            chunks = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                chunks += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(chunks), min_size)[:iw * ih]
+            return pal[idx].ravel()
+        elif b == 0x3B:
+            break
+    raise ValueError("GIF stream contains no image block")
+
+
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
     """RIFF/WAVE, PCM 16-bit mono, via the stdlib ``wave`` module."""
     import io
@@ -382,9 +521,11 @@ class BuiltinImageCodec:
                 return decode_bmp24(p)
             if p[:8] == _PNG_SIG:
                 return decode_png(p)
+            if p[:6] in _GIF_SIGS:
+                return decode_gif(p)
             raise NotImplementedError(
-                "builtin image decoder handles Netpbm P5/P6, 24-bit BMP "
-                "and 8-bit PNG; install Pillow for JPEG/WebP/…")
+                "builtin image decoder handles Netpbm P5/P6, 24-bit BMP, "
+                "8-bit PNG and GIF; install Pillow for JPEG/WebP/…")
         return _synth_or(payload, real)
 
 
