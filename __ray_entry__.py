@@ -1655,6 +1655,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         # --- new this round: sequence / relational / fuzzy extensions ---
+        # pipelines/sequences.user_purchase_carry: conditional fill-
+        # forward — the carried value is a monotone max along the frame
+        # (ts is the ordering key), so a filtered running max mirrors
+        # the engine's grouped ffill exactly, NULLs included
+        "user_purchase_carry": """
+            SELECT event_id, user_id,
+                   max(epoch_us(ts)) FILTER (event_type = 'purchase')
+                       OVER win AS last_purchase_us,
+                   epoch_us(ts)
+                   - max(epoch_us(ts)) FILTER (event_type = 'purchase')
+                         OVER win AS since_us
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+        """,
+        # pipelines/sequences.customer_rolling_orders: trailing-7-row
+        # frame sum/count in exact integer cents
+        "customer_rolling_orders": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) OVER win AS BIGINT)
+                       AS win_cents,
+                   CAST(count(*) OVER win AS BIGINT) AS win_n
+            FROM orders
+            WINDOW win AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
         # pipelines/sequences.user_event_gaps: LAG window, exact integer
         # microsecond arithmetic, (ts, event_id) tie-break
         "user_event_gaps": """

@@ -576,6 +576,20 @@ def q_user_event_gaps(sf_dir: str) -> rd.Dataset:
     return user_event_gaps(sf_dir)
 
 
+def q_user_purchase_carry(sf_dir: str) -> rd.Dataset:
+    """Conditional fill-forward: time since each user's most recent
+    purchase event (pipelines/sequences.py)."""
+    from .sequences import user_purchase_carry
+    return user_purchase_carry(sf_dir)
+
+
+def q_customer_rolling_orders(sf_dir: str) -> rd.Dataset:
+    """ROWS-frame sliding window: trailing-7-order integer-cent sum and
+    count per customer (pipelines/sequences.py)."""
+    from .sequences import customer_rolling_orders
+    return customer_rolling_orders(sf_dir)
+
+
 def q_user_event_path(sf_dir: str) -> rd.Dataset:
     """Ordered string aggregation: per-user event_type funnel path."""
     from .sequences import user_event_path
@@ -1310,6 +1324,8 @@ def q_doc_setsim_join(sf_dir: str) -> rd.Dataset:
 
 QUERIES = {
     # --- first: queries new this round (driver cut-off ordering) ---
+    "user_purchase_carry": q_user_purchase_carry,
+    "customer_rolling_orders": q_customer_rolling_orders,
     "doc_normalized_dedup": q_doc_normalized_dedup,
     "doc_setsim_join": q_doc_setsim_join,
     "cooc_edge_jaccard": q_cooc_edge_jaccard,

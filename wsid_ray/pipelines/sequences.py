@@ -114,6 +114,88 @@ def user_event_path(sf_dir: str, sep: str = ">",
                                 out_schema=out_schema)
 
 
+def user_purchase_carry(sf_dir: str, carry_type: str = "purchase",
+                        num_buckets: int = 16) -> rd.Dataset:
+    """Conditional fill-forward (gap filling / last-observation-carried-
+    forward): for each event, the epoch-microsecond timestamp of the
+    SAME user's most recent ``carry_type`` event at or before it in
+    (ts, event_id) order (NULL while the user has none yet), plus the
+    exact integer microseconds elapsed since it.  The classic
+    "time since last purchase" feature column.
+
+    Determinism: the carried value is a monotone max along the frame
+    (ts is the ordering key), so the SQL mirror is
+    ``max(epoch_us(ts)) FILTER (event_type = …) OVER (… ROWS UNBOUNDED
+    PRECEDING)`` — no IGNORE NULLS needed, and ties on equal ts carry
+    the identical value on both sides."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort", ignore_index=True)
+        tsi = df["ts"].astype("datetime64[us]").astype("int64")
+        # nullable Int64 from the start: epoch microseconds (~1.8e18)
+        # exceed float64's exact-integer range, so a NaN-based mask
+        # would corrupt the carried value
+        hit = tsi.astype("Int64").where(
+            df["event_type"].to_numpy() == carry_type)
+        carried = hit.groupby(df["user_id"], sort=False).ffill()
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "user_id": df["user_id"],
+                             "last_purchase_us": carried,
+                             "since_us": (tsi - carried).astype("Int64")})
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("last_purchase_us", pa.int64()),
+                            ("since_us", pa.int64())])
+    return bucketed_group_apply(ds, ["user_id"], win,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
+
+
+def customer_rolling_orders(sf_dir: str, window: int = 7,
+                            num_buckets: int = 16) -> rd.Dataset:
+    """ROWS-frame sliding window: per customer, in (o_orderdate,
+    o_orderkey) order, the exact integer-cent sum and row count of the
+    trailing ``window``-row frame (ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW) — the moving-average numerator/denominator pair kept
+    as two int64 columns so no float ever enters the path.  Implemented
+    as a per-group cumulative sum minus its ``window``-shifted self
+    (pure int64 arithmetic, no pandas rolling float upcast)."""
+    from .analytics import _cents
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort", ignore_index=True)
+        cents = pd.Series(_cents(df["o_totalprice"].to_numpy()))
+        g = df.groupby("o_custkey", sort=False)
+        csum = cents.groupby(df["o_custkey"], sort=False).cumsum()
+        # shift() on int64 upcasts to float64; route through nullable
+        # Int64 so large cumulative cents stay exact
+        lag = csum.astype("Int64") \
+                  .groupby(df["o_custkey"], sort=False) \
+                  .shift(window).fillna(0).astype("int64")
+        rn = (g.cumcount() + 1).astype("int64")
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "o_custkey": df["o_custkey"],
+            "win_cents": (csum - lag).astype("int64"),
+            "win_n": rn.clip(upper=window).astype("int64")})
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64()),
+                            ("win_cents", pa.int64()),
+                            ("win_n", pa.int64())])
+    return bucketed_group_apply(ds, ["o_custkey"], win,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
+
+
 def user_top_event_type(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     """Grouped mode / argmax: each user's most frequent event type (ties
     to the lexicographically smallest type).  Two-level aggregation —
