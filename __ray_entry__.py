@@ -1655,6 +1655,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         # --- new this round: sequence / relational / fuzzy extensions ---
+        # stages/profile.profile_table: per-column row/null/exact-
+        # distinct counts (count(DISTINCT) excludes nulls on both sides)
+        "orders_profile": " UNION ALL ".join(f"""
+            SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+            FROM orders""" for c in (
+            "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+            "o_orderstatus", "o_totalprice")),
+        # stages/profile.unpivot: melt of the wide pivot back to long
+        # rows — equals the plain grouped count
+        "user_event_unpivot": """
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
+        """,
         # pipelines/sequences.user_purchase_carry: conditional fill-
         # forward — the carried value is a monotone max along the frame
         # (ts is the ordering key), so a filtered running max mirrors

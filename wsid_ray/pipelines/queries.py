@@ -576,6 +576,33 @@ def q_user_event_gaps(sf_dir: str) -> rd.Dataset:
     return user_event_gaps(sf_dir)
 
 
+def q_orders_profile(sf_dir: str) -> "pa.Table":
+    """Data-quality intake profile of the orders table: per column, row
+    count, null count, exact distinct count (stages/profile.py)."""
+    from ..stages.profile import profile_table
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet")
+    return profile_table(ds, ["o_orderkey", "o_custkey", "o_orderstatus",
+                              "o_totalprice", "o_orderdate",
+                              "o_orderpriority"])
+
+
+def q_user_event_unpivot(sf_dir: str) -> rd.Dataset:
+    """Round-trip of the wide pivot back to long rows: melt the per-user
+    event_type count columns (stages/profile.unpivot), keep non-zero
+    counts — equals the plain grouped count."""
+    from ..stages.profile import unpivot
+    wide = analytics.user_event_pivot(sf_dir)
+    long = unpivot(wide, ["user_id"], "event_type", "n")
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n"] > 0].copy()
+        df["event_type"] = df["event_type"].str.removeprefix("n_")
+        df["n"] = df["n"].astype("int64")
+        return df
+
+    return long.map_batches(fix, batch_format="pandas")
+
+
 def q_user_purchase_carry(sf_dir: str) -> rd.Dataset:
     """Conditional fill-forward: time since each user's most recent
     purchase event (pipelines/sequences.py)."""
@@ -1326,6 +1353,8 @@ QUERIES = {
     # --- first: queries new this round (driver cut-off ordering) ---
     "user_purchase_carry": q_user_purchase_carry,
     "customer_rolling_orders": q_customer_rolling_orders,
+    "orders_profile": q_orders_profile,
+    "user_event_unpivot": q_user_event_unpivot,
     "doc_normalized_dedup": q_doc_normalized_dedup,
     "doc_setsim_join": q_doc_setsim_join,
     "cooc_edge_jaccard": q_cooc_edge_jaccard,
