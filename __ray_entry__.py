@@ -845,6 +845,46 @@ def _sql_cooc_kcore(tr: str, tok: str, gaz: str, k: int = 3,
     """
 
 
+def _sql_cooc_bfs(tr: str, tok: str, gaz: str, rounds: int = 4) -> str:
+    """DuckDB mirror of stages/pagerank.bfs_hops — seed = per-term hub
+    (deg desc, name asc), then the fixed BFS rounds unrolled as
+    frontier/label CTE pairs (f{i}: newly reached nodes, l{i}: all
+    labelled so far).  Frontier BFS yields the exact hop distance, so
+    the only determinism pin needed is the seed tie-break.  6th
+    bounded-iteration mirror."""
+    from wsid_ray.config import NPMI_MIN
+    ctes, prevf, prevl = "", "l0", "l0"
+    for i in range(1, rounds + 1):
+        ctes += f""",
+        f{i} AS MATERIALIZED (
+            SELECT DISTINCT e.term, e.x AS node FROM und0 e
+            JOIN {prevf} s ON s.term = e.term AND s.node = e.u
+            WHERE NOT EXISTS (SELECT 1 FROM {prevl} v
+                              WHERE v.term = e.term AND v.node = e.x)),
+        l{i} AS MATERIALIZED (
+            SELECT * FROM {prevl}
+            UNION ALL
+            SELECT term, node, CAST({i} AS BIGINT) FROM f{i})"""
+        prevf, prevl = f"f{i}", f"l{i}"
+    return f"""
+        WITH {_sql_cooc_chain(tr, tok, gaz)},
+        bf_ed AS (SELECT term, w, v FROM weighted
+                  WHERE npmi > {NPMI_MIN}),
+        und0 AS MATERIALIZED (
+            SELECT term, w AS u, v AS x FROM bf_ed
+            UNION ALL SELECT term, v, w FROM bf_ed),
+        dg AS MATERIALIZED (
+            SELECT term, u, CAST(count(*) AS BIGINT) AS d
+            FROM und0 GROUP BY term, u),
+        l0 AS MATERIALIZED (
+            SELECT term, u AS node, CAST(0 AS BIGINT) AS dist
+            FROM (SELECT term, u, row_number() OVER (
+                      PARTITION BY term ORDER BY d DESC, u) AS rk
+                  FROM dg) WHERE rk = 1){ctes}
+        SELECT term, node, dist FROM {prevl}
+    """
+
+
 def _sql_embedding_pca(rounds: int = 8) -> str:
     """DuckDB mirror of stages/pca.pca_projection — micro-unit
     quantisation, the exact HUGEINT Gram matrix, and the FIXED power
@@ -1355,6 +1395,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # stages/pagerank.kcore: 8 bounded peel rounds, k = 3
         "cooc_kcore": _sql_cooc_kcore(tr, tok, gaz),
+        "cooc_bfs_hops": _sql_cooc_bfs(tr, tok, gaz),
         # stages/pca.pca_projection: integer-contract power-iteration
         # principal direction + per-vector projections, 8 fixed rounds
         "embedding_pca_projection": _sql_embedding_pca(),

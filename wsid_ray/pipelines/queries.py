@@ -1170,6 +1170,14 @@ def q_cooc_kcore(sf_dir: str) -> rd.Dataset:
     return kcore(_cooc_edge_stream(sf_dir))
 
 
+def q_cooc_bfs_hops(sf_dir: str) -> rd.Dataset:
+    """Hop distance from each term graph's hub node within 4 BFS
+    rounds (stages/pagerank.bfs_hops) — the 6th bounded-iteration
+    contract, unrolled as frontier/label CTE pairs in the mirror."""
+    from ..stages.pagerank import bfs_hops
+    return bfs_hops(_cooc_edge_stream(sf_dir))
+
+
 def q_embedding_pca_projection(sf_dir: str) -> rd.Dataset:
     """Integer-contract PCA power iteration: distributed micro-unit Gram
     partials (python-int combine), 8 exact power rounds on the driver's
@@ -1355,6 +1363,7 @@ QUERIES = {
     "customer_rolling_orders": q_customer_rolling_orders,
     "orders_profile": q_orders_profile,
     "user_event_unpivot": q_user_event_unpivot,
+    "cooc_bfs_hops": q_cooc_bfs_hops,
     "doc_normalized_dedup": q_doc_normalized_dedup,
     "doc_setsim_join": q_doc_setsim_join,
     "cooc_edge_jaccard": q_cooc_edge_jaccard,

@@ -389,3 +389,84 @@ def kcore(edges: rd.Dataset, k: int = 3, rounds: int = 8,
     return degrees(und).map_batches(emit, batch_format="pandas") \
         .map_batches(lambda t: t.cast(out_schema),
                      batch_format="pyarrow")
+
+
+def bfs_hops(edges: rd.Dataset, rounds: int = 4,
+             num_buckets: int = 8) -> rd.Dataset:
+    """Bounded-round multi-source BFS per term graph: hop distance from
+    each term's hub node (max undirected degree, ties to the
+    lexicographically smallest name) to every node reachable within
+    ``rounds`` hops — (term, node, dist); unreached nodes are absent.
+
+    Determinism: frontier BFS computes the exact shortest hop count,
+    which is expansion-order-free; the only tie lives in the seed pick
+    and is pinned by the (deg desc, name asc) rank.  6th bounded-
+    iteration mirror (k-means / CW / PageRank / k-core / PCA
+    precedents) — the SQL oracle unrolls the same rounds as
+    frontier/label CTE pairs.
+
+    Physical plan: the undirected edge stream (pruned, model-shaped) is
+    pinned once; each round is ONE map over it with the current
+    frontier and visited sets broadcast via ray.put — node sets are
+    vocabulary-bounded per term (same scale argument as kcore's alive
+    set), so the per-round driver fold is model-shaped and the corpus
+    never lands on the driver."""
+    from ..pipelines.analytics import bucketed_sum
+    from ..stages.groups import bucketed_group_apply
+    from ..util import collect_rows
+
+    def undirect(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"term": t["term"], "u": t["w"], "x": t["v"]}),
+            pa.table({"term": t["term"], "u": t["v"], "x": t["w"]})])
+
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
+               .materialize()
+
+    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["term", "u"], sort=True).size() \
+              .rename("d").reset_index()
+        g["d"] = g["d"].astype("int64")
+        return g
+
+    deg = bucketed_sum(und.map_batches(deg_part, batch_format="pandas"),
+                       ["term", "u"], ["d"], num_buckets=num_buckets)
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "d", "u"],
+                            ascending=[True, False, True],
+                            kind="mergesort", ignore_index=True)
+        return df.drop_duplicates("term", keep="first")
+
+    seeds = collect_rows(bucketed_group_apply(deg, ["term"], top1,
+                                              num_buckets=num_buckets))
+
+    out_schema = pa.schema([("term", pa.string()), ("node", pa.string()),
+                            ("dist", pa.int64())])
+    visited: dict[tuple, int] = {(r["term"], r["u"]): 0 for r in seeds}
+    frontier = set(visited)
+
+    for hop in range(1, rounds + 1):
+        if not frontier:
+            break
+        f_ref = ray.put(frontier)
+        v_ref = ray.put(set(visited))
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            f, v = ray.get(f_ref), ray.get(v_ref)
+            mu = pd.MultiIndex.from_arrays([df["term"], df["u"]])
+            out = df[mu.isin(f)][["term", "x"]]
+            mx = pd.MultiIndex.from_arrays([out["term"], out["x"]])
+            return out[~mx.isin(v)].drop_duplicates()
+
+        new_rows = collect_rows(
+            und.map_batches(expand, batch_format="pandas"))
+        frontier = {(r["term"], r["x"]) for r in new_rows} - set(visited)
+        visited.update({k: hop for k in frontier})
+
+    if not visited:
+        return rd.from_arrow(out_schema.empty_table())
+    ks = sorted(visited)
+    return rd.from_arrow(pa.table({
+        "term": [k[0] for k in ks], "node": [k[1] for k in ks],
+        "dist": [visited[k] for k in ks]}).cast(out_schema))
