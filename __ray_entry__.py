@@ -436,13 +436,13 @@ def _sql_shingles(tok: str, k: int) -> str:
     """
 
 
-def _sql_minhash_candidates(tok: str, k: int = 3, num_perm: int = 64,
-                            num_bands: int = 16) -> str:
-    """DuckDB mirror of dedup.minhash_candidates: 30-bit md5 token hashes
-    folded per k-gram by s -> (s*31 + t) % 2^30 (exact BIGINT math, same
-    as the engine's int64 fold), (a*x+b) % (2^31-1) permutations with the
-    engine's inlined RandomState(42) constants, md5 band fingerprints,
-    pairs sharing any band bucket."""
+def _sql_minhash_chain(tok: str, k: int = 3, num_perm: int = 64,
+                       num_bands: int = 16) -> str:
+    """Shared CTE block (``th`` … ``bands``) of the MinHash mirrors:
+    30-bit md5 token hashes folded per k-gram by s -> (s*31 + t) % 2^30
+    (exact BIGINT math, same as the engine's int64 fold), (a*x+b) %
+    (2^31-1) permutations with the engine's inlined RandomState(42)
+    constants, md5 band fingerprints."""
     from wsid_ray.stages.dedup import _SHINGLE_MOD, _perm_params
     a, b = _perm_params(num_perm)
     vals = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})"
@@ -451,8 +451,7 @@ def _sql_minhash_candidates(tok: str, k: int = 3, num_perm: int = 64,
     fold = "h[i + 1]"
     for j in range(2, k + 1):
         fold = f"(({fold}) * 31 + h[i + {j}]) % {_SHINGLE_MOD}"
-    return f"""
-        WITH th AS (
+    return f"""th AS (
             SELECT doc_id, toks,
                    list_transform(toks, y ->
                        CAST((md5_number_upper(y) >> 34) AS BIGINT)) AS h
@@ -484,12 +483,78 @@ def _sql_minhash_candidates(tok: str, k: int = 3, num_perm: int = 64,
                          & CAST(9223372036854775807 AS UBIGINT))
                         AS BIGINT) AS band_hash
             FROM sigs GROUP BY doc_id, j // {rpb}
-        )
+        )"""
+
+
+def _sql_minhash_candidates(tok: str, k: int = 3, num_perm: int = 64,
+                            num_bands: int = 16) -> str:
+    """DuckDB mirror of dedup.minhash_candidates: pairs sharing any
+    band bucket (chain CTEs in _sql_minhash_chain)."""
+    return f"""
+        WITH {_sql_minhash_chain(tok, k, num_perm, num_bands)}
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a
         JOIN bands b ON a.band_id = b.band_id
                     AND a.band_hash = b.band_hash
                     AND a.doc_id < b.doc_id
+    """
+
+
+def _sql_minhash_est(tok: str, k: int = 3, num_perm: int = 64,
+                     num_bands: int = 16) -> str:
+    """DuckDB mirror of dedup.minhash_jaccard_estimate: per candidate
+    pair, matching-signature-position count, the micro-unit estimate
+    n_match * 1e6 // num_perm, the exact shingle Jaccard in micro-units
+    (same float op order as the engine: plain DOUBLE division then
+    floor(x*1e6+0.5)), and the absolute error — zero-intersection
+    false-positive candidates kept."""
+    return f"""
+        WITH {_sql_minhash_chain(tok, k, num_perm, num_bands)},
+        cands AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id
+                        AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id),
+        m AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(count(*) FILTER (sa.v = sb.v) AS BIGINT)
+                       AS n_match
+            FROM cands c
+            JOIN sigs sa ON sa.doc_id = c.doc_a
+            JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+            GROUP BY c.doc_a, c.doc_b),
+        ex AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(floor(
+                       CAST(len(list_intersect(ha.shingles, hb.shingles))
+                            AS DOUBLE)
+                       / (len(ha.shingles) + len(hb.shingles)
+                          - len(list_intersect(ha.shingles, hb.shingles)))
+                       * 1e6 + 0.5) AS BIGINT) AS jacc_micro
+            FROM cands c
+            JOIN ({_sql_shingles(tok, k)}) ha ON ha.doc_id = c.doc_a
+            JOIN ({_sql_shingles(tok, k)}) hb ON hb.doc_id = c.doc_b)
+        SELECT m.doc_a, m.doc_b, m.n_match,
+               m.n_match * 1000000 // {num_perm} AS est_micro,
+               ex.jacc_micro,
+               abs(m.n_match * 1000000 // {num_perm} - ex.jacc_micro)
+                   AS err_micro
+        FROM m JOIN ex ON ex.doc_a = m.doc_a AND ex.doc_b = m.doc_b
+    """
+
+
+def _sql_lsh_bucket_stats(tok: str, k: int = 3, num_perm: int = 64,
+                          num_bands: int = 16) -> str:
+    """DuckDB mirror of dedup.lsh_bucket_stats: band-bucket size
+    histogram."""
+    return f"""
+        WITH {_sql_minhash_chain(tok, k, num_perm, num_bands)},
+        bsz AS (SELECT band_id, band_hash,
+                       CAST(count(*) AS BIGINT) AS bucket_size
+                FROM bands GROUP BY band_id, band_hash)
+        SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+        FROM bsz GROUP BY bucket_size
     """
 
 
@@ -2223,6 +2288,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_minhash_candidates": _sql_minhash_candidates(tok),
         "doc_jaccard_pairs": _sql_jaccard_pairs(tok),
+        "doc_minhash_est": _sql_minhash_est(tok),
+        "doc_lsh_bucket_stats": _sql_lsh_bucket_stats(tok),
         "doc_simhash": _sql_doc_simhash(tok),
         # all-pairs oracle for the banded engine stage — exact equivalence
         # is guaranteed by pigeonhole (max_hamming=3 < 4 bands)

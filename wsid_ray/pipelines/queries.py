@@ -1006,6 +1006,20 @@ def q_doc_jaccard_pairs(sf_dir: str) -> rd.Dataset:
     return jaccard_pairs(read_documents(sf_dir), threshold=0.5, shingle_k=3)
 
 
+def q_doc_minhash_est(sf_dir: str) -> rd.Dataset:
+    """Sketch-quality audit: MinHash Jaccard estimate vs exact per LSH
+    candidate pair, integer micro-units (stages/dedup.py)."""
+    from ..stages.dedup import minhash_jaccard_estimate
+    return minhash_jaccard_estimate(read_documents(sf_dir))
+
+
+def q_doc_lsh_bucket_stats(sf_dir: str) -> rd.Dataset:
+    """LSH band-bucket size histogram — the banding-health monitor
+    (stages/dedup.py)."""
+    from ..stages.dedup import lsh_bucket_stats
+    return lsh_bucket_stats(read_documents(sf_dir))
+
+
 def q_doc_near_dup_drops(sf_dir: str) -> rd.Dataset:
     """Composed end-to-end MinHash dedup: LSH candidates -> exact
     Jaccard verify -> connected components -> drop list (keep smallest
@@ -1364,6 +1378,8 @@ QUERIES = {
     "orders_profile": q_orders_profile,
     "user_event_unpivot": q_user_event_unpivot,
     "cooc_bfs_hops": q_cooc_bfs_hops,
+    "doc_minhash_est": q_doc_minhash_est,
+    "doc_lsh_bucket_stats": q_doc_lsh_bucket_stats,
     "doc_normalized_dedup": q_doc_normalized_dedup,
     "doc_setsim_join": q_doc_setsim_join,
     "cooc_edge_jaccard": q_cooc_edge_jaccard,

@@ -657,3 +657,112 @@ def dedup_spans(docs: rd.Dataset, k: int = 5,
             "kept_fp": pa.array(fps, pa.string())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def minhash_jaccard_estimate(docs: rd.Dataset, num_perm: int = 64,
+                             shingle_k: int = 3, num_bands: int = 16
+                             ) -> rd.Dataset:
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (matching signature positions / num_perm) beside
+    the EXACT shingle-set Jaccard, both as integer micro-units plus the
+    absolute estimation error — the operator you run to validate a
+    banding configuration before trusting it on a corpus (Broder 1997
+    resemblance estimator).  Zero-intersection candidates (pure LSH
+    false positives) are KEPT: they are exactly what the audit needs to
+    show.
+
+    Physical plan: candidates from the bucketed LSH (never all-pairs);
+    one combined (signature, shingle-set) side table per doc, attached
+    with two partitioned hash joins; per-pair verify on the joined
+    stream.  est_micro = n_match * 1_000_000 // num_perm and
+    jacc_micro = floor(j * 1e6 + 0.5) keep the whole contract in int64."""
+    from .joins import hash_join
+
+    cands = minhash_candidates(docs, num_perm=num_perm,
+                               shingle_k=shingle_k, num_bands=num_bands)
+
+    def side(name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            toks = tokenize_column(t["text"]).to_pylist()
+            ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            mh = _MINHASHER_MEMO.get((num_perm, shingle_k, num_bands, 42))
+            if mh is None:
+                mh = _MINHASHER_MEMO[(num_perm, shingle_k, num_bands, 42)] \
+                    = MinHasher(num_perm, shingle_k, num_bands)
+            keep, S = mh.signatures_batch(toks)
+            return pa.table({
+                name: pa.array(ids[keep], type=pa.int64()),
+                f"sig_{name}": pa.array(list(S),
+                                        type=pa.list_(pa.int64())),
+                f"sh_{name}": pa.array(
+                    [_shingle_strings(toks[i], shingle_k) for i in keep],
+                    type=pa.list_(pa.string())),
+            })
+        return fn
+
+    joined = hash_join(hash_join(cands,
+                                 docs.map_batches(side("doc_a"),
+                                                  batch_format="pyarrow"),
+                                 on=["doc_a"], num_buckets=16),
+                       docs.map_batches(side("doc_b"),
+                                        batch_format="pyarrow"),
+                       on=["doc_b"], num_buckets=16)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        a_c, b_c, m_c, j_c = [], [], [], []
+        for a, b, ga, gb, sa, sb in zip(df["doc_a"], df["doc_b"],
+                                        df["sig_doc_a"], df["sig_doc_b"],
+                                        df["sh_doc_a"], df["sh_doc_b"]):
+            n_match = int((np.asarray(ga) == np.asarray(gb)).sum())
+            A, B = set(sa), set(sb)
+            inter = len(A & B)
+            j = inter / (len(A) + len(B) - inter)
+            a_c.append(a); b_c.append(b); m_c.append(n_match)
+            j_c.append(int(np.floor(j * 1e6 + 0.5)))
+        est = (np.asarray(m_c, dtype=np.int64) * 1_000_000) // num_perm
+        jac = np.asarray(j_c, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_a": pd.Series(a_c, dtype="int64"),
+            "doc_b": pd.Series(b_c, dtype="int64"),
+            "n_match": pd.Series(m_c, dtype="int64"),
+            "est_micro": pd.Series(est, dtype="int64"),
+            "jacc_micro": pd.Series(jac, dtype="int64"),
+            "err_micro": pd.Series(np.abs(est - jac), dtype="int64"),
+        })
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
+def lsh_bucket_stats(docs: rd.Dataset, num_perm: int = 64,
+                     shingle_k: int = 3, num_bands: int = 16,
+                     num_buckets: int = 16) -> rd.Dataset:
+    """LSH health histogram: distribution of band-bucket sizes —
+    (bucket_size, n_buckets).  A heavy tail here is the early warning
+    that banding parameters will blow up the candidate pair count
+    (pairs per bucket grow quadratically).  Per-batch partial counts,
+    one bucketed shuffle keyed on (band_id, band_hash), then a tiny
+    second fold on the size — only aggregate rows ever move."""
+    from ..pipelines.analytics import bucketed_sum, partial_count
+
+    bands = docs.map_batches(
+        minhash_band_rows,
+        fn_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
+                       num_bands=num_bands),
+        batch_format="pyarrow", batch_size=1024)
+    sizes = bucketed_sum(partial_count(bands, ["band_id", "band_hash"]),
+                         ["band_id", "band_hash"], ["n"],
+                         num_buckets=num_buckets)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bucket_size": df["n"].astype("int64")})
+
+    hist = bucketed_sum(
+        partial_count(sizes.map_batches(rename, batch_format="pandas"),
+                      ["bucket_size"], out_name="n_buckets"),
+        ["bucket_size"], ["n_buckets"], num_buckets=4)
+    out_schema = pa.schema([("bucket_size", pa.int64()),
+                            ("n_buckets", pa.int64())])
+    return hist.map_batches(
+        lambda t: t.select(["bucket_size", "n_buckets"]).cast(out_schema),
+        batch_format="pyarrow")
