@@ -1761,6 +1761,56 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         # --- new this round: sequence / relational / fuzzy extensions ---
+        # relational_ext.orders_above_cust_avg: correlated subquery,
+        # integer cross-multiplied comparison (no division)
+        "orders_above_cust_avg": """
+            WITH c AS (SELECT o_orderkey, o_custkey,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS price_cents
+                       FROM orders),
+            t AS (SELECT o_custkey, SUM(price_cents) AS s,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM c GROUP BY o_custkey)
+            SELECT c.o_orderkey, c.o_custkey, c.price_cents
+            FROM c JOIN t ON t.o_custkey = c.o_custkey
+            WHERE c.price_cents * t.n > t.s
+        """,
+        # relational_ext.lineitem_loo_stats: leave-one-out aggregate
+        "lineitem_loo_stats": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(count(*) OVER w - 1 AS BIGINT) AS loo_n,
+                   CAST(sum(cents) OVER w - cents AS BIGINT)
+                       AS loo_sum_cents
+            FROM (SELECT l_orderkey, l_linenumber,
+                         CAST(floor(l_extendedprice * 100 + 0.5)
+                              AS BIGINT) AS cents
+                  FROM lineitem)
+            WINDOW w AS (PARTITION BY l_orderkey)
+        """,
+        # relational_ext.status_top_prices_dense: dense_rank <= 3 with
+        # ties kept
+        "status_top_prices_dense": """
+            SELECT o_orderstatus, o_orderkey, price_cents,
+                   CAST(drank AS BIGINT) AS drank
+            FROM (SELECT o_orderstatus, o_orderkey,
+                         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                             AS price_cents,
+                         dense_rank() OVER (PARTITION BY o_orderstatus
+                             ORDER BY CAST(floor(o_totalprice * 100
+                                                 + 0.5) AS BIGINT) DESC)
+                             AS drank
+                  FROM orders)
+            WHERE drank <= 3
+        """,
+        # relational_ext.user_event_types_list: grouped DISTINCT
+        # ordered string_agg
+        "user_event_types_list": """
+            SELECT user_id,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                   string_agg(DISTINCT event_type, ','
+                              ORDER BY event_type) AS types
+            FROM events GROUP BY user_id
+        """,
         # stages/profile.profile_table: per-column row/null/exact-
         # distinct counts (count(DISTINCT) excludes nulls on both sides)
         "orders_profile": " UNION ALL ".join(f"""

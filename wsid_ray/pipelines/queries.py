@@ -576,6 +576,34 @@ def q_user_event_gaps(sf_dir: str) -> rd.Dataset:
     return user_event_gaps(sf_dir)
 
 
+def q_orders_above_cust_avg(sf_dir: str) -> rd.Dataset:
+    """Correlated-subquery filter, decorrelated: orders priced above
+    their own customer's average (pipelines/relational_ext.py)."""
+    from .relational_ext import orders_above_cust_avg
+    return orders_above_cust_avg(sf_dir)
+
+
+def q_lineitem_loo_stats(sf_dir: str) -> rd.Dataset:
+    """Leave-one-out per-order aggregate in exact integer cents
+    (pipelines/relational_ext.py)."""
+    from .relational_ext import lineitem_loo_stats
+    return lineitem_loo_stats(sf_dir)
+
+
+def q_status_top_prices_dense(sf_dir: str) -> rd.Dataset:
+    """Ties-kept dense_rank top-3 price values per status
+    (pipelines/relational_ext.py)."""
+    from .relational_ext import status_top_prices_dense
+    return status_top_prices_dense(sf_dir)
+
+
+def q_user_event_types_list(sf_dir: str) -> rd.Dataset:
+    """string_agg(DISTINCT … ORDER BY …): per-user sorted distinct
+    event-type list (pipelines/relational_ext.py)."""
+    from .relational_ext import user_event_types_list
+    return user_event_types_list(sf_dir)
+
+
 def q_orders_profile(sf_dir: str) -> "pa.Table":
     """Data-quality intake profile of the orders table: per column, row
     count, null count, exact distinct count (stages/profile.py)."""
@@ -1380,6 +1408,10 @@ QUERIES = {
     "cooc_bfs_hops": q_cooc_bfs_hops,
     "doc_minhash_est": q_doc_minhash_est,
     "doc_lsh_bucket_stats": q_doc_lsh_bucket_stats,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "lineitem_loo_stats": q_lineitem_loo_stats,
+    "status_top_prices_dense": q_status_top_prices_dense,
+    "user_event_types_list": q_user_event_types_list,
     "doc_normalized_dedup": q_doc_normalized_dedup,
     "doc_setsim_join": q_doc_setsim_join,
     "cooc_edge_jaccard": q_cooc_edge_jaccard,

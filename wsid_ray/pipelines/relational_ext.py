@@ -723,3 +723,178 @@ def status_revenue_share(sf_dir: str) -> pa.Table:
         "share_micro": pa.array(
             [(int(r["cents"]) * 1_000_000) // total for r in rows],
             pa.int64())})
+
+
+def orders_above_cust_avg(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Correlated-subquery filter: orders whose price exceeds their OWN
+    customer's average order price.  Decorrelated the classic way — one
+    partial-aggregated (sum_cents, n) table per customer, one
+    partitioned hash join back to the order stream — and the comparison
+    is integer cross-multiplied (cents * n > sum_cents) so no division
+    ever happens."""
+    from ..stages.joins import hash_join
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"], "o_custkey": df["o_custkey"],
+            "price_cents": _cents(df["o_totalprice"].to_numpy())})
+
+    cents = orders.map_batches(to_cents, batch_format="pandas")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            sum_cents=("price_cents", "sum"), n=("price_cents", "size"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    agg = bucketed_sum(cents.map_batches(partial, batch_format="pandas"),
+                       ["o_custkey"], ["sum_cents", "n"],
+                       num_buckets=num_buckets)
+    joined = hash_join(cents, agg, on=["o_custkey"],
+                       num_buckets=num_buckets)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["price_cents"] * df["n"] > df["sum_cents"]
+        out = df[m][["o_orderkey", "o_custkey", "price_cents"]].copy()
+        return out
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64()),
+                            ("price_cents", pa.int64())])
+    return joined.map_batches(keep, batch_format="pandas").map_batches(
+        lambda t: t.cast(out_schema), batch_format="pyarrow")
+
+
+def lineitem_loo_stats(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Leave-one-out aggregate (the feature-engineering staple that
+    avoids label leakage): per lineitem, the count and exact integer-
+    cent sum of the OTHER lines of the same order.  One bucketed
+    shuffle on the order key; the subtraction happens inside the
+    bucket, no join."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def loo(df: pd.DataFrame) -> pd.DataFrame:
+        cents = pd.Series(_cents(df["l_extendedprice"].to_numpy()))
+        g = df.groupby("l_orderkey", sort=False)
+        tot = cents.groupby(df["l_orderkey"], sort=False).transform("sum")
+        n = g["l_linenumber"].transform("size").astype("int64")
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "l_linenumber": df["l_linenumber"].astype("int32"),
+            "loo_n": (n - 1).astype("int64"),
+            "loo_sum_cents": (tot - cents).astype("int64")})
+
+    out_schema = pa.schema([("l_orderkey", pa.int64()),
+                            ("l_linenumber", pa.int32()),
+                            ("loo_n", pa.int64()),
+                            ("loo_sum_cents", pa.int64())])
+    return bucketed_group_apply(ds, ["l_orderkey"], loo,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
+
+
+def status_top_prices_dense(sf_dir: str, k: int = 3,
+                            num_buckets: int = 16) -> rd.Dataset:
+    """Ties-kept top-k: every order whose price is among its status's
+    top-``k`` DISTINCT price values (dense_rank <= k — unlike
+    top_orders_per_status's row_number, ties all survive).  Plan: one
+    bucketed distinct on the (status, cents) pairs, a per-status top-k
+    fold (k × |statuses| rows — driver-small by construction), then a
+    broadcast filter over the raw stream.  The big table is never
+    shuffled at all."""
+    import ray
+
+    from ..stages.groups import bucketed_group_apply, distinct
+    from ..util import collect_rows
+
+    src = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "o_orderstatus": df["o_orderstatus"],
+            "price_cents": _cents(df["o_totalprice"].to_numpy())})
+
+    cents = src.map_batches(to_cents, batch_format="pandas")
+    dvals = distinct(
+        cents.map_batches(
+            lambda df: df[["o_orderstatus", "price_cents"]],
+            batch_format="pandas"),
+        ["o_orderstatus", "price_cents"], num_buckets=num_buckets)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderstatus", "price_cents"],
+                            ascending=[True, False], kind="mergesort")
+        return df.groupby("o_orderstatus", sort=False).head(k)
+
+    top = collect_rows(bucketed_group_apply(dvals, ["o_orderstatus"],
+                                            topk, num_buckets=4))
+    ranks = {}
+    by_status: dict[str, list[int]] = {}
+    for r in top:
+        by_status.setdefault(r["o_orderstatus"], []).append(
+            int(r["price_cents"]))
+    for st, vals in by_status.items():
+        for i, v in enumerate(sorted(vals, reverse=True)):
+            ranks[(st, v)] = i + 1
+    r_ref = ray.put(ranks)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        rk = ray.get(r_ref)
+        mi = list(zip(df["o_orderstatus"], df["price_cents"]))
+        dr = pd.Series([rk.get(t, 0) for t in mi], index=df.index,
+                       dtype="int64")
+        out = df[dr > 0].copy()
+        out["drank"] = dr[dr > 0]
+        return out[["o_orderstatus", "o_orderkey", "price_cents",
+                    "drank"]]
+
+    out_schema = pa.schema([("o_orderstatus", pa.string()),
+                            ("o_orderkey", pa.int64()),
+                            ("price_cents", pa.int64()),
+                            ("drank", pa.int64())])
+    return cents.map_batches(keep, batch_format="pandas").map_batches(
+        lambda t: t.cast(out_schema), batch_format="pyarrow")
+
+
+def user_event_types_list(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Grouped DISTINCT ordered string aggregation: per user, the
+    sorted distinct event types joined by ',' plus their count —
+    string_agg(DISTINCT … ORDER BY …) semantics.  Per-batch (user,
+    type) dedup first, ONE bucketed shuffle keyed on the user, then the
+    in-bucket sorted fold."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = ds.map_batches(dedup, batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().sort_values(
+            ["user_id", "event_type"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        out = g.agg(n_types=("event_type", "size"),
+                    types=("event_type", ",".join)).reset_index()
+        out["n_types"] = out["n_types"].astype("int64")
+        return out[["user_id", "n_types", "types"]]
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_types", pa.int64()),
+                            ("types", pa.string())])
+    return bucketed_group_apply(pairs, ["user_id"], fold,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
