@@ -722,15 +722,13 @@ def _sql_canon_chain(linked_select: str) -> str:
         )"""
 
 
-def _sql_triples(linked_select: str) -> str:
-    """DuckDB mirror of triple assembly + exact dedup (stages/triples.py):
+def _sql_triples_chain(linked_select: str) -> str:
+    """Shared CTE block of the triple mirrors (``cn_*`` … ``tr_all``):
     unary addresses/uses_tool rules + the within-turn ordered pair
-    self-join on canonicalised entities, then first-provenance dedup on
-    (subj, pred, obj) by (conv_id, turn_idx)."""
+    self-join on canonicalised entities (stages/triples.py), PRE-dedup."""
     from wsid_ray.config import (PRED_ADDRESSES, PRED_CO_MENTION,
                                  PRED_USES_TOOL)
-    return f"""
-        WITH RECURSIVE {_sql_canon_chain(linked_select)},
+    return f"""{_sql_canon_chain(linked_select)},
         tr_lm AS MATERIALIZED (
             SELECT l.conv_id, l.turn_idx, l.role, l.tool, l.ts,
                    l.term, l.span_start,
@@ -758,10 +756,32 @@ def _sql_triples(linked_select: str) -> str:
               AND a.ent <> b.ent
         ),
         tr_all AS (SELECT * FROM tr_unary
-                   UNION ALL SELECT * FROM tr_pairs)
+                   UNION ALL SELECT * FROM tr_pairs)"""
+
+
+def _sql_triples(linked_select: str) -> str:
+    """DuckDB mirror of triple assembly + exact dedup: first-provenance
+    dedup on (subj, pred, obj) by (conv_id, turn_idx) over the shared
+    chain."""
+    return f"""
+        WITH RECURSIVE {_sql_triples_chain(linked_select)}
         SELECT subj, pred, obj, conv_id, turn_idx, ts FROM tr_all
         QUALIFY row_number() OVER (
             PARTITION BY subj, pred, obj ORDER BY conv_id, turn_idx) = 1
+    """
+
+
+def _sql_triple_support(linked_select: str) -> str:
+    """DuckDB mirror of the KG support/provenance rollup
+    (pipelines/queries.q_triple_support): per canonical triple, raw
+    occurrence count, distinct supporting conversations, first/last
+    timestamp — over the PRE-dedup triple stream."""
+    return f"""
+        WITH RECURSIVE {_sql_triples_chain(linked_select)}
+        SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS support,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+               min(ts) AS first_ts, max(ts) AS last_ts
+        FROM tr_all GROUP BY subj, pred, obj
     """
 
 
@@ -1761,6 +1781,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         # --- new this round: sequence / relational / fuzzy extensions ---
+        # pipelines/queries.q_lang_vocab_stats: Heaps-law vocabulary
+        # panel per language
+        "lang_vocab_stats": f"""
+            WITH vtoks AS (SELECT lang, {tok} AS toks FROM documents),
+            vex AS (SELECT lang, unnest(toks) AS tk FROM vtoks)
+            SELECT l.lang, l.n_docs, l.n_tokens,
+                   coalesce(d.n_types, 0) AS n_types
+            FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(coalesce(sum(len(toks)), 0) AS BIGINT)
+                             AS n_tokens
+                  FROM vtoks GROUP BY lang) l
+            LEFT JOIN (SELECT lang,
+                              CAST(count(DISTINCT tk) AS BIGINT)
+                                  AS n_types
+                       FROM vex GROUP BY lang) d ON d.lang = l.lang
+        """,
         # relational_ext.orders_above_cust_avg: correlated subquery,
         # integer cross-multiplied comparison (no division)
         "orders_above_cust_avg": """
@@ -2309,6 +2345,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT entity_id, canon_id FROM cn_map
         """,
         "triples": _sql_triples(linked_sel),
+        "triple_support": _sql_triple_support(linked_sel),
         "triples_checkpointed": _sql_triples(linked_sel),
         # approximate-ANN quality, driver-checkable: engine IVF/LSH hits
         # (deterministic seeded artifacts) joined against the

@@ -1,0 +1,48 @@
+"""Tests for the KG support rollup and the per-language vocabulary
+panel."""
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_triple_support_covers_dedup_triples():
+    from wsid_ray.pipelines.queries import q_triple_support, q_triples
+    sup = q_triple_support(SF).to_pandas()
+    ded = q_triples(SF).to_pandas()
+    sup_keys = set(zip(sup["subj"], sup["pred"], sup["obj"]))
+    ded_keys = set(zip(ded["subj"], ded["pred"], ded["obj"]))
+    # same canonical triple set, one support row each
+    assert sup_keys == ded_keys
+    assert len(sup) == len(sup_keys)
+    assert (sup["support"] >= 1).all()
+    assert (sup["n_convs"] >= 1).all()
+    assert (sup["n_convs"] <= sup["support"]).all()
+    assert (sup["first_ts"] <= sup["last_ts"]).all()
+
+
+def test_lang_vocab_stats_parity():
+    from wsid_ray.pipelines.queries import q_lang_vocab_stats
+    got = q_lang_vocab_stats(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    import __ray_entry__ as E
+    tok = E._sql_token_expr()
+    exp = con.sql(f"""
+        WITH vtoks AS (SELECT lang, {tok} AS toks FROM documents),
+        vex AS (SELECT lang, unnest(toks) AS tk FROM vtoks)
+        SELECT l.lang, l.n_docs, l.n_tokens,
+               coalesce(d.n_types, 0) AS n_types
+        FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(coalesce(sum(len(toks)), 0) AS BIGINT)
+                         AS n_tokens
+              FROM vtoks GROUP BY lang) l
+        LEFT JOIN (SELECT lang, CAST(count(DISTINCT tk) AS BIGINT)
+                       AS n_types FROM vex GROUP BY lang) d
+            ON d.lang = l.lang
+        ORDER BY l.lang""").df()
+    pd.testing.assert_frame_equal(got, exp)
+    # types never exceed occurrences
+    assert (got["n_types"] <= got["n_tokens"]).all()

@@ -198,6 +198,102 @@ def q_triples(sf_dir: str) -> rd.Dataset:
     return _flagship(sf_dir).triples
 
 
+def q_triple_support(sf_dir: str) -> rd.Dataset:
+    """KG confidence rollup: per canonical (subj, pred, obj), the raw
+    occurrence count, distinct supporting conversations, and first/last
+    timestamp — the evidence panel a KG consumer ranks triples by.
+    Over the PRE-dedup triple stream; per-batch partials keyed
+    (spo, conv) first, then ONE bucketed fold on the triple key."""
+    from ..stages.groups import bucketed_group_apply
+    from ..stages.triples import triples_from_mentions
+
+    art = _flagship(sf_dir)
+    raw = triples_from_mentions(art.linked_mentions, art.canon_map)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["subj", "pred", "obj", "conv_id"],
+                       as_index=False).agg(
+            n=("ts", "size"), first_ts=("ts", "min"),
+            last_ts=("ts", "max"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["subj", "pred", "obj"], as_index=False).agg(
+            support=("n", "sum"), n_convs=("conv_id", "nunique"),
+            first_ts=("first_ts", "min"), last_ts=("last_ts", "max"))
+        g["support"] = g["support"].astype("int64")
+        g["n_convs"] = g["n_convs"].astype("int64")
+        return g
+
+    out_schema = pa.schema([
+        ("subj", pa.string()), ("pred", pa.string()),
+        ("obj", pa.string()), ("support", pa.int64()),
+        ("n_convs", pa.int64()), ("first_ts", pa.timestamp("us")),
+        ("last_ts", pa.timestamp("us"))])
+    return bucketed_group_apply(
+        raw.map_batches(part, batch_format="pandas"),
+        ["subj", "pred", "obj"], fold, num_buckets=16,
+        out_schema=out_schema)
+
+
+def q_lang_vocab_stats(sf_dir: str) -> "pa.Table":
+    """Heaps-law vocabulary panel: per language, document count, total
+    token occurrences, distinct token types.  Doc/token counts fold per
+    batch; the type count is one bucketed exact distinct over per-batch-
+    deduped (lang, token) pairs — languages are few, so the final table
+    is driver-small by construction."""
+    from ..stages.groups import distinct
+    from ..util import collect_rows
+    from .analytics import bucketed_sum, partial_count
+
+    docs = read_documents(sf_dir, columns=["doc_id", "lang", "text"])
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).cast(pa.int64())
+        return pa.table({"lang": t["lang"], "n_toks": n})
+
+    def cpart(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_toks", "size"), n_tokens=("n_toks", "sum"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return g
+
+    counts = collect_rows(bucketed_sum(
+        docs.map_batches(tok_rows, batch_format="pyarrow")
+            .map_batches(cpart, batch_format="pandas"),
+        ["lang"], ["n_docs", "n_tokens"], num_buckets=2))
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lang_col = t["lang"].take(pc.list_parent_indices(toks))
+        return pa.table({"lang": lang_col, "tok": toks.flatten()})
+
+    pairs = docs.map_batches(pair_rows, batch_format="pyarrow") \
+                .map_batches(lambda df: df.drop_duplicates(),
+                             batch_format="pandas")
+    types = collect_rows(bucketed_sum(
+        partial_count(distinct(pairs, ["lang", "tok"], num_buckets=16),
+                      ["lang"], out_name="n_types"),
+        ["lang"], ["n_types"], num_buckets=2))
+    tmap = {r["lang"]: int(r["n_types"]) for r in types}
+
+    counts = sorted(counts, key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in counts], pa.string()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in counts], pa.int64()),
+        "n_tokens": pa.array([int(r["n_tokens"]) for r in counts],
+                             pa.int64()),
+        "n_types": pa.array([tmap.get(r["lang"], 0) for r in counts],
+                            pa.int64())})
+
+
 def q_triples_checkpointed(sf_dir: str) -> rd.Dataset:
     """Same triple set as q_triples, via the resumable checkpointed
     pipeline (per-shard partitions + manifest)."""
@@ -1409,6 +1505,8 @@ QUERIES = {
     "doc_minhash_est": q_doc_minhash_est,
     "doc_lsh_bucket_stats": q_doc_lsh_bucket_stats,
     "orders_above_cust_avg": q_orders_above_cust_avg,
+    "triple_support": q_triple_support,
+    "lang_vocab_stats": q_lang_vocab_stats,
     "lineitem_loo_stats": q_lineitem_loo_stats,
     "status_top_prices_dense": q_status_top_prices_dense,
     "user_event_types_list": q_user_event_types_list,
