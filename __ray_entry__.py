@@ -1890,6 +1890,38 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_orderdate, o_orderkey
                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
+        # pipelines/sequences.user_daily_dense: calendar densification
+        # with zero fill between each user's first and last active day
+        "user_daily_dense": """
+            WITH dc AS (SELECT user_id, date_trunc('day', ts) AS day,
+                               CAST(count(*) AS BIGINT) AS n_events
+                        FROM events GROUP BY 1, 2),
+            db AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                   FROM dc GROUP BY user_id),
+            cal AS (SELECT user_id,
+                           unnest(generate_series(d0, d1,
+                                                  INTERVAL 1 DAY)) AS day
+                    FROM db)
+            SELECT cal.user_id, cal.day,
+                   coalesce(dc.n_events, 0) AS n_events
+            FROM cal LEFT JOIN dc ON dc.user_id = cal.user_id
+                                 AND dc.day = cal.day
+        """,
+        # pipelines/sequences.event_user_skew: shuffle-key skew report;
+        # the top-k sum is over count VALUES so cutoff ties don't matter
+        "event_user_skew": """
+            WITH sc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                        FROM events GROUP BY user_id),
+            st AS (SELECT CAST(sum(n) AS BIGINT) AS topk_sum
+                   FROM (SELECT n FROM sc ORDER BY n DESC LIMIT 10))
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(sc.n) AS BIGINT) AS n_events,
+                   min(sc.n) AS min_n, max(sc.n) AS max_n,
+                   st.topk_sum,
+                   st.topk_sum * 1000000 // CAST(sum(sc.n) AS BIGINT)
+                       AS topk_share_micro
+            FROM sc, st GROUP BY st.topk_sum
+        """,
         # pipelines/sequences.user_event_gaps: LAG window, exact integer
         # microsecond arithmetic, (ts, event_id) tie-break
         "user_event_gaps": """

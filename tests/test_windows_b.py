@@ -72,3 +72,40 @@ def test_rolling_window_width_param():
     assert (m["win_cents"].to_numpy()
             == _cents(m["o_totalprice"].to_numpy())).all()
     assert (got["win_n"] == 1).all()
+
+
+def test_user_daily_dense_parity():
+    from wsid_ray.pipelines.sequences import user_daily_dense
+    got = _canon(user_daily_dense(SF).to_pandas())
+    exp = _canon(_duck("""
+        WITH dc AS (SELECT user_id, date_trunc('day', ts) AS day,
+                           CAST(count(*) AS BIGINT) AS n_events
+                    FROM events GROUP BY 1, 2),
+        db AS (SELECT user_id, min(day) d0, max(day) d1 FROM dc
+               GROUP BY user_id),
+        cal AS (SELECT user_id, unnest(generate_series(d0, d1,
+                    INTERVAL 1 DAY)) AS day FROM db)
+        SELECT cal.user_id, cal.day, coalesce(dc.n_events, 0) AS n_events
+        FROM cal LEFT JOIN dc ON dc.user_id = cal.user_id
+                             AND dc.day = cal.day"""))
+    got["day"] = got["day"].astype("datetime64[us]")
+    exp["day"] = exp["day"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, exp)
+    # dense: per user, row count == span in days, no gaps
+    g = got.groupby("user_id")["day"]
+    span = (g.max() - g.min()).dt.days + 1
+    assert (g.size() == span).all()
+
+
+def test_event_user_skew_invariants():
+    from wsid_ray.pipelines.sequences import event_user_skew
+    t = event_user_skew(SF).to_pandas().iloc[0]
+    raw = _duck("SELECT user_id, count(*) AS n FROM events "
+                "GROUP BY user_id")
+    assert t["n_users"] == len(raw)
+    assert t["n_events"] == raw["n"].sum()
+    assert t["max_n"] == raw["n"].max()
+    assert t["min_n"] == raw["n"].min()
+    assert t["topk_sum"] == raw["n"].sort_values(ascending=False) \
+                                    .head(10).sum()
+    assert 0 < t["topk_share_micro"] <= 1_000_000

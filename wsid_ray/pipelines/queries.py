@@ -741,6 +741,20 @@ def q_customer_rolling_orders(sf_dir: str) -> rd.Dataset:
     return customer_rolling_orders(sf_dir)
 
 
+def q_user_daily_dense(sf_dir: str) -> rd.Dataset:
+    """Time-series densification: per user, every calendar day between
+    first and last activity, zero-filled (pipelines/sequences.py)."""
+    from .sequences import user_daily_dense
+    return user_daily_dense(sf_dir)
+
+
+def q_event_user_skew(sf_dir: str) -> "pa.Table":
+    """Key-skew diagnostic over per-user event counts
+    (pipelines/sequences.py)."""
+    from .sequences import event_user_skew
+    return event_user_skew(sf_dir)
+
+
 def q_user_event_path(sf_dir: str) -> rd.Dataset:
     """Ordered string aggregation: per-user event_type funnel path."""
     from .sequences import user_event_path
@@ -1507,6 +1521,8 @@ QUERIES = {
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "triple_support": q_triple_support,
     "lang_vocab_stats": q_lang_vocab_stats,
+    "user_daily_dense": q_user_daily_dense,
+    "event_user_skew": q_event_user_skew,
     "lineitem_loo_stats": q_lineitem_loo_stats,
     "status_top_prices_dense": q_status_top_prices_dense,
     "user_event_types_list": q_user_event_types_list,

@@ -226,3 +226,94 @@ def user_top_event_type(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     return bucketed_group_apply(partials, ["user_id"], top1,
                                 num_buckets=num_buckets,
                                 out_schema=out_schema)
+
+
+def user_daily_dense(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Time-series densification (gap filling): per user, one row for
+    EVERY calendar day between their first and last event — n_events 0
+    on silent days — the dense daily series sequence models and
+    anomaly detectors train on.  Per-batch (user, day) partial counts
+    shuffle once keyed on the user; the in-bucket expansion emits the
+    missing days.  Fan-out is bounded by each user's active span in
+    days (activity-bounded, never corpus-bounded); a decades-long
+    pathological span should be windowed upstream."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("datetime64[us]").dt.floor("D")
+        g = pd.DataFrame({"user_id": df["user_id"], "day": day})
+        out = g.groupby(["user_id", "day"], as_index=False).size()
+        out = out.rename(columns={"size": "n_events"})
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    def dense(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["user_id", "day"], as_index=False)["n_events"] \
+               .sum()
+        frames = []
+        for uid, g in df.groupby("user_id", sort=True):
+            days = pd.date_range(g["day"].min(), g["day"].max(),
+                                 freq="D", unit="us")
+            s = g.set_index("day")["n_events"] \
+                 .reindex(days, fill_value=0)
+            frames.append(pd.DataFrame({
+                "user_id": uid, "day": days,
+                "n_events": s.to_numpy().astype("int64")}))
+        if not frames:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "day": pd.Series(dtype="datetime64[us]"),
+                                 "n_events": pd.Series(dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("day", pa.timestamp("us")),
+                            ("n_events", pa.int64())])
+    return bucketed_group_apply(
+        ds.map_batches(part, batch_format="pandas"),
+        ["user_id"], dense, num_buckets=num_buckets,
+        out_schema=out_schema)
+
+
+def event_user_skew(sf_dir: str, top_k: int = 10,
+                    num_buckets: int = 16) -> "pa.Table":
+    """Key-skew diagnostic — the report you read BEFORE picking a
+    shuffle key at 100 TB: over the per-user event counts, the key
+    cardinality, total rows, min/max per key, the top-``top_k`` keys'
+    combined rows, and their share of the table in integer micro-units.
+    Per-user counts are one bucketed partial sum; the scalar stats fold
+    per BLOCK (count/sum/min/max partials + per-block top-k) and only
+    k-per-block candidate rows ever reach the driver."""
+    import numpy as np
+    import ray
+
+    from ..pipelines.analytics import bucketed_sum, partial_count
+
+    ds = _events(sf_dir, ["user_id"])
+    counts = bucketed_sum(partial_count(ds, ["user_id"]),
+                          ["user_id"], ["n"], num_buckets=num_buckets)
+
+    def block_stats(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy()
+        top = np.sort(n)[::-1][:top_k]
+        return pd.DataFrame({
+            "n_users": [int(len(n))], "n_events": [int(n.sum())],
+            "min_n": [int(n.min())], "max_n": [int(n.max())],
+            "top": [top.tolist()]})
+
+    parts = counts.map_batches(block_stats,
+                               batch_format="pandas").take_all()
+    n_users = sum(p["n_users"] for p in parts)
+    n_events = sum(p["n_events"] for p in parts)
+    min_n = min(p["min_n"] for p in parts)
+    max_n = max(p["max_n"] for p in parts)
+    top = sorted((x for p in parts for x in p["top"]),
+                 reverse=True)[:top_k]
+    top_sum = int(sum(top))
+    return pa.table({
+        "n_users": pa.array([n_users], pa.int64()),
+        "n_events": pa.array([n_events], pa.int64()),
+        "min_n": pa.array([min_n], pa.int64()),
+        "max_n": pa.array([max_n], pa.int64()),
+        "topk_sum": pa.array([top_sum], pa.int64()),
+        "topk_share_micro": pa.array(
+            [top_sum * 1_000_000 // n_events], pa.int64())})
