@@ -1400,6 +1400,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM pos WHERE {conds}
             ) WHERE n > 0"""
         for conds, _m, term in _sql_multi_terms())
+    trend_multi = "".join(f"""
+            UNION ALL
+            SELECT '{term}' AS term, date_trunc('day', ts) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM tpos WHERE {conds} GROUP BY day"""
+        for conds, _m, term in _sql_multi_terms())
 
     return {
         # --- planted-duplicate curation ops (stages/setsim.py): the
@@ -2440,6 +2446,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok AS term, count(*) AS n
             FROM pos WHERE tok IN ({gaz})
             GROUP BY tok{multi_counts}
+        """,
+        # pipelines/queries.q_conv_turn_taking: dialog-structure panel
+        "conv_turn_taking": f"""
+            WITH tt AS (SELECT conv_id, role,
+                               lag(role) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) AS prev
+                        FROM {tr})
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(*) FILTER (prev IS NOT NULL
+                                         AND role <> prev) AS BIGINT)
+                       AS n_switches,
+                   CAST(count(DISTINCT role) AS BIGINT) AS n_roles
+            FROM tt GROUP BY conv_id
+        """,
+        # pipelines/queries.q_term_trend_daily: mention counts per term
+        # per calendar day (single + multi-word spans, same position
+        # rules as mention_counts)
+        "term_trend_daily": f"""
+            WITH ttoks AS (SELECT ts, {tok} AS tokens FROM {tr}),
+            tpos AS (SELECT ts, tokens, unnest(tokens) AS tok,
+                            generate_subscripts(tokens, 1) AS p
+                     FROM ttoks)
+            SELECT tok AS term, date_trunc('day', ts) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM tpos WHERE tok IN ({gaz})
+            GROUP BY tok, day{trend_multi}
         """,
         "conv_text_digest": f"""
             SELECT conv_id,

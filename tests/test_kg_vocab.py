@@ -46,3 +46,34 @@ def test_lang_vocab_stats_parity():
     pd.testing.assert_frame_equal(got, exp)
     # types never exceed occurrences
     assert (got["n_types"] <= got["n_tokens"]).all()
+
+
+def test_conv_turn_taking_parity():
+    from wsid_ray.fixtures import transcripts_dir
+    from wsid_ray.pipelines.queries import q_conv_turn_taking
+    got = q_conv_turn_taking(SF).to_pandas() \
+        .sort_values("conv_id", ignore_index=True)
+    con = duckdb.connect()
+    exp = con.sql(f"""
+        WITH tt AS (SELECT conv_id, role,
+                           lag(role) OVER (PARTITION BY conv_id
+                               ORDER BY turn_idx) AS prev
+                    FROM read_parquet('{transcripts_dir(SF)}/*.parquet'))
+        SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(count(*) FILTER (prev IS NOT NULL AND role <> prev)
+                    AS BIGINT) AS n_switches,
+               CAST(count(DISTINCT role) AS BIGINT) AS n_roles
+        FROM tt GROUP BY conv_id ORDER BY conv_id""").df()
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["n_switches"] < got["n_turns"]).all()
+
+
+def test_term_trend_daily_totals_match_mention_counts():
+    from wsid_ray.pipelines.queries import (q_mention_counts,
+                                            q_term_trend_daily)
+    trend = q_term_trend_daily(SF).to_pandas()
+    counts = q_mention_counts(SF).to_pandas()
+    roll = trend.groupby("term", as_index=False)["n"].sum()
+    m = roll.merge(counts, on="term", how="outer", suffixes=("_t", "_c"))
+    assert m["n_t"].fillna(0).astype("int64") \
+        .equals(m["n_c"].fillna(0).astype("int64"))

@@ -198,6 +198,73 @@ def q_triples(sf_dir: str) -> rd.Dataset:
     return _flagship(sf_dir).triples
 
 
+def q_conv_turn_taking(sf_dir: str) -> rd.Dataset:
+    """Dialog-structure panel: per conversation, turn count, role-switch
+    count (role differs from the previous turn in turn_idx order) and
+    distinct role count — the turn-taking signal conversational-data
+    curation filters on.  One bucketed shuffle keyed on conv_id, the
+    in-bucket scan vectorised (sort + shift compare)."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = read_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort",
+                            ignore_index=True)
+        g = df.groupby("conv_id", sort=False)
+        prev = g["role"].shift(1)
+        switch = prev.notna() & (df["role"] != prev)
+        out = pd.DataFrame({
+            "conv_id": df["conv_id"], "switch": switch,
+            "role": df["role"]})
+        agg = out.groupby("conv_id", sort=False).agg(
+            n_turns=("role", "size"), n_switches=("switch", "sum"),
+            n_roles=("role", "nunique")).reset_index()
+        for c in ("n_turns", "n_switches", "n_roles"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    out_schema = pa.schema([("conv_id", pa.string()),
+                            ("n_turns", pa.int64()),
+                            ("n_switches", pa.int64()),
+                            ("n_roles", pa.int64())])
+    return bucketed_group_apply(ds, ["conv_id"], fold, num_buckets=16,
+                                out_schema=out_schema)
+
+
+def q_term_trend_daily(sf_dir: str) -> rd.Dataset:
+    """Temporal KG signal: gazetteer mention counts per term per
+    calendar day — the trend line entity monitoring reads.  The mention
+    stream (single and multi-word spans) folds to (term, day) partials
+    per batch; ONE bucketed sum."""
+    from ..stages.groups import bucketed_group_apply
+    from .analytics import bucketed_sum
+    from .flagship import detect_mentions
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG).select_columns(["term", "ts"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("datetime64[us]").dt.floor("D")
+        g = pd.DataFrame({"term": df["term"], "day": day})
+        out = g.groupby(["term", "day"], as_index=False).size() \
+               .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    out = bucketed_sum(
+        mentions.map_batches(part, batch_format="pandas"),
+        ["term", "day"], ["n"], num_buckets=8)
+    out_schema = pa.schema([("term", pa.string()),
+                            ("day", pa.timestamp("us")),
+                            ("n", pa.int64())])
+    return out.map_batches(
+        lambda t: t.select(["term", "day", "n"]).cast(out_schema),
+        batch_format="pyarrow")
+
+
 def q_triple_support(sf_dir: str) -> rd.Dataset:
     """KG confidence rollup: per canonical (subj, pred, obj), the raw
     occurrence count, distinct supporting conversations, and first/last
@@ -1523,6 +1590,8 @@ QUERIES = {
     "lang_vocab_stats": q_lang_vocab_stats,
     "user_daily_dense": q_user_daily_dense,
     "event_user_skew": q_event_user_skew,
+    "conv_turn_taking": q_conv_turn_taking,
+    "term_trend_daily": q_term_trend_daily,
     "lineitem_loo_stats": q_lineitem_loo_stats,
     "status_top_prices_dense": q_status_top_prices_dense,
     "user_event_types_list": q_user_event_types_list,
