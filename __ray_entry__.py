@@ -2666,6 +2666,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_quality_csv": _sql_doc_quality(stop),
         "doc_quality": _sql_doc_quality(stop),
+        # pipelines/queries.q_source_quality_rollup: per-source C4-pass
+        # dashboard (same thresholds as doc_quality_filter)
+        "source_quality_rollup": f"""
+            WITH sq AS (SELECT d.source, q.n_chars, q.alpha_ratio,
+                               q.stop_ratio
+                        FROM ({_sql_doc_quality(stop)}) q
+                        JOIN documents d ON d.doc_id = q.doc_id),
+            sg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(count(*) FILTER (n_chars >= 80
+                                   AND alpha_ratio >= 0.6
+                                   AND stop_ratio <= 0.5) AS BIGINT)
+                              AS n_pass
+                   FROM sq GROUP BY source)
+            SELECT source, n_docs, n_pass,
+                   n_pass * 1000000 // n_docs AS pass_micro
+            FROM sg
+        """,
+        # pipelines/queries.q_embedding_dim_stats: per-dimension micro-
+        # unit sum/min/max/count (0-based dims, pca quantisation rule)
+        "embedding_dim_stats": """
+            WITH eq AS (SELECT generate_subscripts(embedding, 1) - 1
+                               AS dim,
+                               CAST(floor(CAST(unnest(embedding)
+                                               AS DOUBLE) * 1000000
+                                          + 0.5) AS BIGINT) AS q
+                        FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(sum(q) AS BIGINT) AS sum_micro,
+                   min(q) AS min_micro, max(q) AS max_micro,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM eq GROUP BY dim
+        """,
         # C4-style filter over the same quality signals (thresholds are
         # the engine's quality_filter_batch defaults)
         "doc_quality_filter": f"""

@@ -77,3 +77,29 @@ def test_term_trend_daily_totals_match_mention_counts():
     m = roll.merge(counts, on="term", how="outer", suffixes=("_t", "_c"))
     assert m["n_t"].fillna(0).astype("int64") \
         .equals(m["n_c"].fillna(0).astype("int64"))
+
+
+def test_source_quality_rollup_consistency():
+    from wsid_ray.pipelines.queries import (q_doc_quality_filter,
+                                            q_source_quality_rollup)
+    roll = q_source_quality_rollup(SF).to_pandas()
+    passed = q_doc_quality_filter(SF).to_pandas()
+    assert roll["n_pass"].sum() == len(passed)
+    assert (roll["n_pass"] <= roll["n_docs"]).all()
+    assert (roll["pass_micro"]
+            == roll["n_pass"] * 1_000_000 // roll["n_docs"]).all()
+
+
+def test_embedding_dim_stats_invariants():
+    import pyarrow.parquet as pq
+    import numpy as np
+    from wsid_ray.pipelines.queries import q_embedding_dim_stats
+    got = q_embedding_dim_stats(SF).to_pandas().sort_values(
+        "dim", ignore_index=True)
+    tb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    mat = np.stack(tb["embedding"].to_pylist()).astype(np.float64)
+    q = np.floor(mat * 1_000_000 + 0.5).astype(np.int64)
+    assert (got["n"] == len(mat)).all()
+    assert got["sum_micro"].tolist() == q.sum(axis=0).tolist()
+    assert got["min_micro"].tolist() == q.min(axis=0).tolist()
+    assert got["max_micro"].tolist() == q.max(axis=0).tolist()

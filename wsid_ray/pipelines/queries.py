@@ -198,6 +198,92 @@ def q_triples(sf_dir: str) -> rd.Dataset:
     return _flagship(sf_dir).triples
 
 
+def q_source_quality_rollup(sf_dir: str) -> rd.Dataset:
+    """Curation dashboard: per document source, doc count, C4-filter
+    pass count and the pass rate in integer micro-units — the per-feed
+    health row a corpus operator watches.  Quality signals and filter
+    thresholds are the already-mirrored quality_batch /
+    quality_filter_batch rules; per-batch partials, one tiny bucketed
+    sum keyed on source."""
+    from ..stages.groups import bucketed_group_apply
+    from .analytics import bucketed_sum
+
+    docs = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        q = quality_batch(t)
+        keep = pc.and_(pc.and_(
+            pc.greater_equal(q["n_chars"], 80),
+            pc.greater_equal(q["alpha_ratio"], 0.6)),
+            pc.less_equal(q["stop_ratio"], 0.5))
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas(),
+            "passed": keep.to_pandas().astype("int64")})
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("passed", "size"), n_pass=("passed", "sum"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["n_pass"] = g["n_pass"].astype("int64")
+        return g
+
+    agg = bucketed_sum(docs.map_batches(part, batch_format="pyarrow"),
+                       ["source"], ["n_docs", "n_pass"], num_buckets=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pass_micro"] = (df["n_pass"] * 1_000_000
+                            // df["n_docs"]).astype("int64")
+        return df[["source", "n_docs", "n_pass", "pass_micro"]]
+
+    out_schema = pa.schema([("source", pa.string()),
+                            ("n_docs", pa.int64()),
+                            ("n_pass", pa.int64()),
+                            ("pass_micro", pa.int64())])
+    return agg.map_batches(finish, batch_format="pandas").map_batches(
+        lambda t: t.cast(out_schema), batch_format="pyarrow")
+
+
+def q_embedding_dim_stats(sf_dir: str) -> rd.Dataset:
+    """Vector-health audit: per embedding dimension, exact micro-unit
+    value sum, min, max and count — the drift/NaN panel a feature store
+    monitors.  Per-block (dim, sum, min, max, n) partials fold in one
+    tiny bucketed pass (dimension count is model-bounded)."""
+    from ..stages.groups import bucketed_group_apply
+    from ..stages.knn import read_embeddings
+
+    emb = read_embeddings(sf_dir)
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = np.floor(flat * 1_000_000 + 0.5).astype(np.int64)
+        n = len(col)
+        dim = len(q) // max(n, 1)
+        dims = np.tile(np.arange(dim, dtype=np.int64), n)
+        df = pd.DataFrame({"dim": dims, "q": q})
+        g = df.groupby("dim", as_index=False).agg(
+            sum_micro=("q", "sum"), min_micro=("q", "min"),
+            max_micro=("q", "max"), n=("q", "size"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("dim", as_index=False).agg(
+            sum_micro=("sum_micro", "sum"), min_micro=("min_micro", "min"),
+            max_micro=("max_micro", "max"), n=("n", "sum"))
+
+    out_schema = pa.schema([("dim", pa.int64()),
+                            ("sum_micro", pa.int64()),
+                            ("min_micro", pa.int64()),
+                            ("max_micro", pa.int64()),
+                            ("n", pa.int64())])
+    return bucketed_group_apply(
+        emb.map_batches(part, batch_format="pyarrow"),
+        ["dim"], fold, num_buckets=2, out_schema=out_schema)
+
+
 def q_conv_turn_taking(sf_dir: str) -> rd.Dataset:
     """Dialog-structure panel: per conversation, turn count, role-switch
     count (role differs from the previous turn in turn_idx order) and
@@ -1592,6 +1678,8 @@ QUERIES = {
     "event_user_skew": q_event_user_skew,
     "conv_turn_taking": q_conv_turn_taking,
     "term_trend_daily": q_term_trend_daily,
+    "source_quality_rollup": q_source_quality_rollup,
+    "embedding_dim_stats": q_embedding_dim_stats,
     "lineitem_loo_stats": q_lineitem_loo_stats,
     "status_top_prices_dense": q_status_top_prices_dense,
     "user_event_types_list": q_user_event_types_list,
