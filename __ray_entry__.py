@@ -1713,6 +1713,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         # analytics.orders_weighted_sample: integer exponential-race
         # stand-in — k smallest (md5_64(key) >> 34) * 1e6 // w_cents
+        # analytics.orders_weighted_sample_by_status: stratified variant
+        # of the priority sample — k smallest per status
+        "orders_weighted_sample_by_status": """
+            WITH w AS (SELECT o_orderstatus, o_orderkey,
+                              CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT) AS w_cents
+                       FROM orders),
+            pr AS (SELECT o_orderstatus, o_orderkey, w_cents,
+                          CAST(((md5_number_upper(
+                                     CAST(o_orderkey AS VARCHAR)) >> 34)
+                                * 1000000) // w_cents AS BIGINT)
+                              AS priority
+                   FROM w)
+            SELECT o_orderstatus, o_orderkey, w_cents, priority
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY o_orderstatus
+                      ORDER BY priority, o_orderkey) AS rk FROM pr)
+            WHERE rk <= 40
+        """,
+        # analytics.doc_readability_percentile: PERCENT_RANK of the
+        # Flesch micro-units (RANK ties), exact integer contract
+        "doc_readability_percentile": r"""
+            WITH c AS (SELECT doc_id,
+                              CAST(len(list_filter(
+                                  regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS w,
+                              CAST(greatest(len(regexp_extract_all(
+                                  text, '[.!?]+')), 1) AS BIGINT) AS s,
+                              CAST(len(regexp_extract_all(
+                                  lower(text), '[aeiouy]+'))
+                                  AS BIGINT) AS sy
+                       FROM documents),
+            fm AS (SELECT doc_id,
+                          CAST(floor((206.835
+                                      - 1.015 * (CAST(w AS DOUBLE) / s)
+                                      - 84.6 * (CAST(sy AS DOUBLE) / w))
+                                     * 1e6 + 0.5) AS BIGINT)
+                              AS flesch_micro
+                   FROM c WHERE w > 0)
+            SELECT doc_id, flesch_micro,
+                   CASE WHEN count(*) OVER () = 1 THEN 0
+                        ELSE (rank() OVER (ORDER BY flesch_micro) - 1)
+                             * 1000000 // (count(*) OVER () - 1)
+                   END AS pr_micro
+            FROM fm
+        """,
         "orders_weighted_sample": """
             WITH w AS (SELECT o_orderkey,
                               CAST(floor(o_totalprice * 100 + 0.5)

@@ -84,3 +84,38 @@ def test_percentile_cont_parity_and_semantics():
                   == r["o_orderstatus"]]
         want = np.percentile(c, r["p"], method="linear")
         assert abs(r["val_centi"] / 100.0 - want) < 1e-6
+
+
+def test_orders_weighted_sample_by_status_stratified():
+    from wsid_ray.pipelines.analytics import (
+        orders_weighted_sample, orders_weighted_sample_by_status)
+    SF = "/root/testdata/sf0.001"
+    strat = orders_weighted_sample_by_status(SF, k=15).to_pandas()
+    # exactly k per stratum (every status has >= k orders here)
+    assert (strat.groupby("o_orderstatus").size() == 15).all()
+    # priority contract identical to the global sampler's
+    glob = orders_weighted_sample(SF, k=50).to_pandas()
+    m = strat.merge(glob, on="o_orderkey", suffixes=("_s", "_g"))
+    assert (m["priority_s"] == m["priority_g"]).all()
+    # within each stratum the kept priorities are its k smallest
+    for _, g in strat.groupby("o_orderstatus"):
+        assert g["priority"].is_monotonic_increasing or \
+            sorted(g["priority"]) == g["priority"].tolist()
+
+
+def test_doc_readability_percentile_contract():
+    import numpy as np
+    from wsid_ray.pipelines.analytics import doc_readability_percentile
+    SF = "/root/testdata/sf0.001"
+    got = doc_readability_percentile(SF).to_pandas()
+    v = got.sort_values(["flesch_micro", "doc_id"],
+                        ignore_index=True)
+    n = len(v)
+    # recompute RANK/PERCENT_RANK directly
+    ranks = v["flesch_micro"].rank(method="min").astype("int64")
+    pr = ((ranks - 1) * 1_000_000 // (n - 1)).astype("int64")
+    assert v["pr_micro"].tolist() == pr.tolist()
+    assert got["pr_micro"].between(0, 1_000_000).all()
+    # equal scores share a percentile
+    dup = got.groupby("flesch_micro")["pr_micro"].nunique()
+    assert (dup == 1).all()

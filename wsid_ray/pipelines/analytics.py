@@ -1221,3 +1221,82 @@ def _ragged_arange(counts: "np.ndarray") -> "np.ndarray":
     ends = np.cumsum(counts)
     seg_start = np.repeat(ends - counts, counts)
     return np.arange(total, dtype=np.int64) - seg_start
+
+
+def orders_weighted_sample_by_status(sf_dir: str,
+                                     k: int = 40) -> pa.Table:
+    """STRATIFIED deterministic weighted sampling: the k smallest
+    priority keys PER o_orderstatus (same exact integer priority
+    contract as orders_weighted_sample — ((md5_64 >> 34) * 1e6) //
+    w_cents).  Per-block partial top-k per stratum, then a driver merge
+    of the k-per-(block, stratum) survivors — O(k x blocks x strata)
+    rows, no shuffle, no global sort."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["o_orderkey"].to_numpy()
+        w = _cents(df["o_totalprice"].to_numpy())
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(x).encode()).digest()[:8],
+                            "little") >> 34 for x in keys),
+            dtype=np.int64, count=len(keys))
+        out = pd.DataFrame({"o_orderstatus": df["o_orderstatus"],
+                            "o_orderkey": keys, "w_cents": w,
+                            "priority": (h * 1_000_000) // w})
+        out = out.sort_values(["o_orderstatus", "priority", "o_orderkey"],
+                              kind="mergesort")
+        return out.groupby("o_orderstatus", sort=False).head(k)
+
+    src = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    cand = src.map_batches(partial, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["o_orderstatus", "priority", "o_orderkey"],
+                            kind="mergesort")
+    top = cand.groupby("o_orderstatus", sort=False).head(k)
+    top = top.sort_values(["o_orderstatus", "priority", "o_orderkey"],
+                          kind="mergesort", ignore_index=True)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def doc_readability_percentile(sf_dir: str,
+                               bin_width: int = 10_000_000) -> rd.Dataset:
+    """Quantile normalisation of a quality signal: each document's
+    PERCENT_RANK over the corpus by Flesch score, in integer micro-
+    units — the scale-free quality column curation thresholds are set
+    on.  Flesch micro-units come from the already-mirrored readability
+    kernel; the rank runs on the generic exact two-pass machinery with
+    a single global partition (no co-location), RANK tie semantics via
+    a within-bin searchsorted against the bin's exclusive start rank."""
+    from ..stages.textstats import read_documents, readability_batch
+
+    docs = read_documents(sf_dir)
+
+    def to_pairs(t: pa.Table) -> pd.DataFrame:
+        r = readability_batch(t)
+        fre = r["fre6"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "part": "all",
+            "doc_id": r["doc_id"].to_numpy(zero_copy_only=False),
+            "flesch_micro": np.floor(fre * 1e6 + 0.5).astype("int64")})
+
+    pairs = docs.map_batches(to_pairs, batch_format="pyarrow")
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("flesch_micro", pa.int64()),
+                        ("pr_micro", pa.int64())])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        v = g["flesch_micro"].to_numpy()
+        first = np.searchsorted(v, v, side="left")
+        rank = start + first + 1
+        if n > 1:
+            pr = ((rank - 1) * 1_000_000) // (n - 1)
+        else:
+            pr = np.zeros(len(g), dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "flesch_micro": v, "pr_micro": pr.astype("int64")})
+
+    return exact_partitioned_ranks(pairs, "part", "flesch_micro",
+                                   "doc_id", bin_width, emit, schema,
+                                   num_buckets=8)

@@ -198,6 +198,19 @@ def q_triples(sf_dir: str) -> rd.Dataset:
     return _flagship(sf_dir).triples
 
 
+def q_orders_weighted_sample_by_status(sf_dir: str) -> "pa.Table":
+    """Stratified deterministic weighted sampling: k smallest priority
+    keys per order status (pipelines/analytics.py)."""
+    return analytics.orders_weighted_sample_by_status(sf_dir)
+
+
+def q_doc_readability_percentile(sf_dir: str) -> rd.Dataset:
+    """Quantile normalisation: PERCENT_RANK of each doc's Flesch score
+    in micro-units, on the exact two-pass rank machinery
+    (pipelines/analytics.py)."""
+    return analytics.doc_readability_percentile(sf_dir)
+
+
 def q_source_quality_rollup(sf_dir: str) -> rd.Dataset:
     """Curation dashboard: per document source, doc count, C4-filter
     pass count and the pass rate in integer micro-units — the per-feed
@@ -1680,6 +1693,8 @@ QUERIES = {
     "term_trend_daily": q_term_trend_daily,
     "source_quality_rollup": q_source_quality_rollup,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "orders_weighted_sample_by_status": q_orders_weighted_sample_by_status,
+    "doc_readability_percentile": q_doc_readability_percentile,
     "lineitem_loo_stats": q_lineitem_loo_stats,
     "status_top_prices_dense": q_status_top_prices_dense,
     "user_event_types_list": q_user_event_types_list,
