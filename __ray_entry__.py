@@ -2710,6 +2710,16 @@ def oracle_sql() -> dict[str, str]:
                        '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) AS n_bpe_tokens
             FROM documents
         """,
+        # third ingest format: sharded ORC with columnar pruning at the
+        # source (sources/textfiles.read_documents_orc)
+        "doc_token_counts_orc": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                       w -> w <> '')) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) AS n_bpe_tokens
+            FROM documents
+        """,
         "doc_quality_csv": _sql_doc_quality(stop),
         "doc_quality": _sql_doc_quality(stop),
         # pipelines/queries.q_source_quality_rollup: per-source C4-pass
@@ -2801,6 +2811,36 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_redact": _sql_pii_redact(),
         # MassiveText-style duplicated-n-gram fraction (dedup.py)
         "doc_dup_ngrams": _sql_dup_ngram_stats(tok),
+        # pipelines/queries.q_source_gram_overlap: distinct shared
+        # 5-gram hashes per source pair (cross-feed contamination)
+        "source_gram_overlap": f"""
+            WITH ggs AS (SELECT DISTINCT gr.g, d.source
+                         FROM ({_sql_grams(tok, 5)}) gr
+                         JOIN documents d USING (doc_id))
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM ggs a JOIN ggs b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        # pipelines/queries.q_user_first_last_events: per-user first and
+        # last event in (ts, event_id) order + count
+        "user_first_last_events": """
+            WITH fr AS (SELECT user_id, event_id, event_type,
+                               row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rka,
+                               row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC)
+                                   AS rkd,
+                               CAST(count(*) OVER (PARTITION BY user_id)
+                                    AS BIGINT) AS n
+                        FROM events)
+            SELECT f.user_id, f.event_id AS first_event_id,
+                   f.event_type AS first_type,
+                   l.event_id AS last_event_id,
+                   l.event_type AS last_type, f.n
+            FROM (SELECT * FROM fr WHERE rka = 1) f
+            JOIN (SELECT * FROM fr WHERE rkd = 1) l USING (user_id)
+        """,
         # dedup.dedup_spans: Lee-et-al-style duplicate-span removal
         "doc_dedup_spans": _sql_dedup_spans(tok),
         # composed chain v2: span removal x language rollup

@@ -1,0 +1,60 @@
+"""Tests for source gram overlap and per-user first/last panels."""
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def test_user_first_last_events_parity():
+    from wsid_ray.pipelines.queries import q_user_first_last_events
+    got = q_user_first_last_events(SF).to_pandas() \
+        .sort_values("user_id", ignore_index=True)
+    exp = _duck("""
+        WITH fr AS (SELECT user_id, event_id, event_type,
+                           row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rka,
+                           row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rkd,
+                           CAST(count(*) OVER (PARTITION BY user_id)
+                                AS BIGINT) AS n
+                    FROM events)
+        SELECT f.user_id, f.event_id AS first_event_id,
+               f.event_type AS first_type, l.event_id AS last_event_id,
+               l.event_type AS last_type, f.n
+        FROM (SELECT * FROM fr WHERE rka = 1) f
+        JOIN (SELECT * FROM fr WHERE rkd = 1) l USING (user_id)
+        ORDER BY user_id""")
+    pd.testing.assert_frame_equal(got, exp)
+    one = got[got["n"] == 1]
+    assert (one["first_event_id"] == one["last_event_id"]).all()
+
+
+def test_source_gram_overlap_symmetric_invariants():
+    from wsid_ray.pipelines.queries import q_source_gram_overlap
+    got = q_source_gram_overlap(SF).to_pandas()
+    # canonical ordering and positive counts
+    assert (got["source_a"] < got["source_b"]).all()
+    assert (got["n_shared"] >= 1).all()
+    # no duplicate pairs
+    assert not got.duplicated(["source_a", "source_b"]).any()
+
+
+def test_orc_ingest_parity():
+    from wsid_ray.sources.textfiles import read_documents_orc
+    got = read_documents_orc(SF).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    exp = _duck("SELECT * FROM documents ORDER BY doc_id")
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
+    # columnar pruning path returns only the requested columns
+    two = read_documents_orc(SF, columns=["doc_id", "text"])
+    assert set(two.schema().names) == {"doc_id", "text"}

@@ -198,6 +198,104 @@ def q_triples(sf_dir: str) -> rd.Dataset:
     return _flagship(sf_dir).triples
 
 
+def q_source_gram_overlap(sf_dir: str) -> rd.Dataset:
+    """Cross-feed contamination panel: for every source pair, the
+    number of DISTINCT 5-gram hashes both feeds contain — the signal
+    that two ingestion feeds ship the same boilerplate or mirrored
+    content.  Per-batch (gram, source) dedup (the batch holds its own
+    doc→source map, no join needed), one bucketed exact distinct, then
+    pair expansion inside per-gram groups — pairs are bounded by
+    sources² per gram, never docs²."""
+    from ..stages.dedup import gram_rows
+    from ..stages.groups import bucketed_group_apply, distinct
+    from .analytics import bucketed_sum
+
+    docs = read_documents(sf_dir, columns=["doc_id", "source", "text"])
+
+    def to_pairs(t: pa.Table) -> pd.DataFrame:
+        g = gram_rows(t.select(["doc_id", "text"])).to_pandas()
+        src = dict(zip(t["doc_id"].to_pylist(),
+                       t["source"].to_pylist()))
+        g["source"] = g["doc_id"].map(src)
+        return g[["g", "source"]].drop_duplicates()
+
+    gs = distinct(docs.map_batches(to_pairs, batch_format="pyarrow"),
+                  ["g", "source"], num_buckets=16)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorised pair expansion: in-bucket self-merge on the gram
+        # key (C join), canonical order via the < filter — no per-gram
+        # Python loop even with millions of distinct grams per bucket
+        m = df.merge(df, on="g", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        out = m.groupby(["source_a", "source_b"], as_index=False) \
+               .size().rename(columns={"size": "n_shared"})
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out
+
+    partials = bucketed_group_apply(gs, ["g"], expand, num_buckets=16)
+    agg = bucketed_sum(partials, ["source_a", "source_b"],
+                       ["n_shared"], num_buckets=2)
+    out_schema = pa.schema([("source_a", pa.string()),
+                            ("source_b", pa.string()),
+                            ("n_shared", pa.int64())])
+    return agg.map_batches(
+        lambda t: t.select(["source_a", "source_b", "n_shared"])
+                   .cast(out_schema), batch_format="pyarrow")
+
+
+def q_user_first_last_events(sf_dir: str) -> rd.Dataset:
+    """Per-user first/last panel (the session-boundary feature row):
+    first and last event id + type in (ts, event_id) order, plus the
+    event count.  Per-batch partials prune each user to two candidate
+    rows + a count; ONE bucketed fold recomputes the arg-extremes."""
+    from ..stages.groups import bucketed_group_apply
+    from .analytics import bucketed_sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort", ignore_index=True)
+        g = df.groupby("user_id", sort=False)
+        first = g.head(1).rename(columns={
+            "ts": "first_ts", "event_id": "first_event_id",
+            "event_type": "first_type"})
+        last = g.tail(1).rename(columns={
+            "ts": "last_ts", "event_id": "last_event_id",
+            "event_type": "last_type"})
+        n = g.size().rename("n").reset_index()
+        out = first.merge(last, on="user_id").merge(n, on="user_id")
+        out["n"] = out["n"].astype("int64")
+        return out[["user_id", "first_ts", "first_event_id",
+                    "first_type", "last_ts", "last_event_id",
+                    "last_type", "n"]]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        f = df.sort_values(["user_id", "first_ts", "first_event_id"],
+                           kind="mergesort").drop_duplicates(
+            "user_id", keep="first")
+        l = df.sort_values(["user_id", "last_ts", "last_event_id"],
+                           kind="mergesort").drop_duplicates(
+            "user_id", keep="last")
+        n = df.groupby("user_id", as_index=False)["n"].sum()
+        out = f[["user_id", "first_event_id", "first_type"]].merge(
+            l[["user_id", "last_event_id", "last_type"]],
+            on="user_id").merge(n, on="user_id")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("first_event_id", pa.int64()),
+        ("first_type", pa.string()), ("last_event_id", pa.int64()),
+        ("last_type", pa.string()), ("n", pa.int64())])
+    return bucketed_group_apply(
+        ds.map_batches(part, batch_format="pandas"),
+        ["user_id"], fold, num_buckets=16, out_schema=out_schema)
+
+
 def q_orders_weighted_sample_by_status(sf_dir: str) -> "pa.Table":
     """Stratified deterministic weighted sampling: k smallest priority
     keys per order status (pipelines/analytics.py)."""
@@ -627,6 +725,14 @@ def q_doc_token_counts_jsonl(sf_dir: str) -> rd.Dataset:
     parity check (hash-matches the parquet-view oracle)."""
     from ..sources.textfiles import read_documents_jsonl
     return read_documents_jsonl(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(token_counts_batch, batch_format="pyarrow")
+
+
+def q_doc_token_counts_orc(sf_dir: str) -> rd.Dataset:
+    """Same token-count operator over the ORC ingest path (columnar
+    pruning at the source) — third source-format parity check."""
+    from ..sources.textfiles import read_documents_orc
+    return read_documents_orc(sf_dir, columns=["doc_id", "text"]) \
         .map_batches(token_counts_batch, batch_format="pyarrow")
 
 
@@ -1695,6 +1801,9 @@ QUERIES = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "orders_weighted_sample_by_status": q_orders_weighted_sample_by_status,
     "doc_readability_percentile": q_doc_readability_percentile,
+    "source_gram_overlap": q_source_gram_overlap,
+    "user_first_last_events": q_user_first_last_events,
+    "doc_token_counts_orc": q_doc_token_counts_orc,
     "lineitem_loo_stats": q_lineitem_loo_stats,
     "status_top_prices_dense": q_status_top_prices_dense,
     "user_event_types_list": q_user_event_types_list,

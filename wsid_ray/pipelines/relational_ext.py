@@ -839,23 +839,22 @@ def status_top_prices_dense(sf_dir: str, k: int = 3,
 
     top = collect_rows(bucketed_group_apply(dvals, ["o_orderstatus"],
                                             topk, num_buckets=4))
-    ranks = {}
     by_status: dict[str, list[int]] = {}
     for r in top:
         by_status.setdefault(r["o_orderstatus"], []).append(
             int(r["price_cents"]))
-    for st, vals in by_status.items():
-        for i, v in enumerate(sorted(vals, reverse=True)):
-            ranks[(st, v)] = i + 1
-    r_ref = ray.put(ranks)
+    cut = pd.DataFrame(
+        [(st, v, i + 1) for st, vals in by_status.items()
+         for i, v in enumerate(sorted(vals, reverse=True))],
+        columns=["o_orderstatus", "price_cents", "drank"])
+    cut["drank"] = cut["drank"].astype("int64")
+    r_ref = ray.put(cut)
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        rk = ray.get(r_ref)
-        mi = list(zip(df["o_orderstatus"], df["price_cents"]))
-        dr = pd.Series([rk.get(t, 0) for t in mi], index=df.index,
-                       dtype="int64")
-        out = df[dr > 0].copy()
-        out["drank"] = dr[dr > 0]
+        # broadcast merge against the tiny (status, cents, drank)
+        # cutoff table — vectorised C join, no per-row Python
+        out = df.merge(ray.get(r_ref), on=["o_orderstatus",
+                                           "price_cents"])
         return out[["o_orderstatus", "o_orderkey", "price_cents",
                     "drank"]]
 

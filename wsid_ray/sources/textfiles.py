@@ -92,3 +92,57 @@ def write_jsonl(ds: rd.Dataset, out_dir: str) -> None:
 def write_csv(ds: rd.Dataset, out_dir: str) -> None:
     """CSV sink (one shard per block via Ray's write_csv)."""
     ds.write_csv(out_dir)
+
+
+def _converted_orc(sf_dir: str, num_shards: int = 4) -> str:
+    """Deterministic sharded ORC conversion of documents.parquet (same
+    content-keyed cache contract as _converted) — ORC is the third row
+    ingest format beside JSONL/CSV, and unlike those it is columnar:
+    the reader's ``columns=`` prunes at the stripe level, not
+    post-parse."""
+    import pyarrow.orc as paorc
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    meta = pq.read_metadata(src)
+    key = (f"{sf_dir.strip('/').replace('/', '_')}"
+           f"-{meta.num_rows}-{st.st_size}-{st.st_mtime_ns}")
+    out_dir = os.path.join(_ROOT, _CONV_VERSION, key, "orc")
+    done = os.path.join(out_dir, "_done")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(src)
+    n = t.num_rows
+    step = max(1, -(-n // num_shards))
+    for s, off in enumerate(range(0, n, step)):
+        tmp = os.path.join(out_dir, f"part-{s:03d}.orc.tmp")
+        paorc.write_table(t.slice(off, step), tmp)
+        os.rename(tmp, os.path.join(out_dir, f"part-{s:03d}.orc"))
+    with open(done + ".tmp", "w") as f:
+        f.write("ok")
+    os.rename(done + ".tmp", done)
+    return out_dir
+
+
+def read_documents_orc(sf_dir: str,
+                       columns: list[str] | None = None) -> rd.Dataset:
+    """ORC source: Ray parallelises by file (read_binary_files), each
+    task decodes its shard with pyarrow.orc reading ONLY the requested
+    columns — columnar pruning at the source, unlike JSONL/CSV."""
+    import glob
+    out_dir = _converted_orc(sf_dir)
+    # explicit shard list: the directory also holds the _done marker
+    paths = sorted(glob.glob(os.path.join(out_dir, "part-*.orc")))
+
+    def decode(t: pa.Table) -> pa.Table:
+        import io
+
+        import pyarrow.orc as paorc
+        tabs = [paorc.ORCFile(io.BytesIO(b.as_py())).read(columns=columns)
+                for b in t["bytes"]]
+        return pa.concat_tables(tabs)
+
+    return rd.read_binary_files(paths).map_batches(
+        decode, batch_format="pyarrow", batch_size=1)
