@@ -1942,6 +1942,22 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_orderdate, o_orderkey
                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
+        # pipelines/sequences.user_cum_distinct_types: running DISTINCT
+        # count as a cumulative sum of first-occurrence flags
+        "user_cum_distinct_types": """
+            WITH cd AS (SELECT event_id, ts, user_id,
+                               CASE WHEN row_number() OVER (
+                                   PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) = 1
+                                    THEN 1 ELSE 0 END AS fst
+                        FROM events)
+            SELECT event_id, user_id,
+                   CAST(sum(fst) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_types
+            FROM cd
+        """,
         # pipelines/sequences.user_daily_dense: calendar densification
         # with zero fill between each user's first and last active day
         "user_daily_dense": """

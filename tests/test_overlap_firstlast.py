@@ -58,3 +58,42 @@ def test_orc_ingest_parity():
     # columnar pruning path returns only the requested columns
     two = read_documents_orc(SF, columns=["doc_id", "text"])
     assert set(two.schema().names) == {"doc_id", "text"}
+
+
+def test_user_cum_distinct_types_parity():
+    from wsid_ray.pipelines.sequences import user_cum_distinct_types
+    got = user_cum_distinct_types(SF).to_pandas() \
+        .sort_values(["user_id", "event_id"], ignore_index=True)
+    exp = _duck("""
+        WITH cd AS (SELECT event_id, ts, user_id,
+                           CASE WHEN row_number() OVER (
+                               PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+                                THEN 1 ELSE 0 END AS fst
+                    FROM events)
+        SELECT event_id, user_id,
+               CAST(sum(fst) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_types
+        FROM cd ORDER BY user_id, event_id""")
+    pd.testing.assert_frame_equal(got, exp)
+    # monotone per user, bounded by the type universe
+    assert got["cum_types"].between(1, 5).all()
+
+
+def test_orc_sink_round_trip(tmp_path):
+    import ray.data as rd
+    from wsid_ray.sources.textfiles import write_orc
+    import pyarrow.orc as paorc
+    import glob
+    src = rd.read_parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "orc_out")
+    write_orc(src, out)
+    files = sorted(glob.glob(out + "/part-*.orc"))
+    assert files
+    back = pd.concat([paorc.ORCFile(f).read().to_pandas()
+                      for f in files], ignore_index=True) \
+        .sort_values("doc_id", ignore_index=True)
+    exp = _duck("SELECT * FROM documents ORDER BY doc_id")
+    pd.testing.assert_frame_equal(back[sorted(back.columns)],
+                                  exp[sorted(exp.columns)])

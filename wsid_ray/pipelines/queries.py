@@ -1013,6 +1013,13 @@ def q_customer_rolling_orders(sf_dir: str) -> rd.Dataset:
     return customer_rolling_orders(sf_dir)
 
 
+def q_user_cum_distinct_types(sf_dir: str) -> rd.Dataset:
+    """Running distinct-count window (count(DISTINCT) OVER rewrite via
+    first-occurrence flags) — pipelines/sequences.py."""
+    from .sequences import user_cum_distinct_types
+    return user_cum_distinct_types(sf_dir)
+
+
 def q_user_daily_dense(sf_dir: str) -> rd.Dataset:
     """Time-series densification: per user, every calendar day between
     first and last activity, zero-filled (pipelines/sequences.py)."""
@@ -1804,6 +1811,7 @@ QUERIES = {
     "source_gram_overlap": q_source_gram_overlap,
     "user_first_last_events": q_user_first_last_events,
     "doc_token_counts_orc": q_doc_token_counts_orc,
+    "user_cum_distinct_types": q_user_cum_distinct_types,
     "lineitem_loo_stats": q_lineitem_loo_stats,
     "status_top_prices_dense": q_status_top_prices_dense,
     "user_event_types_list": q_user_event_types_list,

@@ -317,3 +317,31 @@ def event_user_skew(sf_dir: str, top_k: int = 10,
         "topk_sum": pa.array([top_sum], pa.int64()),
         "topk_share_micro": pa.array(
             [top_sum * 1_000_000 // n_events], pa.int64())})
+
+
+def user_cum_distinct_types(sf_dir: str, num_buckets: int = 16
+                            ) -> rd.Dataset:
+    """Running DISTINCT count window: per event, how many distinct
+    event types the user has seen UP TO AND INCLUDING it in
+    (ts, event_id) order — the exploration-breadth feature
+    (``count(DISTINCT …) OVER`` is unsupported in most engines; the
+    standard rewrite is a cumulative sum of first-occurrence flags,
+    which is exactly what the in-bucket scan computes)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort", ignore_index=True)
+        first = (~df.duplicated(["user_id", "event_type"])) \
+            .astype("int64")
+        cum = first.groupby(df["user_id"], sort=False).cumsum()
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "user_id": df["user_id"],
+                             "cum_types": cum.astype("int64")})
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("cum_types", pa.int64())])
+    return bucketed_group_apply(ds, ["user_id"], win,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)

@@ -146,3 +146,38 @@ def read_documents_orc(sf_dir: str,
 
     return rd.read_binary_files(paths).map_batches(
         decode, batch_format="pyarrow", batch_size=1)
+
+
+def write_orc(ds: rd.Dataset, out_dir: str) -> None:
+    """ORC sink — one shard file per block (completes the format matrix:
+    parquet / JSONL / CSV / ORC all read AND written).  Implemented as a
+    per-block map that writes its own shard (atomic rename) because Ray
+    Data ships no native ORC datasink; shard names are content-hashed so
+    re-runs converge."""
+    import hashlib
+    import io
+
+    import pyarrow.orc as paorc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "rows": pa.array([], type=pa.int64())})
+        buf = io.BytesIO()
+        paorc.write_table(t, buf)
+        payload = buf.getvalue()
+        name = hashlib.md5(payload).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{name}.orc")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.rename(tmp, path)
+        return pa.table({"path": pa.array([path], type=pa.string()),
+                         "rows": pa.array([t.num_rows],
+                                          type=pa.int64())})
+
+    # materialize the tiny manifest stream to force the writes
+    ds.map_batches(write_block, batch_format="pyarrow",
+                   batch_size=None).materialize()
