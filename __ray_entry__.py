@@ -1406,6 +1406,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM tpos WHERE {conds} GROUP BY day"""
         for conds, _m, term in _sql_multi_terms())
+    # shared by doc_dup_components and dup_component_sizes
+    dupcomp_sql = f"""
+            WITH RECURSIVE p AS (
+                SELECT doc_a, doc_b FROM (
+                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM ({_sql_doc_simhash(tok)}) a
+                    JOIN ({_sql_doc_simhash(tok)}) b
+                      ON a.doc_id < b.doc_id
+                    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+                )
+            ),
+            nodes AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_a AS doc_id FROM p
+                    UNION ALL SELECT doc_b FROM p)
+            ),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION ALL SELECT doc_b, doc_a FROM p),
+            reach AS (
+                SELECT doc_id, doc_id AS r FROM nodes
+                UNION
+                SELECT e.a AS doc_id, reach.r
+                FROM e JOIN reach ON reach.doc_id = e.b
+            )
+            SELECT doc_id, min(r) AS canon_id FROM reach GROUP BY doc_id
+        """
 
     return {
         # --- planted-duplicate curation ops (stages/setsim.py): the
@@ -2412,30 +2438,28 @@ def oracle_sql() -> dict[str, str]:
                       FROM reach GROUP BY doc_id)
             SELECT doc_id, kept_by FROM canon WHERE doc_id <> kept_by
         """,
-        "doc_dup_components": f"""
-            WITH RECURSIVE p AS (
-                SELECT doc_a, doc_b FROM (
-                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                    FROM ({_sql_doc_simhash(tok)}) a
-                    JOIN ({_sql_doc_simhash(tok)}) b
-                      ON a.doc_id < b.doc_id
-                    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-                )
-            ),
-            nodes AS (
-                SELECT DISTINCT doc_id FROM (
-                    SELECT doc_a AS doc_id FROM p
-                    UNION ALL SELECT doc_b FROM p)
-            ),
-            e AS (SELECT doc_a AS a, doc_b AS b FROM p
-                  UNION ALL SELECT doc_b, doc_a FROM p),
-            reach AS (
-                SELECT doc_id, doc_id AS r FROM nodes
-                UNION
-                SELECT e.a AS doc_id, reach.r
-                FROM e JOIN reach ON reach.doc_id = e.b
-            )
-            SELECT doc_id, min(r) AS canon_id FROM reach GROUP BY doc_id
+        "doc_dup_components": dupcomp_sql,
+        # pipelines/queries.q_dup_component_sizes: component-size
+        # histogram over the same components
+        "dup_component_sizes": f"""
+            SELECT component_size,
+                   CAST(count(*) AS BIGINT) AS n_components
+            FROM (SELECT canon_id,
+                         CAST(count(*) AS BIGINT) AS component_size
+                  FROM ({dupcomp_sql}) GROUP BY canon_id)
+            GROUP BY component_size
+        """,
+        # pipelines/queries.q_event_type_transitions: Markov bigram
+        # counts over each user's ordered event stream
+        "event_type_transitions": """
+            WITH mtr AS (SELECT event_type,
+                                lag(event_type) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_type
+                         FROM events)
+            SELECT prev_type, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM mtr WHERE prev_type IS NOT NULL GROUP BY 1, 2
         """,
         # flagship sense chain downstream of the induced inventory
         # (artifact-anchored — see _sql_linked_mentions / artifacts.py)

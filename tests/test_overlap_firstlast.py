@@ -97,3 +97,31 @@ def test_orc_sink_round_trip(tmp_path):
     exp = _duck("SELECT * FROM documents ORDER BY doc_id")
     pd.testing.assert_frame_equal(back[sorted(back.columns)],
                                   exp[sorted(exp.columns)])
+
+
+def test_event_type_transitions_parity():
+    from wsid_ray.pipelines.queries import q_event_type_transitions
+    got = q_event_type_transitions(SF).to_pandas() \
+        .sort_values(["prev_type", "event_type"], ignore_index=True)
+    exp = _duck("""
+        WITH mtr AS (SELECT event_type, lag(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                         AS prev_type FROM events)
+        SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM mtr WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2""")
+    pd.testing.assert_frame_equal(got, exp)
+    # total transitions == events - users (each user loses its first)
+    tot = _duck("SELECT count(*) AS e, count(DISTINCT user_id) AS u "
+                "FROM events").iloc[0]
+    assert got["n"].sum() == tot["e"] - tot["u"]
+
+
+def test_dup_component_sizes_mass():
+    from wsid_ray.pipelines.queries import (q_doc_dup_components,
+                                            q_dup_component_sizes)
+    hist = q_dup_component_sizes(SF).to_pandas()
+    comp = q_doc_dup_components(SF).to_pandas()
+    assert (hist["component_size"] >= 2).all()   # components are >= a pair
+    assert (hist["component_size"] * hist["n_components"]).sum() \
+        == len(comp)

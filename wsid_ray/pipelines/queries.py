@@ -1013,6 +1013,69 @@ def q_customer_rolling_orders(sf_dir: str) -> rd.Dataset:
     return customer_rolling_orders(sf_dir)
 
 
+def q_event_type_transitions(sf_dir: str) -> rd.Dataset:
+    """Markov transition counts (prev_type -> type within each user's
+    (ts, event_id) order) — the bigram prior sequence models start
+    from.  Per-user transitions materialise inside the bucket, fold to
+    (prev, type) partial counts there, and ONE tiny bucketed sum
+    finishes: the second shuffle moves at most |types|^2 rows per
+    bucket."""
+    from ..stages.groups import bucketed_group_apply
+    from .analytics import bucketed_sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort", ignore_index=True)
+        prev = df.groupby("user_id", sort=False)["event_type"].shift(1)
+        out = pd.DataFrame({"prev_type": prev,
+                            "event_type": df["event_type"]})
+        out = out[prev.notna()]
+        g = out.groupby(["prev_type", "event_type"],
+                        as_index=False).size() \
+               .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    partials = bucketed_group_apply(ds, ["user_id"], part,
+                                    num_buckets=16)
+    agg = bucketed_sum(partials, ["prev_type", "event_type"], ["n"],
+                       num_buckets=2)
+    out_schema = pa.schema([("prev_type", pa.string()),
+                            ("event_type", pa.string()),
+                            ("n", pa.int64())])
+    return agg.map_batches(
+        lambda t: t.select(["prev_type", "event_type", "n"])
+                   .cast(out_schema), batch_format="pyarrow")
+
+
+def q_dup_component_sizes(sf_dir: str) -> rd.Dataset:
+    """Dedup-analytics rollup: histogram of near-dup component sizes
+    (component_size, n_components) over the simhash connected
+    components — the chart that tells you whether duplication is
+    pairwise noise or giant mirror clusters."""
+    from .analytics import bucketed_sum, partial_count
+
+    comp = q_doc_dup_components(sf_dir)
+    sizes = partial_count(comp, ["canon_id"], out_name="sz")
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"component_size": df["sz"].astype("int64")})
+
+    hist = bucketed_sum(
+        partial_count(sizes.map_batches(rename, batch_format="pandas"),
+                      ["component_size"], out_name="n_components"),
+        ["component_size"], ["n_components"], num_buckets=2)
+    out_schema = pa.schema([("component_size", pa.int64()),
+                            ("n_components", pa.int64())])
+    return hist.map_batches(
+        lambda t: t.select(["component_size", "n_components"])
+                   .cast(out_schema), batch_format="pyarrow")
+
+
 def q_user_cum_distinct_types(sf_dir: str) -> rd.Dataset:
     """Running distinct-count window (count(DISTINCT) OVER rewrite via
     first-occurrence flags) — pipelines/sequences.py."""
@@ -1812,6 +1875,8 @@ QUERIES = {
     "user_first_last_events": q_user_first_last_events,
     "doc_token_counts_orc": q_doc_token_counts_orc,
     "user_cum_distinct_types": q_user_cum_distinct_types,
+    "event_type_transitions": q_event_type_transitions,
+    "dup_component_sizes": q_dup_component_sizes,
     "lineitem_loo_stats": q_lineitem_loo_stats,
     "status_top_prices_dense": q_status_top_prices_dense,
     "user_event_types_list": q_user_event_types_list,
