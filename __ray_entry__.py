@@ -2449,6 +2449,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM ({dupcomp_sql}) GROUP BY canon_id)
             GROUP BY component_size
         """,
+        # pipelines/queries.q_events_dow_hour_heatmap: ISO dow x hour
+        # seasonality counts
+        "events_dow_hour_heatmap": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        # pipelines/queries.q_user_median_gap: per-user
+        # percentile_disc(0.5) over the LAG gap contract
+        "user_median_gap": """
+            WITH gg AS (SELECT user_id, event_id,
+                               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS gap_us
+                        FROM events),
+            gv AS (SELECT * FROM gg WHERE gap_us IS NOT NULL),
+            gr AS (SELECT user_id, gap_us,
+                          row_number() OVER (PARTITION BY user_id
+                              ORDER BY gap_us, event_id) AS rn,
+                          CAST(count(*) OVER (PARTITION BY user_id)
+                               AS BIGINT) AS n
+                   FROM gv)
+            SELECT user_id, n, CAST(gap_us AS BIGINT) AS median_gap_us
+            FROM gr WHERE rn = (n * 50 + 99) // 100
+        """,
         # pipelines/queries.q_event_type_transitions: Markov bigram
         # counts over each user's ordered event stream
         "event_type_transitions": """

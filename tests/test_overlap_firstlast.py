@@ -125,3 +125,44 @@ def test_dup_component_sizes_mass():
     assert (hist["component_size"] >= 2).all()   # components are >= a pair
     assert (hist["component_size"] * hist["n_components"]).sum() \
         == len(comp)
+
+
+def test_events_dow_hour_heatmap_parity():
+    from wsid_ray.pipelines.queries import q_events_dow_hour_heatmap
+    got = q_events_dow_hour_heatmap(SF).to_pandas() \
+        .sort_values(["dow", "hour"], ignore_index=True)
+    exp = _duck("""
+        SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["dow"].between(1, 7).all()
+    assert got["hour"].between(0, 23).all()
+
+
+def test_user_median_gap_parity():
+    from wsid_ray.pipelines.queries import q_user_median_gap
+    got = q_user_median_gap(SF).to_pandas() \
+        .sort_values("user_id", ignore_index=True)
+    exp = _duck("""
+        WITH gg AS (SELECT user_id, event_id,
+                           epoch_us(ts) - epoch_us(lag(ts) OVER (
+                               PARTITION BY user_id
+                               ORDER BY ts, event_id)) AS gap_us
+                    FROM events),
+        gv AS (SELECT * FROM gg WHERE gap_us IS NOT NULL),
+        gr AS (SELECT user_id, gap_us,
+                      row_number() OVER (PARTITION BY user_id
+                          ORDER BY gap_us, event_id) AS rn,
+                      CAST(count(*) OVER (PARTITION BY user_id)
+                           AS BIGINT) AS n
+               FROM gv)
+        SELECT user_id, n, CAST(gap_us AS BIGINT) AS median_gap_us
+        FROM gr WHERE rn = (n * 50 + 99) // 100
+        ORDER BY user_id""")
+    pd.testing.assert_frame_equal(got, exp)
+    # one median row per user that has >= 2 events
+    multi = _duck("SELECT count(*) AS c FROM (SELECT user_id FROM events"
+                  " GROUP BY user_id HAVING count(*) >= 2)").iloc[0]["c"]
+    assert len(got) == multi

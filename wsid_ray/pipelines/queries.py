@@ -1013,6 +1013,71 @@ def q_customer_rolling_orders(sf_dir: str) -> rd.Dataset:
     return customer_rolling_orders(sf_dir)
 
 
+def q_events_dow_hour_heatmap(sf_dir: str) -> rd.Dataset:
+    """Calendar-feature heatmap: event counts by (ISO day-of-week,
+    hour) — the seasonality panel; exercises the date-part kernel
+    family.  Per-batch partials, one tiny bucketed sum (the key space
+    is 7 x 24)."""
+    from .analytics import bucketed_sum
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].astype("datetime64[us]")
+        g = pd.DataFrame({
+            "dow": (ts.dt.dayofweek + 1).astype("int64"),   # ISO 1=Mon
+            "hour": ts.dt.hour.astype("int64")})
+        out = g.groupby(["dow", "hour"], as_index=False).size() \
+               .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = bucketed_sum(ds.map_batches(part, batch_format="pandas"),
+                       ["dow", "hour"], ["n"], num_buckets=2)
+    out_schema = pa.schema([("dow", pa.int64()), ("hour", pa.int64()),
+                            ("n", pa.int64())])
+    return agg.map_batches(
+        lambda t: t.select(["dow", "hour", "n"]).cast(out_schema),
+        batch_format="pyarrow")
+
+
+def q_user_median_gap(sf_dir: str,
+                      bin_us: int = 3_600_000_000) -> rd.Dataset:
+    """Per-user MEDIAN inter-event gap (percentile_disc(0.5) order
+    statistic) on the generic exact two-pass rank machinery — thousands
+    of user partitions, none co-located; the gap column reuses the
+    already-mirrored LAG contract."""
+    from .analytics import exact_partitioned_ranks
+    from .sequences import user_event_gaps
+
+    gaps = user_event_gaps(sf_dir)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["gap_us"].notna()]
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "gap_us": df["gap_us"].astype("int64"),
+            "event_id": df["event_id"].astype("int64")})
+
+    pr = gaps.map_batches(pairs, batch_format="pandas")
+    out_schema = pa.schema([("user_id", pa.int64()), ("n", pa.int64()),
+                            ("median_gap_us", pa.int64())])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        rn = start + np.arange(len(g), dtype=np.int64) + 1
+        hit = g[rn == (n * 50 + 99) // 100]
+        if not len(hit):
+            return out_schema.empty_table().to_pandas()
+        return pd.DataFrame({
+            "user_id": hit["user_id"].to_numpy(),
+            "n": np.int64(n),
+            "median_gap_us": hit["gap_us"].to_numpy()})
+
+    return exact_partitioned_ranks(pr, "user_id", "gap_us", "event_id",
+                                   bin_us, emit, out_schema,
+                                   num_buckets=8)
+
+
 def q_event_type_transitions(sf_dir: str) -> rd.Dataset:
     """Markov transition counts (prev_type -> type within each user's
     (ts, event_id) order) — the bigram prior sequence models start
@@ -1877,6 +1942,8 @@ QUERIES = {
     "user_cum_distinct_types": q_user_cum_distinct_types,
     "event_type_transitions": q_event_type_transitions,
     "dup_component_sizes": q_dup_component_sizes,
+    "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
+    "user_median_gap": q_user_median_gap,
     "lineitem_loo_stats": q_lineitem_loo_stats,
     "status_top_prices_dense": q_status_top_prices_dense,
     "user_event_types_list": q_user_event_types_list,
