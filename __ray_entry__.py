@@ -2409,6 +2409,36 @@ def oracle_sql() -> dict[str, str]:
         # clustering unrolled into CTE rounds under the cw.py v2 integer
         # determinism contract (see _sql_sense_inventory)
         "sense_inventory": _sql_sense_inventory(tr, tok, gaz, algo="cw"),
+        # pipelines/queries.q_sense_inventory_stats: model-size rollup
+        # over the SQL-checked induced inventory
+        "sense_inventory_stats": f"""
+            SELECT term,
+                   CAST(count(DISTINCT sense_id) AS BIGINT) AS n_senses,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CAST(floor(weight * 1e6 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_weight_micro
+            FROM ({_sql_sense_inventory(tr, tok, gaz, algo="cw")})
+            GROUP BY term
+        """,
+        # pipelines/queries.q_mention_link_rate: per-term link-rate
+        # panel over the linked-mention chain
+        "mention_link_rate": f"""
+            WITH lg AS (SELECT term, CAST(count(*) AS BIGINT)
+                               AS n_mentions,
+                               CAST(count(*) FILTER (sense_id >= 0)
+                                    AS BIGINT) AS n_linked
+                        FROM ({linked_sel}) GROUP BY term)
+            SELECT term, n_mentions, n_linked,
+                   n_linked * 1000000 // n_mentions AS link_micro
+            FROM lg
+        """,
+        # pipelines/queries.q_triples_by_pred_daily: KG growth per
+        # predicate per first-provenance day
+        "triples_by_pred_daily": f"""
+            SELECT pred, date_trunc('day', ts) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ({_sql_triples(linked_sel)}) GROUP BY 1, 2
+        """,
         "sense_inventory_hyperlex": _sql_sense_inventory(
             tr, tok, gaz, algo="hyperlex"),
         "doc_langid": _sql_doc_langid(),

@@ -103,3 +103,32 @@ def test_embedding_dim_stats_invariants():
     assert got["sum_micro"].tolist() == q.sum(axis=0).tolist()
     assert got["min_micro"].tolist() == q.min(axis=0).tolist()
     assert got["max_micro"].tolist() == q.max(axis=0).tolist()
+
+
+def test_sense_inventory_stats_consistency():
+    from wsid_ray.pipelines.queries import (q_sense_inventory,
+                                            q_sense_inventory_stats)
+    inv = q_sense_inventory(SF)
+    st = q_sense_inventory_stats(SF)
+    assert st["n_tokens"].sum() == len(inv)
+    assert set(st["term"]) == set(inv["term"])
+    assert (st["n_senses"] >= 1).all()
+
+
+def test_mention_link_rate_consistency():
+    from wsid_ray.pipelines.queries import (q_mention_link_rate,
+                                            q_mentions_linked)
+    rate = q_mention_link_rate(SF).to_pandas()
+    lm = q_mentions_linked(SF).to_pandas()
+    assert rate["n_mentions"].sum() == len(lm)
+    assert rate["n_linked"].sum() == int((lm["sense_id"] >= 0).sum())
+    assert rate["link_micro"].between(0, 1_000_000).all()
+
+
+def test_triples_by_pred_daily_mass():
+    from wsid_ray.pipelines.queries import (q_triples,
+                                            q_triples_by_pred_daily)
+    tr = q_triples(SF).to_pandas()
+    daily = q_triples_by_pred_daily(SF).to_pandas()
+    assert daily["n"].sum() == len(tr)
+    assert set(daily["pred"]) == set(tr["pred"])

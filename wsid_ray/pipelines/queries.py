@@ -558,6 +558,80 @@ def q_lang_vocab_stats(sf_dir: str) -> "pa.Table":
                             pa.int64())})
 
 
+def q_sense_inventory_stats(sf_dir: str) -> pd.DataFrame:
+    """Inventory shape panel: per term, sense count, vector row count
+    and total weight in micro-units — the model-size audit over the
+    SQL-checked induced inventory (model-shaped, driver rollup)."""
+    inv = q_sense_inventory(sf_dir)
+    inv = inv.assign(w_micro=np.floor(
+        inv["weight"].to_numpy() * 1e6 + 0.5).astype("int64"))
+    g = inv.groupby("term", as_index=False).agg(
+        n_senses=("sense_id", "nunique"), n_tokens=("token", "size"),
+        sum_weight_micro=("w_micro", "sum"))
+    g["n_senses"] = g["n_senses"].astype("int64")
+    g["n_tokens"] = g["n_tokens"].astype("int64")
+    return g.sort_values("term", ignore_index=True)
+
+
+def q_mention_link_rate(sf_dir: str) -> rd.Dataset:
+    """Linking-quality panel: per term, mention count, linked count
+    (sense_id >= 0) and the link rate in micro-units — the KG-recall
+    dashboard row.  Partial counts per batch, one tiny bucketed sum."""
+    from .analytics import bucketed_sum
+
+    art = _flagship(sf_dir)
+    lm = art.linked_mentions.select_columns(["term", "sense_id"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(linked=(df["sense_id"] >= 0).astype("int64"))
+        g = df.groupby("term", as_index=False).agg(
+            n_mentions=("linked", "size"), n_linked=("linked", "sum"))
+        g["n_mentions"] = g["n_mentions"].astype("int64")
+        return g
+
+    agg = bucketed_sum(lm.map_batches(part, batch_format="pandas"),
+                       ["term"], ["n_mentions", "n_linked"],
+                       num_buckets=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["link_micro"] = (df["n_linked"] * 1_000_000
+                            // df["n_mentions"]).astype("int64")
+        return df[["term", "n_mentions", "n_linked", "link_micro"]]
+
+    out_schema = pa.schema([("term", pa.string()),
+                            ("n_mentions", pa.int64()),
+                            ("n_linked", pa.int64()),
+                            ("link_micro", pa.int64())])
+    return agg.map_batches(finish, batch_format="pandas").map_batches(
+        lambda t: t.cast(out_schema), batch_format="pyarrow")
+
+
+def q_triples_by_pred_daily(sf_dir: str) -> rd.Dataset:
+    """Temporal KG growth: deduped triples per predicate per calendar
+    day of their first-provenance timestamp."""
+    from .analytics import bucketed_sum
+
+    tr = _flagship(sf_dir).triples.select_columns(["pred", "ts"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("datetime64[us]").dt.floor("D")
+        g = pd.DataFrame({"pred": df["pred"], "day": day})
+        out = g.groupby(["pred", "day"], as_index=False).size() \
+               .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = bucketed_sum(tr.map_batches(part, batch_format="pandas"),
+                       ["pred", "day"], ["n"], num_buckets=2)
+    out_schema = pa.schema([("pred", pa.string()),
+                            ("day", pa.timestamp("us")),
+                            ("n", pa.int64())])
+    return agg.map_batches(
+        lambda t: t.select(["pred", "day", "n"]).cast(out_schema),
+        batch_format="pyarrow")
+
+
 def q_triples_checkpointed(sf_dir: str) -> rd.Dataset:
     """Same triple set as q_triples, via the resumable checkpointed
     pipeline (per-shard partitions + manifest)."""
@@ -1944,6 +2018,9 @@ QUERIES = {
     "dup_component_sizes": q_dup_component_sizes,
     "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
     "user_median_gap": q_user_median_gap,
+    "sense_inventory_stats": q_sense_inventory_stats,
+    "mention_link_rate": q_mention_link_rate,
+    "triples_by_pred_daily": q_triples_by_pred_daily,
     "lineitem_loo_stats": q_lineitem_loo_stats,
     "status_top_prices_dense": q_status_top_prices_dense,
     "user_event_types_list": q_user_event_types_list,
