@@ -2479,6 +2479,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM ({dupcomp_sql}) GROUP BY canon_id)
             GROUP BY component_size
         """,
+        # pipelines/queries.q_purchase_click_attribution: backward
+        # as-of with a 1 h tolerance (closed interval on both sides)
+        "purchase_click_attribution": """
+            SELECT purchase_id, user_id, click_id, gap_us FROM (
+                SELECT p.event_id AS purchase_id, p.user_id,
+                       c.event_id AS click_id,
+                       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT)
+                           AS gap_us,
+                       row_number() OVER (PARTITION BY p.event_id
+                           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                FROM events p
+                JOIN events c ON c.user_id = p.user_id
+                             AND c.event_type = 'click'
+                             AND c.ts <= p.ts
+                             AND c.ts >= p.ts - INTERVAL 1 HOUR
+                WHERE p.event_type = 'purchase'
+            ) WHERE rn = 1
+        """,
         # pipelines/queries.q_events_dow_hour_heatmap: ISO dow x hour
         # seasonality counts
         "events_dow_hour_heatmap": """

@@ -137,3 +137,20 @@ def test_cms_heavy_hitters_exact_despite_collisions():
         t for s in texts for t in s.split())
     want = {t: n for t, n in truth.items() if n >= 20}
     assert out == want
+
+
+def test_purchase_click_attribution_tolerance():
+    import pandas as pd
+    from wsid_ray.pipelines.queries import q_purchase_click_attribution
+    SF = "/root/testdata/sf0.001"
+    got = q_purchase_click_attribution(SF).to_pandas()
+    # every attribution respects the closed 1 h lookback
+    assert got["gap_us"].between(0, 3_600_000_000).all()
+    # one attribution row per purchase at most
+    assert not got.duplicated("purchase_id").any()
+    # widening the window can only add attributions
+    wide = q_purchase_click_attribution(SF,
+                                        window_us=86_400_000_000) \
+        .to_pandas()
+    assert len(wide) >= len(got)
+    assert set(got["purchase_id"]).issubset(set(wide["purchase_id"]))

@@ -1087,6 +1087,53 @@ def q_customer_rolling_orders(sf_dir: str) -> rd.Dataset:
     return customer_rolling_orders(sf_dir)
 
 
+def q_purchase_click_attribution(sf_dir: str,
+                                 window_us: int = 3_600_000_000
+                                 ) -> rd.Dataset:
+    """Attribution-window as-of join (the ads/analytics staple): each
+    purchase matched to the SAME user's most recent click within the
+    trailing hour — backward as-of with a tolerance bound, equal-ts
+    ties to the greatest click id.  Same co-partitioned sorted-merge
+    plan as asof_user_order, with the lookback enforced inside the C
+    merge (stages/joins.asof_join tolerance)."""
+    from ..stages.joins import asof_join
+
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.map_batches(
+        lambda df: df[df["event_type"] == "purchase"]
+        [["event_id", "ts", "user_id"]]
+        .rename(columns={"event_id": "purchase_id"}),
+        batch_format="pandas")
+    clicks = ev.map_batches(
+        lambda df: df[df["event_type"] == "click"]
+        [["event_id", "ts", "user_id"]]
+        .rename(columns={"event_id": "click_id",
+                         "user_id": "c_user", "ts": "c_ts"}),
+        batch_format="pandas")
+    j = asof_join(purchases, clicks, by_left="user_id",
+                  by_right="c_user", on_left="ts", on_right="c_ts",
+                  tie_right="click_id", num_buckets=16,
+                  tolerance=pd.Timedelta(microseconds=window_us))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        gap = (df["ts"].astype("datetime64[us]").astype("int64")
+               - df["c_ts"].astype("datetime64[us]").astype("int64"))
+        return pd.DataFrame({
+            "purchase_id": df["purchase_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "click_id": df["click_id"].astype("int64"),
+            "gap_us": gap.astype("int64")})
+
+    out_schema = pa.schema([("purchase_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("click_id", pa.int64()),
+                            ("gap_us", pa.int64())])
+    return j.map_batches(finish, batch_format="pandas").map_batches(
+        lambda t: t.cast(out_schema), batch_format="pyarrow")
+
+
 def q_events_dow_hour_heatmap(sf_dir: str) -> rd.Dataset:
     """Calendar-feature heatmap: event counts by (ISO day-of-week,
     hour) — the seasonality panel; exercises the date-part kernel
@@ -2018,6 +2065,7 @@ QUERIES = {
     "dup_component_sizes": q_dup_component_sizes,
     "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
     "user_median_gap": q_user_median_gap,
+    "purchase_click_attribution": q_purchase_click_attribution,
     "sense_inventory_stats": q_sense_inventory_stats,
     "mention_link_rate": q_mention_link_rate,
     "triples_by_pred_daily": q_triples_by_pred_daily,

@@ -103,7 +103,7 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
 
 @ray.remote
 def _asof_bucket(by_l, by_r, on_l, on_r, tie_r, suffixes, inner,
-                 direction, n_left, *parts):
+                 direction, tolerance, n_left, *parts):
     left_parts = [p for p in parts[:n_left] if p.num_rows]
     right_parts = [p for p in parts[n_left:] if p.num_rows]
 
@@ -127,7 +127,8 @@ def _asof_bucket(by_l, by_r, on_l, on_r, tie_r, suffixes, inner,
                           ignore_index=True)
     out = pd.merge_asof(ldf, rdf, left_on=on_l, right_on=on_r,
                         left_by=by_l, right_by=by_r,
-                        direction=direction, suffixes=suffixes)
+                        direction=direction, suffixes=suffixes,
+                        tolerance=tolerance)
     if inner:
         out = out[out[tie_r].notna()]
     target = _merged_schema(parts[0], parts[n_left], [], suffixes)
@@ -148,7 +149,8 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *,
               by_left: str, by_right: str, on_left: str, on_right: str,
               tie_right: str, inner: bool = True, num_buckets: int = 32,
               suffixes=("_l", "_r"),
-              direction: str = "backward") -> rd.Dataset:
+              direction: str = "backward",
+              tolerance=None) -> rd.Dataset:
     """As-of join: for each left row, the one right row of the same
     ``by`` key — ``direction='backward'`` (default): greatest
     ``on_right <= on_left``, equal-``on`` ties to the GREATEST
@@ -177,7 +179,7 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, *,
         parts = [s[b] for s in lsplit] + [s[b] for s in rsplit]
         outs.append(_asof_bucket.remote(
             by_left, by_right, on_left, on_right, tie_right, suffixes,
-            inner, direction, len(lsplit), *parts))
+            inner, direction, tolerance, len(lsplit), *parts))
     return rd.from_arrow_refs(drop_empty_refs(outs))
 
 
