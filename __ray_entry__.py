@@ -2574,6 +2574,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_candidates": _sql_minhash_candidates(tok),
         "doc_jaccard_pairs": _sql_jaccard_pairs(tok),
         "doc_minhash_est": _sql_minhash_est(tok),
+        # pipelines/queries.q_doc_containment_pairs: asymmetric Broder
+        # containment over LSH candidates (catches prefix-cut dups)
+        "doc_containment_pairs": f"""
+            SELECT doc_a, doc_b, cont_a_micro, cont_b_micro FROM (
+                SELECT c.doc_a, c.doc_b,
+                       CAST(floor(CAST(len(list_intersect(ca.shingles,
+                                cb.shingles)) AS DOUBLE)
+                            / len(ca.shingles) * 1e6 + 0.5) AS BIGINT)
+                           AS cont_a_micro,
+                       CAST(floor(CAST(len(list_intersect(ca.shingles,
+                                cb.shingles)) AS DOUBLE)
+                            / len(cb.shingles) * 1e6 + 0.5) AS BIGINT)
+                           AS cont_b_micro
+                FROM ({_sql_minhash_candidates(tok, 3)}) c
+                JOIN ({_sql_shingles(tok, 3)}) ca ON ca.doc_id = c.doc_a
+                JOIN ({_sql_shingles(tok, 3)}) cb ON cb.doc_id = c.doc_b
+                WHERE len(ca.shingles) > 0 AND len(cb.shingles) > 0
+            ) WHERE greatest(cont_a_micro, cont_b_micro) >= 800000
+        """,
         "doc_lsh_bucket_stats": _sql_lsh_bucket_stats(tok),
         "doc_simhash": _sql_doc_simhash(tok),
         # all-pairs oracle for the banded engine stage — exact equivalence
@@ -2606,6 +2625,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok AS term, count(*) AS n
             FROM pos WHERE tok IN ({gaz})
             GROUP BY tok{multi_counts}
+        """,
+        # pipelines/queries.q_tool_usage_stats: agent-trace telemetry
+        "tool_usage_stats": f"""
+            SELECT tool, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(count(DISTINCT role) AS BIGINT) AS n_roles
+            FROM {tr} WHERE tool <> '' GROUP BY tool
         """,
         # pipelines/queries.q_conv_turn_taking: dialog-structure panel
         "conv_turn_taking": f"""

@@ -132,3 +132,27 @@ def test_triples_by_pred_daily_mass():
     daily = q_triples_by_pred_daily(SF).to_pandas()
     assert daily["n"].sum() == len(tr)
     assert set(daily["pred"]) == set(tr["pred"])
+
+
+def test_doc_containment_pairs_asymmetry():
+    from wsid_ray.pipelines.queries import q_doc_containment_pairs
+    got = q_doc_containment_pairs(SF).to_pandas()
+    assert got[["cont_a_micro", "cont_b_micro"]].stack() \
+        .between(0, 1_000_000).all()
+    assert (got[["cont_a_micro", "cont_b_micro"]].max(axis=1)
+            >= 800_000).all()
+
+
+def test_tool_usage_stats_parity():
+    from wsid_ray.fixtures import transcripts_dir
+    from wsid_ray.pipelines.queries import q_tool_usage_stats
+    got = q_tool_usage_stats(SF).to_pandas() \
+        .sort_values("tool", ignore_index=True)
+    con = duckdb.connect()
+    exp = con.sql(f"""
+        SELECT tool, CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+               CAST(count(DISTINCT role) AS BIGINT) AS n_roles
+        FROM read_parquet('{transcripts_dir(SF)}/*.parquet')
+        WHERE tool <> '' GROUP BY tool ORDER BY tool""").df()
+    pd.testing.assert_frame_equal(got, exp)

@@ -1087,6 +1087,95 @@ def q_customer_rolling_orders(sf_dir: str) -> rd.Dataset:
     return customer_rolling_orders(sf_dir)
 
 
+def q_doc_containment_pairs(sf_dir: str,
+                            threshold: float = 0.8) -> rd.Dataset:
+    """Asymmetric shingle CONTAINMENT (Broder): per LSH candidate pair,
+    |A∩B|/|A| and |A∩B|/|B| in micro-units, kept where either side is
+    >= threshold — the detector for truncation/prefix dups that
+    symmetric Jaccard under-scores (a doc cut to 80% of another has
+    containment ~1.0 but Jaccard ~0.8).  Same joins as jaccard_pairs;
+    integer micro-unit contract."""
+    from ..stages.dedup import (_shingle_strings, minhash_candidates)
+    from ..stages.joins import hash_join
+    from ..stages.tokenize import tokenize_column
+
+    docs = read_documents(sf_dir)
+    cands = minhash_candidates(docs, shingle_k=3)
+
+    def to_sets(name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            toks = tokenize_column(t["text"]).to_pylist()
+            return pa.table({
+                name: t["doc_id"],
+                f"sh_{name}": pa.array(
+                    [_shingle_strings(ts, 3) for ts in toks],
+                    type=pa.list_(pa.string()))})
+        return fn
+
+    joined = hash_join(
+        hash_join(cands, docs.map_batches(to_sets("doc_a"),
+                                          batch_format="pyarrow"),
+                  on=["doc_a"], num_buckets=16),
+        docs.map_batches(to_sets("doc_b"), batch_format="pyarrow"),
+        on=["doc_b"], num_buckets=16)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for a, b, sa, sb in zip(df["doc_a"], df["doc_b"],
+                                df["sh_doc_a"], df["sh_doc_b"]):
+            A, B = set(sa), set(sb)
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            ca = int(np.floor(inter / len(A) * 1e6 + 0.5))
+            cb = int(np.floor(inter / len(B) * 1e6 + 0.5))
+            if max(ca, cb) >= int(threshold * 1e6):
+                rows.append((a, b, ca, cb))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b",
+                                           "cont_a_micro",
+                                           "cont_b_micro"]) \
+            .astype({"doc_a": "int64", "doc_b": "int64",
+                     "cont_a_micro": "int64", "cont_b_micro": "int64"})
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
+def q_tool_usage_stats(sf_dir: str) -> rd.Dataset:
+    """Transcript tool-usage panel: per non-empty tool tag, turn count,
+    distinct conversations and distinct roles — the agent-trace
+    telemetry rollup.  Per-batch (tool, conv, role) dedup partials,
+    one bucketed fold keyed on the tool."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = read_transcripts(sf_dir).select_columns(
+        ["conv_id", "role", "tool"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["tool"] != ""]
+        g = df.groupby(["tool", "conv_id", "role"], as_index=False) \
+              .size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["tool", "conv_id", "role"],
+                        as_index=False)["n"].sum()
+        g = df.groupby("tool", as_index=False).agg(
+            n_turns=("n", "sum"), n_convs=("conv_id", "nunique"),
+            n_roles=("role", "nunique"))
+        for c in ("n_turns", "n_convs", "n_roles"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    out_schema = pa.schema([("tool", pa.string()),
+                            ("n_turns", pa.int64()),
+                            ("n_convs", pa.int64()),
+                            ("n_roles", pa.int64())])
+    return bucketed_group_apply(
+        ds.map_batches(part, batch_format="pandas"),
+        ["tool"], fold, num_buckets=2, out_schema=out_schema)
+
+
 def q_purchase_click_attribution(sf_dir: str,
                                  window_us: int = 3_600_000_000
                                  ) -> rd.Dataset:
@@ -2066,6 +2155,8 @@ QUERIES = {
     "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
     "user_median_gap": q_user_median_gap,
     "purchase_click_attribution": q_purchase_click_attribution,
+    "doc_containment_pairs": q_doc_containment_pairs,
+    "tool_usage_stats": q_tool_usage_stats,
     "sense_inventory_stats": q_sense_inventory_stats,
     "mention_link_rate": q_mention_link_rate,
     "triples_by_pred_daily": q_triples_by_pred_daily,
