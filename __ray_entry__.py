@@ -1384,6 +1384,7 @@ def oracle_sql() -> dict[str, str]:
     from wsid_ray.artifacts import ANN_K, ANN_QUERY_IDS, ensure
     from wsid_ray.config import GAZETTEER, NPMI_MIN, STOPWORDS
     from wsid_ray.fixtures import generate, transcripts_dir
+    from wsid_ray.pipelines.queries import _HLL_ALPHA_M2
 
     generate("sf0.01")
     art = ensure("sf0.01")
@@ -2757,6 +2758,75 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         # grouped HLL: same register math per (event_type, bucket)
+        # pipelines/queries.q_event_type_hll_estimate: HLL estimate vs
+        # exact distinct (indicator sum in exact HUGEINT scaled 2^57;
+        # alpha constant injected from the engine for a bit-identical
+        # double literal)
+        "event_type_hll_estimate": f"""
+            WITH hb AS (SELECT event_type,
+                               md5_number_upper(CAST(user_id AS VARCHAR))
+                                   AS hv
+                        FROM events),
+            hf AS (SELECT event_type, CAST(hv >> 56 AS BIGINT) AS bucket,
+                          hv & CAST(((1::UBIGINT << 56) - 1) AS UBIGINT)
+                              AS w
+                   FROM hb),
+            hr AS (SELECT event_type, bucket,
+                          CAST(max(CASE WHEN w = 0 THEN 57
+                                        ELSE 57 - length(bin(w)) END)
+                               AS BIGINT) AS r
+                   FROM hf GROUP BY event_type, bucket),
+            ha AS (SELECT event_type, CAST(count(*) AS BIGINT) AS npres,
+                          SUM(CAST(1::UBIGINT << (57 - r) AS HUGEINT))
+                              AS s_pres
+                   FROM hr GROUP BY event_type),
+            hx AS (SELECT event_type,
+                          CAST(count(DISTINCT user_id) AS BIGINT)
+                              AS n_exact
+                   FROM events GROUP BY event_type),
+            he AS (SELECT a.event_type, x.n_exact,
+                          256 - a.npres AS zeros,
+                          ({_HLL_ALPHA_M2!r} * POW(2, 57))
+                          / CAST(CAST(256 - a.npres AS HUGEINT)
+                                 * CAST(1::UBIGINT << 57 AS HUGEINT)
+                                 + a.s_pres AS DOUBLE) AS raw
+                   FROM ha a JOIN hx x ON x.event_type = a.event_type),
+            hc AS (SELECT event_type, n_exact,
+                          CAST(floor(CASE WHEN raw <= 640 AND zeros > 0
+                                          THEN 256 * ln(256.0 / zeros)
+                                          ELSE raw END + 0.5) AS BIGINT)
+                              AS est
+                   FROM he)
+            SELECT event_type, n_exact, est, abs(est - n_exact) AS err
+            FROM hc
+        """,
+        # pipelines/queries.q_status_gini: exact sorted-rank Gini,
+        # HUGEINT sums, one float division rounded to micro-units
+        "status_gini": """
+            WITH gc AS (SELECT o_orderstatus,
+                               CAST(floor(o_totalprice * 100 + 0.5)
+                                    AS BIGINT) AS cents, o_orderkey
+                        FROM orders),
+            gr AS (SELECT o_orderstatus, cents,
+                          CAST(row_number() OVER (
+                              PARTITION BY o_orderstatus
+                              ORDER BY cents, o_orderkey) AS HUGEINT)
+                              AS rn,
+                          CAST(count(*) OVER (
+                              PARTITION BY o_orderstatus) AS BIGINT)
+                              AS n
+                   FROM gc)
+            SELECT o_orderstatus, max(n) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   CAST(floor(
+                       CAST(2 * SUM(rn * cents)
+                            - CAST(max(n) + 1 AS HUGEINT)
+                              * SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+                       / CAST(CAST(max(n) AS HUGEINT)
+                              * SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+                       * 1e6 + 0.5) AS BIGINT) AS gini_micro
+            FROM gr GROUP BY o_orderstatus
+        """,
         "event_type_hll_registers": """
             WITH b AS (
                 SELECT event_type,

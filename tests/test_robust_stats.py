@@ -119,3 +119,34 @@ def test_doc_readability_percentile_contract():
     # equal scores share a percentile
     dup = got.groupby("flesch_micro")["pr_micro"].nunique()
     assert (dup == 1).all()
+
+
+def test_event_type_hll_estimate_quality():
+    from wsid_ray.pipelines.queries import q_event_type_hll_estimate
+    SF = "/root/testdata/sf0.001"
+    t = q_event_type_hll_estimate(SF).to_pandas()
+    assert (t["err"] == (t["est"] - t["n_exact"]).abs()).all()
+    # HLL with 256 registers: ~6.5% rse; allow 4 sigma
+    assert (t["err"] <= (t["n_exact"] * 0.26).clip(lower=10)).all()
+
+
+def test_status_gini_direct():
+    import duckdb
+    import numpy as np
+    from wsid_ray.pipelines.queries import q_status_gini
+    SF = "/root/testdata/sf0.001"
+    got = q_status_gini(SF).to_pandas().set_index("o_orderstatus")
+    con = duckdb.connect()
+    df = con.sql(f"SELECT o_orderstatus, o_orderkey, o_totalprice FROM "
+                 f"read_parquet('{SF}/orders.parquet')").df()
+    df["cents"] = np.floor(df["o_totalprice"] * 100 + 0.5).astype("int64")
+    for st, g in df.groupby("o_orderstatus"):
+        x = g.sort_values(["cents", "o_orderkey"])["cents"] \
+            .to_numpy()
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=object)
+        num = 2 * int((i * x.astype(object)).sum()) - (n + 1) * int(x.sum())
+        gini = float(num) / float(n * int(x.sum()))
+        assert got.loc[st, "gini_micro"] == int(np.floor(gini * 1e6
+                                                         + 0.5))
+        assert 0 <= got.loc[st, "gini_micro"] < 1_000_000

@@ -1087,6 +1087,115 @@ def q_customer_rolling_orders(sf_dir: str) -> rd.Dataset:
     return customer_rolling_orders(sf_dir)
 
 
+_HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / 256) * 65536.0
+
+
+def q_event_type_hll_estimate(sf_dir: str) -> "pa.Table":
+    """Sketch-quality audit #2 (after doc_minhash_est): per event type,
+    the HyperLogLog cardinality ESTIMATE derived from the already
+    hash-exact registers beside the exact distinct count, plus the
+    absolute error — Flajolet et al. 2007 with the small-range linear
+    counting branch.  The indicator sum Σ2^-r runs in exact python ints
+    scaled by 2^57 (mirror: HUGEINT) so the only floats are the final
+    two (division and the optional ln), each rounded once."""
+    from ..stages.groups import distinct
+    from ..util import collect_rows
+    from .analytics import bucketed_sum, partial_count
+
+    regs = collect_rows(q_event_type_hll_registers(sf_dir))
+    exact = collect_rows(bucketed_sum(
+        partial_count(
+            distinct(read_parquet_clean(
+                f"{sf_dir}/events.parquet",
+                columns=["event_type", "user_id"]),
+                ["event_type", "user_id"], num_buckets=8),
+            ["event_type"], out_name="n_exact"),
+        ["event_type"], ["n_exact"], num_buckets=2))
+    n_of = {r["event_type"]: int(r["n_exact"]) for r in exact}
+
+    by_type: dict[str, list[int]] = {}
+    for r in regs:
+        by_type.setdefault(r["event_type"], []).append(int(r["r"]))
+
+    rows = []
+    for et in sorted(n_of):
+        rs = by_type.get(et, [])
+        npres = len(rs)
+        zeros = 256 - npres
+        s_e57 = zeros * (1 << 57) + sum(1 << (57 - r) for r in rs)
+        raw = (_HLL_ALPHA_M2 * float(2 ** 57)) / float(s_e57)
+        if raw <= 640.0 and zeros > 0:
+            est = 256.0 * np.log(256.0 / zeros)
+        else:
+            est = raw
+        est_i = int(np.floor(est + 0.5))
+        rows.append((et, n_of[et], est_i, abs(est_i - n_of[et])))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_exact": pa.array([r[1] for r in rows], pa.int64()),
+        "est": pa.array([r[2] for r in rows], pa.int64()),
+        "err": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def q_status_gini(sf_dir: str, bin_cents: int = 100_000) -> "pa.Table":
+    """Exact Gini coefficient of order value per status — the
+    inequality/concentration metric, computed from the sorted-rank
+    identity G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) on the generic two-pass
+    rank machinery (no status co-located).  Per-bin Σrank·x partials
+    carry as decimal strings (python-int exact past int64, the PCA
+    precedent); the single float division happens once at the end,
+    rounded to micro-units."""
+    from ..util import collect_rows
+    from .analytics import _cents, exact_partitioned_ranks
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderstatus": df["o_orderstatus"],
+            "cents": _cents(df["o_totalprice"].to_numpy()),
+            "o_orderkey": df["o_orderkey"].astype("int64")})
+
+    src = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    pr = src.map_batches(pairs, batch_format="pandas")
+
+    part_schema = pa.schema([("o_orderstatus", pa.string()),
+                             ("n_g", pa.int64()), ("sx", pa.int64()),
+                             ("sixi", pa.string()), ("n", pa.int64())])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        ranks = start + np.arange(len(g), dtype=np.int64) + 1
+        x = g["cents"].to_numpy()
+        sixi = sum(int(r) * int(v) for r, v in zip(ranks, x))
+        return pd.DataFrame({
+            "o_orderstatus": [g["o_orderstatus"].iloc[0]],
+            "n_g": [int(len(g))], "sx": [int(x.sum())],
+            "sixi": [str(sixi)], "n": [int(n)]})
+
+    parts = collect_rows(exact_partitioned_ranks(
+        pr, "o_orderstatus", "cents", "o_orderkey", bin_cents, emit,
+        part_schema, num_buckets=8))
+    agg: dict[str, dict] = {}
+    for r in parts:
+        a = agg.setdefault(r["o_orderstatus"],
+                           {"sx": 0, "sixi": 0, "n": int(r["n"])})
+        a["sx"] += int(r["sx"])
+        a["sixi"] += int(r["sixi"])
+    rows = []
+    for st in sorted(agg):
+        a = agg[st]
+        n, sx, sixi = a["n"], a["sx"], a["sixi"]
+        num = 2 * sixi - (n + 1) * sx
+        g = float(num) / float(n * sx)
+        rows.append((st, n, sx,
+                     int(np.floor(g * 1e6 + 0.5))))
+    return pa.table({
+        "o_orderstatus": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "sum_cents": pa.array([r[2] for r in rows], pa.int64()),
+        "gini_micro": pa.array([r[3] for r in rows], pa.int64())})
+
+
 def q_doc_containment_pairs(sf_dir: str,
                             threshold: float = 0.8) -> rd.Dataset:
     """Asymmetric shingle CONTAINMENT (Broder): per LSH candidate pair,
@@ -2157,6 +2266,8 @@ QUERIES = {
     "purchase_click_attribution": q_purchase_click_attribution,
     "doc_containment_pairs": q_doc_containment_pairs,
     "tool_usage_stats": q_tool_usage_stats,
+    "event_type_hll_estimate": q_event_type_hll_estimate,
+    "status_gini": q_status_gini,
     "sense_inventory_stats": q_sense_inventory_stats,
     "mention_link_rate": q_mention_link_rate,
     "triples_by_pred_daily": q_triples_by_pred_daily,
