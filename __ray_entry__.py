@@ -2619,6 +2619,41 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest({tok}) AS token FROM {tr}) tok
             GROUP BY tok.token
         """,
+        # pipelines/queries.q_token_zipf_fit: integer-contract
+        # least-squares over micro-quantised logs (HUGEINT sums; slope
+        # then intercept, each one float division, same op order)
+        "token_zipf_fit": f"""
+            WITH zu AS (SELECT tok.token AS token, count(*) AS n
+                        FROM (SELECT unnest({tok}) AS token FROM {tr})
+                            tok
+                        GROUP BY tok.token),
+            zr AS (SELECT n, row_number() OVER (ORDER BY n DESC, token)
+                          AS rk
+                   FROM zu),
+            zq AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e6 + 0.5)
+                               AS BIGINT) AS lx,
+                          CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5)
+                               AS BIGINT) AS ly
+                   FROM zr),
+            za AS (SELECT CAST(count(*) AS HUGEINT) AS nn,
+                          SUM(CAST(lx AS HUGEINT)) AS sx,
+                          SUM(CAST(ly AS HUGEINT)) AS sy,
+                          SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
+                          SUM(CAST(lx AS HUGEINT) * lx) AS sxx
+                   FROM zq),
+            zs AS (SELECT nn, sx, sy,
+                          CAST(nn * sxy - sx * sy AS DOUBLE)
+                          / CAST(nn * sxx - sx * sx AS DOUBLE) AS slope
+                   FROM za)
+            SELECT CAST(nn AS BIGINT) AS n_types,
+                   CAST(floor(slope * 1e6 + 0.5) AS BIGINT)
+                       AS slope_micro,
+                   CAST(floor((CAST(sy AS DOUBLE)
+                               - slope * CAST(sx AS DOUBLE))
+                              / CAST(nn AS DOUBLE) + 0.5) AS BIGINT)
+                       AS intercept_micro
+            FROM zs
+        """,
         "mention_counts": f"""
             WITH toks AS (SELECT {tok} AS tokens FROM {tr}),
             pos AS (SELECT tokens, unnest(tokens) AS tok,

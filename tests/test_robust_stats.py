@@ -150,3 +150,21 @@ def test_status_gini_direct():
         assert got.loc[st, "gini_micro"] == int(np.floor(gini * 1e6
                                                          + 0.5))
         assert 0 <= got.loc[st, "gini_micro"] < 1_000_000
+
+
+def test_token_zipf_fit_direct():
+    import numpy as np
+    from wsid_ray.pipelines.queries import (q_token_zipf_fit,
+                                            q_unigram_counts)
+    SF = "/root/testdata/sf0.001"
+    got = q_token_zipf_fit(SF).to_pandas().iloc[0]
+    counts = q_unigram_counts(SF).to_pandas() \
+        .sort_values(["n", "token"], ascending=[False, True],
+                     ignore_index=True)
+    assert got["n_types"] == len(counts)
+    # slope should be negative (Zipf) and near the unquantised LSQ fit
+    lx = np.log(np.arange(1, len(counts) + 1))
+    ly = np.log(counts["n"].to_numpy().astype(float))
+    slope = np.polyfit(lx, ly, 1)[0]
+    assert got["slope_micro"] < 0
+    assert abs(got["slope_micro"] / 1e6 - slope) < 1e-3

@@ -1090,6 +1090,39 @@ def q_customer_rolling_orders(sf_dir: str) -> rd.Dataset:
 _HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / 256) * 65536.0
 
 
+def q_token_zipf_fit(sf_dir: str) -> "pa.Table":
+    """Zipf-law fit: least-squares slope/intercept of log(freq) against
+    log(rank) over the corpus unigram distribution — the
+    natural-language sanity check run on every new corpus.  The
+    regression is an INTEGER contract (new machinery family): both log
+    columns quantise to micro-units (numpy-vs-DuckDB ln parity already
+    proven by the NPMI chain), all five regression sums run in exact
+    python ints (HUGEINT mirror), and the two final divisions are the
+    only floats, each rounded once.  The count table is model-shaped
+    (vocabulary-bounded), so the driver fold is the same size class as
+    the inventory fit."""
+    from ..util import collect_rows
+
+    counts = collect_rows(q_unigram_counts(sf_dir))
+    counts.sort(key=lambda r: (-int(r["n"]), r["token"]))
+    lx, ly = [], []
+    for i, r in enumerate(counts):
+        lx.append(int(np.floor(np.log(float(i + 1)) * 1e6 + 0.5)))
+        ly.append(int(np.floor(np.log(float(r["n"])) * 1e6 + 0.5)))
+    nn = len(counts)
+    sx, sy = sum(lx), sum(ly)
+    sxy = sum(a * b for a, b in zip(lx, ly))
+    sxx = sum(a * a for a in lx)
+    slope = float(nn * sxy - sx * sy) / float(nn * sxx - sx * sx)
+    intercept = (float(sy) - slope * float(sx)) / float(nn)
+    return pa.table({
+        "n_types": pa.array([nn], pa.int64()),
+        "slope_micro": pa.array([int(np.floor(slope * 1e6 + 0.5))],
+                                pa.int64()),
+        "intercept_micro": pa.array(
+            [int(np.floor(intercept + 0.5))], pa.int64())})
+
+
 def q_event_type_hll_estimate(sf_dir: str) -> "pa.Table":
     """Sketch-quality audit #2 (after doc_minhash_est): per event type,
     the HyperLogLog cardinality ESTIMATE derived from the already
@@ -2268,6 +2301,7 @@ QUERIES = {
     "tool_usage_stats": q_tool_usage_stats,
     "event_type_hll_estimate": q_event_type_hll_estimate,
     "status_gini": q_status_gini,
+    "token_zipf_fit": q_token_zipf_fit,
     "sense_inventory_stats": q_sense_inventory_stats,
     "mention_link_rate": q_mention_link_rate,
     "triples_by_pred_daily": q_triples_by_pred_daily,
