@@ -96,6 +96,16 @@ def run_bench() -> dict:
         side["doc_dedup_spans"] = q_doc_dedup_spans
         side["doc_tfidf_pair_sim"] = q_doc_tfidf_pair_sim
         side["embedding_pca_projection"] = q_embedding_pca_projection
+    # r4 batch-C additions (corpus-heavy new operators — first baselines)
+    from wsid_ray.pipelines.queries import (q_doc_minhash_est,
+                                            q_source_gram_overlap,
+                                            q_user_cum_distinct_types,
+                                            q_user_median_gap)
+    if side:
+        side["doc_minhash_est"] = q_doc_minhash_est
+        side["source_gram_overlap"] = q_source_gram_overlap
+        side["user_median_gap"] = q_user_median_gap
+        side["user_cum_distinct_types"] = q_user_cum_distinct_types
     for name, fn in side.items():
         t0 = time.time()
         res = fn(sf_dir)
