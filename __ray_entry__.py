@@ -2662,6 +2662,39 @@ def oracle_sql() -> dict[str, str]:
             FROM pos WHERE tok IN ({gaz})
             GROUP BY tok{multi_counts}
         """,
+        # pipelines/queries.q_orders_benford: first-digit forensics
+        "orders_benford": """
+            WITH bd AS (SELECT CAST(substr(CAST(CAST(floor(
+                                   o_totalprice * 100 + 0.5) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS BIGINT)
+                               AS digit
+                        FROM orders),
+            bg AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                   FROM bd GROUP BY digit)
+            SELECT digit, n,
+                   CAST(n * 1000000 // (SELECT sum(n) FROM bg)
+                        AS BIGINT) AS share_micro
+            FROM bg
+        """,
+        # pipelines/queries.q_conv_response_latency: assistant-after-
+        # user response gaps per conversation (sum + count, no float)
+        "conv_response_latency": f"""
+            WITH rl AS (SELECT conv_id, role, ts,
+                               lag(role) OVER w AS prev_role,
+                               lag(ts) OVER w AS prev_ts
+                        FROM {tr}
+                        WINDOW w AS (PARTITION BY conv_id
+                                     ORDER BY turn_idx))
+            SELECT conv_id,
+                   CAST(count(*) FILTER (role = 'assistant'
+                        AND prev_role = 'user') AS BIGINT)
+                       AS n_responses,
+                   CAST(coalesce(sum(epoch_us(ts) - epoch_us(prev_ts))
+                        FILTER (role = 'assistant'
+                                AND prev_role = 'user'), 0) AS BIGINT)
+                       AS sum_gap_us
+            FROM rl GROUP BY conv_id
+        """,
         # pipelines/queries.q_tool_usage_stats: agent-trace telemetry
         "tool_usage_stats": f"""
             SELECT tool, CAST(count(*) AS BIGINT) AS n_turns,

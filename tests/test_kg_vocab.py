@@ -156,3 +156,38 @@ def test_tool_usage_stats_parity():
         FROM read_parquet('{transcripts_dir(SF)}/*.parquet')
         WHERE tool <> '' GROUP BY tool ORDER BY tool""").df()
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_orders_benford_mass_and_shape():
+    from wsid_ray.pipelines.queries import q_orders_benford
+    got = q_orders_benford(SF).to_pandas()
+    assert set(got["digit"]).issubset(set(range(1, 10)))
+    assert got["share_micro"].sum() <= 1_000_000
+    con = duckdb.connect()
+    n = con.sql(f"SELECT count(*) AS c FROM "
+                f"read_parquet('{SF}/orders.parquet')").df().iloc[0]["c"]
+    assert got["n"].sum() == n
+
+
+def test_conv_response_latency_consistency():
+    from wsid_ray.fixtures import transcripts_dir
+    from wsid_ray.pipelines.queries import q_conv_response_latency
+    got = q_conv_response_latency(SF).to_pandas()
+    con = duckdb.connect()
+    exp = con.sql(f"""
+        WITH rl AS (SELECT conv_id, role, ts,
+                           lag(role) OVER w AS prev_role,
+                           lag(ts) OVER w AS prev_ts
+                    FROM read_parquet('{transcripts_dir(SF)}/*.parquet')
+                    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+        SELECT conv_id,
+               CAST(count(*) FILTER (role = 'assistant'
+                    AND prev_role = 'user') AS BIGINT) AS n_responses,
+               CAST(coalesce(sum(epoch_us(ts) - epoch_us(prev_ts))
+                    FILTER (role = 'assistant' AND prev_role = 'user'),
+                    0) AS BIGINT) AS sum_gap_us
+        FROM rl GROUP BY conv_id""").df()
+    m = got.sort_values("conv_id", ignore_index=True)
+    e = exp.sort_values("conv_id", ignore_index=True)
+    pd.testing.assert_frame_equal(m, e)
+    assert (m.loc[m["n_responses"] == 0, "sum_gap_us"] == 0).all()

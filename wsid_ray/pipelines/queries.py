@@ -558,6 +558,71 @@ def q_lang_vocab_stats(sf_dir: str) -> "pa.Table":
                             pa.int64())})
 
 
+def q_orders_benford(sf_dir: str) -> rd.Dataset:
+    """Benford first-digit forensics over order values — the
+    fraud/synthetic-data screen: counts and micro-unit share per
+    leading digit of the integer cents.  Stateless digit extraction,
+    one 9-row bounded sum; the share divides by a broadcast total."""
+    from .analytics import _cents, bucketed_sum
+
+    ds = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["o_totalprice"].to_numpy())
+        digit = pd.Series(cents).astype(str).str[0].astype("int64")
+        out = pd.DataFrame({"digit": digit}).groupby(
+            "digit", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = bucketed_sum(ds.map_batches(part, batch_format="pandas"),
+                       ["digit"], ["n"], num_buckets=2).to_pandas()
+    total = int(agg["n"].sum())
+    agg = agg.sort_values("digit", ignore_index=True)
+    agg["share_micro"] = (agg["n"] * 1_000_000 // total).astype("int64")
+    return rd.from_arrow(pa.Table.from_pandas(
+        agg[["digit", "n", "share_micro"]], preserve_index=False))
+
+
+def q_conv_response_latency(sf_dir: str) -> rd.Dataset:
+    """Dialog responsiveness panel: per conversation, the count and
+    exact summed microseconds of assistant turns that directly follow
+    a user turn (turn_idx order) — the response-latency signal
+    conversational curation thresholds on.  Sum and count stay two
+    int64 columns (no float mean); one bucketed shuffle on conv_id."""
+    from ..stages.groups import bucketed_group_apply
+
+    ds = read_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "ts"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort",
+                            ignore_index=True)
+        g = df.groupby("conv_id", sort=False)
+        prev_role = g["role"].shift(1)
+        tsi = df["ts"].astype("datetime64[us]").astype("int64")
+        prev_ts = pd.Series(tsi).astype("Int64") \
+            .groupby(df["conv_id"], sort=False).shift(1)
+        hit = (df["role"] == "assistant") & (prev_role == "user")
+        gap = (tsi - prev_ts).where(hit)
+        out = pd.DataFrame({"conv_id": df["conv_id"],
+                            "hit": hit.astype("int64"),
+                            "gap": gap.fillna(0).astype("int64")})
+        agg = out.groupby("conv_id", as_index=False).agg(
+            n_responses=("hit", "sum"), sum_gap_us=("gap", "sum"))
+        agg["n_responses"] = agg["n_responses"].astype("int64")
+        agg["sum_gap_us"] = agg["sum_gap_us"].astype("int64")
+        return agg
+
+    out_schema = pa.schema([("conv_id", pa.string()),
+                            ("n_responses", pa.int64()),
+                            ("sum_gap_us", pa.int64())])
+    return bucketed_group_apply(ds, ["conv_id"], fold, num_buckets=16,
+                                out_schema=out_schema)
+
+
 def q_sense_inventory_stats(sf_dir: str) -> pd.DataFrame:
     """Inventory shape panel: per term, sense count, vector row count
     and total weight in micro-units — the model-size audit over the
@@ -2302,6 +2367,8 @@ QUERIES = {
     "event_type_hll_estimate": q_event_type_hll_estimate,
     "status_gini": q_status_gini,
     "token_zipf_fit": q_token_zipf_fit,
+    "orders_benford": q_orders_benford,
+    "conv_response_latency": q_conv_response_latency,
     "sense_inventory_stats": q_sense_inventory_stats,
     "mention_link_rate": q_mention_link_rate,
     "triples_by_pred_daily": q_triples_by_pred_daily,
