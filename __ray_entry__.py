@@ -1065,6 +1065,25 @@ _SQL_KNN_EXACT = """
 """
 
 
+_SQL_KNN_SELF = """
+    SELECT query_id, vec_id, score FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])), 6) AS score,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])) DESC,
+                       e.vec_id) AS rk
+        FROM embeddings e
+        CROSS JOIN embeddings q
+        WHERE e.vec_id <> q.vec_id)
+    WHERE rk <= 5
+"""
+
+
 def _sql_bigram_lm() -> str:
     """DuckDB mirror of stages/lm.bigram_lm_scores (add-one-smoothed
     corpus bigram LM; int64 micro-unit terms so distributed sums are
@@ -3387,6 +3406,7 @@ def oracle_sql() -> dict[str, str]:
                   > 0.4
         """,
         "knn_cosine_topk": _SQL_KNN_EXACT,
+        "knn_self_topk": _SQL_KNN_SELF,
         # stages/knn.dequantize_batch + knn_topk: the int8-at-rest ANN
         # path, hit lists hash-checked (deterministic quantization)
         "knn_quantized_topk": _SQL_KNN_QUANT_TOPK,

@@ -327,3 +327,20 @@ def test_semantic_dedup_mega_cluster_blocked():
     single = run(chunk_rows=10**9)      # degenerate: one tile per cluster
     assert blocked == single
     assert len(blocked) > n_big // 2    # the tight cone really dedups
+
+
+def test_knn_self_topk_properties():
+    from wsid_ray.pipelines.queries import q_knn_self_topk
+    SF = "/root/testdata/sf0.001"
+    got = q_knn_self_topk(SF).to_pandas()
+    # exactly k rows per query, self excluded
+    assert (got.groupby("query_id").size() == 5).all()
+    assert (got["query_id"] != got["vec_id"]).all()
+    assert got["score"].between(-1.0, 1.0).all()
+    # symmetry sanity: if b is a's top-1, a scores b identically
+    top1 = got.sort_values(["query_id", "score"],
+                           ascending=[True, False]) \
+        .groupby("query_id").head(1)
+    pair = top1.merge(got, left_on=["vec_id", "query_id"],
+                      right_on=["query_id", "vec_id"])
+    assert (pair["score_x"] == pair["score_y"]).all()

@@ -2099,6 +2099,23 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     return featurize(media_dataset(n=300))
 
 
+def q_knn_self_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Full k-NN SELF-join: every vector's exact cosine top-k
+    neighbours (self excluded) — the workload behind SemDeDup/graph
+    building, completing the ANN family beyond the bounded query set.
+    Runs the brute scorer with the whole table broadcast as the query
+    matrix — exact and fine at audit scale; at 100 TB the self-join
+    must go through the IVF bucketing (stages/knn.ivf_topk) so only
+    same-cluster pairs score, which is exactly what semdedup_drops
+    already does."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    queries = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+               for r in t.to_pylist()}
+    return knn_topk(read_embeddings(sf_dir), queries, k=k)
+
+
 def q_knn_cosine_topk(sf_dir: str) -> rd.Dataset:
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -2369,6 +2386,7 @@ QUERIES = {
     "token_zipf_fit": q_token_zipf_fit,
     "orders_benford": q_orders_benford,
     "conv_response_latency": q_conv_response_latency,
+    "knn_self_topk": q_knn_self_topk,
     "sense_inventory_stats": q_sense_inventory_stats,
     "mention_link_rate": q_mention_link_rate,
     "triples_by_pred_daily": q_triples_by_pred_daily,
