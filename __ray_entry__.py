@@ -3407,6 +3407,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_cosine_topk": _SQL_KNN_EXACT,
         "knn_self_topk": _SQL_KNN_SELF,
+        # pipelines/queries.q_mutual_knn_degree: degree histogram of
+        # the mutual-kNN graph over the self-join hit list
+        "mutual_knn_degree": f"""
+            WITH mh AS ({_SQL_KNN_SELF}),
+            mcp AS (SELECT least(query_id, vec_id) AS u,
+                           greatest(query_id, vec_id) AS v FROM mh),
+            mme AS (SELECT u, v FROM mcp GROUP BY u, v
+                    HAVING count(*) = 2),
+            mdg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+                    FROM (SELECT u AS node FROM mme
+                          UNION ALL SELECT v FROM mme)
+                    GROUP BY node)
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM mdg GROUP BY degree
+        """,
+        # pipelines/queries.q_supplier_part_stats: supplier scorecard
+        # (first supplier-table consumer)
+        "supplier_part_stats": """
+            WITH sl AS (SELECT l_suppkey AS s_suppkey, l_partkey,
+                               CAST(floor(l_extendedprice * 100 + 0.5)
+                                    AS BIGINT) AS cents
+                        FROM lineitem),
+            sg AS (SELECT s_suppkey,
+                          CAST(count(DISTINCT l_partkey) AS BIGINT)
+                              AS n_parts,
+                          CAST(count(*) AS BIGINT) AS n_lines,
+                          CAST(sum(cents) AS BIGINT) AS revenue_cents
+                   FROM sl GROUP BY s_suppkey)
+            SELECT sg.s_suppkey, su.s_name, sg.n_parts, sg.n_lines,
+                   sg.revenue_cents
+            FROM sg JOIN supplier su ON su.s_suppkey = sg.s_suppkey
+        """,
+        # pipelines/queries.q_nation_supplier_balance
+        "nation_supplier_balance": """
+            SELECT CAST(s.s_nationkey AS BIGINT) AS n_nationkey,
+                   n.n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(s.bal) AS BIGINT) AS bal_cents,
+                   min(s.bal) AS min_bal_cents,
+                   max(s.bal) AS max_bal_cents
+            FROM (SELECT s_nationkey,
+                         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
+                             AS bal
+                  FROM supplier) s
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY s.s_nationkey, n.n_name
+        """,
         # stages/knn.dequantize_batch + knn_topk: the int8-at-rest ANN
         # path, hit lists hash-checked (deterministic quantization)
         "knn_quantized_topk": _SQL_KNN_QUANT_TOPK,

@@ -83,3 +83,34 @@ def test_user_event_types_list_parity():
                    AS types
         FROM events GROUP BY user_id"""))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_supplier_part_stats_parity():
+    from wsid_ray.pipelines.queries import q_supplier_part_stats
+    got = _canon(q_supplier_part_stats(SF).to_pandas())
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+    exp = _canon(con.sql("""
+        WITH sl AS (SELECT l_suppkey AS s_suppkey, l_partkey,
+                           CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+                               AS cents FROM lineitem),
+        sg AS (SELECT s_suppkey,
+                      CAST(count(DISTINCT l_partkey) AS BIGINT) n_parts,
+                      CAST(count(*) AS BIGINT) n_lines,
+                      CAST(sum(cents) AS BIGINT) revenue_cents
+               FROM sl GROUP BY s_suppkey)
+        SELECT sg.s_suppkey, su.s_name, sg.n_parts, sg.n_lines,
+               sg.revenue_cents
+        FROM sg JOIN supplier su ON su.s_suppkey = sg.s_suppkey""").df())
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["n_parts"] <= got["n_lines"]).all()
+
+
+def test_mutual_knn_degree_bounds():
+    from wsid_ray.pipelines.queries import q_mutual_knn_degree
+    got = q_mutual_knn_degree(SF).to_pandas()
+    # degree never exceeds k (a node has at most k outgoing hits)
+    assert got["degree"].between(1, 5).all()
+    assert (got["n_nodes"] >= 1).all()

@@ -2099,6 +2099,167 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     return featurize(media_dataset(n=300))
 
 
+def q_supplier_part_stats(sf_dir: str) -> rd.Dataset:
+    """Supplier scorecard (first consumer of the supplier table): per
+    supplier, distinct parts shipped, line count, exact revenue cents,
+    and the name broadcast-joined from the small dimension (J1
+    pattern).  Distinct parts ride a per-batch-deduped bucketed
+    distinct; the scalar sums are plain partials."""
+    import pyarrow.parquet as pq
+
+    from ..stages.groups import bucketed_group_apply, distinct
+    from .analytics import _cents, bucketed_sum, partial_count
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_extendedprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "s_suppkey": df["l_suppkey"],
+            "cents": _cents(df["l_extendedprice"].to_numpy())})
+        out = g.groupby("s_suppkey", as_index=False).agg(
+            n_lines=("cents", "size"), revenue_cents=("cents", "sum"))
+        out["n_lines"] = out["n_lines"].astype("int64")
+        return out
+
+    sums = bucketed_sum(li.map_batches(part, batch_format="pandas"),
+                        ["s_suppkey"], ["n_lines", "revenue_cents"],
+                        num_buckets=8)
+    parts_per = partial_count(
+        distinct(li.map_batches(
+            lambda df: df[["l_suppkey", "l_partkey"]].drop_duplicates()
+            .rename(columns={"l_suppkey": "s_suppkey"}),
+            batch_format="pandas"), ["s_suppkey", "l_partkey"],
+            num_buckets=8),
+        ["s_suppkey"], out_name="n_parts")
+
+    from ..stages.joins import hash_join
+    joined = hash_join(sums, parts_per, on=["s_suppkey"], num_buckets=8)
+
+    names = pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    names_ref = ray.put(dict(zip(names["s_suppkey"].to_pylist(),
+                                 names["s_name"].to_pylist())))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(names_ref)
+        df = df.copy()
+        df["s_name"] = df["s_suppkey"].map(nm)
+        return df[["s_suppkey", "s_name", "n_parts", "n_lines",
+                   "revenue_cents"]]
+
+    out_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("s_name", pa.string()),
+                            ("n_parts", pa.int64()),
+                            ("n_lines", pa.int64()),
+                            ("revenue_cents", pa.int64())])
+    return joined.map_batches(attach, batch_format="pandas") \
+        .map_batches(lambda t: t.cast(out_schema),
+                     batch_format="pyarrow")
+
+
+def q_nation_supplier_balance(sf_dir: str) -> rd.Dataset:
+    """Per-nation supplier panel: count and exact account-balance cents
+    (sum/min/max) joined to the nation name — the second supplier-table
+    consumer; dimension-sized, one bounded fold."""
+    from ..stages.groups import bucketed_group_apply
+
+    sup = read_parquet_clean(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    import pyarrow.parquet as pq
+
+    from .analytics import _cents
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nmap_ref = ray.put(dict(zip(nat["n_nationkey"].to_pylist(),
+                                nat["n_name"].to_pylist())))
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "n_nationkey": df["s_nationkey"].astype("int64"),
+            "bal": _cents(df["s_acctbal"].to_numpy())})
+        out = g.groupby("n_nationkey", as_index=False).agg(
+            n_suppliers=("bal", "size"), bal_cents=("bal", "sum"),
+            min_bal_cents=("bal", "min"), max_bal_cents=("bal", "max"))
+        out["n_suppliers"] = out["n_suppliers"].astype("int64")
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_nationkey", as_index=False).agg(
+            n_suppliers=("n_suppliers", "sum"),
+            bal_cents=("bal_cents", "sum"),
+            min_bal_cents=("min_bal_cents", "min"),
+            max_bal_cents=("max_bal_cents", "max"))
+        nm = ray.get(nmap_ref)
+        g["n_name"] = g["n_nationkey"].map(nm)
+        return g[["n_nationkey", "n_name", "n_suppliers", "bal_cents",
+                  "min_bal_cents", "max_bal_cents"]]
+
+    out_schema = pa.schema([("n_nationkey", pa.int64()),
+                            ("n_name", pa.string()),
+                            ("n_suppliers", pa.int64()),
+                            ("bal_cents", pa.int64()),
+                            ("min_bal_cents", pa.int64()),
+                            ("max_bal_cents", pa.int64())])
+    return bucketed_group_apply(
+        sup.map_batches(part, batch_format="pandas"),
+        ["n_nationkey"], fold, num_buckets=2, out_schema=out_schema)
+
+
+def q_mutual_knn_degree(sf_dir: str) -> rd.Dataset:
+    """Mutual-kNN graph degree histogram: edges where a is in b's
+    top-k AND b in a's (the graph clustering/HDBSCAN substrate), rolled
+    to (degree, n_nodes).  Composes the exact self-join hit list; the
+    mutual check is one in-bucket self-merge on the undirected pair
+    key."""
+    from ..stages.groups import bucketed_group_apply
+    from .analytics import bucketed_sum, partial_count
+
+    hits = q_knn_self_topk(sf_dir).select_columns(
+        ["query_id", "vec_id"])
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[["query_id", "vec_id"]].to_numpy()
+        lo = a.min(axis=1)
+        hi = a.max(axis=1)
+        return pd.DataFrame({"u": lo.astype("int64"),
+                             "v": hi.astype("int64")})
+
+    pairs = hits.map_batches(canon, batch_format="pandas")
+
+    def mutual(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["u", "v"], as_index=False).size()
+        return g[g["size"] == 2][["u", "v"]]
+
+    edges = bucketed_group_apply(pairs, ["u", "v"], mutual,
+                                 num_buckets=8)
+
+    def degrees(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        return pd.DataFrame({"node": pd.concat([df["u"], df["v"]],
+                                               ignore_index=True)
+                             .astype("int64")})
+
+    deg = partial_count(
+        edges.map_batches(degrees, batch_format="pyarrow"),
+        ["node"], out_name="degree")
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"degree": df["degree"].astype("int64")})
+
+    hist = bucketed_sum(
+        partial_count(deg.map_batches(rename, batch_format="pandas"),
+                      ["degree"], out_name="n_nodes"),
+        ["degree"], ["n_nodes"], num_buckets=2)
+    out_schema = pa.schema([("degree", pa.int64()),
+                            ("n_nodes", pa.int64())])
+    return hist.map_batches(
+        lambda t: t.select(["degree", "n_nodes"]).cast(out_schema),
+        batch_format="pyarrow")
+
+
 def q_knn_self_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
     """Full k-NN SELF-join: every vector's exact cosine top-k
     neighbours (self excluded) — the workload behind SemDeDup/graph
@@ -2387,6 +2548,9 @@ QUERIES = {
     "orders_benford": q_orders_benford,
     "conv_response_latency": q_conv_response_latency,
     "knn_self_topk": q_knn_self_topk,
+    "supplier_part_stats": q_supplier_part_stats,
+    "nation_supplier_balance": q_nation_supplier_balance,
+    "mutual_knn_degree": q_mutual_knn_degree,
     "sense_inventory_stats": q_sense_inventory_stats,
     "mention_link_rate": q_mention_link_rate,
     "triples_by_pred_daily": q_triples_by_pred_daily,
