@@ -1426,6 +1426,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM tpos WHERE {conds} GROUP BY day"""
         for conds, _m, term in _sql_multi_terms())
+    assoc_multi = "".join(f"""
+                UNION
+                SELECT DISTINCT conv_id, '{term}' AS term
+                FROM apos WHERE {conds}"""
+        for conds, _m, term in _sql_multi_terms())
     # shared by doc_dup_components and dup_component_sizes
     dupcomp_sql = f"""
             WITH RECURSIVE p AS (
@@ -2720,6 +2725,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
                    CAST(count(DISTINCT role) AS BIGINT) AS n_roles
             FROM {tr} WHERE tool <> '' GROUP BY tool
+        """,
+        # pipelines/queries.q_term_association_rules: conversation-
+        # granularity market-basket lift between gazetteer terms
+        "term_association_rules": f"""
+            WITH atoks AS (SELECT conv_id, {tok} AS tokens FROM {tr}),
+            apos AS (SELECT conv_id, tokens, unnest(tokens) AS tok,
+                            generate_subscripts(tokens, 1) AS p
+                     FROM atoks),
+            act AS (SELECT DISTINCT conv_id, term FROM (
+                        SELECT DISTINCT conv_id, tok AS term
+                        FROM apos WHERE tok IN ({gaz}){assoc_multi})),
+            atn AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+                    FROM act GROUP BY term),
+            anc AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT)
+                           AS nc
+                    FROM {tr}),
+            ab AS (SELECT a.term AS term_a, b.term AS term_b,
+                          CAST(count(*) AS BIGINT) AS n_both
+                   FROM act a
+                   JOIN act b ON a.conv_id = b.conv_id
+                             AND a.term < b.term
+                   GROUP BY 1, 2)
+            SELECT ab.term_a, ab.term_b, ab.n_both, ta.n AS n_a,
+                   tb.n AS n_b, anc.nc AS n_convs,
+                   CAST(floor(CAST(ab.n_both AS DOUBLE) * anc.nc
+                              / (CAST(ta.n AS DOUBLE) * tb.n)
+                              * 1e6 + 0.5) AS BIGINT) AS lift_micro
+            FROM ab
+            JOIN atn ta ON ta.term = ab.term_a
+            JOIN atn tb ON tb.term = ab.term_b, anc
         """,
         # pipelines/queries.q_conv_turn_taking: dialog-structure panel
         "conv_turn_taking": f"""

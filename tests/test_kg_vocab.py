@@ -191,3 +191,19 @@ def test_conv_response_latency_consistency():
     e = exp.sort_values("conv_id", ignore_index=True)
     pd.testing.assert_frame_equal(m, e)
     assert (m.loc[m["n_responses"] == 0, "sum_gap_us"] == 0).all()
+
+
+def test_term_association_rules_invariants():
+    from wsid_ray.pipelines.queries import q_term_association_rules
+    got = q_term_association_rules(SF).to_pandas()
+    assert (got["term_a"] < got["term_b"]).all()
+    assert (got["n_both"] <= got[["n_a", "n_b"]].min(axis=1)).all()
+    assert (got["n_convs"] >= got[["n_a", "n_b"]].max(axis=1)).all()
+    # lift contract recompute
+    import numpy as np
+    lift = (got["n_both"].to_numpy().astype(float)
+            * got["n_convs"].to_numpy()
+            / (got["n_a"].to_numpy().astype(float)
+               * got["n_b"].to_numpy()))
+    assert (got["lift_micro"]
+            == np.floor(lift * 1e6 + 0.5).astype("int64")).all()

@@ -2099,6 +2099,74 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     return featurize(media_dataset(n=300))
 
 
+def q_term_association_rules(sf_dir: str) -> rd.Dataset:
+    """Association rules at CONVERSATION granularity (the market-basket
+    view of the KG, complementing the token-window cooc): for every
+    gazetteer term pair, co-occurrence support and LIFT =
+    P(a,b)/(P(a)P(b)) over conversations, in integer micro-units with
+    one final float division.  Distinct (conv, term) rows from the
+    mention stream (per-batch dedup + bucketed distinct), pair
+    expansion inside per-conv groups (bounded by |gazetteer|² per
+    conv), term/conv totals broadcast."""
+    import ray as _ray
+
+    from ..stages.groups import bucketed_group_apply, distinct
+    from ..util import collect_rows
+    from .analytics import bucketed_sum, partial_count
+    from .flagship import detect_mentions
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG).select_columns(
+        ["conv_id", "term"])
+    ct = distinct(mentions.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"),
+        ["conv_id", "term"], num_buckets=8)
+
+    term_n = {r["term"]: int(r["n"]) for r in collect_rows(
+        partial_count(ct, ["term"]))}
+    n_convs = read_transcripts(sf_dir).select_columns(["conv_id"]) \
+        .map_batches(lambda df: df.drop_duplicates(),
+                     batch_format="pandas")
+    n_convs = distinct(n_convs, ["conv_id"], num_buckets=4).count()
+    tn_ref = _ray.put((term_n, int(n_convs)))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="conv_id", suffixes=("_a", "_b"))
+        m = m[m["term_a"] < m["term_b"]]
+        g = m.groupby(["term_a", "term_b"], as_index=False).size() \
+             .rename(columns={"size": "n_both"})
+        g["n_both"] = g["n_both"].astype("int64")
+        return g
+
+    both = bucketed_sum(
+        bucketed_group_apply(ct, ["conv_id"], pairs, num_buckets=8),
+        ["term_a", "term_b"], ["n_both"], num_buckets=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        tn, nc = _ray.get(tn_ref)
+        na = df["term_a"].map(tn).astype("int64")
+        nb = df["term_b"].map(tn).astype("int64")
+        lift = (df["n_both"].to_numpy().astype(np.float64) * nc
+                / (na.to_numpy().astype(np.float64)
+                   * nb.to_numpy()))
+        return pd.DataFrame({
+            "term_a": df["term_a"], "term_b": df["term_b"],
+            "n_both": df["n_both"].astype("int64"),
+            "n_a": na, "n_b": nb,
+            "n_convs": np.int64(nc),
+            "lift_micro": np.floor(lift * 1e6 + 0.5).astype("int64")})
+
+    out_schema = pa.schema([
+        ("term_a", pa.string()), ("term_b", pa.string()),
+        ("n_both", pa.int64()), ("n_a", pa.int64()),
+        ("n_b", pa.int64()), ("n_convs", pa.int64()),
+        ("lift_micro", pa.int64())])
+    return both.map_batches(finish, batch_format="pandas").map_batches(
+        lambda t: t.select(out_schema.names).cast(out_schema),
+        batch_format="pyarrow")
+
+
 def q_supplier_part_stats(sf_dir: str) -> rd.Dataset:
     """Supplier scorecard (first consumer of the supplier table): per
     supplier, distinct parts shipped, line count, exact revenue cents,
@@ -2549,6 +2617,7 @@ QUERIES = {
     "conv_response_latency": q_conv_response_latency,
     "knn_self_topk": q_knn_self_topk,
     "supplier_part_stats": q_supplier_part_stats,
+    "term_association_rules": q_term_association_rules,
     "nation_supplier_balance": q_nation_supplier_balance,
     "mutual_knn_degree": q_mutual_knn_degree,
     "sense_inventory_stats": q_sense_inventory_stats,
