@@ -1431,6 +1431,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT conv_id, '{term}' AS term
                 FROM apos WHERE {conds}"""
         for conds, _m, term in _sql_multi_terms())
+    # shared by doc_near_dup_drops and source_dedup_impact
+    droplist_sql = f"""
+            WITH RECURSIVE p AS (
+                SELECT doc_a, doc_b
+                FROM ({_sql_jaccard_pairs(tok)})
+            ),
+            nodes AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_a AS doc_id FROM p
+                    UNION ALL SELECT doc_b FROM p)
+            ),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION ALL SELECT doc_b, doc_a FROM p),
+            reach AS (
+                SELECT doc_id, doc_id AS r FROM nodes
+                UNION
+                SELECT e.a AS doc_id, reach.r
+                FROM e JOIN reach ON reach.doc_id = e.b
+            ),
+            canon AS (SELECT doc_id, min(r) AS kept_by
+                      FROM reach GROUP BY doc_id)
+            SELECT doc_id, kept_by FROM canon WHERE doc_id <> kept_by
+        """
     # shared by doc_dup_components and dup_component_sizes
     dupcomp_sql = f"""
             WITH RECURSIVE p AS (
@@ -2471,27 +2494,18 @@ def oracle_sql() -> dict[str, str]:
         # rounds (D3): reachability closure over near-dup pairs, min label
         # composed end-to-end MinHash dedup chain: LSH candidates ->
         # exact Jaccard verify -> reachability closure -> drop non-min
-        "doc_near_dup_drops": f"""
-            WITH RECURSIVE p AS (
-                SELECT doc_a, doc_b
-                FROM ({_sql_jaccard_pairs(tok)})
-            ),
-            nodes AS (
-                SELECT DISTINCT doc_id FROM (
-                    SELECT doc_a AS doc_id FROM p
-                    UNION ALL SELECT doc_b FROM p)
-            ),
-            e AS (SELECT doc_a AS a, doc_b AS b FROM p
-                  UNION ALL SELECT doc_b, doc_a FROM p),
-            reach AS (
-                SELECT doc_id, doc_id AS r FROM nodes
-                UNION
-                SELECT e.a AS doc_id, reach.r
-                FROM e JOIN reach ON reach.doc_id = e.b
-            ),
-            canon AS (SELECT doc_id, min(r) AS kept_by
-                      FROM reach GROUP BY doc_id)
-            SELECT doc_id, kept_by FROM canon WHERE doc_id <> kept_by
+        "doc_near_dup_drops": droplist_sql,
+        # pipelines/queries.q_source_dedup_impact: per-feed curation
+        # impact of the end-to-end near-dup chain
+        "source_dedup_impact": f"""
+            WITH sdd AS ({droplist_sql})
+            SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(sdd.doc_id) AS BIGINT) AS n_dropped,
+                   CAST((count(*) - count(sdd.doc_id)) * 1000000
+                        // count(*) AS BIGINT) AS keep_micro
+            FROM documents d
+            LEFT JOIN sdd ON sdd.doc_id = d.doc_id
+            GROUP BY d.source
         """,
         "doc_dup_components": dupcomp_sql,
         # pipelines/queries.q_dup_component_sizes: component-size

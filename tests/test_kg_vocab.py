@@ -207,3 +207,13 @@ def test_term_association_rules_invariants():
                * got["n_b"].to_numpy()))
     assert (got["lift_micro"]
             == np.floor(lift * 1e6 + 0.5).astype("int64")).all()
+
+
+def test_source_dedup_impact_mass():
+    from wsid_ray.pipelines.queries import (q_doc_near_dup_drops,
+                                            q_source_dedup_impact)
+    imp = q_source_dedup_impact(SF).to_pandas()
+    drops = q_doc_near_dup_drops(SF).to_pandas()
+    assert imp["n_dropped"].sum() == len(drops)
+    assert (imp["n_dropped"] <= imp["n_docs"]).all()
+    assert imp["keep_micro"].between(0, 1_000_000).all()

@@ -2099,6 +2099,49 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     return featurize(media_dataset(n=300))
 
 
+def q_source_dedup_impact(sf_dir: str) -> rd.Dataset:
+    """Curation impact by feed: per document source, how many docs the
+    end-to-end near-dup chain (LSH → Jaccard verify → connected
+    components → first-wins) would drop, and the keep rate in
+    micro-units — the before/after panel a curation run reports.  The
+    drop list is near-dup-bounded, so it broadcasts as a key set; the
+    documents stream is never shuffled."""
+    from ..stages.dedup import near_dup_drop_list
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+
+    drops = {r["doc_id"] for r in collect_rows(
+        near_dup_drop_list(read_documents(sf_dir)))}
+    d_ref = ray.put(drops)
+
+    docs = read_documents(sf_dir, columns=["doc_id", "source"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        dd = ray.get(d_ref)
+        df = df.assign(dropped=df["doc_id"].isin(dd).astype("int64"))
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("dropped", "size"), n_dropped=("dropped", "sum"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    agg = bucketed_sum(docs.map_batches(part, batch_format="pandas"),
+                       ["source"], ["n_docs", "n_dropped"],
+                       num_buckets=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["keep_micro"] = ((df["n_docs"] - df["n_dropped"])
+                            * 1_000_000 // df["n_docs"]).astype("int64")
+        return df[["source", "n_docs", "n_dropped", "keep_micro"]]
+
+    out_schema = pa.schema([("source", pa.string()),
+                            ("n_docs", pa.int64()),
+                            ("n_dropped", pa.int64()),
+                            ("keep_micro", pa.int64())])
+    return agg.map_batches(finish, batch_format="pandas").map_batches(
+        lambda t: t.cast(out_schema), batch_format="pyarrow")
+
+
 def q_term_association_rules(sf_dir: str) -> rd.Dataset:
     """Association rules at CONVERSATION granularity (the market-basket
     view of the KG, complementing the token-window cooc): for every
@@ -2618,6 +2661,7 @@ QUERIES = {
     "knn_self_topk": q_knn_self_topk,
     "supplier_part_stats": q_supplier_part_stats,
     "term_association_rules": q_term_association_rules,
+    "source_dedup_impact": q_source_dedup_impact,
     "nation_supplier_balance": q_nation_supplier_balance,
     "mutual_knn_degree": q_mutual_knn_degree,
     "sense_inventory_stats": q_sense_inventory_stats,
