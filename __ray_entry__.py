@@ -2397,6 +2397,36 @@ def oracle_sql() -> dict[str, str]:
         # stages/textstats.entropy_batch: per-term micro-nat quantisation
         # BEFORE the sum (order-free integer addition both sides), final
         # exact integer division
+        # pipelines/queries.q_conv_sense_diversity: conversation-level
+        # KG density over the linked-mention chain
+        "conv_sense_diversity": f"""
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_mentions,
+                   CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+                   CAST(count(DISTINCT CASE WHEN sense_id >= 0
+                            THEN term || '#'
+                                 || CAST(sense_id AS VARCHAR) END)
+                        AS BIGINT) AS n_senses
+            FROM ({linked_sel}) GROUP BY conv_id
+        """,
+        # pipelines/queries.q_nation_segment_entropy: grouped Shannon
+        # entropy under the doc_entropy integer contract
+        "nation_segment_entropy": """
+            WITH nsc AS (SELECT CAST(c_nationkey AS BIGINT)
+                                AS c_nationkey, c_mktsegment,
+                                CAST(count(*) AS BIGINT) AS c
+                         FROM customer
+                         GROUP BY c_nationkey, c_mktsegment),
+            nss AS (SELECT c_nationkey,
+                           CAST(SUM(c) AS BIGINT) AS n,
+                           CAST(count(*) AS BIGINT) AS n_segments,
+                           SUM(CAST(floor((c * ln(c)) * 1e6 + 0.5)
+                                    AS BIGINT)) AS s
+                    FROM nsc GROUP BY c_nationkey)
+            SELECT c_nationkey, n AS n_customers, n_segments,
+                   CAST(CAST(floor(ln(n) * 1e6 + 0.5) AS BIGINT)
+                        - (s // n) AS BIGINT) AS entropy_micro
+            FROM nss
+        """,
         "doc_entropy": r"""
             WITH tokrows AS (
                 SELECT doc_id,

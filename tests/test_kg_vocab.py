@@ -217,3 +217,28 @@ def test_source_dedup_impact_mass():
     assert imp["n_dropped"].sum() == len(drops)
     assert (imp["n_dropped"] <= imp["n_docs"]).all()
     assert imp["keep_micro"].between(0, 1_000_000).all()
+
+
+def test_conv_sense_diversity_consistency():
+    from wsid_ray.pipelines.queries import (q_conv_sense_diversity,
+                                            q_mentions_linked)
+    div = q_conv_sense_diversity(SF).to_pandas()
+    lm = q_mentions_linked(SF).to_pandas()
+    assert div["n_mentions"].sum() == len(lm)
+    assert (div["n_terms"] <= div["n_mentions"]).all()
+    # a conv's distinct senses can't exceed its linked mentions
+    linked_per = lm[lm["sense_id"] >= 0].groupby("conv_id").size()
+    m = div.set_index("conv_id")["n_senses"]
+    common = m.index.intersection(linked_per.index)
+    assert (m.loc[common] <= linked_per.loc[common]).all()
+
+
+def test_nation_segment_entropy_bounds():
+    import numpy as np
+    from wsid_ray.pipelines.queries import q_nation_segment_entropy
+    got = q_nation_segment_entropy(SF).to_pandas()
+    # entropy bounded by ln(n_segments) (+1 micro for rounding slack)
+    cap = np.floor(np.log(got["n_segments"]) * 1e6 + 0.5) + 1
+    assert (got["entropy_micro"] <= cap).all()
+    assert (got["entropy_micro"] >= 0).all()
+    assert (got.loc[got["n_segments"] == 1, "entropy_micro"] == 0).all()

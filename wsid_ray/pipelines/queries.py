@@ -2099,6 +2099,72 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     return featurize(media_dataset(n=300))
 
 
+def q_conv_sense_diversity(sf_dir: str) -> rd.Dataset:
+    """Per-conversation KG density panel: mention count, distinct
+    terms, distinct linked senses (sense_id >= 0, counted as (term,
+    sense) pairs) — the conversation-level signal for sampling
+    sense-rich dialogs.  Per-batch dedup partials, one bucketed fold
+    on conv_id."""
+    from ..stages.groups import bucketed_group_apply
+
+    lm = _flagship(sf_dir).linked_mentions.select_columns(
+        ["conv_id", "term", "sense_id"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        linked = df[df["sense_id"] >= 0]
+        base = df.groupby("conv_id", as_index=False).agg(
+            n_mentions=("term", "size"), n_terms=("term", "nunique"))
+        sn = linked.drop_duplicates(["conv_id", "term", "sense_id"]) \
+            .groupby("conv_id", as_index=False).size() \
+            .rename(columns={"size": "n_senses"})
+        out = base.merge(sn, on="conv_id", how="left")
+        out["n_senses"] = out["n_senses"].fillna(0).astype("int64")
+        out["n_mentions"] = out["n_mentions"].astype("int64")
+        out["n_terms"] = out["n_terms"].astype("int64")
+        return out[["conv_id", "n_mentions", "n_terms", "n_senses"]]
+
+    out_schema = pa.schema([("conv_id", pa.string()),
+                            ("n_mentions", pa.int64()),
+                            ("n_terms", pa.int64()),
+                            ("n_senses", pa.int64())])
+    return bucketed_group_apply(lm, ["conv_id"], fold, num_buckets=8,
+                                out_schema=out_schema)
+
+
+def q_nation_segment_entropy(sf_dir: str) -> "pa.Table":
+    """Grouped Shannon entropy: per customer nation, the segment-mix
+    entropy in micro-nats — the diversity/concentration panel (0 =
+    single-segment nation).  Counts fold distributed; the entropy
+    H = ln(n) − Σc·ln(c)/n runs once per nation on the model-shaped
+    (nation, segment) count table, micro-rounded (ln parity per the
+    NPMI/entropy precedents)."""
+    from ..util import collect_rows
+    from .analytics import partial_count
+
+    rows = collect_rows(partial_count(
+        read_parquet_clean(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey", "c_mktsegment"]),
+        ["c_nationkey", "c_mktsegment"]))
+    by_nation: dict[int, list[int]] = {}
+    for r in rows:
+        by_nation.setdefault(int(r["c_nationkey"]), []).append(
+            int(r["n"]))
+    out = []
+    for nk in sorted(by_nation):
+        cs = by_nation[nk]
+        n = sum(cs)
+        # doc_entropy integer contract: per-count quantised c·ln(c)
+        # micro-terms, exact int sum, truncating division — order-free
+        s = sum(int(np.floor(c * np.log(c) * 1e6 + 0.5)) for c in cs)
+        ent = int(np.floor(np.log(n) * 1e6 + 0.5)) - s // n
+        out.append((nk, n, len(cs), ent))
+    return pa.table({
+        "c_nationkey": pa.array([r[0] for r in out], pa.int64()),
+        "n_customers": pa.array([r[1] for r in out], pa.int64()),
+        "n_segments": pa.array([r[2] for r in out], pa.int64()),
+        "entropy_micro": pa.array([r[3] for r in out], pa.int64())})
+
+
 def q_source_dedup_impact(sf_dir: str) -> rd.Dataset:
     """Curation impact by feed: per document source, how many docs the
     end-to-end near-dup chain (LSH → Jaccard verify → connected
@@ -2662,6 +2728,8 @@ QUERIES = {
     "supplier_part_stats": q_supplier_part_stats,
     "term_association_rules": q_term_association_rules,
     "source_dedup_impact": q_source_dedup_impact,
+    "conv_sense_diversity": q_conv_sense_diversity,
+    "nation_segment_entropy": q_nation_segment_entropy,
     "nation_supplier_balance": q_nation_supplier_balance,
     "mutual_knn_degree": q_mutual_knn_degree,
     "sense_inventory_stats": q_sense_inventory_stats,
