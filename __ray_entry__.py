@@ -1401,7 +1401,8 @@ def _sql_user_event_pivot(sf: str = "/root/testdata/sf0.01") -> str:
 
 def oracle_sql() -> dict[str, str]:
     from wsid_ray.artifacts import ANN_K, ANN_QUERY_IDS, ensure
-    from wsid_ray.config import GAZETTEER, NPMI_MIN, STOPWORDS
+    from wsid_ray.config import (GAZETTEER, NPMI_MIN, PRED_ADDRESSES,
+                                 STOPWORDS)
     from wsid_ray.fixtures import generate, transcripts_dir
     from wsid_ray.pipelines.queries import _HLL_ALPHA_M2
 
@@ -2613,6 +2614,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "triples": _sql_triples(linked_sel),
         "triple_support": _sql_triple_support(linked_sel),
+        # pipelines/queries.q_triple_conflicts: functional-predicate
+        # contradiction list over the deduped triples
+        "triple_conflicts": f"""
+            WITH tcf AS (SELECT DISTINCT subj, obj
+                         FROM ({_sql_triples(linked_sel)})
+                         WHERE pred = '{PRED_ADDRESSES}')
+            SELECT subj, CAST(count(*) AS BIGINT) AS n_objs,
+                   string_agg(obj, ',' ORDER BY obj) AS objs
+            FROM tcf GROUP BY subj HAVING count(*) > 1
+        """,
+        # pipelines/queries.q_key_uniqueness_report: per-key assertion
+        # report (data-contract validation)
+        "key_uniqueness_report": " UNION ALL ".join(f"""
+            SELECT '{tbl}' AS table_name, '{key}' AS key_col,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT {key}) AS BIGINT) AS n_keys,
+                   CAST(count(*) - count(DISTINCT {key}) AS BIGINT)
+                       AS n_dup_keys
+            FROM {tbl}""" for tbl, key in [
+            ("orders", "o_orderkey"), ("events", "event_id"),
+            ("customer", "c_custkey"), ("part", "p_partkey"),
+            ("supplier", "s_suppkey"), ("documents", "doc_id"),
+            ("embeddings", "vec_id")]),
         "triples_checkpointed": _sql_triples(linked_sel),
         # approximate-ANN quality, driver-checkable: engine IVF/LSH hits
         # (deterministic seeded artifacts) joined against the

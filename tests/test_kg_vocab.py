@@ -242,3 +242,24 @@ def test_nation_segment_entropy_bounds():
     assert (got["entropy_micro"] <= cap).all()
     assert (got["entropy_micro"] >= 0).all()
     assert (got.loc[got["n_segments"] == 1, "entropy_micro"] == 0).all()
+
+
+def test_triple_conflicts_consistency():
+    from wsid_ray.config import PRED_ADDRESSES
+    from wsid_ray.pipelines.queries import (q_triple_conflicts,
+                                            q_triples)
+    conf = q_triple_conflicts(SF).to_pandas()
+    tr = q_triples(SF).to_pandas()
+    addr = tr[tr["pred"] == PRED_ADDRESSES]
+    per = addr.groupby("subj")["obj"].nunique()
+    assert set(conf["subj"]) == set(per[per > 1].index)
+    assert (conf["n_objs"] == conf["objs"].str.count(",") + 1).all()
+
+
+def test_key_uniqueness_report_clean_fixture():
+    from wsid_ray.pipelines.queries import q_key_uniqueness_report
+    got = q_key_uniqueness_report(SF).to_pandas()
+    assert len(got) == 7
+    # driver fixtures have clean primary keys
+    assert (got["n_dup_keys"] == 0).all()
+    assert (got["n_rows"] == got["n_keys"]).all()

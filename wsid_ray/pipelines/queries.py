@@ -2099,6 +2099,62 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     return featurize(media_dataset(n=300))
 
 
+def q_triple_conflicts(sf_dir: str) -> rd.Dataset:
+    """KG consistency check: subjects whose 'addresses' predicate (a
+    functional role-assignment in this schema) carries more than one
+    distinct object — the contradiction list a KG review queue starts
+    from.  (subj, obj) dedup partials, one bucketed fold on subj."""
+    from ..config import PRED_ADDRESSES
+    from ..stages.groups import bucketed_group_apply
+
+    tr = _flagship(sf_dir).triples
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["pred"] == PRED_ADDRESSES]
+        return df[["subj", "obj"]].drop_duplicates()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("subj", as_index=False) \
+              .agg(n_objs=("obj", "nunique"),
+                   objs=("obj", lambda s: ",".join(sorted(set(s)))))
+        g["n_objs"] = g["n_objs"].astype("int64")
+        return g[g["n_objs"] > 1]
+
+    out_schema = pa.schema([("subj", pa.string()),
+                            ("n_objs", pa.int64()),
+                            ("objs", pa.string())])
+    return bucketed_group_apply(
+        tr.map_batches(part, batch_format="pandas"),
+        ["subj"], fold, num_buckets=4, out_schema=out_schema)
+
+
+def q_key_uniqueness_report(sf_dir: str) -> "pa.Table":
+    """Data-contract validation: per declared primary key, row count,
+    distinct key count and duplicate-key count (expected 0) — the
+    assertion report an ingest pipeline gates on.  Each table's
+    distinct rides the bucketed exact-distinct; the report is
+    key-cardinality-bounded."""
+    from ..stages.groups import distinct
+
+    keys = [("orders", "o_orderkey"), ("events", "event_id"),
+            ("customer", "c_custkey"), ("part", "p_partkey"),
+            ("supplier", "s_suppkey"), ("documents", "doc_id"),
+            ("embeddings", "vec_id")]
+    rows = []
+    for tbl, key in keys:
+        ds = read_parquet_clean(f"{sf_dir}/{tbl}.parquet",
+                                columns=[key])
+        n_rows = ds.count()
+        n_keys = distinct(ds, [key], num_buckets=8).count()
+        rows.append((tbl, key, n_rows, n_keys, n_rows - n_keys))
+    return pa.table({
+        "table_name": pa.array([r[0] for r in rows], pa.string()),
+        "key_col": pa.array([r[1] for r in rows], pa.string()),
+        "n_rows": pa.array([r[2] for r in rows], pa.int64()),
+        "n_keys": pa.array([r[3] for r in rows], pa.int64()),
+        "n_dup_keys": pa.array([r[4] for r in rows], pa.int64())})
+
+
 def q_conv_sense_diversity(sf_dir: str) -> rd.Dataset:
     """Per-conversation KG density panel: mention count, distinct
     terms, distinct linked senses (sense_id >= 0, counted as (term,
@@ -2730,6 +2786,8 @@ QUERIES = {
     "source_dedup_impact": q_source_dedup_impact,
     "conv_sense_diversity": q_conv_sense_diversity,
     "nation_segment_entropy": q_nation_segment_entropy,
+    "triple_conflicts": q_triple_conflicts,
+    "key_uniqueness_report": q_key_uniqueness_report,
     "nation_supplier_balance": q_nation_supplier_balance,
     "mutual_knn_degree": q_mutual_knn_degree,
     "sense_inventory_stats": q_sense_inventory_stats,
