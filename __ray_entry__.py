@@ -1432,6 +1432,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT conv_id, '{term}' AS term
                 FROM apos WHERE {conds}"""
         for conds, _m, term in _sql_multi_terms())
+    # shared by user_daily_dense and user_burstiness
+    dense_sql = """
+            WITH dc AS (SELECT user_id, date_trunc('day', ts) AS day,
+                               CAST(count(*) AS BIGINT) AS n_events
+                        FROM events GROUP BY 1, 2),
+            db AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                   FROM dc GROUP BY user_id),
+            cal AS (SELECT user_id,
+                           unnest(generate_series(d0, d1,
+                                                  INTERVAL 1 DAY)) AS day
+                    FROM db)
+            SELECT cal.user_id, cal.day,
+                   coalesce(dc.n_events, 0) AS n_events
+            FROM cal LEFT JOIN dc ON dc.user_id = cal.user_id
+                                 AND dc.day = cal.day
+        """
     # shared by doc_near_dup_drops and source_dedup_impact
     droplist_sql = f"""
             WITH RECURSIVE p AS (
@@ -2035,20 +2051,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pipelines/sequences.user_daily_dense: calendar densification
         # with zero fill between each user's first and last active day
-        "user_daily_dense": """
-            WITH dc AS (SELECT user_id, date_trunc('day', ts) AS day,
-                               CAST(count(*) AS BIGINT) AS n_events
-                        FROM events GROUP BY 1, 2),
-            db AS (SELECT user_id, min(day) AS d0, max(day) AS d1
-                   FROM dc GROUP BY user_id),
-            cal AS (SELECT user_id,
-                           unnest(generate_series(d0, d1,
-                                                  INTERVAL 1 DAY)) AS day
-                    FROM db)
-            SELECT cal.user_id, cal.day,
-                   coalesce(dc.n_events, 0) AS n_events
-            FROM cal LEFT JOIN dc ON dc.user_id = cal.user_id
-                                 AND dc.day = cal.day
+        "user_daily_dense": dense_sql,
+        # pipelines/queries.q_user_burstiness: Fano factor over the
+        # dense daily series (exact int sums, one float division)
+        "user_burstiness": f"""
+            WITH bdn AS ({dense_sql}),
+            bg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS d,
+                          CAST(sum(n_events) AS BIGINT) AS sc,
+                          CAST(sum(n_events * n_events) AS BIGINT)
+                              AS sc2
+                   FROM bdn GROUP BY user_id)
+            SELECT user_id, d AS n_days, sc AS n_events,
+                   CAST(floor(CAST(d * sc2 - sc * sc AS DOUBLE)
+                              / CAST(d * sc AS DOUBLE) * 1e6 + 0.5)
+                        AS BIGINT) AS fano_micro
+            FROM bg
         """,
         # pipelines/sequences.event_user_skew: shuffle-key skew report;
         # the top-k sum is over count VALUES so cutoff ties don't matter
@@ -2849,6 +2866,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM tpos WHERE tok IN ({gaz})
             GROUP BY tok, day{trend_multi}
+        """,
+        # pipelines/queries.q_role_token_stats: role verbosity panel
+        "role_token_stats": f"""
+            SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(coalesce(sum(len({tok})), 0) AS BIGINT)
+                       AS n_tokens
+            FROM {tr} GROUP BY role
         """,
         "conv_text_digest": f"""
             SELECT conv_id,

@@ -263,3 +263,27 @@ def test_key_uniqueness_report_clean_fixture():
     # driver fixtures have clean primary keys
     assert (got["n_dup_keys"] == 0).all()
     assert (got["n_rows"] == got["n_keys"]).all()
+
+
+def test_role_token_stats_mass():
+    from wsid_ray.pipelines.queries import (q_role_token_stats,
+                                            q_unigram_counts)
+    got = q_role_token_stats(SF).to_pandas()
+    uni = q_unigram_counts(SF).to_pandas()
+    assert got["n_tokens"].sum() == uni["n"].sum()
+    assert set(got["role"]) == {"user", "assistant", "system"}
+
+
+def test_user_burstiness_contract():
+    import numpy as np
+    from wsid_ray.pipelines.queries import q_user_burstiness
+    from wsid_ray.pipelines.sequences import user_daily_dense
+    got = q_user_burstiness(SF).to_pandas().set_index("user_id")
+    dense = user_daily_dense(SF).to_pandas()
+    for uid, g in dense.groupby("user_id"):
+        c = g["n_events"].to_numpy().astype("int64")
+        d, sc, sc2 = len(c), int(c.sum()), int((c ** 2).sum())
+        fano = float(d * sc2 - sc * sc) / float(d * sc)
+        assert got.loc[uid, "fano_micro"] == int(np.floor(fano * 1e6
+                                                          + 0.5))
+    assert (got["n_events"] >= 1).all()

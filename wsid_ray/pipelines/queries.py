@@ -2099,6 +2099,77 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     return featurize(media_dataset(n=300))
 
 
+def q_role_token_stats(sf_dir: str) -> rd.Dataset:
+    """Role verbosity panel: per transcript role, turn count and total
+    token count (the user-vs-assistant balance check run before
+    training on dialog data).  Token counts fold per batch; the final
+    table is role-cardinality-bounded."""
+    from .analytics import bucketed_sum
+
+    ds = read_transcripts(sf_dir).select_columns(["role", "text"])
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        toks = tokenize_column(t["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"role": t["role"].to_pandas(), "n_toks": n})
+        g = df.groupby("role", as_index=False).agg(
+            n_turns=("n_toks", "size"), n_tokens=("n_toks", "sum"))
+        g["n_turns"] = g["n_turns"].astype("int64")
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return g
+
+    agg = bucketed_sum(ds.map_batches(part, batch_format="pyarrow"),
+                       ["role"], ["n_turns", "n_tokens"], num_buckets=2)
+    out_schema = pa.schema([("role", pa.string()),
+                            ("n_turns", pa.int64()),
+                            ("n_tokens", pa.int64())])
+    return agg.map_batches(
+        lambda t: t.select(["role", "n_turns", "n_tokens"])
+                   .cast(out_schema), batch_format="pyarrow")
+
+
+def q_user_burstiness(sf_dir: str) -> rd.Dataset:
+    """Dispersion panel: per user, the Fano factor (variance-to-mean
+    ratio) of their DENSE daily event counts — burstiness > 1 separates
+    bursty users from Poisson-like ones; silent days count as zeros via
+    the densified series.  Integer contract: F = (d·Σc² − (Σc)²) /
+    (d·Σc) with exact int sums, one float division, micro-rounded.
+    Users with a single active day drop (F undefined on d=1? no — d is
+    the span, F defined; drop only Σc=0, impossible here)."""
+    from ..stages.groups import bucketed_group_apply
+    from .sequences import user_daily_dense
+
+    dense = user_daily_dense(sf_dir).select_columns(
+        ["user_id", "n_events"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id")["n_events"]
+        d = g.size().astype("int64")
+        sc = g.sum().astype("int64")
+        sc2 = g.apply(lambda s: int((s.astype("int64") ** 2).sum())) \
+            .astype("int64")
+        num = (d * sc2 - sc * sc).astype("float64")
+        den = (d * sc).astype("float64")
+        fano = num / den
+        out = pd.DataFrame({
+            "user_id": d.index.astype("int64"),
+            "n_days": d.to_numpy(),
+            "n_events": sc.to_numpy(),
+            "fano_micro": np.floor(fano.to_numpy() * 1e6
+                                   + 0.5).astype("int64")})
+        return out.reset_index(drop=True)
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_days", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("fano_micro", pa.int64())])
+    return bucketed_group_apply(dense, ["user_id"], fold,
+                                num_buckets=8, out_schema=out_schema)
+
+
 def q_triple_conflicts(sf_dir: str) -> rd.Dataset:
     """KG consistency check: subjects whose 'addresses' predicate (a
     functional role-assignment in this schema) carries more than one
@@ -2788,6 +2859,8 @@ QUERIES = {
     "nation_segment_entropy": q_nation_segment_entropy,
     "triple_conflicts": q_triple_conflicts,
     "key_uniqueness_report": q_key_uniqueness_report,
+    "role_token_stats": q_role_token_stats,
+    "user_burstiness": q_user_burstiness,
     "nation_supplier_balance": q_nation_supplier_balance,
     "mutual_knn_degree": q_mutual_knn_degree,
     "sense_inventory_stats": q_sense_inventory_stats,
