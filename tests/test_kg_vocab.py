@@ -271,7 +271,7 @@ def test_role_token_stats_mass():
     got = q_role_token_stats(SF).to_pandas()
     uni = q_unigram_counts(SF).to_pandas()
     assert got["n_tokens"].sum() == uni["n"].sum()
-    assert set(got["role"]) == {"user", "assistant", "system"}
+    assert set(got["role"]) == {"user", "assistant", "tool"}
 
 
 def test_user_burstiness_contract():
