@@ -3336,6 +3336,18 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": _sql_decontaminate(tok),
         # greedy next-fit sequence packing per lang (stages/packing.py)
         "doc_pack_sequences": _sql_pack_sequences(),
+        # pipelines/queries.q_pack_efficiency: per-lang fill-rate
+        # rollup of the packing assignment
+        "pack_efficiency": f"""
+            WITH pk AS ({_sql_pack_sequences()})
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   CAST(sum(nt) * 1000000
+                        // ((max(pack_id) + 1) * 256) AS BIGINT)
+                       AS fill_micro
+            FROM pk GROUP BY lang
+        """,
         # distributed k-means, integer-exact Lloyd rounds (kmeans.py)
         "kmeans_clusters": _sql_kmeans(),
         # SemDeDup: within-cluster near-identical drops (kmeans.py)

@@ -287,3 +287,18 @@ def test_user_burstiness_contract():
         assert got.loc[uid, "fano_micro"] == int(np.floor(fano * 1e6
                                                           + 0.5))
     assert (got["n_events"] >= 1).all()
+
+
+def test_pack_efficiency_consistency():
+    from wsid_ray.pipelines.queries import (q_doc_pack_sequences,
+                                            q_pack_efficiency)
+    eff = q_pack_efficiency(SF).to_pandas().set_index("lang")
+    packed = q_doc_pack_sequences(SF).to_pandas()
+    per = packed.groupby("lang").agg(n_docs=("doc_id", "size"),
+                                     n_tokens=("nt", "sum"),
+                                     n_packs=("pack_id", "max"))
+    for lang, row in per.iterrows():
+        assert eff.loc[lang, "n_docs"] == row["n_docs"]
+        assert eff.loc[lang, "n_tokens"] == row["n_tokens"]
+        assert eff.loc[lang, "n_packs"] == row["n_packs"] + 1
+    assert (eff["fill_micro"] > 0).all()

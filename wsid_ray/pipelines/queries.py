@@ -2099,6 +2099,49 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     return featurize(media_dataset(n=300))
 
 
+def q_pack_efficiency(sf_dir: str, cap: int = 256) -> rd.Dataset:
+    """Training-batch efficiency dashboard: per language, how well the
+    greedy next-fit packing fills its 256-token budget — doc count,
+    pack count, total tokens and the fill rate in micro-units (can
+    exceed 1e6 only via single docs longer than the cap).  Rolls up
+    the already-mirrored packing assignment."""
+    from ..stages.groups import bucketed_group_apply
+    from ..stages.packing import pack_sequences
+    from .analytics import bucketed_sum
+
+    packed = pack_sequences(
+        read_documents(sf_dir, columns=["doc_id", "lang", "text"]),
+        cap=cap)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("doc_id", "size"), n_tokens=("nt", "sum"),
+            max_pack=("pack_id", "max"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        g["max_pack"] = g["max_pack"].astype("int64")
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"),
+            max_pack=("max_pack", "max"))
+        g["n_packs"] = (g["max_pack"] + 1).astype("int64")
+        g["fill_micro"] = (g["n_tokens"] * 1_000_000
+                           // (g["n_packs"] * cap)).astype("int64")
+        return g[["lang", "n_docs", "n_packs", "n_tokens",
+                  "fill_micro"]]
+
+    out_schema = pa.schema([("lang", pa.string()),
+                            ("n_docs", pa.int64()),
+                            ("n_packs", pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("fill_micro", pa.int64())])
+    return bucketed_group_apply(
+        packed.map_batches(part, batch_format="pandas"),
+        ["lang"], fold, num_buckets=2, out_schema=out_schema)
+
+
 def q_role_token_stats(sf_dir: str) -> rd.Dataset:
     """Role verbosity panel: per transcript role, turn count and total
     token count (the user-vs-assistant balance check run before
@@ -2861,6 +2904,7 @@ QUERIES = {
     "key_uniqueness_report": q_key_uniqueness_report,
     "role_token_stats": q_role_token_stats,
     "user_burstiness": q_user_burstiness,
+    "pack_efficiency": q_pack_efficiency,
     "nation_supplier_balance": q_nation_supplier_balance,
     "mutual_knn_degree": q_mutual_knn_degree,
     "sense_inventory_stats": q_sense_inventory_stats,
