@@ -1432,6 +1432,51 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT conv_id, '{term}' AS term
                 FROM apos WHERE {conds}"""
         for conds, _m, term in _sql_multi_terms())
+    # shared by user_sessions and session_length_histogram
+    sessions_sql = """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts, event_id,
+                       sum(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events, min(ts) AS start_ts,
+                   max(ts) AS end_ts
+            FROM sess GROUP BY user_id, session_idx
+        """
+    # shared by doc_tfidf_topk and doc_tfidf_novelty
+    tfidf_sql = r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents),
+            tfs AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+            tf AS (SELECT doc_id, tok, count(*) AS c
+                   FROM tfs GROUP BY ALL),
+            df AS (SELECT tok, count(DISTINCT doc_id) AS df
+                   FROM tfs GROUP BY tok),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.tok AS token,
+                       CAST(tf.c AS BIGINT) AS tf,
+                       floor(tf.c * (ln((1.0 + n.n) / (1.0 + df.df))
+                             + 1.0) * 1000000 + 0.5) / 1000000.0 AS score
+                FROM tf JOIN df USING (tok) CROSS JOIN n)
+            SELECT doc_id, token, tf, score,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, token ASC) AS BIGINT) AS rank
+            FROM scored QUALIFY rank <= 5
+        """
     # shared by user_daily_dense and user_burstiness
     dense_sql = """
             WITH dc AS (SELECT user_id, date_trunc('day', ts) AS day,
@@ -3095,25 +3140,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         "events_hopping": _sql_events_hopping(size_min=60, hop_min=30),
-        "user_sessions": """
-            WITH flagged AS (
-                SELECT user_id, ts, event_id,
-                       CASE WHEN lag(ts) OVER w IS NULL
-                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                            THEN 1 ELSE 0 END AS new_s
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-            ), sess AS (
-                SELECT user_id, ts, event_id,
-                       sum(new_s) OVER (PARTITION BY user_id
-                           ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
-                FROM flagged
-            )
-            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-                   count(*) AS n_events, min(ts) AS start_ts,
-                   max(ts) AS end_ts
-            FROM sess GROUP BY user_id, session_idx
+        "user_sessions": sessions_sql,
+        # pipelines/queries.q_session_length_histogram: rollup of the
+        # sessionization output
+        "session_length_histogram": f"""
+            SELECT n_events AS session_len,
+                   CAST(count(*) AS BIGINT) AS n_sessions
+            FROM ({sessions_sql}) GROUP BY n_events
         """,
         "doc_token_counts": r"""
             SELECT doc_id,
@@ -3418,28 +3451,16 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN nrm na ON na.doc_id = d.doc_a
                    JOIN nrm nb ON nb.doc_id = d.doc_b
         """,
-        "doc_tfidf_topk": r"""
-            WITH w AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '\s+'),
-                                   x -> x <> '') AS ws
-                FROM documents),
-            tfs AS (SELECT doc_id, unnest(ws) AS tok FROM w),
-            tf AS (SELECT doc_id, tok, count(*) AS c
-                   FROM tfs GROUP BY ALL),
-            df AS (SELECT tok, count(DISTINCT doc_id) AS df
-                   FROM tfs GROUP BY tok),
-            n AS (SELECT count(*) AS n FROM documents),
-            scored AS (
-                SELECT tf.doc_id, tf.tok AS token,
-                       CAST(tf.c AS BIGINT) AS tf,
-                       floor(tf.c * (ln((1.0 + n.n) / (1.0 + df.df))
-                             + 1.0) * 1000000 + 0.5) / 1000000.0 AS score
-                FROM tf JOIN df USING (tok) CROSS JOIN n)
-            SELECT doc_id, token, tf, score,
-                   CAST(row_number() OVER (PARTITION BY doc_id
-                        ORDER BY score DESC, token ASC) AS BIGINT) AS rank
-            FROM scored QUALIFY rank <= 5
+        "doc_tfidf_topk": tfidf_sql,
+        # pipelines/queries.q_doc_tfidf_novelty: per-doc mean top-term
+        # tf-idf in micro-units (truncating mean of exact micro ints)
+        "doc_tfidf_novelty": f"""
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(CAST(floor(score * 1e6 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_score_micro,
+                   CAST(sum(CAST(floor(score * 1e6 + 0.5) AS BIGINT))
+                        // count(*) AS BIGINT) AS mean_score_micro
+            FROM ({tfidf_sql}) GROUP BY doc_id
         """,
         # as-of join: each event -> the user's most recent prior order;
         # greatest o_orderdate <= ts, ties to the greatest o_orderkey

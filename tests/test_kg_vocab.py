@@ -302,3 +302,21 @@ def test_pack_efficiency_consistency():
         assert eff.loc[lang, "n_tokens"] == row["n_tokens"]
         assert eff.loc[lang, "n_packs"] == row["n_packs"] + 1
     assert (eff["fill_micro"] > 0).all()
+
+
+def test_session_length_histogram_mass():
+    from wsid_ray.pipelines.queries import (q_session_length_histogram,
+                                            q_user_sessions)
+    hist = q_session_length_histogram(SF).to_pandas()
+    sess = q_user_sessions(SF).to_pandas()
+    assert hist["n_sessions"].sum() == len(sess)
+    assert (hist["session_len"] * hist["n_sessions"]).sum() \
+        == sess["n_events"].sum()
+
+
+def test_doc_tfidf_novelty_contract():
+    from wsid_ray.pipelines.queries import q_doc_tfidf_novelty
+    got = q_doc_tfidf_novelty(SF).to_pandas()
+    assert (got["n_terms"] <= 5).all()
+    assert (got["mean_score_micro"]
+            == got["sum_score_micro"] // got["n_terms"]).all()

@@ -2099,6 +2099,67 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     return featurize(media_dataset(n=300))
 
 
+def q_session_length_histogram(sf_dir: str) -> rd.Dataset:
+    """Session-length distribution: (events-per-session, n_sessions)
+    over the gap-based sessionization — the engagement-shape chart."""
+    from .analytics import bucketed_sum, partial_count
+
+    sess = q_user_sessions(sf_dir).select_columns(["n_events"])
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"session_len": df["n_events"].astype("int64")})
+
+    hist = bucketed_sum(
+        partial_count(sess.map_batches(rename, batch_format="pandas"),
+                      ["session_len"], out_name="n_sessions"),
+        ["session_len"], ["n_sessions"], num_buckets=2)
+    out_schema = pa.schema([("session_len", pa.int64()),
+                            ("n_sessions", pa.int64())])
+    return hist.map_batches(
+        lambda t: t.select(["session_len", "n_sessions"])
+                   .cast(out_schema), batch_format="pyarrow")
+
+
+def q_doc_tfidf_novelty(sf_dir: str) -> rd.Dataset:
+    """Per-doc distinctiveness score: count and micro-unit sum/mean of
+    the doc's top-5 tf-idf scores (truncating integer mean) — the
+    cheap 'how unusual is this doc' column built on the mirrored
+    tf-idf."""
+    from ..stages.lm import tfidf_topk
+    from .analytics import bucketed_sum
+
+    top = tfidf_topk(read_documents(sf_dir)).select_columns(
+        ["doc_id", "score"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        micro = np.floor(df["score"].to_numpy() * 1e6
+                         + 0.5).astype("int64")
+        g = pd.DataFrame({"doc_id": df["doc_id"], "m": micro}) \
+            .groupby("doc_id", as_index=False).agg(
+                n_terms=("m", "size"), sum_score_micro=("m", "sum"))
+        g["n_terms"] = g["n_terms"].astype("int64")
+        return g
+
+    agg = bucketed_sum(top.map_batches(part, batch_format="pandas"),
+                       ["doc_id"], ["n_terms", "sum_score_micro"],
+                       num_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["mean_score_micro"] = (df["sum_score_micro"]
+                                  // df["n_terms"]).astype("int64")
+        return df[["doc_id", "n_terms", "sum_score_micro",
+                   "mean_score_micro"]]
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_terms", pa.int64()),
+                            ("sum_score_micro", pa.int64()),
+                            ("mean_score_micro", pa.int64())])
+    return agg.map_batches(finish, batch_format="pandas").map_batches(
+        lambda t: t.cast(out_schema), batch_format="pyarrow")
+
+
 def q_pack_efficiency(sf_dir: str, cap: int = 256) -> rd.Dataset:
     """Training-batch efficiency dashboard: per language, how well the
     greedy next-fit packing fills its 256-token budget — doc count,
@@ -2905,6 +2966,8 @@ QUERIES = {
     "role_token_stats": q_role_token_stats,
     "user_burstiness": q_user_burstiness,
     "pack_efficiency": q_pack_efficiency,
+    "session_length_histogram": q_session_length_histogram,
+    "doc_tfidf_novelty": q_doc_tfidf_novelty,
     "nation_supplier_balance": q_nation_supplier_balance,
     "mutual_knn_degree": q_mutual_knn_degree,
     "sense_inventory_stats": q_sense_inventory_stats,
