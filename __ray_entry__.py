@@ -2221,6 +2221,88 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(o_orderstatus, o_year) AS BIGINT) AS lvl
             FROM c GROUP BY CUBE (o_orderstatus, o_year)
         """,
+        # pipelines/mlstats.lineitem_group_ols: OLS fit from the SAME
+        # exact HUGEINT moments as lineitem_moments — slope = cv/dx,
+        # intercept = (sy - slope*sx)/n on the UNROUNDED slope,
+        # r2 = cv*cv/(dx*dy), each a single float expression on exact
+        # integers, half-up 6 dp (identical operation order to numpy)
+        "lineitem_group_ols": """
+            WITH q AS (SELECT l_returnflag,
+                              CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                              CAST(floor(l_extendedprice + 0.5) AS BIGINT)
+                                  AS y
+                       FROM lineitem),
+            m AS (SELECT l_returnflag,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         SUM(CAST(x AS HUGEINT)) AS sx,
+                         SUM(CAST(y AS HUGEINT)) AS sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM q GROUP BY l_returnflag),
+            d AS (SELECT *, n * sxx - sx * sx AS dx,
+                         n * syy - sy * sy AS dy,
+                         n * sxy - sx * sy AS cv FROM m),
+            s AS (SELECT *, CAST(cv AS DOUBLE) / CAST(dx AS DOUBLE)
+                                AS slope_raw
+                  FROM d)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CASE WHEN dx = 0 THEN NULL
+                        ELSE floor(slope_raw * 1e6 + 0.5) / 1e6 END
+                       AS slope6,
+                   CASE WHEN dx = 0 THEN NULL
+                        ELSE floor((CAST(sy AS DOUBLE)
+                                    - slope_raw * CAST(sx AS DOUBLE))
+                                   / CAST(n AS DOUBLE) * 1e6 + 0.5)
+                             / 1e6 END AS intercept6,
+                   CASE WHEN dx = 0 OR dy = 0 THEN NULL
+                        ELSE floor(CAST(cv AS DOUBLE) * CAST(cv AS DOUBLE)
+                                   / (CAST(dx AS DOUBLE)
+                                      * CAST(dy AS DOUBLE))
+                                   * 1e6 + 0.5) / 1e6 END AS r2_6
+            FROM s
+        """,
+        # pipelines/mlstats.event_value_outliers: exact percentile_cont
+        # integers (centi-micro) + Tukey fences lifted to x2/x3 integer
+        # comparisons — the mirror recomputes the identical rank
+        # selection (0-based pos = p*(n-1)/100, lo/hi order statistics)
+        "event_value_outliers": """
+            WITH v AS (SELECT event_type,
+                              CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+                                  AS vm
+                       FROM events),
+            o AS (SELECT event_type, vm,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY vm) AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS n
+                  FROM v),
+            qs AS (SELECT event_type, n,
+                          max(CASE WHEN rn = (25 * (n - 1)) // 100 + 1
+                                   THEN vm END) AS q1lo,
+                          max(CASE WHEN rn = (25 * (n - 1)) // 100 + 2
+                                   THEN vm END) AS q1hi,
+                          max(CASE WHEN rn = (75 * (n - 1)) // 100 + 1
+                                   THEN vm END) AS q3lo,
+                          max(CASE WHEN rn = (75 * (n - 1)) // 100 + 2
+                                   THEN vm END) AS q3hi
+                   FROM o GROUP BY event_type, n),
+            q AS (SELECT event_type, n,
+                         100 * q1lo + ((25 * (n - 1)) % 100)
+                             * (coalesce(q1hi, q1lo) - q1lo) AS q1c,
+                         100 * q3lo + ((75 * (n - 1)) % 100)
+                             * (coalesce(q3hi, q3lo) - q3lo) AS q3c
+                  FROM qs)
+            SELECT q.event_type, CAST(q.n AS BIGINT) AS n,
+                   q.q1c AS q1_centi, q.q3c AS q3_centi,
+                   CAST(sum(CASE WHEN 200 * v.vm
+                                      < 2 * q.q1c - 3 * (q.q3c - q.q1c)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                   CAST(sum(CASE WHEN 200 * v.vm
+                                      > 2 * q.q3c + 3 * (q.q3c - q.q1c)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+            FROM v JOIN q USING (event_type)
+            GROUP BY q.event_type, q.n, q.q1c, q.q3c
+        """,
         # relational_ext.lineitem_moments: exact HUGEINT moment sums cast
         # to DOUBLE once; corr from the same integers, identical float
         # operation order, half-up 6 dp; whole-dollar price quantisation

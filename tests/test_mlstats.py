@@ -1,0 +1,77 @@
+"""Grouped OLS regression + IQR Tukey-fence outlier panel
+(pipelines/mlstats.lineitem_group_ols / event_value_outliers)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort",
+                          ignore_index=True)
+
+
+def _duck(sql: str, tables=("lineitem", "events")) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in tables:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+def test_group_ols_parity_and_numpy_fit():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import lineitem_group_ols
+    got = _canon(lineitem_group_ols(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["lineitem_group_ols"]))
+    pd.testing.assert_frame_equal(got, exp)
+    # cross-check one group against numpy.polyfit on the quantised data
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+    flag = got["l_returnflag"].iloc[0]
+    sel = li[li["l_returnflag"] == flag]
+    x = np.floor(sel["l_quantity"].to_numpy() + 0.5)
+    y = np.floor(sel["l_extendedprice"].to_numpy() + 0.5)
+    slope, icept = np.polyfit(x, y, 1)
+    row = got[got["l_returnflag"] == flag].iloc[0]
+    assert abs(row["slope6"] - slope) < 1e-4
+    assert abs(row["intercept6"] - icept) < 1e-2
+    assert 0.0 <= row["r2_6"] <= 1.0
+
+
+def test_event_outliers_parity_and_fences():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import event_value_outliers
+    got = _canon(event_value_outliers(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["event_value_outliers"]))
+    pd.testing.assert_frame_equal(got, exp)
+    # fences recompute from a direct driver pass on one event type
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "value"])
+    et = got["event_type"].iloc[0]
+    vm = np.sort(np.floor(
+        ev.loc[ev["event_type"] == et, "value"].to_numpy() * 1e6 + 0.5)
+        .astype("int64"))
+    n = len(vm)
+    row = got[got["event_type"] == et].iloc[0]
+    assert row["n"] == n
+    for p, col in ((25, "q1_centi"), (75, "q3_centi")):
+        lo = (p * (n - 1)) // 100
+        rem = (p * (n - 1)) % 100
+        vlo = vm[lo]
+        vhi = vm[lo + 1] if rem else vlo
+        assert row[col] == 100 * vlo + rem * (vhi - vlo)
+    iqr = row["q3_centi"] - row["q1_centi"]
+    assert row["n_low"] == int(
+        (200 * vm < 2 * row["q1_centi"] - 3 * iqr).sum())
+    assert row["n_high"] == int(
+        (200 * vm > 2 * row["q3_centi"] + 3 * iqr).sum())
+    # outliers are a strict subset
+    assert row["n_low"] + row["n_high"] < n

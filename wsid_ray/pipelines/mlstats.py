@@ -1,0 +1,189 @@
+"""Distributed statistics / ML-evaluation operators (round-4 batch D).
+
+Every operator here follows the repo's integer determinism contracts
+(exact integer partial sums combined in Python arbitrary-precision
+ints, one final float op micro-rounded) so the DuckDB mirrors in
+__ray_entry__.oracle_sql hash-exactly.  Scale notes per function; none
+of them co-locates a whole partition of the raw input in one task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..sources.pqclean import read_parquet_clean
+from ..stages.groups import bucketed_group_apply
+from ..util import collect_rows
+from .analytics import bucketed_sum, exact_partitioned_ranks
+
+
+def _micro(x: np.ndarray) -> np.ndarray:
+    """float -> exact int64 micro-units, floor(x*1e6 + 0.5) (the repo's
+    standard quantisation; SQL mirror: CAST(floor(v*1e6+0.5) AS BIGINT))."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) \
+        .astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS linear regression (y = extendedprice dollars ~ x = quantity)
+# ---------------------------------------------------------------------------
+
+def lineitem_group_ols(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
+    """Per-l_returnflag OLS fit of price-on-quantity from the SAME
+    exact integer moment sums as lineitem_moments: slope, intercept and
+    R² derived once from python-int n/Σx/Σy/Σx²/Σy²/Σxy, each converted
+    to float64 for a single division and micro-rounded.
+
+    Scale: reuses _moment_partials — one tiny (block, flag) partial row
+    per block, one k-row bucketed fold; the raw table never shuffles."""
+    from .relational_ext import _moment_partials
+
+    partials = _moment_partials(sf_dir)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            n = int(g["n"].sum())
+            sx = sum(int(v) for v in g["sum_qty"])
+            sy = sum(int(v) for v in g["sum_price_d"])
+            sxx = sum(int(v) for v in g["sxx"])
+            syy = sum(int(v) for v in g["syy"])
+            sxy = sum(int(v) for v in g["sxy"])
+            dx = n * sxx - sx * sx          # n^2 * var(x), exact int
+            dy = n * syy - sy * sy
+            cv = n * sxy - sx * sy          # n^2 * cov,    exact int
+            if dx == 0:
+                slope6 = icept6 = r26 = None
+            else:
+                slope = float(cv) / float(dx)
+                slope6 = np.floor(slope * 1e6 + 0.5) / 1e6
+                icept = (float(sy) - slope * float(sx)) / float(n)
+                icept6 = np.floor(icept * 1e6 + 0.5) / 1e6
+                if dy == 0:
+                    r26 = None
+                else:
+                    r2 = (float(cv) * float(cv)) / (float(dx) * float(dy))
+                    r26 = np.floor(r2 * 1e6 + 0.5) / 1e6
+            rows.append({"l_returnflag": flag, "n": n,
+                         "slope6": slope6, "intercept6": icept6,
+                         "r2_6": r26})
+        return pd.DataFrame(rows, columns=["l_returnflag", "n", "slope6",
+                                           "intercept6", "r2_6"])
+
+    out_schema = pa.schema([("l_returnflag", pa.string()),
+                            ("n", pa.int64()), ("slope6", pa.float64()),
+                            ("intercept6", pa.float64()),
+                            ("r2_6", pa.float64())])
+    return bucketed_group_apply(partials, ["l_returnflag"], combine,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# IQR anomaly detection on event values
+# ---------------------------------------------------------------------------
+
+def event_value_outliers(sf_dir: str,
+                         bin_micro: int = 250_000) -> pa.Table:
+    """Tukey-fence outlier panel per event_type: exact interpolated
+    q1/q3 of ``value`` (micro-units) via the two-pass
+    exact_partitioned_ranks machinery, then a broadcast-bounds counting
+    pass — n, q1/q3 (centi-micro, the exact percentile_cont integers)
+    and the rows outside [q1 - 1.5*IQR, q3 + 1.5*IQR].
+
+    All fence comparisons stay integral: v is low iff
+    200*v_micro < 2*q1c - 3*(q3c - q1c) (centi-micro both sides, the
+    1.5 lifted to x2/x3 integers); high symmetrically.
+
+    Scale: pass 1/2 are the shared rank machinery (histogram partials +
+    per-(type, bin) tasks — no type is co-located); pass 3 is a
+    stateless counting scan against a k-entry broadcast dict."""
+    src = read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "event_id", "value"])
+    pairs = src.map_batches(
+        lambda df: pd.DataFrame({
+            "event_type": df["event_type"],
+            "vm": _micro(df["value"].to_numpy()),
+            "event_id": df["event_id"].astype("int64")}),
+        batch_format="pandas")
+
+    hit_schema = pa.schema([("event_type", pa.string()),
+                            ("p", pa.int64()), ("which", pa.string()),
+                            ("vm", pa.int64())])
+    ps = (25, 75)
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        rn = start + np.arange(len(g), dtype=np.int64) + 1
+        outs = []
+        for p in ps:
+            lo_rn = (p * (n - 1)) // 100 + 1
+            rem = (p * (n - 1)) % 100
+            for which, r in (("lo", lo_rn),
+                             ("hi", lo_rn + 1 if rem else None)):
+                if r is None:
+                    continue
+                hit = g[rn == r]
+                if len(hit):
+                    outs.append(pd.DataFrame({
+                        "event_type": hit["event_type"].to_numpy(),
+                        "p": np.int64(p), "which": which,
+                        "vm": hit["vm"].to_numpy()}))
+        if not outs:
+            return hit_schema.empty_table().to_pandas()
+        return pd.concat(outs, ignore_index=True)
+
+    hits = collect_rows(exact_partitioned_ranks(
+        pairs, "event_type", "vm", "event_id", bin_micro, emit,
+        hit_schema))
+    cnt = collect_rows(bucketed_sum(
+        pairs.map_batches(
+            lambda df: df.groupby("event_type", as_index=False)
+            .size().rename(columns={"size": "n"}).astype({"n": "int64"}),
+            batch_format="pandas"),
+        ["event_type"], ["n"], num_buckets=2))
+    n_of = {r["event_type"]: r["n"] for r in cnt}
+    lo = {(r["event_type"], r["p"]): r["vm"] for r in hits
+          if r["which"] == "lo"}
+    hi = {(r["event_type"], r["p"]): r["vm"] for r in hits
+          if r["which"] == "hi"}
+    q_of: dict[str, tuple[int, int]] = {}
+    for et, n in n_of.items():
+        qc = {}
+        for p in ps:
+            rem = (p * (n - 1)) % 100
+            vlo = lo[(et, p)]
+            vhi = hi.get((et, p), vlo)
+            qc[p] = 100 * vlo + rem * (vhi - vlo)
+        q_of[et] = (qc[25], qc[75])
+    b_ref = ray.put(q_of)
+
+    def fence_counts(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(b_ref)
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            q1c, q3c = q[et]
+            iqr = q3c - q1c
+            v200 = 200 * g["vm"].to_numpy()
+            rows.append((et,
+                         int((v200 < 2 * q1c - 3 * iqr).sum()),
+                         int((v200 > 2 * q3c + 3 * iqr).sum())))
+        return pd.DataFrame(rows, columns=["event_type", "n_low",
+                                           "n_high"]) \
+            .astype({"n_low": "int64", "n_high": "int64"})
+
+    fences = collect_rows(bucketed_sum(
+        pairs.map_batches(fence_counts, batch_format="pandas"),
+        ["event_type"], ["n_low", "n_high"], num_buckets=2))
+    f_of = {r["event_type"]: r for r in fences}
+    ets = sorted(n_of)
+    return pa.table({
+        "event_type": pa.array(ets, pa.string()),
+        "n": pa.array([n_of[e] for e in ets], pa.int64()),
+        "q1_centi": pa.array([q_of[e][0] for e in ets], pa.int64()),
+        "q3_centi": pa.array([q_of[e][1] for e in ets], pa.int64()),
+        "n_low": pa.array([f_of[e]["n_low"] for e in ets], pa.int64()),
+        "n_high": pa.array([f_of[e]["n_high"] for e in ets], pa.int64())})

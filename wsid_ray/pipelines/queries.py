@@ -2919,8 +2919,24 @@ def q_doc_setsim_join(sf_dir: str) -> rd.Dataset:
     return setsim_pairs(planted_docs(sf_dir))
 
 
+def q_lineitem_group_ols(sf_dir: str) -> rd.Dataset:
+    """Grouped OLS regression (price-on-quantity per returnflag) from
+    the exact integer moment sums — slope/intercept/R² micro-rounded."""
+    from .mlstats import lineitem_group_ols
+    return lineitem_group_ols(sf_dir)
+
+
+def q_event_value_outliers(sf_dir: str) -> "pa.Table":
+    """Tukey-fence IQR anomaly panel per event_type: exact interpolated
+    q1/q3 via the two-pass rank machinery + integral fence counts."""
+    from .mlstats import event_value_outliers
+    return event_value_outliers(sf_dir)
+
+
 QUERIES = {
     # --- first: queries new this round (driver cut-off ordering) ---
+    "lineitem_group_ols": q_lineitem_group_ols,
+    "event_value_outliers": q_event_value_outliers,
     "user_purchase_carry": q_user_purchase_carry,
     "customer_rolling_orders": q_customer_rolling_orders,
     "orders_profile": q_orders_profile,
