@@ -3649,6 +3649,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_cosine_topk": _SQL_KNN_EXACT,
         "knn_self_topk": _SQL_KNN_SELF,
+        # pipelines/mlstats.knn_label_accuracy: majority vote of the
+        # self-join top-5 labels (count desc, smallest label on ties)
+        # vs own label; truncating acc_micro
+        "knn_label_accuracy": f"""
+            WITH knn AS ({_SQL_KNN_SELF}),
+            lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                    FROM embeddings),
+            v AS (SELECT k.query_id, nl.label AS nlabel, count(*) AS c
+                  FROM knn k JOIN lab nl ON nl.vec_id = k.vec_id
+                  GROUP BY k.query_id, nl.label),
+            pred AS (SELECT query_id, nlabel AS pred FROM
+                     (SELECT *, row_number() OVER (
+                          PARTITION BY query_id
+                          ORDER BY c DESC, nlabel ASC) AS rn FROM v)
+                     WHERE rn = 1),
+            j AS (SELECT p.query_id, lq.label AS true_label, p.pred
+                  FROM pred p JOIN lab lq ON lq.vec_id = p.query_id),
+            g AS (SELECT true_label, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CASE WHEN pred = true_label
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_correct
+                  FROM j GROUP BY true_label)
+            SELECT true_label, n, n_correct,
+                   n_correct * 1000000 // n AS acc_micro
+            FROM g
+        """,
+        # pipelines/mlstats.embedding_silhouette: simplified silhouette
+        # (centroid form, squared distances) under a MILLI-unit integer
+        # contract; all divisions truncate toward zero (DuckDB //)
+        "embedding_silhouette": """
+            WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                              CAST(generate_subscripts(embedding, 1)
+                                   AS BIGINT) AS i,
+                              CAST(floor(CAST(unnest(embedding)
+                                              AS DOUBLE) * 1000 + 0.5)
+                                   AS BIGINT) AS q
+                       FROM embeddings),
+            cent AS (SELECT label AS clabel, i,
+                            CAST(SUM(q) // count(*) AS BIGINT) AS m
+                     FROM e GROUP BY label, i),
+            dist AS (SELECT e.vec_id, MIN(e.label) AS label, c.clabel,
+                            CAST(SUM((e.q - c.m) * (e.q - c.m))
+                                 AS BIGINT) AS d2
+                     FROM e JOIN cent c ON c.i = e.i
+                     GROUP BY e.vec_id, c.clabel),
+            ab AS (SELECT vec_id, label,
+                          max(CASE WHEN clabel = label THEN d2 END)
+                              AS a,
+                          min(CASE WHEN clabel <> label THEN d2 END)
+                              AS b
+                   FROM dist GROUP BY vec_id, label),
+            s AS (SELECT label, (b - a) * 1000000
+                             // greatest(greatest(a, b), 1) AS sm
+                  FROM ab)
+            SELECT label, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(sm) AS BIGINT) AS sum_sil_micro,
+                   CAST(sum(CASE WHEN sm > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos,
+                   CAST(sum(sm) AS BIGINT) // CAST(count(*) AS BIGINT)
+                       AS mean_sil_micro
+            FROM s GROUP BY label
+        """,
         # pipelines/queries.q_mutual_knn_degree: degree histogram of
         # the mutual-kNN graph over the self-join hit list
         "mutual_knn_degree": f"""

@@ -46,6 +46,60 @@ def test_group_ols_parity_and_numpy_fit():
     assert 0.0 <= row["r2_6"] <= 1.0
 
 
+def test_knn_label_accuracy_parity_and_bounds():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import knn_label_accuracy
+    got = _canon(knn_label_accuracy(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["knn_label_accuracy"],
+                       tables=("embeddings",)))
+    pd.testing.assert_frame_equal(got, exp)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+    # every label appears, n sums to the table size, accuracy in range
+    assert got["n"].sum() == len(emb)
+    assert set(got["true_label"]) == set(emb["label"].astype("int64"))
+    assert ((got["n_correct"] >= 0) & (got["n_correct"] <= got["n"])).all()
+    assert (got["acc_micro"] == got["n_correct"] * 1_000_000
+            // got["n"]).all()
+
+
+def test_silhouette_parity_and_direct_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import embedding_silhouette
+    got = _canon(embedding_silhouette(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["embedding_silhouette"],
+                       tables=("embeddings",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # direct numpy recompute of the whole contract
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    q = np.floor(np.stack(emb["embedding"].to_numpy()) * 1e3
+                 + 0.5).astype("int64")
+    labs = emb["label"].to_numpy().astype("int64")
+    ulabs = np.unique(labs)
+
+    def tdiv(a, b):
+        return np.sign(a) * (np.abs(a) // b)
+
+    cent = np.stack([tdiv(q[labs == lb].sum(axis=0),
+                          (labs == lb).sum()) for lb in ulabs])
+    d2 = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    own = np.searchsorted(ulabs, labs)
+    a = d2[np.arange(len(labs)), own]
+    d2m = d2.copy()
+    d2m[np.arange(len(labs)), own] = np.iinfo(np.int64).max
+    b = d2m.min(axis=1)
+    s = tdiv((b - a) * 1_000_000, np.maximum(np.maximum(a, b), 1))
+    for j, lb in enumerate(ulabs):
+        row = got[got["label"] == lb].iloc[0]
+        sel = s[labs == lb]
+        assert row["n"] == len(sel)
+        assert row["sum_sil_micro"] == int(sel.sum())
+        assert row["n_pos"] == int((sel > 0).sum())
+        assert row["mean_sil_micro"] == tdiv(int(sel.sum()), len(sel))
+    # silhouette is bounded by construction
+    assert got["mean_sil_micro"].abs().max() <= 1_000_000
+
+
 def test_event_outliers_parity_and_fences():
     import __ray_entry__ as E
     from wsid_ray.pipelines.mlstats import event_value_outliers

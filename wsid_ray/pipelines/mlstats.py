@@ -84,6 +84,146 @@ def lineitem_group_ols(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# kNN-classifier evaluation over the embedding table
+# ---------------------------------------------------------------------------
+
+def knn_label_accuracy(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """kNN-classifier eval: majority label of each vector's exact
+    cosine top-k neighbours (self excluded; count desc, smallest label
+    on ties) vs its own label, rolled up per true label — n, n_correct
+    and a truncating acc_micro = n_correct*1e6 // n.
+
+    Scale: rides the hash-green knn_self_topk hit lists (brute exact at
+    audit scale; the 100 TB self-join goes through IVF bucketing, same
+    note as knn_self_topk).  Labels broadcast once as a vec_id->label
+    dict; votes are per-query groups of k rows, aggregated with partial
+    counts before one tiny bucketed fold."""
+    import pyarrow.parquet as pq
+
+    from ..stages.knn import knn_topk, read_embeddings
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    queries = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+               for r in t.to_pylist()}
+    labels = dict(zip(t["vec_id"].to_pylist(),
+                      (int(x) for x in t["label"].to_pylist())))
+    lab_ref = ray.put(labels)
+    hits = knn_topk(read_embeddings(sf_dir), queries, k=k)
+
+    def vote(df: pd.DataFrame) -> pd.DataFrame:
+        lab = ray.get(lab_ref)
+        df = df.assign(nlabel=df["vec_id"].map(lab).astype("int64"))
+        rows = []
+        for qid, g in df.groupby("query_id", sort=True):
+            c = g.groupby("nlabel").size()
+            pred = c.sort_index().sort_values(
+                kind="mergesort", ascending=False).index[0]
+            true = lab[int(qid)]
+            rows.append((true, 1, int(pred == true)))
+        return pd.DataFrame(rows, columns=["true_label", "n",
+                                           "n_correct"]) \
+            .astype({"true_label": "int64", "n": "int64",
+                     "n_correct": "int64"})
+
+    votes = bucketed_group_apply(hits, ["query_id"], vote,
+                                 num_buckets=8)
+    agg = bucketed_sum(votes, ["true_label"], ["n", "n_correct"],
+                       num_buckets=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(acc_micro=(df["n_correct"] * 1_000_000
+                                    // df["n"]).astype("int64"))
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# simplified silhouette score per label (milli-unit integer contract)
+# ---------------------------------------------------------------------------
+
+def embedding_silhouette(sf_dir: str) -> rd.Dataset:
+    """Simplified silhouette (centroid form, squared Euclidean) per
+    label: a = d² to the own-label centroid, b = min d² to any other
+    centroid, s_micro = trunc((b - a) * 1e6 / max(a, b)).
+
+    Integer contract — MILLI-unit quantisation (this operator's own,
+    coarser than the repo's micro default): q = floor(v*1e3 + 0.5)
+    keeps d² ≤ ~1.3e8 so (b-a)*1e6 stays far inside int64; centroid =
+    truncating per-dim mean SUM(q)//n; division truncates toward zero
+    (DuckDB integer ``//``), engine mirrors with sign*(abs//den).
+
+    Scale: centroid fit is one tiny (label, dim) partial-sum fold; the
+    scoring pass is a stateless batch matmul against the broadcast
+    k x dim centroid matrix; the per-label rollup ships 3 ints."""
+    src = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding", "label"])
+
+    def cent_partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(np.stack(df["embedding"].to_numpy()) * 1e3
+                     + 0.5).astype(np.int64)
+        labs = df["label"].to_numpy().astype(np.int64)
+        outs = []
+        for lb in np.unique(labs):
+            s = q[labs == lb].sum(axis=0)
+            outs.append(pd.DataFrame({
+                "label": np.int64(lb),
+                "i": np.arange(1, q.shape[1] + 1, dtype=np.int64),
+                "s": s, "n": np.int64((labs == lb).sum())}))
+        return pd.concat(outs, ignore_index=True)
+
+    cent_rows = collect_rows(bucketed_sum(
+        src.map_batches(cent_partial, batch_format="pandas"),
+        ["label", "i"], ["s", "n"], num_buckets=2))
+    by_label: dict[int, dict[int, int]] = {}
+    n_dims = max(r["i"] for r in cent_rows)
+    for r in cent_rows:
+        by_label.setdefault(int(r["label"]), {})[int(r["i"])] = \
+            int(r["s"]) // int(r["n"]) if r["s"] >= 0 else \
+            -((-int(r["s"])) // int(r["n"]))
+    labs_sorted = sorted(by_label)
+    cent = np.array([[by_label[lb][i + 1] for i in range(n_dims)]
+                     for lb in labs_sorted], dtype=np.int64)
+    lab_index = {lb: j for j, lb in enumerate(labs_sorted)}
+    c_ref = ray.put((cent, lab_index))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c, idx = ray.get(c_ref)
+        q = np.floor(np.stack(df["embedding"].to_numpy()) * 1e3
+                     + 0.5).astype(np.int64)
+        labs = df["label"].to_numpy().astype(np.int64)
+        # n x k x d fits: k = label count (small), d = dims
+        diff = q[:, None, :] - c[None, :, :]
+        d2 = (diff * diff).sum(axis=2)            # n x k, int64-exact
+        own = np.array([idx[int(l)] for l in labs])
+        a = d2[np.arange(len(labs)), own]
+        d2m = d2.copy()
+        d2m[np.arange(len(labs)), own] = np.iinfo(np.int64).max
+        b = d2m.min(axis=1)
+        num = (b - a) * 1_000_000
+        den = np.maximum(np.maximum(a, b), 1)
+        s = np.sign(num) * (np.abs(num) // den)   # trunc toward zero
+        out = pd.DataFrame({"label": labs, "n": np.int64(1),
+                            "sum_sil_micro": s,
+                            "n_pos": (s > 0).astype("int64")})
+        return out.groupby("label", as_index=False).sum().astype(
+            {"label": "int64", "n": "int64", "sum_sil_micro": "int64",
+             "n_pos": "int64"})
+
+    agg = bucketed_sum(src.map_batches(score, batch_format="pandas"),
+                       ["label"], ["n", "sum_sil_micro", "n_pos"],
+                       num_buckets=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        num = df["sum_sil_micro"].to_numpy()
+        den = df["n"].to_numpy()
+        mean = np.sign(num) * (np.abs(num) // den)
+        return df.assign(mean_sil_micro=mean.astype("int64"))
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # IQR anomaly detection on event values
 # ---------------------------------------------------------------------------
 

@@ -2933,10 +2933,26 @@ def q_event_value_outliers(sf_dir: str) -> "pa.Table":
     return event_value_outliers(sf_dir)
 
 
+def q_knn_label_accuracy(sf_dir: str) -> rd.Dataset:
+    """kNN-classifier eval: top-5 majority vote vs own label, per-label
+    accuracy in truncating micro-units."""
+    from .mlstats import knn_label_accuracy
+    return knn_label_accuracy(sf_dir)
+
+
+def q_embedding_silhouette(sf_dir: str) -> rd.Dataset:
+    """Simplified silhouette per label (centroid form, milli-unit
+    integer contract, truncating divisions)."""
+    from .mlstats import embedding_silhouette
+    return embedding_silhouette(sf_dir)
+
+
 QUERIES = {
     # --- first: queries new this round (driver cut-off ordering) ---
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
+    "knn_label_accuracy": q_knn_label_accuracy,
+    "embedding_silhouette": q_embedding_silhouette,
     "user_purchase_carry": q_user_purchase_carry,
     "customer_rolling_orders": q_customer_rolling_orders,
     "orders_profile": q_orders_profile,
