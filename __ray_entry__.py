@@ -3649,6 +3649,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_cosine_topk": _SQL_KNN_EXACT,
         "knn_self_topk": _SQL_KNN_SELF,
+        # pipelines/mlstats.customer_rfm: three NTILE(4) windows over
+        # (metric, c_custkey) ascending — DuckDB ntile's first n%4
+        # tiles get the extra row, identical to ntile_emit; day ints
+        # are epoch_us // 86400000000 on both sides
+        "customer_rfm": """
+            WITH base AS (
+                SELECT o_custkey AS c_custkey,
+                       CAST(max(epoch_us(o_orderdate) // 86400000000)
+                            AS BIGINT) AS last_day,
+                       CAST(count(*) AS BIGINT) AS frequency,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT)
+                           AS monetary_cents
+                FROM orders GROUP BY o_custkey),
+            r AS (SELECT c_custkey,
+                         CAST((SELECT max(last_day) FROM base)
+                              - last_day AS BIGINT) AS recency_days,
+                         frequency, monetary_cents
+                  FROM base),
+            coded AS (SELECT *,
+                  CAST(ntile(4) OVER (ORDER BY recency_days, c_custkey)
+                       AS BIGINT) AS r_code,
+                  CAST(ntile(4) OVER (ORDER BY frequency, c_custkey)
+                       AS BIGINT) AS f_code,
+                  CAST(ntile(4) OVER (ORDER BY monetary_cents,
+                                      c_custkey) AS BIGINT) AS m_code
+                  FROM r)
+            SELECT c_custkey, recency_days, frequency, monetary_cents,
+                   r_code, f_code, m_code,
+                   r_code * 100 + f_code * 10 + m_code AS rfm
+            FROM coded
+        """,
+        # pipelines/sequences.customer_order_streaks: gap-and-islands
+        # via the m - row_number() group trick; longest-streak ties
+        # resolve to the earliest start (min over the max-length join)
+        "customer_order_streaks": """
+            WITH ym AS (SELECT DISTINCT o_custkey AS c_custkey,
+                               CAST(year(o_orderdate) * 12
+                                    + month(o_orderdate) - 1 AS BIGINT)
+                                   AS m
+                        FROM orders),
+            g AS (SELECT c_custkey, m,
+                         m - row_number() OVER (PARTITION BY c_custkey
+                                                ORDER BY m) AS grp
+                  FROM ym),
+            isl AS (SELECT c_custkey, grp,
+                           CAST(count(*) AS BIGINT) AS len,
+                           CAST(min(m) AS BIGINT) AS start_m
+                    FROM g GROUP BY c_custkey, grp),
+            a AS (SELECT c_custkey,
+                         CAST(sum(len) AS BIGINT) AS n_active_months,
+                         CAST(count(*) AS BIGINT) AS n_streaks,
+                         CAST(max(len) AS BIGINT) AS longest_streak
+                  FROM isl GROUP BY c_custkey)
+            SELECT a.c_custkey, a.n_active_months, a.n_streaks,
+                   a.longest_streak,
+                   CAST(min(i.start_m) AS BIGINT) AS longest_start_m
+            FROM a JOIN isl i ON i.c_custkey = a.c_custkey
+                             AND i.len = a.longest_streak
+            GROUP BY a.c_custkey, a.n_active_months, a.n_streaks,
+                     a.longest_streak
+        """,
         # pipelines/mlstats.knn_label_accuracy: majority vote of the
         # self-join top-5 labels (count desc, smallest label on ties)
         # vs own label; truncating acc_micro

@@ -46,6 +46,55 @@ def test_group_ols_parity_and_numpy_fit():
     assert 0.0 <= row["r2_6"] <= 1.0
 
 
+def test_customer_rfm_parity_and_quartile_balance():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import customer_rfm
+    got = _canon(customer_rfm(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["customer_rfm"],
+                       tables=("orders",)))
+    pd.testing.assert_frame_equal(got, exp)
+    n = len(got)
+    for col in ("r_code", "f_code", "m_code"):
+        sizes = got[col].value_counts()
+        assert set(sizes.index) == {1, 2, 3, 4}
+        # NTILE split: first n%4 tiles get one extra row
+        base, extra = n // 4, n % 4
+        exp_sizes = {t: base + (1 if t <= extra else 0)
+                     for t in (1, 2, 3, 4)}
+        assert sizes.to_dict() == exp_sizes
+    assert (got["rfm"] == got["r_code"] * 100 + got["f_code"] * 10
+            + got["m_code"]).all()
+
+
+def test_order_streaks_parity_and_islands():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.sequences import customer_order_streaks
+    got = _canon(customer_order_streaks(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["customer_order_streaks"],
+                       tables=("orders",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # direct recompute for the customer with the most active months
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate"])
+    ck = got.sort_values(["n_active_months", "c_custkey"],
+                         ascending=[False, True])["c_custkey"].iloc[0]
+    idx = pd.DatetimeIndex(
+        od.loc[od["o_custkey"] == ck, "o_orderdate"]).as_unit("us")
+    ms = np.unique((idx.year * 12 + idx.month - 1).astype("int64"))
+    brk = np.flatnonzero(np.diff(ms) > 1) + 1
+    starts = np.concatenate(([0], brk))
+    lens = np.diff(np.concatenate((starts, [len(ms)])))
+    row = got[got["c_custkey"] == ck].iloc[0]
+    assert row["n_active_months"] == len(ms)
+    assert row["n_streaks"] == len(lens)
+    assert row["longest_streak"] == lens.max()
+    assert row["longest_start_m"] == \
+        ms[starts[np.flatnonzero(lens == lens.max())[0]]]
+    # invariants over everyone
+    assert (got["longest_streak"] <= got["n_active_months"]).all()
+    assert (got["n_streaks"] >= 1).all()
+
+
 def test_knn_label_accuracy_parity_and_bounds():
     import __ray_entry__ as E
     from wsid_ray.pipelines.mlstats import knn_label_accuracy

@@ -84,6 +84,97 @@ def lineitem_group_ols(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------------
+
+def customer_rfm(sf_dir: str) -> rd.Dataset:
+    """Classic RFM segmentation: per customer recency_days (days from
+    their last order to the corpus max order day), frequency (orders)
+    and monetary_cents (exact cent sum), each NTILE(4)-coded over
+    (metric, c_custkey) ascending — r/f/m codes 1..4 and the combined
+    rfm = r*100 + f*10 + m.
+
+    Scale: the raw orders table collapses to per-customer partials in
+    one bucketed fold; the three quartile passes ride the shared
+    exact_partitioned_ranks machinery over customer-cardinality rows
+    (no co-located partition, same as user_activity_deciles); the code
+    streams hash-join back on c_custkey."""
+    from ..stages.joins import hash_join
+
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (pd.DatetimeIndex(df["o_orderdate"]).as_unit("us").asi8
+               // 86_400_000_000).astype("int64")
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100
+                         + 0.5).astype("int64")
+        g = pd.DataFrame({"c_custkey": df["o_custkey"].astype("int64"),
+                          "last_day": day, "frequency": np.int64(1),
+                          "monetary_cents": cents})
+        return g.groupby("c_custkey", as_index=False).agg(
+            last_day=("last_day", "max"), frequency=("frequency", "sum"),
+            monetary_cents=("monetary_cents", "sum"))
+
+    partials = src.map_batches(partial, batch_format="pandas")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_custkey", as_index=False).agg(
+            last_day=("last_day", "max"), frequency=("frequency", "sum"),
+            monetary_cents=("monetary_cents", "sum"))
+
+    out_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("last_day", pa.int64()),
+                            ("frequency", pa.int64()),
+                            ("monetary_cents", pa.int64())])
+    base = bucketed_group_apply(partials, ["c_custkey"], fold,
+                                num_buckets=8, out_schema=out_schema)
+    gmax = max(r["last_day"] for r in collect_rows(
+        base.map_batches(
+            lambda df: pd.DataFrame(
+                {"last_day": [np.int64(df["last_day"].max())]}),
+            batch_format="pandas")))
+    base = base.map_batches(
+        lambda df: df.assign(
+            recency_days=(gmax - df["last_day"]).astype("int64"))
+        .drop(columns=["last_day"]),
+        batch_format="pandas")
+
+    def code_pass(metric: str, out_col: str,
+                  bin_width: int) -> rd.Dataset:
+        pairs = base.map_batches(
+            lambda df: pd.DataFrame({"part": "all",
+                                     "c_custkey": df["c_custkey"],
+                                     "v": df[metric]}),
+            batch_format="pandas")
+        schema = pa.schema([("c_custkey", pa.int64()),
+                            (out_col, pa.int64())])
+
+        def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+            rank = start + np.arange(len(g), dtype=np.int64)
+            from .analytics import ntile_emit
+            return pd.DataFrame({
+                "c_custkey": g["c_custkey"].to_numpy(),
+                out_col: ntile_emit(4, rank, n).astype("int64")})
+
+        return exact_partitioned_ranks(pairs, "part", "v", "c_custkey",
+                                       bin_width, emit, schema,
+                                       num_buckets=8)
+
+    out = hash_join(base, code_pass("recency_days", "r_code", 4),
+                    on=["c_custkey"], num_buckets=8)
+    out = hash_join(out, code_pass("frequency", "f_code", 4),
+                    on=["c_custkey"], num_buckets=8)
+    out = hash_join(out, code_pass("monetary_cents", "m_code", 1 << 20),
+                    on=["c_custkey"], num_buckets=8)
+    return out.map_batches(
+        lambda df: df.assign(rfm=(df["r_code"] * 100 + df["f_code"] * 10
+                                  + df["m_code"]).astype("int64")),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # kNN-classifier evaluation over the embedding table
 # ---------------------------------------------------------------------------
 

@@ -2947,12 +2947,28 @@ def q_embedding_silhouette(sf_dir: str) -> rd.Dataset:
     return embedding_silhouette(sf_dir)
 
 
+def q_customer_rfm(sf_dir: str) -> rd.Dataset:
+    """RFM segmentation: recency/frequency/monetary quartile codes via
+    three exact NTILE passes over customer-cardinality rows."""
+    from .mlstats import customer_rfm
+    return customer_rfm(sf_dir)
+
+
+def q_customer_order_streaks(sf_dir: str) -> rd.Dataset:
+    """Gap-and-islands: consecutive active-month streaks per customer
+    (count, longest, earliest longest start)."""
+    from .sequences import customer_order_streaks
+    return customer_order_streaks(sf_dir)
+
+
 QUERIES = {
     # --- first: queries new this round (driver cut-off ordering) ---
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,
     "embedding_silhouette": q_embedding_silhouette,
+    "customer_rfm": q_customer_rfm,
+    "customer_order_streaks": q_customer_order_streaks,
     "user_purchase_carry": q_user_purchase_carry,
     "customer_rolling_orders": q_customer_rolling_orders,
     "orders_profile": q_orders_profile,

@@ -345,3 +345,55 @@ def user_cum_distinct_types(sf_dir: str, num_buckets: int = 16
     return bucketed_group_apply(ds, ["user_id"], win,
                                 num_buckets=num_buckets,
                                 out_schema=out_schema)
+
+
+def customer_order_streaks(sf_dir: str,
+                           num_buckets: int = 16) -> rd.Dataset:
+    """Gap-and-islands: per customer, runs of CONSECUTIVE active months
+    (month key m = year*12 + month - 1) — active-month count, number of
+    streaks, longest streak length and its earliest start month.
+
+    Distributed shape: the orders stream collapses to distinct
+    (c_custkey, m) pairs per batch, then one bucketed fold per customer
+    does the vectorised sort + diff island split — month-cardinality
+    rows only ever shuffle, and ties on the longest streak resolve to
+    the earliest start (shared with the SQL mirror's min-over-max
+    join)."""
+    import numpy as np
+
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        idx = pd.DatetimeIndex(df["o_orderdate"]).as_unit("us")
+        m = (idx.year * 12 + idx.month - 1).astype("int64")
+        return pd.DataFrame({"c_custkey": df["o_custkey"]
+                             .astype("int64"),
+                             "m": m}).drop_duplicates()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        rows = []
+        for ck, g in df.groupby("c_custkey", sort=True):
+            ms = np.sort(g["m"].to_numpy())
+            brk = np.flatnonzero(np.diff(ms) > 1) + 1
+            starts = np.concatenate(([0], brk))
+            ends = np.concatenate((brk, [len(ms)]))
+            lens = ends - starts
+            best = int(lens.max())
+            first_best = starts[np.flatnonzero(lens == best)[0]]
+            rows.append((ck, len(ms), len(lens), best,
+                         int(ms[first_best])))
+        return pd.DataFrame(rows, columns=[
+            "c_custkey", "n_active_months", "n_streaks",
+            "longest_streak", "longest_start_m"]).astype("int64")
+
+    out_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("n_active_months", pa.int64()),
+                            ("n_streaks", pa.int64()),
+                            ("longest_streak", pa.int64()),
+                            ("longest_start_m", pa.int64())])
+    return bucketed_group_apply(
+        src.map_batches(pairs, batch_format="pandas"),
+        ["c_custkey"], fold, num_buckets=num_buckets,
+        out_schema=out_schema)
