@@ -1584,6 +1584,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST((i * 1000000) // u AS BIGINT) AS jacc_micro
             FROM p WHERE 2 * i >= u AND i > 0
         """,
+        # stages/pagerank.adamic_adar: wedge enumeration on the hub
+        # column, deg attach, per-z 1/ln(deg) quantised to micro-units
+        # BEFORE the order-free sum; only NON-adjacent u<v pairs emit
+        "cooc_adamic_adar": f"""
+            WITH {_sql_cooc_chain(tr, tok, gaz)},
+            aa_ed AS MATERIALIZED (SELECT term, w, v FROM weighted
+                                   WHERE npmi > {NPMI_MIN}),
+            aa_und AS MATERIALIZED (
+                SELECT term, w AS z, v AS x FROM aa_ed
+                UNION ALL SELECT term, v, w FROM aa_ed),
+            aa_deg AS (SELECT term, z AS node,
+                              CAST(count(*) AS BIGINT) AS deg
+                       FROM aa_und GROUP BY term, z),
+            aa_wedge AS (SELECT a.term, a.x AS u, b.x AS v, a.z
+                         FROM aa_und a
+                         JOIN aa_und b ON b.term = a.term
+                                      AND b.z = a.z AND a.x < b.x),
+            aa_nonadj AS (SELECT w.* FROM aa_wedge w
+                          LEFT JOIN aa_ed e ON e.term = w.term
+                                           AND e.w = w.u AND e.v = w.v
+                          WHERE e.w IS NULL)
+            SELECT n.term, n.u, n.v,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   CAST(sum(CAST(floor(1e6 / ln(CAST(d.deg AS DOUBLE))
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                       AS aa_micro
+            FROM aa_nonadj n
+            JOIN aa_deg d ON d.term = n.term AND d.node = n.z
+            GROUP BY n.term, n.u, n.v
+        """,
+        # stages/lm.bm25_topk: Okapi BM25 top-5 per doc — exact-int
+        # tf/df/dl/N/total, avgdl = one double division, one shared
+        # float chain at 6 dp half-up, (score DESC, token ASC) ties
+        "doc_bm25_topk": r"""
+            WITH w AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                  text, '\s+'), x -> x <> '') AS ws
+                       FROM documents),
+            tfs AS (SELECT doc_id, unnest(ws) AS token FROM w),
+            tf AS (SELECT doc_id, token,
+                          CAST(count(*) AS BIGINT) AS tf
+                   FROM tfs GROUP BY ALL),
+            dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+            dft AS (SELECT token,
+                           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM tfs GROUP BY token),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(coalesce(sum(len(ws)), 0) AS BIGINT)
+                              AS tot
+                   FROM w),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf, dl.dl,
+                       floor(ln((CAST(nn.n AS DOUBLE) - dft.df + 0.5)
+                                / (dft.df + 0.5) + 1.0)
+                             * ((tf.tf * 2.2)
+                                / (tf.tf + 1.2 * (0.25 + 0.75
+                                   * (CAST(dl.dl AS DOUBLE)
+                                      / (CAST(nn.tot AS DOUBLE)
+                                         / nn.n)))))
+                             * 1e6 + 0.5) / 1e6 AS score
+                FROM tf
+                JOIN dl ON dl.doc_id = tf.doc_id
+                JOIN dft ON dft.token = tf.token, nn)
+            SELECT doc_id, token, tf, dl, score,
+                   CAST(rk AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score DESC, token) AS rk
+                  FROM scored)
+            WHERE rk <= 5
+        """,
         # stages/pagerank.edge_jaccard: per-edge embeddedness (the a<b<c
         # triangle enumeration exploded back onto its three canonical
         # edges) + open-neighbourhood Jaccard in integer micro-units

@@ -46,6 +46,64 @@ def test_group_ols_parity_and_numpy_fit():
     assert 0.0 <= row["r2_6"] <= 1.0
 
 
+def test_adamic_adar_parity_and_graph_invariants():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import (_cooc_edge_stream,
+                                            q_cooc_adamic_adar)
+    got = _canon(q_cooc_adamic_adar(SF).to_pandas())
+    con = duckdb.connect()
+    try:
+        # the oracle embeds the sf0.01 transcripts path (same note as
+        # test_graphx) — retarget it at this test's corpus
+        exp = _canon(con.sql(E.oracle_sql()["cooc_adamic_adar"]
+                             .replace("sf0.01", "sf0.001")).df())
+    finally:
+        con.close()
+    pd.testing.assert_frame_equal(got, exp)
+    # scored pairs are never existing edges, and the per-z term bound
+    # holds: each common neighbour contributes at most 1/ln(2)
+    edges = _cooc_edge_stream(SF).to_pandas()
+    ekeys = set(zip(edges["term"], edges["w"], edges["v"]))
+    akeys = set(zip(got["term"], got["u"], got["v"]))
+    assert not (akeys & ekeys)
+    assert (got["n_common"] >= 1).all()
+    cap = int(np.floor(1e6 / np.log(2.0) + 0.5))
+    assert (got["aa_micro"] <= got["n_common"] * cap).all()
+    assert (got["u"] < got["v"]).all()
+
+
+def test_bm25_parity_and_direct_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.stages.lm import bm25_topk
+    from wsid_ray.stages.textstats import read_documents
+    got = _canon(bm25_topk(read_documents(SF)).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["doc_bm25_topk"],
+                       tables=("documents",)))
+    pd.testing.assert_frame_equal(got, exp)
+    assert got.groupby("doc_id")["rank"].max().le(5).all()
+    # recompute BM25 for one document straight from the definition
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    words = docs["text"].str.split()
+    n = len(docs)
+    tot = int(words.str.len().sum())
+    avgdl = float(tot) / float(n)
+    dfc: dict[str, int] = {}
+    for ws in words:
+        for tok in set(ws):
+            dfc[tok] = dfc.get(tok, 0) + 1
+    did = got["doc_id"].iloc[0]
+    ws = words[docs["doc_id"] == did].iloc[0]
+    dl = len(ws)
+    for _, r in got[got["doc_id"] == did].iterrows():
+        tf = ws.count(r["token"])
+        idf = np.log((float(n) - dfc[r["token"]] + 0.5)
+                     / (dfc[r["token"]] + 0.5) + 1.0)
+        den = tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))
+        s = np.floor(idf * ((tf * 2.2) / den) * 1e6 + 0.5) / 1e6
+        assert r["tf"] == tf and r["dl"] == dl and r["score"] == s
+
+
 def test_customer_rfm_parity_and_quartile_balance():
     import __ray_entry__ as E
     from wsid_ray.pipelines.mlstats import customer_rfm

@@ -2961,6 +2961,20 @@ def q_customer_order_streaks(sf_dir: str) -> rd.Dataset:
     return customer_order_streaks(sf_dir)
 
 
+def q_cooc_adamic_adar(sf_dir: str) -> rd.Dataset:
+    """Adamic–Adar link prediction over the NPMI ego graphs: scored
+    non-adjacent wedge pairs, per-z terms quantised before the sum."""
+    from ..stages.pagerank import adamic_adar
+    return adamic_adar(_cooc_edge_stream(sf_dir))
+
+
+def q_doc_bm25_topk(sf_dir: str) -> rd.Dataset:
+    """Top-5 BM25 tokens per document (Okapi k1=1.2 b=0.75,
+    Lucene idf), exact-integer inputs + one float chain at 6 dp."""
+    from ..stages.lm import bm25_topk
+    return bm25_topk(read_documents(sf_dir))
+
+
 QUERIES = {
     # --- first: queries new this round (driver cut-off ordering) ---
     "lineitem_group_ols": q_lineitem_group_ols,
@@ -2969,6 +2983,8 @@ QUERIES = {
     "embedding_silhouette": q_embedding_silhouette,
     "customer_rfm": q_customer_rfm,
     "customer_order_streaks": q_customer_order_streaks,
+    "cooc_adamic_adar": q_cooc_adamic_adar,
+    "doc_bm25_topk": q_doc_bm25_topk,
     "user_purchase_carry": q_user_purchase_carry,
     "customer_rolling_orders": q_customer_rolling_orders,
     "orders_profile": q_orders_profile,

@@ -480,3 +480,78 @@ def tfidf_pair_sim(docs: rd.Dataset, k: int = 5, group_cap: int = 1000,
             "cos6": pa.array(cos, pa.float64())})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def bm25_topk(docs: rd.Dataset, k: int = 5,
+              num_buckets: int = 32) -> rd.Dataset:
+    """(doc_id, token, tf, dl, score, rank) — top-k tokens per document
+    by BM25 (Robertson/Okapi, k1 = 1.2, b = 0.75, Lucene-style
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1)).
+
+    Determinism contract (mirrored verbatim in the SQL oracle): every
+    input (tf, df, dl, N, total_tokens) is an exact integer; avgdl is
+    the single float division total/N; the score is ONE float chain
+    idf * ((tf*2.2) / (tf + 1.2*(0.25 + 0.75*(dl/avgdl)))) rounded
+    half-up to 6 dp; rank ties break (score DESC, token ASC).
+
+    Scale shape = tfidf_topk: tf/dl need no shuffle (one doc = one
+    row), df is a partial-count fold, idf attaches via a partitioned
+    hash join, top-k is a per-doc bucketed apply.  N and total_tokens
+    are two scalar folds (tiny)."""
+    from ..pipelines.analytics import partial_count
+    from ..util import collect_rows
+    from .groups import bucketed_group_apply
+    from .joins import hash_join
+
+    def tf_dl(t: pa.Table) -> pa.Table:
+        tf = doc_term_counts(t)
+        df = tf.to_pandas()
+        df["dl"] = df.groupby("doc_id")["tf"].transform("sum") \
+                     .astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("doc_id", tf.schema.field("doc_id").type),
+                       ("token", pa.string()), ("tf", pa.int64()),
+                       ("dl", pa.int64())]))
+
+    tf = docs.map_batches(tf_dl, batch_format="pyarrow")
+    df = partial_count(
+        tf.select_columns(["token"]), ["token"], out_name="df")
+    n_docs = docs.count()
+    total_tokens = sum(r["tot"] for r in collect_rows(tf.map_batches(
+        lambda t: pa.table({"tot": pa.array(
+            [int(pc.sum(t["tf"]).as_py() or 0)], type=pa.int64())}),
+        batch_format="pyarrow")))
+    avgdl = float(total_tokens) / float(n_docs)
+
+    j = hash_join(tf, df, on=["token"], num_buckets=num_buckets)
+
+    def score(t: pa.Table) -> pa.Table:
+        tf_v = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df_v = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl_v = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.log((float(n_docs) - df_v + 0.5) / (df_v + 0.5) + 1.0)
+        den = tf_v + 1.2 * (0.25 + 0.75 * (dl_v / avgdl))
+        s = np.floor(idf * ((tf_v * 2.2) / den) * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": t["doc_id"], "token": t["token"],
+            "tf": t["tf"].cast(pa.int64()),
+            "dl": t["dl"].cast(pa.int64()),
+            "score": pa.array(s, type=pa.float64())})
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+        g["rank"] = (g.groupby("doc_id", sort=False).cumcount() + 1) \
+            .astype("int64")
+        return g[g["rank"] <= k]
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("token", pa.string()),
+        ("tf", pa.int64()), ("dl", pa.int64()),
+        ("score", pa.float64()), ("rank", pa.int64())])
+    return bucketed_group_apply(scored, ["doc_id"], topk,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)

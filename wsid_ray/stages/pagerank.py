@@ -470,3 +470,78 @@ def bfs_hops(edges: rd.Dataset, rounds: int = 4,
     return rd.from_arrow(pa.table({
         "term": [k[0] for k in ks], "node": [k[1] for k in ks],
         "dist": [visited[k] for k in ks]}).cast(out_schema))
+
+
+def adamic_adar(edges: rd.Dataset, num_buckets: int = 8) -> rd.Dataset:
+    """Adamic–Adar link prediction over the pruned NPMI ego graphs:
+    for every NON-adjacent node pair (u < v) sharing at least one
+    common neighbour, n_common and aa_micro = Σ_z floor(1e6/ln(deg z)
+    + 0.5) — per-z terms quantised to int64 micro-units first, so the
+    distributed sum is order-free (a common neighbour has deg ≥ 2, so
+    ln > 0 always).
+
+    Plan: undirected 2-path (wedge) enumeration via one partitioned
+    self-join on the hub column, deg attach via a second hash join,
+    per-pair bucketed sum, then an anti filter against the edge set
+    (model-shaped — the pruned NPMI edges are vocab-bounded, the same
+    broadcast-size argument as the disambiguation inventory)."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.analytics import bucketed_sum
+    from ..util import collect_rows
+    from .joins import hash_join, semi_join
+
+    def und_as(u_name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.concat_tables([
+                pa.table({"term": t["term"], "z": t["w"],
+                          u_name: t["v"]}),
+                pa.table({"term": t["term"], "z": t["v"],
+                          u_name: t["w"]})])
+        return fn
+
+    und_u = edges.map_batches(und_as("u"), batch_format="pyarrow")
+    und_v = edges.map_batches(und_as("v"), batch_format="pyarrow")
+
+    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["term", "z"], sort=True).size() \
+              .rename("deg").reset_index()
+        g["deg"] = g["deg"].astype("int64")
+        return g
+
+    deg = bucketed_sum(
+        und_u.map_batches(deg_part, batch_format="pandas"),
+        ["term", "z"], ["deg"], num_buckets=num_buckets)
+
+    wedges = hash_join(und_u, und_v, on=["term", "z"],
+                       num_buckets=num_buckets).map_batches(
+        lambda t: t.filter(pc.less(t["u"], t["v"])),
+        batch_format="pyarrow")
+    wd = hash_join(wedges, deg, on=["term", "z"],
+                   num_buckets=num_buckets)
+
+    def aa_part(df: pd.DataFrame) -> pd.DataFrame:
+        t_micro = np.floor(
+            1e6 / np.log(df["deg"].to_numpy().astype(np.float64))
+            + 0.5).astype("int64")
+        g = df.assign(aa_micro=t_micro, n_common=np.int64(1))
+        out = g.groupby(["term", "u", "v"], as_index=False).agg(
+            n_common=("n_common", "sum"), aa_micro=("aa_micro", "sum"))
+        return out.astype({"n_common": "int64", "aa_micro": "int64"})
+
+    pairs = bucketed_sum(
+        wd.map_batches(aa_part, batch_format="pandas"),
+        ["term", "u", "v"], ["n_common", "aa_micro"],
+        num_buckets=num_buckets)
+
+    edge_keys = {f"{r['term']}|{r['w']}|{r['v']}"
+                 for r in collect_rows(edges)}
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(t["term"], t["u"], t["v"], "|")
+        return t.append_column("__k", k)
+
+    out = semi_join(pairs.map_batches(keyed, batch_format="pyarrow"),
+                    edge_keys, "__k", anti=True)
+    return out.map_batches(lambda t: t.drop(["__k"]),
+                           batch_format="pyarrow")
