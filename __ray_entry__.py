@@ -2168,6 +2168,39 @@ def oracle_sql() -> dict[str, str]:
         # pipelines/sequences.user_daily_dense: calendar densification
         # with zero fill between each user's first and last active day
         "user_daily_dense": dense_sql,
+        # pipelines/sequences.user_daily_ewma: truncated dyadic EWMA
+        # in Q20 fixed-point — the windowed self-join mirror computes
+        # the identical integer Σ x·2^(19-k), no float on either side
+        "user_daily_ewma": f"""
+            WITH ewd AS ({dense_sql})
+            SELECT a.user_id, a.day, a.n_events,
+                   CAST(sum(b.n_events
+                            * (CAST(1 AS BIGINT)
+                               << CAST(19 - date_diff('day', b.day,
+                                                      a.day)
+                                       AS INTEGER))) AS BIGINT)
+                       AS ewma_q20
+            FROM ewd a JOIN ewd b
+              ON b.user_id = a.user_id
+             AND b.day BETWEEN a.day - INTERVAL 19 DAY AND a.day
+            GROUP BY a.user_id, a.day, a.n_events
+        """,
+        # pipelines/relational_ext.purchase_nearby_clicks: ±30-min
+        # band join within events (engine: tol-bucketed fan-out +
+        # exact microsecond filter; mirror: the plain |Δts| <= tol
+        # join)
+        "purchase_nearby_clicks": """
+            SELECT p.event_id,
+                   CAST(count(*) AS BIGINT) AS n_nearby,
+                   CAST(min(abs(epoch_us(c.ts) - epoch_us(p.ts)))
+                        AS BIGINT) AS min_gap_us
+            FROM events p JOIN events c
+              ON c.user_id = p.user_id
+             AND p.event_type = 'purchase'
+             AND c.event_type = 'click'
+             AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 1800000000
+            GROUP BY p.event_id
+        """,
         # pipelines/queries.q_user_burstiness: Fano factor over the
         # dense daily series (exact int sums, one float division)
         "user_burstiness": f"""

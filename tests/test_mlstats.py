@@ -46,6 +46,58 @@ def test_group_ols_parity_and_numpy_fit():
     assert 0.0 <= row["r2_6"] <= 1.0
 
 
+def test_daily_ewma_parity_and_recursion():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.sequences import user_daily_ewma
+    got = _canon(user_daily_ewma(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["user_daily_ewma"],
+                       tables=("events",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # the Q20 integer satisfies the truncated recursion: for rows
+    # deeper than 20 lags, e_t = (e_{t-1} >> 1) + x_t * 2^19
+    # minus the term that falls off the window (x_{t-20} * 2^-1 scaled)
+    uid = got["user_id"].iloc[0]
+    g = got[got["user_id"] == uid].sort_values("day",
+                                               ignore_index=True)
+    x = g["n_events"].to_numpy()
+    e = g["ewma_q20"].to_numpy()
+    for t in range(1, len(g)):
+        drop = x[t - 20] if t >= 20 else 0
+        # e_{t-1} has its lowest term x_{t-20}<<0 after the shift
+        assert e[t] == (e[t - 1] - drop) // 2 + (x[t] << 19)
+    assert (e >= 0).all()
+
+
+def test_purchase_nearby_clicks_parity_and_band():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.relational_ext import purchase_nearby_clicks
+    got = _canon(purchase_nearby_clicks(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["purchase_nearby_clicks"],
+                       tables=("events",)))
+    pd.testing.assert_frame_equal(got, exp)
+    if len(got):
+        assert got["min_gap_us"].max() <= 1_800_000_000
+        assert (got["n_nearby"] >= 1).all()
+    # brute-force recompute over the whole (tiny) fixture
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    us = pd.DatetimeIndex(ev["ts"]).as_unit("us").asi8
+    ev = ev.assign(us=us)
+    p = ev[ev["event_type"] == "purchase"]
+    c = ev[ev["event_type"] == "click"]
+    expected = {}
+    for _, r in p.iterrows():
+        gaps = np.abs(c.loc[c["user_id"] == r["user_id"], "us"]
+                      - r["us"])
+        gaps = gaps[gaps <= 1_800_000_000]
+        if len(gaps):
+            expected[r["event_id"]] = (len(gaps), int(gaps.min()))
+    assert {int(r["event_id"]): (int(r["n_nearby"]),
+                                 int(r["min_gap_us"]))
+            for _, r in got.iterrows()} == expected
+
+
 def test_adamic_adar_parity_and_graph_invariants():
     import __ray_entry__ as E
     from wsid_ray.pipelines.queries import (_cooc_edge_stream,

@@ -2975,6 +2975,20 @@ def q_doc_bm25_topk(sf_dir: str) -> rd.Dataset:
     return bm25_topk(read_documents(sf_dir))
 
 
+def q_user_daily_ewma(sf_dir: str) -> rd.Dataset:
+    """Truncated dyadic EWMA (alpha=1/2, 20 lags) over the dense daily
+    series in exact Q20 fixed-point — no float anywhere."""
+    from .sequences import user_daily_ewma
+    return user_daily_ewma(sf_dir)
+
+
+def q_purchase_nearby_clicks(sf_dir: str) -> rd.Dataset:
+    """Range join within the event stream: clicks within ±30 min of
+    each purchase — tol-bucketed band join with constant fan-out."""
+    from .relational_ext import purchase_nearby_clicks
+    return purchase_nearby_clicks(sf_dir)
+
+
 QUERIES = {
     # --- first: queries new this round (driver cut-off ordering) ---
     "lineitem_group_ols": q_lineitem_group_ols,
@@ -2985,6 +2999,8 @@ QUERIES = {
     "customer_order_streaks": q_customer_order_streaks,
     "cooc_adamic_adar": q_cooc_adamic_adar,
     "doc_bm25_topk": q_doc_bm25_topk,
+    "user_daily_ewma": q_user_daily_ewma,
+    "purchase_nearby_clicks": q_purchase_nearby_clicks,
     "user_purchase_carry": q_user_purchase_carry,
     "customer_rolling_orders": q_customer_rolling_orders,
     "orders_profile": q_orders_profile,

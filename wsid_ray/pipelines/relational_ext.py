@@ -897,3 +897,71 @@ def user_event_types_list(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     return bucketed_group_apply(pairs, ["user_id"], fold,
                                 num_buckets=num_buckets,
                                 out_schema=out_schema)
+
+
+def purchase_nearby_clicks(sf_dir: str, tol_us: int = 1_800_000_000,
+                           num_buckets: int = 16) -> rd.Dataset:
+    """Interval/range join WITHIN the event stream: for each purchase,
+    the same user's clicks inside ±tol (default 30 min) — nearby count
+    and the exact closest |gap| in microseconds (purchases with no
+    nearby click don't emit; the mirror is the plain |Δts| <= tol
+    join).
+
+    Distributed shape: the classic BUCKETED band join — each click
+    fans out to its 3 candidate tol-width time buckets (constant
+    fan-out, never data-sized), the join runs partitioned on
+    (user_id, bucket), the exact microsecond band filter prunes the
+    bucket-edge false candidates, and per-purchase partials (count +
+    running min) fold in one bucketed pass."""
+    from ..stages.groups import bucketed_group_apply
+    from ..stages.joins import hash_join
+
+    events = read_parquet_clean(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "user_id", "ts",
+                                         "event_type"])
+
+    def p_pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"]
+        ts = pd.DatetimeIndex(df["ts"]).as_unit("us").asi8
+        return pd.DataFrame({"event_id": df["event_id"]
+                             .astype("int64"),
+                             "uid": df["user_id"].astype("int64"),
+                             "bkt": (ts // tol_us).astype("int64"),
+                             "p_us": ts})
+
+    def c_explode(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "click"]
+        ts = pd.DatetimeIndex(df["ts"]).as_unit("us").asi8
+        base = pd.DataFrame({"uid": df["user_id"].astype("int64"),
+                             "c_us": ts,
+                             "cb": (ts // tol_us).astype("int64")})
+        reps = []
+        for off in (-1, 0, 1):
+            r = base.copy()
+            r["bkt"] = r["cb"] + off
+            reps.append(r.drop(columns=["cb"]))
+        return pd.concat(reps, ignore_index=True)
+
+    j = hash_join(events.map_batches(p_pre, batch_format="pandas"),
+                  events.map_batches(c_explode, batch_format="pandas"),
+                  on=["uid", "bkt"], num_buckets=num_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        gap = np.abs(df["c_us"] - df["p_us"])
+        keep = df.assign(gap=gap)[gap <= tol_us]
+        out = keep.groupby("event_id", as_index=False).agg(
+            n_nearby=("gap", "size"), min_gap_us=("gap", "min"))
+        return out.astype({"n_nearby": "int64", "min_gap_us": "int64"})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_id", as_index=False).agg(
+            n_nearby=("n_nearby", "sum"), min_gap_us=("min_gap_us",
+                                                      "min"))
+        return out.astype({"n_nearby": "int64", "min_gap_us": "int64"})
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("n_nearby", pa.int64()),
+                            ("min_gap_us", pa.int64())])
+    return bucketed_group_apply(
+        j.map_batches(partial, batch_format="pandas"),
+        ["event_id"], fold, num_buckets=8, out_schema=out_schema)

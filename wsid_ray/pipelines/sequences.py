@@ -397,3 +397,41 @@ def customer_order_streaks(sf_dir: str,
         src.map_batches(pairs, batch_format="pandas"),
         ["c_custkey"], fold, num_buckets=num_buckets,
         out_schema=out_schema)
+
+
+def user_daily_ewma(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Truncated dyadic EWMA over each user's DENSE daily series:
+    s_t = Σ_{k=0..19} 0.5^(k+1) · x_{t-k}, emitted in exact Q20
+    fixed-point (ewma_q20 = Σ x_{t-k} · 2^(19-k), an int64) — alpha =
+    1/2 and the 20-lag truncation make every term a dyadic rational,
+    so the engine's shifted-add fold and the mirror's windowed
+    self-join produce bit-identical integers with no float anywhere.
+
+    Scale: rides user_daily_dense (one bucketed shuffle of per-day
+    partial counts); the fold is 20 vectorised shifted adds per user
+    series."""
+    import numpy as np
+
+    dense = user_daily_dense(sf_dir, num_buckets=num_buckets)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for uid, g in df.groupby("user_id", sort=True):
+            g = g.sort_values("day", kind="mergesort",
+                              ignore_index=True)
+            x = g["n_events"].to_numpy().astype(np.int64)
+            e = np.zeros(len(x), dtype=np.int64)
+            for k in range(min(20, len(x))):
+                e[k:] += x[:len(x) - k] << (19 - k)
+            frames.append(pd.DataFrame({
+                "user_id": np.int64(uid), "day": g["day"],
+                "n_events": x, "ewma_q20": e}))
+        return pd.concat(frames, ignore_index=True)
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("day", pa.timestamp("us")),
+                            ("n_events", pa.int64()),
+                            ("ewma_q20", pa.int64())])
+    return bucketed_group_apply(dense, ["user_id"], fold,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
