@@ -3753,6 +3753,73 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_cosine_topk": _SQL_KNN_EXACT,
         "knn_self_topk": _SQL_KNN_SELF,
+        # pipelines/mlstats.priority_price_welch: Welch t + W-S df per
+        # priority pair — exact HUGEINT moments, then ONE shared float
+        # chain (identical parenthesisation to the numpy side), 6 dp
+        "priority_price_welch": """
+            WITH q AS (SELECT o_orderpriority AS pr,
+                              CAST(floor(o_totalprice + 0.5) AS BIGINT)
+                                  AS y
+                       FROM orders),
+            m AS (SELECT pr, CAST(count(*) AS HUGEINT) AS n,
+                         SUM(CAST(y AS HUGEINT)) AS s,
+                         SUM(CAST(y AS HUGEINT) * y) AS s2
+                  FROM q GROUP BY pr),
+            pp AS (SELECT a.pr AS p1, b.pr AS p2,
+                          CAST(a.n AS DOUBLE) AS n1f,
+                          CAST(b.n AS DOUBLE) AS n2f,
+                          CAST(a.n AS BIGINT) AS n1,
+                          CAST(b.n AS BIGINT) AS n2,
+                          CAST(a.s AS DOUBLE) AS s1,
+                          CAST(b.s AS DOUBLE) AS s2a,
+                          CAST(a.s2 AS DOUBLE) AS q1,
+                          CAST(b.s2 AS DOUBLE) AS q2
+                   FROM m a JOIN m b ON a.pr < b.pr),
+            v AS (SELECT p1, p2, n1, n2, n1f, n2f,
+                         s1 / n1f AS m1, s2a / n2f AS m2,
+                         ((n1f * q1 - s1 * s1) / (n1f * (n1f - 1.0)))
+                             / n1f AS se1,
+                         ((n2f * q2 - s2a * s2a) / (n2f * (n2f - 1.0)))
+                             / n2f AS se2
+                  FROM pp)
+            SELECT p1, p2, n1, n2,
+                   floor((m1 - m2) / sqrt(se1 + se2) * 1e6 + 0.5) / 1e6
+                       AS t6,
+                   floor((se1 + se2) * (se1 + se2)
+                         / (se1 * se1 / (n1f - 1.0)
+                            + se2 * se2 / (n2f - 1.0)) * 1e6 + 0.5)
+                       / 1e6 AS df6
+            FROM v
+        """,
+        # pipelines/mlstats.supplier_acctbal_anova: SSB/SSW in exact
+        # cents² HUGEINT (per-group tdiv terms — order-free), float
+        # only in the final F chain
+        "supplier_acctbal_anova": """
+            WITH q AS (SELECT s_nationkey AS g,
+                              CAST(floor(s_acctbal * 100 + 0.5)
+                                   AS BIGINT) AS y
+                       FROM supplier),
+            m AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+                         SUM(CAST(y AS HUGEINT)) AS s,
+                         SUM(CAST(y AS HUGEINT) * y) AS s2
+                  FROM q GROUP BY g),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         SUM(n) AS nt, SUM(s) AS st, SUM(s2) AS s2t,
+                         SUM((s * s) // n) AS sb
+                  FROM m)
+            SELECT k, CAST(nt AS BIGINT) AS n,
+                   CAST(sb - (st * st) // nt AS BIGINT) AS ssb_c,
+                   CAST(s2t - sb AS BIGINT) AS ssw_c,
+                   CASE WHEN k < 2 OR CAST(nt AS BIGINT) <= k
+                             OR s2t - sb = 0 THEN NULL
+                        ELSE floor((CAST(sb - (st * st) // nt AS DOUBLE)
+                                    / CAST(k - 1 AS DOUBLE))
+                                   / (CAST(s2t - sb AS DOUBLE)
+                                      / CAST(CAST(nt AS BIGINT) - k
+                                             AS DOUBLE))
+                                   * 1e6 + 0.5) / 1e6 END AS f6
+            FROM t
+        """,
         # pipelines/mlstats.customer_rfm: three NTILE(4) windows over
         # (metric, c_custkey) ascending — DuckDB ntile's first n%4
         # tiles get the extra row, identical to ntile_emit; day ints

@@ -46,6 +46,57 @@ def test_group_ols_parity_and_numpy_fit():
     assert 0.0 <= row["r2_6"] <= 1.0
 
 
+def test_welch_parity_and_scipy_free_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import priority_price_welch
+    got = _canon(priority_price_welch(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["priority_price_welch"],
+                       tables=("orders",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # recompute one pair straight from the data
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+    y = np.floor(od["o_totalprice"].to_numpy() + 0.5)
+    r = got.iloc[0]
+    y1 = y[od["o_orderpriority"].to_numpy() == r["p1"]]
+    y2 = y[od["o_orderpriority"].to_numpy() == r["p2"]]
+    se1 = y1.var(ddof=1) / len(y1)
+    se2 = y2.var(ddof=1) / len(y2)
+    t = (y1.mean() - y2.mean()) / np.sqrt(se1 + se2)
+    assert r["n1"] == len(y1) and r["n2"] == len(y2)
+    assert abs(r["t6"] - t) < 1e-4
+    # a full pair panel over the 5 priorities
+    assert len(got) == 10
+
+
+def test_anova_parity_and_identity():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import supplier_acctbal_anova
+    got = supplier_acctbal_anova(SF).to_pandas()
+    exp = _duck(E.oracle_sql()["supplier_acctbal_anova"],
+                tables=("supplier",))
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+    sup = pd.read_parquet(f"{SF}/supplier.parquet",
+                          columns=["s_nationkey", "s_acctbal"])
+    r = got.iloc[0]
+    assert r["k"] == sup["s_nationkey"].nunique()
+    assert r["n"] == len(sup)
+    # SSB + SSW reproduce SST up to the per-group tdiv truncation
+    cents = np.floor(sup["s_acctbal"].to_numpy() * 100 + 0.5) \
+        .astype("int64")
+    sst = int((cents.astype(object) ** 2).sum()) \
+        - (int(cents.sum()) ** 2) // len(cents)
+    assert 0 <= sst - (r["ssb_c"] + r["ssw_c"]) <= r["k"]
+    # F agrees with the float recompute from the same integers (NULL
+    # on a degenerate design, e.g. one supplier per nation at sf0.001)
+    if r["k"] >= 2 and r["n"] > r["k"] and r["ssw_c"] != 0:
+        f = (float(r["ssb_c"]) / (r["k"] - 1)) \
+            / (float(r["ssw_c"]) / (r["n"] - r["k"]))
+        assert r["f6"] == np.floor(f * 1e6 + 0.5) / 1e6
+    else:
+        assert pd.isna(r["f6"])
+
+
 def test_daily_ewma_parity_and_recursion():
     import __ray_entry__ as E
     from wsid_ray.pipelines.sequences import user_daily_ewma

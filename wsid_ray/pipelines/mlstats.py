@@ -84,6 +84,114 @@ def lineitem_group_ols(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Welch t-test / one-way ANOVA from exact integer moments
+# ---------------------------------------------------------------------------
+
+def _group_moments(ds: rd.Dataset, key: str, val_fn,
+                   num_buckets: int = 4) -> list[dict]:
+    """Exact per-group (n, Σy, Σy²) — int64 per-block partials (the
+    caller's quantisation must keep y² inside per-block headroom),
+    Python-int combine, driver-collected (group-cardinality rows)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        y = val_fn(df)
+        g = pd.DataFrame({key: df[key], "n": np.int64(1), "s": y,
+                          "s2": y * y})
+        return g.groupby(key, as_index=False).sum().astype(
+            {"n": "int64", "s": "int64", "s2": "int64"})
+
+    rows = collect_rows(ds.map_batches(partial, batch_format="pandas"))
+    acc: dict = {}
+    for r in rows:
+        a = acc.setdefault(r[key], [0, 0, 0])
+        a[0] += int(r["n"]); a[1] += int(r["s"]); a[2] += int(r["s2"])
+    return [{key: k, "n": v[0], "s": v[1], "s2": v[2]}
+            for k, v in sorted(acc.items())]
+
+
+def priority_price_welch(sf_dir: str) -> pa.Table:
+    """Welch two-sample t-test panel: every pair of order priorities
+    compared on whole-dollar order price — t statistic and
+    Welch–Satterthwaite df, both 6 dp half-up from one shared float
+    chain over exact integer moments (same headroom contract as
+    lineitem_moments: dollar quantisation keeps y² per-block int64).
+
+    Scale: one stateless partial-moments scan; the pair panel is
+    k²-bounded driver work."""
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderpriority",
+                                      "o_totalprice"])
+    stats = _group_moments(
+        src, "o_orderpriority",
+        lambda df: np.floor(df["o_totalprice"].to_numpy()
+                            + 0.5).astype(np.int64))
+    rows = []
+    for i, a in enumerate(stats):
+        for b in stats[i + 1:]:
+            n1, n2 = float(a["n"]), float(b["n"])
+            m1 = float(a["s"]) / n1
+            m2 = float(b["s"]) / n2
+            v1 = (n1 * float(a["s2"]) - float(a["s"]) * float(a["s"])) \
+                / (n1 * (n1 - 1.0))
+            v2 = (n2 * float(b["s2"]) - float(b["s"]) * float(b["s"])) \
+                / (n2 * (n2 - 1.0))
+            se1, se2 = v1 / n1, v2 / n2
+            t = (m1 - m2) / np.sqrt(se1 + se2)
+            df_w = (se1 + se2) * (se1 + se2) \
+                / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0))
+            rows.append((a["o_orderpriority"], b["o_orderpriority"],
+                         a["n"], b["n"],
+                         np.floor(t * 1e6 + 0.5) / 1e6,
+                         np.floor(df_w * 1e6 + 0.5) / 1e6))
+    return pa.table({
+        "p1": pa.array([r[0] for r in rows], pa.string()),
+        "p2": pa.array([r[1] for r in rows], pa.string()),
+        "n1": pa.array([r[2] for r in rows], pa.int64()),
+        "n2": pa.array([r[3] for r in rows], pa.int64()),
+        "t6": pa.array([r[4] for r in rows], pa.float64()),
+        "df6": pa.array([r[5] for r in rows], pa.float64())})
+
+
+def supplier_acctbal_anova(sf_dir: str) -> pa.Table:
+    """One-way ANOVA across nations on supplier account balance
+    (cents): between/within sums of squares and the F statistic, all
+    derived once from exact per-group integer moments (cents² ≤ ~1e12
+    per row — int64 headroom holds for million-row blocks), float only
+    in the final shared chain, 6 dp half-up.
+
+    Scale: one stateless partial-moments scan + k-row driver math."""
+    src = read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                             columns=["s_nationkey", "s_acctbal"])
+    stats = _group_moments(
+        src, "s_nationkey",
+        lambda df: np.floor(df["s_acctbal"].to_numpy() * 100
+                            + 0.5).astype(np.int64))
+    k = len(stats)
+    n_tot = sum(r["n"] for r in stats)
+    s_tot = sum(r["s"] for r in stats)
+    s2_tot = sum(r["s2"] for r in stats)
+    # SS in EXACT cents² integers (order-free — a float Σ over groups
+    # would be aggregation-order-dependent and break the mirror):
+    # per-group term tdiv(s_g², n_g) truncates ≤ 1 cent² each — the
+    # determinism contract, shared verbatim with the SQL // operator
+    sb = sum((r["s"] * r["s"]) // r["n"] for r in stats)
+    ssb_c = sb - (s_tot * s_tot) // n_tot
+    ssw_c = s2_tot - sb
+    if k < 2 or n_tot <= k or ssw_c == 0:   # degenerate design -> NULL
+        f6 = None
+    else:
+        f_stat = (float(ssb_c) / float(k - 1)) \
+            / (float(ssw_c) / float(n_tot - k))
+        f6 = np.floor(f_stat * 1e6 + 0.5) / 1e6
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n": pa.array([n_tot], pa.int64()),
+        "ssb_c": pa.array([ssb_c], pa.int64()),
+        "ssw_c": pa.array([ssw_c], pa.int64()),
+        "f6": pa.array([f6], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
 # RFM customer segmentation (recency / frequency / monetary quartiles)
 # ---------------------------------------------------------------------------
 

@@ -2975,6 +2975,20 @@ def q_doc_bm25_topk(sf_dir: str) -> rd.Dataset:
     return bm25_topk(read_documents(sf_dir))
 
 
+def q_priority_price_welch(sf_dir: str) -> "pa.Table":
+    """Welch t-test panel over all order-priority pairs (exact integer
+    moments, one shared float chain, 6 dp)."""
+    from .mlstats import priority_price_welch
+    return priority_price_welch(sf_dir)
+
+
+def q_supplier_acctbal_anova(sf_dir: str) -> "pa.Table":
+    """One-way ANOVA F across nations on supplier balance — SSB/SSW in
+    exact cents² integers, float only in the final F chain."""
+    from .mlstats import supplier_acctbal_anova
+    return supplier_acctbal_anova(sf_dir)
+
+
 def q_user_daily_ewma(sf_dir: str) -> rd.Dataset:
     """Truncated dyadic EWMA (alpha=1/2, 20 lags) over the dense daily
     series in exact Q20 fixed-point — no float anywhere."""
@@ -3001,6 +3015,8 @@ QUERIES = {
     "doc_bm25_topk": q_doc_bm25_topk,
     "user_daily_ewma": q_user_daily_ewma,
     "purchase_nearby_clicks": q_purchase_nearby_clicks,
+    "priority_price_welch": q_priority_price_welch,
+    "supplier_acctbal_anova": q_supplier_acctbal_anova,
     "user_purchase_carry": q_user_purchase_carry,
     "customer_rolling_orders": q_customer_rolling_orders,
     "orders_profile": q_orders_profile,
