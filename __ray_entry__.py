@@ -3753,6 +3753,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_cosine_topk": _SQL_KNN_EXACT,
         "knn_self_topk": _SQL_KNN_SELF,
+        # pipelines/mlstats.user_inactivity_churn: per-user last active
+        # day + exact inactivity vs corpus max, >7-day churn flag
+        "user_inactivity_churn": """
+            WITH u AS (SELECT user_id,
+                              CAST(max(epoch_us(ts) // 86400000000)
+                                   AS BIGINT) AS last_day
+                       FROM events GROUP BY user_id)
+            SELECT user_id, last_day,
+                   CAST((SELECT max(last_day) FROM u) - last_day
+                        AS BIGINT) AS days_inactive,
+                   CAST(CASE WHEN (SELECT max(last_day) FROM u)
+                                  - last_day > 7
+                             THEN 1 ELSE 0 END AS BIGINT) AS churned
+            FROM u
+        """,
+        # pipelines/mlstats.status_priority_chisq: chi2 as an exact
+        # integer micro sum — per-cell (O·N - rt·ct)²/(N·rt·ct) rounded
+        # half-up via (2·num·1e6 + den)//(2·den) in HUGEINT, zero cells
+        # included through the margins cross join
+        "status_priority_chisq": """
+            WITH c AS (SELECT o_orderstatus AS r,
+                              o_orderpriority AS cl,
+                              CAST(count(*) AS HUGEINT) AS o
+                       FROM orders GROUP BY ALL),
+            rt AS (SELECT r, SUM(o) AS rt FROM c GROUP BY r),
+            ct AS (SELECT cl, SUM(o) AS ct FROM c GROUP BY cl),
+            nn AS (SELECT SUM(o) AS n FROM c),
+            grid AS (SELECT rt.r, ct.cl, rt.rt, ct.ct,
+                            coalesce(c.o, 0) AS o
+                     FROM rt CROSS JOIN ct
+                     LEFT JOIN c ON c.r = rt.r AND c.cl = ct.cl),
+            cell AS (SELECT (2 * ((o * nn.n - rt * ct)
+                                  * (o * nn.n - rt * ct)) * 1000000
+                             + (nn.n * rt * ct))
+                            // (2 * (nn.n * rt * ct)) AS term
+                     FROM grid, nn)
+            SELECT CAST(nn.n AS BIGINT) AS n,
+                   CAST(rl.k AS BIGINT) AS r_levels,
+                   CAST(cl2.k AS BIGINT) AS c_levels,
+                   CAST((rl.k - 1) * (cl2.k - 1) AS BIGINT) AS dof,
+                   CAST(s.t AS BIGINT) AS chi2_micro
+            FROM nn,
+                 (SELECT count(*) AS k FROM rt) rl,
+                 (SELECT count(*) AS k FROM ct) cl2,
+                 (SELECT SUM(term) AS t FROM cell) s
+        """,
         # pipelines/mlstats.priority_price_welch: Welch t + W-S df per
         # priority pair — exact HUGEINT moments, then ONE shared float
         # chain (identical parenthesisation to the numpy side), 6 dp

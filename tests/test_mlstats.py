@@ -46,6 +46,40 @@ def test_group_ols_parity_and_numpy_fit():
     assert 0.0 <= row["r2_6"] <= 1.0
 
 
+def test_churn_parity_and_flags():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import user_inactivity_churn
+    got = _canon(user_inactivity_churn(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["user_inactivity_churn"],
+                       tables=("events",)))
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["days_inactive"] >= 0).all()
+    assert (got["churned"] == (got["days_inactive"] > 7)
+            .astype("int64")).all()
+    assert (got["days_inactive"].min() == 0)  # someone is active last
+
+
+def test_chisq_parity_and_scipy_free_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import status_priority_chisq
+    got = status_priority_chisq(SF).to_pandas()
+    exp = _duck(E.oracle_sql()["status_priority_chisq"],
+                tables=("orders",))
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+    # float recompute of the definition agrees within quantisation
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority"])
+    tab = pd.crosstab(od["o_orderstatus"], od["o_orderpriority"])
+    n = tab.to_numpy().sum()
+    e = np.outer(tab.sum(axis=1), tab.sum(axis=0)) / n
+    chi2 = (((tab.to_numpy() - e) ** 2) / e).sum()
+    r = got.iloc[0]
+    assert r["n"] == n
+    assert r["dof"] == (tab.shape[0] - 1) * (tab.shape[1] - 1)
+    # each cell term rounds to micro: total error < #cells
+    assert abs(r["chi2_micro"] / 1e6 - chi2) < tab.size / 1e6 + 1e-6
+
+
 def test_welch_parity_and_scipy_free_recompute():
     import __ray_entry__ as E
     from wsid_ray.pipelines.mlstats import priority_price_welch

@@ -84,6 +84,97 @@ def lineitem_group_ols(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# churn flags + chi-square independence (exact integer contracts)
+# ---------------------------------------------------------------------------
+
+def user_inactivity_churn(sf_dir: str, churn_days: int = 7,
+                          num_buckets: int = 8) -> rd.Dataset:
+    """Churn panel: per user, last active day, exact days inactive vs
+    the corpus max day, and the churned flag (> churn_days silent).
+
+    Scale: per-batch max partials fold once on user_id; the corpus max
+    is a scalar derived from the folded (user-cardinality) stream and
+    broadcast into a stateless flag pass."""
+    src = read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        day = (pd.DatetimeIndex(df["ts"]).as_unit("us").asi8
+               // 86_400_000_000).astype("int64")
+        g = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                          "last_day": day})
+        return g.groupby("user_id", as_index=False).max()
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).max() \
+            .astype({"last_day": "int64"})
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("last_day", pa.int64())])
+    per_user = bucketed_group_apply(
+        src.map_batches(part, batch_format="pandas"),
+        ["user_id"], fold, num_buckets=num_buckets,
+        out_schema=out_schema)
+    gmax = max(r["m"] for r in collect_rows(per_user.map_batches(
+        lambda df: pd.DataFrame({"m": [np.int64(df["last_day"].max())]}),
+        batch_format="pandas")))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        inact = (gmax - df["last_day"]).astype("int64")
+        return df.assign(days_inactive=inact,
+                         churned=(inact > churn_days).astype("int64"))
+
+    return per_user.map_batches(flag, batch_format="pandas")
+
+
+def status_priority_chisq(sf_dir: str) -> pa.Table:
+    """Chi-square test of independence over the (o_orderstatus x
+    o_orderpriority) contingency table — chi2 in exact integer
+    micro-units: each cell's (O-E)²/E is lifted to the integer
+    rational (O·N - rt·ct)² / (N·rt·ct), rounded half-up to micro via
+    (2·num·1e6 + den) // (2·den) in arbitrary-precision ints, then
+    summed — order-free, zero cells included.
+
+    Scale: the contingency partial-counts fold ships category² rows;
+    the driver math is k² cells."""
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderstatus",
+                                      "o_orderpriority"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["o_orderstatus", "o_orderpriority"],
+                         as_index=False).size() \
+            .rename(columns={"size": "o"})
+        return out.astype({"o": "int64"})
+
+    rows = collect_rows(bucketed_sum(
+        src.map_batches(part, batch_format="pandas"),
+        ["o_orderstatus", "o_orderpriority"], ["o"], num_buckets=2))
+    obs = {(r["o_orderstatus"], r["o_orderpriority"]): int(r["o"])
+           for r in rows}
+    r_tot: dict[str, int] = {}
+    c_tot: dict[str, int] = {}
+    for (rk, ck), o in obs.items():
+        r_tot[rk] = r_tot.get(rk, 0) + o
+        c_tot[ck] = c_tot.get(ck, 0) + o
+    n = sum(r_tot.values())
+    chi2_micro = 0
+    for rk in sorted(r_tot):
+        for ck in sorted(c_tot):
+            o = obs.get((rk, ck), 0)
+            num = (o * n - r_tot[rk] * c_tot[ck]) ** 2
+            den = n * r_tot[rk] * c_tot[ck]
+            chi2_micro += (2 * num * 1_000_000 + den) // (2 * den)
+    dof = (len(r_tot) - 1) * (len(c_tot) - 1)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "r_levels": pa.array([len(r_tot)], pa.int64()),
+        "c_levels": pa.array([len(c_tot)], pa.int64()),
+        "dof": pa.array([dof], pa.int64()),
+        "chi2_micro": pa.array([chi2_micro], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
 # Welch t-test / one-way ANOVA from exact integer moments
 # ---------------------------------------------------------------------------
 

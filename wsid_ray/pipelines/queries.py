@@ -2975,6 +2975,20 @@ def q_doc_bm25_topk(sf_dir: str) -> rd.Dataset:
     return bm25_topk(read_documents(sf_dir))
 
 
+def q_user_inactivity_churn(sf_dir: str) -> rd.Dataset:
+    """Churn panel: last active day, exact inactivity days vs corpus
+    max, churned flag (>7 silent days)."""
+    from .mlstats import user_inactivity_churn
+    return user_inactivity_churn(sf_dir)
+
+
+def q_status_priority_chisq(sf_dir: str) -> "pa.Table":
+    """Chi-square independence over status x priority — exact integer
+    micro-unit cell terms, order-free sum, zero cells included."""
+    from .mlstats import status_priority_chisq
+    return status_priority_chisq(sf_dir)
+
+
 def q_priority_price_welch(sf_dir: str) -> "pa.Table":
     """Welch t-test panel over all order-priority pairs (exact integer
     moments, one shared float chain, 6 dp)."""
@@ -3017,6 +3031,8 @@ QUERIES = {
     "purchase_nearby_clicks": q_purchase_nearby_clicks,
     "priority_price_welch": q_priority_price_welch,
     "supplier_acctbal_anova": q_supplier_acctbal_anova,
+    "user_inactivity_churn": q_user_inactivity_churn,
+    "status_priority_chisq": q_status_priority_chisq,
     "user_purchase_carry": q_user_purchase_carry,
     "customer_rolling_orders": q_customer_rolling_orders,
     "orders_profile": q_orders_profile,
