@@ -3753,6 +3753,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_cosine_topk": _SQL_KNN_EXACT,
         "knn_self_topk": _SQL_KNN_SELF,
+        # stages/groups.kmv_registers: k smallest distinct 63-bit md5
+        # hashes (md5_number_upper >> 1, the shared contract)
+        "user_kmv_registers": """
+            WITH h AS (SELECT DISTINCT
+                              CAST(md5_number_upper(
+                                   CAST(user_id AS VARCHAR)) >> 1
+                                   AS BIGINT) AS h63
+                       FROM events),
+            r AS (SELECT h63, row_number() OVER (ORDER BY h63) AS rk
+                  FROM h)
+            SELECT CAST(rk AS BIGINT) AS rank, h63
+            FROM r WHERE rk <= 32
+        """,
+        # stages/groups.kmv_estimate: (k-1)·2^63 // h_k integer
+        # estimator (exact count when the sketch is under-full) +
+        # truncating signed micro error vs the exact distinct
+        "user_kmv_estimate": """
+            WITH h AS (SELECT DISTINCT
+                              CAST(md5_number_upper(
+                                   CAST(user_id AS VARCHAR)) >> 1
+                                   AS BIGINT) AS h63
+                       FROM events),
+            sk AS (SELECT h63 FROM h ORDER BY h63 LIMIT 32),
+            kth AS (SELECT CAST(max(h63) AS HUGEINT) AS hk,
+                           CAST(count(*) AS BIGINT) AS k FROM sk),
+            ex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM h),
+            e AS (SELECT kth.k, ex.n,
+                         CASE WHEN kth.k < 32 THEN kth.k
+                              ELSE CAST((CAST(kth.k AS HUGEINT) - 1)
+                                        * 9223372036854775808 // kth.hk
+                                        AS BIGINT) END AS est
+                  FROM kth, ex)
+            SELECT k, n AS n_distinct, est,
+                   (est - n) * 1000000 // n AS err_micro
+            FROM e
+        """,
         # pipelines/mlstats.user_inactivity_churn: per-user last active
         # day + exact inactivity vs corpus max, >7-day churn flag
         "user_inactivity_churn": """

@@ -46,6 +46,38 @@ def test_group_ols_parity_and_numpy_fit():
     assert 0.0 <= row["r2_6"] <= 1.0
 
 
+def test_kmv_parity_underfull_and_full_branch():
+    import hashlib
+
+    import __ray_entry__ as E
+    from wsid_ray.stages.groups import kmv_estimate, kmv_registers
+    # sf0.001 has < 32 distinct users: the UNDER-FULL branch — the
+    # estimate must equal the exact count with zero error
+    import ray.data as rd
+    from wsid_ray.sources.pqclean import read_parquet_clean
+    ds = read_parquet_clean(f"{SF}/events.parquet", columns=["user_id"])
+    got = _canon(kmv_registers(ds, "user_id").to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["user_kmv_registers"],
+                       tables=("events",)))
+    pd.testing.assert_frame_equal(got, exp)
+    assert got["h63"].is_monotonic_increasing or len(got) <= 1
+    est = kmv_estimate(ds, "user_id").to_pandas().iloc[0]
+    if est["k"] < 32:
+        assert est["est"] == est["n_distinct"] and est["err_micro"] == 0
+    # FULL branch on a synthetic 500-distinct-value stream: estimator
+    # must land within 3/sqrt(k) relative error (KMV guarantee band)
+    syn = rd.from_items([{"user_id": i} for i in range(500)])
+    r = kmv_estimate(syn, "user_id").to_pandas().iloc[0]
+    assert r["k"] == 32 and r["n_distinct"] == 500
+    assert abs(r["est"] - 500) / 500 < 3 / np.sqrt(32)
+    # registers recompute straight from the hash contract
+    regs = kmv_registers(syn, "user_id").to_pandas()
+    hs = sorted(int.from_bytes(
+        hashlib.md5(str(i).encode()).digest()[:8], "little") >> 1
+        for i in range(500))[:32]
+    assert list(regs["h63"]) == hs
+
+
 def test_churn_parity_and_flags():
     import __ray_entry__ as E
     from wsid_ray.pipelines.mlstats import user_inactivity_churn

@@ -2975,6 +2975,24 @@ def q_doc_bm25_topk(sf_dir: str) -> rd.Dataset:
     return bm25_topk(read_documents(sf_dir))
 
 
+def q_user_kmv_registers(sf_dir: str) -> "pa.Table":
+    """KMV distinct sketch registers (k=32 smallest 63-bit md5 hashes
+    of user_id) — hash-checkable like the HLL registers."""
+    from ..stages.groups import kmv_registers
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+    return kmv_registers(ds, "user_id")
+
+
+def q_user_kmv_estimate(sf_dir: str) -> "pa.Table":
+    """KMV estimate-vs-exact audit: integer (k−1)·2^63//h_k estimator
+    beside the exact distinct count and signed micro error."""
+    from ..stages.groups import kmv_estimate
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+    return kmv_estimate(ds, "user_id")
+
+
 def q_user_inactivity_churn(sf_dir: str) -> rd.Dataset:
     """Churn panel: last active day, exact inactivity days vs corpus
     max, churned flag (>7 silent days)."""
@@ -3033,6 +3051,8 @@ QUERIES = {
     "supplier_acctbal_anova": q_supplier_acctbal_anova,
     "user_inactivity_churn": q_user_inactivity_churn,
     "status_priority_chisq": q_status_priority_chisq,
+    "user_kmv_registers": q_user_kmv_registers,
+    "user_kmv_estimate": q_user_kmv_estimate,
     "user_purchase_carry": q_user_purchase_carry,
     "customer_rolling_orders": q_customer_rolling_orders,
     "orders_profile": q_orders_profile,

@@ -310,3 +310,62 @@ def hll_estimate(registers: pd.DataFrame) -> float:
     elif est > (1 << 32) / 30.0:
         est = -(1 << 32) * np.log1p(-est / (1 << 32))
     return float(est)
+
+
+def kmv_registers(ds: rd.Dataset, col: str, k: int = 32) -> pa.Table:
+    """KMV (k-minimum-values) distinct sketch: the k smallest DISTINCT
+    63-bit hashes of ``col`` — h63 = md5_number_upper(CAST(v AS
+    VARCHAR)) >> 1, the repo's shared md5 contract, so the registers
+    themselves are hash-checkable against DuckDB.
+
+    Mergeable-sketch shape: each batch contributes its local k-min of
+    the in-batch distinct hashes (k rows max per batch); the driver
+    merge is distinct + k-min over tiny partials — the same
+    bounded-memory pattern as the HLL registers."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[col].unique()
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(int(v)).encode())
+                            .digest()[:8], "little") >> 1
+             for v in vals), dtype=np.int64, count=len(vals))
+        hs = np.unique(hs)[:k]
+        return pd.DataFrame({"h63": hs})
+
+    from ..util import collect_rows
+    parts = collect_rows(ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas"))
+    merged = sorted({int(r["h63"]) for r in parts})[:k]
+    return pa.table({
+        "rank": pa.array(range(1, len(merged) + 1), pa.int64()),
+        "h63": pa.array(merged, pa.int64())})
+
+
+def kmv_estimate(ds: rd.Dataset, col: str, k: int = 32) -> pa.Table:
+    """KMV cardinality audit: the sketch estimate
+    est = (k-1)·2^63 // h_k (exact integer division — degenerate
+    sketches with fewer than k values return the exact count) beside
+    the exact bucketed distinct count and the truncating signed
+    relative error in micro-units."""
+    from .groups import distinct as _distinct
+
+    regs = kmv_registers(ds, col, k=k)
+    n_sketch = regs.num_rows
+    exact = _distinct(ds.select_columns([col]), [col],
+                      num_buckets=8).count()
+    if n_sketch < k:
+        est = n_sketch
+    else:
+        hk = regs["h63"][n_sketch - 1].as_py()
+        est = ((k - 1) << 63) // hk
+    d = est - exact
+    err_micro = (abs(d) * 1_000_000 // exact) * (1 if d >= 0 else -1)
+    return pa.table({
+        "k": pa.array([n_sketch], pa.int64()),
+        "n_distinct": pa.array([exact], pa.int64()),
+        "est": pa.array([est], pa.int64()),
+        "err_micro": pa.array([err_micro], pa.int64())})
