@@ -106,6 +106,17 @@ def run_bench() -> dict:
         side["source_gram_overlap"] = q_source_gram_overlap
         side["user_median_gap"] = q_user_median_gap
         side["user_cum_distinct_types"] = q_user_cum_distinct_types
+    # r4 batch-D additions (heaviest of the new stats/ML-eval family —
+    # first baselines)
+    from wsid_ray.pipelines.queries import (q_cooc_adamic_adar,
+                                            q_customer_rfm,
+                                            q_doc_bm25_topk,
+                                            q_user_daily_ewma)
+    if side:
+        side["doc_bm25_topk"] = q_doc_bm25_topk
+        side["cooc_adamic_adar"] = q_cooc_adamic_adar
+        side["customer_rfm"] = q_customer_rfm
+        side["user_daily_ewma"] = q_user_daily_ewma
     for name, fn in side.items():
         t0 = time.time()
         res = fn(sf_dir)

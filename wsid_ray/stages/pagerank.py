@@ -480,59 +480,79 @@ def adamic_adar(edges: rd.Dataset, num_buckets: int = 8) -> rd.Dataset:
     distributed sum is order-free (a common neighbour has deg ≥ 2, so
     ln > 0 always).
 
-    Plan: undirected 2-path (wedge) enumeration via one partitioned
-    self-join on the hub column, deg attach via a second hash join,
-    per-pair bucketed sum, then an anti filter against the edge set
-    (model-shaped — the pruned NPMI edges are vocab-bounded, the same
-    broadcast-size argument as the disambiguation inventory)."""
+    Plan: the edge stream is MATERIALIZED once (model-shaped — the
+    pruned NPMI edges are vocab-bounded, the same size argument as the
+    disambiguation inventory) so its three consumers don't re-execute
+    the cooc front-end; wedge pairs come from a per-hub bucketed group
+    expansion — the hub's degree and its 1/ln(deg) term are known
+    inside the group, so no degree join exists at all — followed by
+    one bucketed per-pair sum and an anti filter against the edge
+    set."""
     import pyarrow.compute as pc
 
     from ..pipelines.analytics import bucketed_sum
     from ..util import collect_rows
-    from .joins import hash_join, semi_join
+    from .groups import bucketed_group_apply
+    from .joins import semi_join
 
-    def und_as(u_name: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return pa.concat_tables([
-                pa.table({"term": t["term"], "z": t["w"],
-                          u_name: t["v"]}),
-                pa.table({"term": t["term"], "z": t["v"],
-                          u_name: t["w"]})])
-        return fn
+    edges = edges.materialize()
 
-    und_u = edges.map_batches(und_as("u"), batch_format="pyarrow")
-    und_v = edges.map_batches(und_as("v"), batch_format="pyarrow")
+    def und(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"term": t["term"], "z": t["w"], "x": t["v"]}),
+            pa.table({"term": t["term"], "z": t["v"], "x": t["w"]})])
 
-    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["term", "z"], sort=True).size() \
-              .rename("deg").reset_index()
-        g["deg"] = g["deg"].astype("int64")
-        return g
-
-    deg = bucketed_sum(
-        und_u.map_batches(deg_part, batch_format="pandas"),
-        ["term", "z"], ["deg"], num_buckets=num_buckets)
-
-    wedges = hash_join(und_u, und_v, on=["term", "z"],
-                       num_buckets=num_buckets).map_batches(
-        lambda t: t.filter(pc.less(t["u"], t["v"])),
-        batch_format="pyarrow")
-    wd = hash_join(wedges, deg, on=["term", "z"],
-                   num_buckets=num_buckets)
-
-    def aa_part(df: pd.DataFrame) -> pd.DataFrame:
-        t_micro = np.floor(
-            1e6 / np.log(df["deg"].to_numpy().astype(np.float64))
-            + 0.5).astype("int64")
-        g = df.assign(aa_micro=t_micro, n_common=np.int64(1))
-        out = g.groupby(["term", "u", "v"], as_index=False).agg(
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorised within-group all-pairs: sort by (term, z, x)
+        # so every hub's neighbour list is a sorted contiguous run
+        # (u < v for free), then the classic repeat/offset expansion —
+        # no Python loop over hubs
+        df = df.sort_values(["term", "z", "x"], kind="mergesort",
+                            ignore_index=True)
+        gid = (df["term"] + "\x00" + df["z"]).to_numpy()
+        new_g = np.concatenate(([True], gid[1:] != gid[:-1]))
+        g_codes = np.cumsum(new_g) - 1
+        sizes = np.bincount(g_codes)
+        n = len(df)
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        pos = np.arange(n) - starts[g_codes]
+        reps = sizes[g_codes] - 1 - pos           # later elems to pair
+        P = int(reps.sum())
+        if P == 0:
+            return pd.DataFrame({
+                "term": pd.Series(dtype=object),
+                "u": pd.Series(dtype=object),
+                "v": pd.Series(dtype=object),
+                "n_common": pd.Series(dtype="int64"),
+                "aa_micro": pd.Series(dtype="int64")})
+        u_idx = np.repeat(np.arange(n), reps)
+        blk_start = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        off = np.arange(P) - np.repeat(blk_start, reps)
+        v_idx = u_idx + off + 1
+        # size-1 hubs emit no pairs; clamp them to 2 so the (unused)
+        # 1/ln term stays finite instead of warning on the int cast
+        t_micro = np.floor(1e6 / np.log(np.maximum(
+            sizes[g_codes], 2).astype(np.float64)) + 0.5) \
+            .astype(np.int64)
+        xs = df["x"].to_numpy()
+        out = pd.DataFrame({
+            "term": df["term"].to_numpy()[u_idx],
+            "u": xs[u_idx], "v": xs[v_idx],
+            "n_common": np.int64(1), "aa_micro": t_micro[u_idx]})
+        return out.groupby(["term", "u", "v"], as_index=False).agg(
             n_common=("n_common", "sum"), aa_micro=("aa_micro", "sum"))
-        return out.astype({"n_common": "int64", "aa_micro": "int64"})
 
-    pairs = bucketed_sum(
-        wd.map_batches(aa_part, batch_format="pandas"),
-        ["term", "u", "v"], ["n_common", "aa_micro"],
-        num_buckets=num_buckets)
+    part_schema = pa.schema([("term", pa.string()), ("u", pa.string()),
+                             ("v", pa.string()),
+                             ("n_common", pa.int64()),
+                             ("aa_micro", pa.int64())])
+    partials = bucketed_group_apply(
+        edges.map_batches(und, batch_format="pyarrow"),
+        ["term", "z"], expand, num_buckets=num_buckets,
+        out_schema=part_schema)
+    pairs = bucketed_sum(partials, ["term", "u", "v"],
+                         ["n_common", "aa_micro"],
+                         num_buckets=num_buckets)
 
     edge_keys = {f"{r['term']}|{r['w']}|{r['v']}"
                  for r in collect_rows(edges)}
