@@ -1152,18 +1152,21 @@ def _sql_pack_sequences(cap: int = 256) -> str:
     """
 
 
-def _sql_kmeans(k: int = 4, iters: int = 3, dim: int = 64) -> str:
+def _sql_kmeans(k: int = 4, iters: int = 3, dim: int = 64,
+                emb_expr: str = "embedding") -> str:
     """DuckDB mirror of stages/kmeans.kmeans_assign — the Lloyd loop
     unrolled to ``iters`` CTE rounds.  Hash-exactness rests on the
     integer contract shared with the engine (kmeans.py module doc):
     micro-unit quantisation, exact int64 distances, min(dist·k + cid)
     assignment keys, integer half-away-from-zero centroid means, empty
     clusters keeping the previous centroid.  ``dim`` matches the
-    embeddings fixture (64 at the driver's check scale)."""
+    embeddings fixture (64 at the driver's check scale).  ``emb_expr``
+    lets product-quantization mirrors cluster a list_slice of the
+    embedding instead (stages/kmeans.pq_codes)."""
     dist = (f"list_sum(list_transform(range(1, {dim + 1}), "
             f"i -> (q.qe[i] - c.qe[i]) * (q.qe[i] - c.qe[i])))")
     ctes = [f"""q AS MATERIALIZED (
-            SELECT vec_id, list_transform(embedding, x ->
+            SELECT vec_id, list_transform({emb_expr}, x ->
                 CAST(floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5)
                      * sign(CAST(x AS DOUBLE)) AS BIGINT)) AS qe
             FROM embeddings)""",
@@ -3569,6 +3572,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # distributed k-means, integer-exact Lloyd rounds (kmeans.py)
         "kmeans_clusters": _sql_kmeans(),
+        # stages/kmeans.pq_codes: product quantization — one unrolled
+        # Lloyd mirror per 16-dim list_slice subspace, UNION ALL
+        "embedding_pq_codes": " UNION ALL ".join(
+            f"SELECT vec_id, CAST({s} AS BIGINT) AS subspace, "
+            f"cluster AS code, dist FROM ({_sql_kmeans(4, 3, 16, f'list_slice(embedding, {s * 16 + 1}, {(s + 1) * 16})')})"
+            for s in range(4)),
         # SemDeDup: within-cluster near-identical drops (kmeans.py)
         "semdedup_drops": _sql_semdedup(),
         # add-one-smoothed corpus bigram LM scores; per-term int64

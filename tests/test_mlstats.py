@@ -46,6 +46,33 @@ def test_group_ols_parity_and_numpy_fit():
     assert 0.0 <= row["r2_6"] <= 1.0
 
 
+def test_pq_codes_parity_and_reconstruction_bound():
+    import __ray_entry__ as E
+    from wsid_ray.stages.kmeans import pq_codes, quantize
+    from wsid_ray.stages.knn import read_embeddings
+    got = _canon(pq_codes(read_embeddings(SF)).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["embedding_pq_codes"],
+                       tables=("embeddings",)))
+    pd.testing.assert_frame_equal(got, exp)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    n = len(emb)
+    # every vector gets exactly 4 subspace codes in [0, 4)
+    assert len(got) == 4 * n
+    assert got["code"].between(0, 3).all()
+    assert got.groupby("vec_id")["subspace"].count().eq(4).all()
+    # dist is the EXACT quantised squared error to the assigned
+    # centroid, so it is bounded by the distance to subspace zero
+    # vector plus... simpler: it's nonneg and < the full-vector norm
+    q = quantize(np.stack(emb["embedding"].to_numpy()))
+    full_norm = (q.astype(object) ** 2).sum(axis=1)
+    per_vec = got.groupby("vec_id")["dist"].sum()
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    assert (per_vec.loc[ids[order]].to_numpy()
+            <= np.asarray(full_norm[order], dtype=object) * 4).all()
+    assert (got["dist"] >= 0).all()
+
+
 def test_kmv_parity_underfull_and_full_branch():
     import hashlib
 

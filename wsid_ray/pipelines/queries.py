@@ -2975,6 +2975,14 @@ def q_doc_bm25_topk(sf_dir: str) -> rd.Dataset:
     return bm25_topk(read_documents(sf_dir))
 
 
+def q_embedding_pq_codes(sf_dir: str) -> rd.Dataset:
+    """Product quantization: 4 subspace × 4-centroid integer-contract
+    Lloyd fits; per (vector, subspace) the code and exact quantised
+    reconstruction error."""
+    from ..stages.kmeans import pq_codes
+    return pq_codes(read_embeddings(sf_dir))
+
+
 def q_user_kmv_registers(sf_dir: str) -> "pa.Table":
     """KMV distinct sketch registers (k=32 smallest 63-bit md5 hashes
     of user_id) — hash-checkable like the HLL registers."""
@@ -3053,6 +3061,7 @@ QUERIES = {
     "status_priority_chisq": q_status_priority_chisq,
     "user_kmv_registers": q_user_kmv_registers,
     "user_kmv_estimate": q_user_kmv_estimate,
+    "embedding_pq_codes": q_embedding_pq_codes,
     "user_purchase_carry": q_user_purchase_carry,
     "customer_rolling_orders": q_customer_rolling_orders,
     "orders_profile": q_orders_profile,

@@ -265,3 +265,54 @@ def semantic_dedup(embeds: rd.Dataset, k: int = 4, iters: int = 3,
         out_schema=pa.schema([("vec_id", pa.int64()),
                               ("kept_by", pa.int64()),
                               ("n_sim", pa.int64())]))
+
+
+def pq_codes(embeds: rd.Dataset, n_subspaces: int = 4, k: int = 4,
+             iters: int = 3) -> rd.Dataset:
+    """Product quantization (the ANN memory scale path): the embedding
+    is split into ``n_subspaces`` contiguous dim slices and each slice
+    is clustered with the SAME integer-contract Lloyd loop as
+    kmeans_assign — per vector and subspace, the assigned codebook
+    entry (``code``) and the exact quantised squared reconstruction
+    error (``dist``).  dim must divide evenly.
+
+    Hash-exactness inherits wholesale from the kmeans contract (module
+    docstring): the sliced float32 values quantise to the identical
+    micro ints on both sides, so each subspace mirror is the unrolled
+    Lloyd CTE over ``list_slice(embedding, lo, hi)``.
+
+    Scale: n_subspaces independent kmeans fits (each a per-iteration
+    streaming scan emitting k×subdim partials); codes are S·log2(k)
+    bits per vector downstream."""
+    first = embeds.take(1)[0]
+    dim = len(first["embedding"])
+    assert dim % n_subspaces == 0, "dim must divide into subspaces"
+    sub = dim // n_subspaces
+
+    outs = []
+    for s in range(n_subspaces):
+        lo, hi = s * sub, (s + 1) * sub
+
+        def slice_fn(t: pa.Table, _lo=lo, _hi=hi) -> pa.Table:
+            from .knn import _to_matrix
+            M = _to_matrix(t["embedding"])[:, _lo:_hi]
+            return pa.table({
+                "vec_id": t["vec_id"],
+                "embedding": pa.array(list(M),
+                                      type=pa.list_(pa.float64()))})
+
+        asg = kmeans_assign(embeds.map_batches(slice_fn,
+                                               batch_format="pyarrow"),
+                            k=k, iters=iters)
+        outs.append(asg.map_batches(
+            lambda t, _s=s: pa.table({
+                "vec_id": t["vec_id"],
+                "subspace": pa.array(
+                    np.full(t.num_rows, _s, dtype=np.int64)),
+                "code": t["cluster"], "dist": t["dist"]}),
+            batch_format="pyarrow"))
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
