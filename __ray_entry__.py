@@ -3762,6 +3762,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_cosine_topk": _SQL_KNN_EXACT,
         "knn_self_topk": _SQL_KNN_SELF,
+        # pipelines/mlstats.event_type_cosine: item-item cosine from
+        # exact HUGEINT dot/norm sums, one float chain at 6 dp
+        "event_type_cosine": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM events GROUP BY ALL),
+            p AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                         CAST(SUM(CAST(a.c AS HUGEINT) * b.c)
+                              AS BIGINT) AS dot
+                  FROM c a JOIN c b ON a.user_id = b.user_id
+                                   AND a.event_type < b.event_type
+                  GROUP BY t1, t2),
+            n AS (SELECT event_type,
+                         CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT)
+                             AS n2
+                  FROM c GROUP BY event_type)
+            SELECT p.t1, p.t2, p.dot,
+                   floor(CAST(p.dot AS DOUBLE)
+                         / (sqrt(CAST(na.n2 AS DOUBLE))
+                            * sqrt(CAST(nb.n2 AS DOUBLE)))
+                         * 1e6 + 0.5) / 1e6 AS cos6
+            FROM p
+            JOIN n na ON na.event_type = p.t1
+            JOIN n nb ON nb.event_type = p.t2
+        """,
+        # pipelines/mlstats.doc_hash_shard_balance: md5-contract shard
+        # counts + signed truncating micro deviation from uniform
+        "doc_hash_shard_balance": """
+            WITH s AS (SELECT CAST(md5_number_upper(
+                                   CAST(doc_id AS VARCHAR)) % 64
+                                   AS BIGINT) AS shard
+                       FROM documents),
+            c AS (SELECT shard, CAST(count(*) AS BIGINT) AS n
+                  FROM s GROUP BY shard),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+            SELECT c.shard, c.n,
+                   (c.n * 64 - t.nt) * 1000000 // t.nt AS dev_micro
+            FROM c, t
+        """,
         # stages/groups.kmv_registers: k smallest distinct 63-bit md5
         # hashes (md5_number_upper >> 1, the shared contract)
         "user_kmv_registers": """

@@ -46,6 +46,44 @@ def test_group_ols_parity_and_numpy_fit():
     assert 0.0 <= row["r2_6"] <= 1.0
 
 
+def test_event_type_cosine_parity_and_definition():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import event_type_cosine
+    got = _canon(event_type_cosine(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["event_type_cosine"],
+                       tables=("events",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # direct recompute from the user x type count matrix
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    mat = pd.crosstab(ev["user_id"], ev["event_type"])
+    for _, r in got.iterrows():
+        d = int((mat[r["t1"]].astype("int64")
+                 * mat[r["t2"]].astype("int64")).sum())
+        assert r["dot"] == d
+        c = np.floor(float(d) / (np.sqrt(float(
+            (mat[r["t1"]].astype("int64") ** 2).sum()))
+            * np.sqrt(float((mat[r["t2"]].astype("int64") ** 2).sum())))
+            * 1e6 + 0.5) / 1e6
+        assert r["cos6"] == c
+    assert ((got["cos6"] >= 0) & (got["cos6"] <= 1)).all()
+
+
+def test_shard_balance_parity_and_mass():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import doc_hash_shard_balance
+    got = _canon(doc_hash_shard_balance(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["doc_hash_shard_balance"],
+                       tables=("documents",)))
+    pd.testing.assert_frame_equal(got, exp)
+    n_docs = len(pd.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id"]))
+    assert got["n"].sum() == n_docs
+    assert got["shard"].between(0, 63).all()
+    # md5 sharding of sequential ids should be roughly uniform
+    assert got["dev_micro"].abs().max() < 3_000_000
+
+
 def test_pq_codes_parity_and_reconstruction_bound():
     import __ray_entry__ as E
     from wsid_ray.stages.kmeans import pq_codes, quantize

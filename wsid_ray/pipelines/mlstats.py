@@ -84,6 +84,110 @@ def lineitem_group_ols(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# item-item similarity + shard-balance audit
+# ---------------------------------------------------------------------------
+
+def event_type_cosine(sf_dir: str, num_buckets: int = 8) -> pa.Table:
+    """Item-item collaborative-filtering similarity: cosine between
+    event types over their per-user engagement-count vectors —
+    dot(t1,t2) = Σ_u c[u,t1]·c[u,t2] and norms Σ_u c² as exact
+    integers, cos6 from one float chain at 6 dp.
+
+    Scale: per-batch (user, type) count partials fold once on user_id;
+    each user's type vector (catalog-bounded) expands to its pair
+    products in-bucket; the pair/norm sums are T²-bounded rows."""
+    src = read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["user_id", "event_type"],
+                         as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return out.astype({"c": "int64"})
+
+    def pair_fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["user_id", "event_type"], as_index=False) \
+               .sum()
+        rows = []
+        for _uid, g in df.groupby("user_id", sort=False):
+            ts = g["event_type"].to_numpy()
+            cs = g["c"].to_numpy()
+            o = np.argsort(ts)
+            ts, cs = ts[o], cs[o]
+            for i in range(len(ts)):          # catalog-bounded loop
+                rows.append((ts[i], ts[i], int(cs[i]) * int(cs[i])))
+                for j in range(i + 1, len(ts)):
+                    rows.append((ts[i], ts[j],
+                                 int(cs[i]) * int(cs[j])))
+        return pd.DataFrame(rows, columns=["t1", "t2", "dot"]) \
+            .groupby(["t1", "t2"], as_index=False).sum() \
+            .astype({"dot": "int64"})
+
+    part_schema = pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                             ("dot", pa.int64())])
+    partials = bucketed_group_apply(
+        src.map_batches(part, batch_format="pandas"),
+        ["user_id"], pair_fold, num_buckets=num_buckets,
+        out_schema=part_schema)
+    rows = collect_rows(bucketed_sum(partials, ["t1", "t2"], ["dot"],
+                                     num_buckets=2))
+    dot = {(r["t1"], r["t2"]): int(r["dot"]) for r in rows}
+    norm2 = {t1: d for (t1, t2), d in dot.items() if t1 == t2}
+    out = []
+    for (t1, t2), d in sorted(dot.items()):
+        if t1 == t2:
+            continue
+        cos6 = np.floor(float(d) / (np.sqrt(float(norm2[t1]))
+                                    * np.sqrt(float(norm2[t2])))
+                        * 1e6 + 0.5) / 1e6
+        out.append((t1, t2, d, cos6))
+    return pa.table({
+        "t1": pa.array([r[0] for r in out], pa.string()),
+        "t2": pa.array([r[1] for r in out], pa.string()),
+        "dot": pa.array([r[2] for r in out], pa.int64()),
+        "cos6": pa.array([r[3] for r in out], pa.float64())})
+
+
+def doc_hash_shard_balance(sf_dir: str, n_shards: int = 64) -> pa.Table:
+    """Partitioning audit: docs hashed to ``n_shards`` by the shared
+    md5 contract (md5_number_upper(CAST(doc_id AS VARCHAR)) % S) —
+    per-shard count and the signed truncating micro deviation from the
+    uniform share (n·S − N)·1e6 // N.  The report an engine's shuffle
+    planner gates on before trusting a key.
+
+    Scale: stateless hash partials + one S-row fold."""
+    import hashlib
+
+    src = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        sh = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(int(i)).encode())
+                            .digest()[:8], "little") % n_shards
+             for i in ids), dtype=np.int64, count=len(ids))
+        out = pd.DataFrame({"shard": sh, "n": np.int64(1)})
+        return out.groupby("shard", as_index=False).sum() \
+            .astype({"n": "int64"})
+
+    rows = collect_rows(bucketed_sum(
+        src.map_batches(part, batch_format="pandas"),
+        ["shard"], ["n"], num_buckets=2))
+    n_tot = sum(r["n"] for r in rows)
+    shards = sorted(rows, key=lambda r: r["shard"])
+    dev = []
+    for r in shards:
+        d = r["n"] * n_shards - n_tot
+        dev.append((abs(d) * 1_000_000 // n_tot)
+                   * (1 if d >= 0 else -1))
+    return pa.table({
+        "shard": pa.array([r["shard"] for r in shards], pa.int64()),
+        "n": pa.array([r["n"] for r in shards], pa.int64()),
+        "dev_micro": pa.array(dev, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
 # churn flags + chi-square independence (exact integer contracts)
 # ---------------------------------------------------------------------------
 

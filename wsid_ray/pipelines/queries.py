@@ -2975,6 +2975,20 @@ def q_doc_bm25_topk(sf_dir: str) -> rd.Dataset:
     return bm25_topk(read_documents(sf_dir))
 
 
+def q_event_type_cosine(sf_dir: str) -> "pa.Table":
+    """Item-item cosine over per-user engagement vectors (exact int
+    dot/norms, one float chain at 6 dp)."""
+    from .mlstats import event_type_cosine
+    return event_type_cosine(sf_dir)
+
+
+def q_doc_hash_shard_balance(sf_dir: str) -> "pa.Table":
+    """Shard-balance audit: md5-contract doc shards, per-shard count +
+    signed truncating micro deviation from uniform."""
+    from .mlstats import doc_hash_shard_balance
+    return doc_hash_shard_balance(sf_dir)
+
+
 def q_embedding_pq_codes(sf_dir: str) -> rd.Dataset:
     """Product quantization: 4 subspace × 4-centroid integer-contract
     Lloyd fits; per (vector, subspace) the code and exact quantised
@@ -3062,6 +3076,8 @@ QUERIES = {
     "user_kmv_registers": q_user_kmv_registers,
     "user_kmv_estimate": q_user_kmv_estimate,
     "embedding_pq_codes": q_embedding_pq_codes,
+    "event_type_cosine": q_event_type_cosine,
+    "doc_hash_shard_balance": q_doc_hash_shard_balance,
     "user_purchase_carry": q_user_purchase_carry,
     "customer_rolling_orders": q_customer_rolling_orders,
     "orders_profile": q_orders_profile,
