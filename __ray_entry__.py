@@ -1084,6 +1084,41 @@ _SQL_KNN_SELF = """
 """
 
 
+def _sql_markov_stationary(rounds: int = 8) -> str:
+    """DuckDB mirror of pipelines/mlstats.event_type_markov_stationary
+    — the v ← vP power iteration unrolled to ``rounds`` CTE rounds
+    under the integer contract (uniform 1e6//k start, per-term
+    truncating v·c//rowtot, exact sums)."""
+    ctes = ["""mtr AS (SELECT event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events)""",
+            """mc AS MATERIALIZED (
+                SELECT prev_type AS i, event_type AS j,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM mtr WHERE prev_type IS NOT NULL GROUP BY 1, 2)""",
+            """mrt AS (SELECT i, CAST(SUM(c) AS BIGINT) AS rt
+                FROM mc GROUP BY i)""",
+            """mst AS (SELECT DISTINCT s FROM
+                (SELECT i AS s FROM mc UNION SELECT j FROM mc))""",
+            """mv0 AS (SELECT s,
+                       CAST(1000000 // (SELECT count(*) FROM mst)
+                            AS BIGINT) AS v
+                FROM mst)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""mv{r} AS (
+                SELECT mc.j AS s,
+                       CAST(SUM(p.v * mc.c // mrt.rt) AS BIGINT) AS v
+                FROM mv{r - 1} p
+                JOIN mc ON mc.i = p.s
+                JOIN mrt ON mrt.i = p.s
+                GROUP BY mc.j)""")
+    joined = ",\n        ".join(ctes)
+    return (f"WITH {joined}\n"
+            f"        SELECT s AS state, v AS v_micro FROM mv{rounds}")
+
+
 def _sql_bigram_lm() -> str:
     """DuckDB mirror of stages/lm.bigram_lm_scores (add-one-smoothed
     corpus bigram LM; int64 micro-unit terms so distributed sums are
@@ -3762,6 +3797,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_cosine_topk": _SQL_KNN_EXACT,
         "knn_self_topk": _SQL_KNN_SELF,
+        # pipelines/mlstats.event_type_markov_stationary: 8 unrolled
+        # integer power rounds over the transition counts
+        "event_type_markov_stationary": _sql_markov_stationary(),
+        # pipelines/mlstats.user_negative_types: catalog anti join per
+        # user — never-interacted types, ordered string_agg list
+        "user_negative_types": """
+            WITH used AS (SELECT DISTINCT user_id, event_type
+                          FROM events),
+            cat AS (SELECT DISTINCT event_type FROM events),
+            neg AS (SELECT u.user_id, c.event_type
+                    FROM (SELECT DISTINCT user_id FROM used) u
+                    CROSS JOIN cat c
+                    LEFT JOIN used x ON x.user_id = u.user_id
+                                    AND x.event_type = c.event_type
+                    WHERE x.user_id IS NULL)
+            SELECT u.user_id,
+                   CAST(count(DISTINCT used.event_type) AS BIGINT)
+                       AS n_used,
+                   CAST(coalesce(n.n_neg, 0) AS BIGINT) AS n_neg,
+                   coalesce(n.negatives, '') AS negatives
+            FROM (SELECT DISTINCT user_id FROM used) u
+            JOIN used ON used.user_id = u.user_id
+            LEFT JOIN (SELECT user_id,
+                              count(*) AS n_neg,
+                              string_agg(event_type, ','
+                                         ORDER BY event_type)
+                                  AS negatives
+                       FROM neg GROUP BY user_id) n
+              ON n.user_id = u.user_id
+            GROUP BY u.user_id, n.n_neg, n.negatives
+        """,
+        # pipelines/sequences.user_rolling_median7: interpolated median
+        # over a trailing 7-ROW frame of the dense series (dense days
+        # make ROWS == RANGE; ints or dyadic halves — exact float64)
+        "user_rolling_median7": f"""
+            WITH rmd AS ({dense_sql})
+            SELECT user_id, day, n_events,
+                   median(n_events) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                       AS med7
+            FROM rmd
+        """,
         # pipelines/mlstats.event_type_cosine: item-item cosine from
         # exact HUGEINT dot/norm sums, one float chain at 6 dp
         "event_type_cosine": """

@@ -46,6 +46,78 @@ def test_group_ols_parity_and_numpy_fit():
     assert 0.0 <= row["r2_6"] <= 1.0
 
 
+def test_rolling_median_parity_and_window_shape():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.sequences import user_rolling_median7
+    got = _canon(user_rolling_median7(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["user_rolling_median7"],
+                       tables=("events",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # recompute one user's series directly
+    uid = got["user_id"].iloc[0]
+    g = got[got["user_id"] == uid].sort_values("day",
+                                               ignore_index=True)
+    x = g["n_events"].to_numpy()
+    for t in range(len(g)):
+        w = np.sort(x[max(0, t - 6):t + 1])
+        n = len(w)
+        med = (w[n // 2] if n % 2 else (w[n // 2 - 1] + w[n // 2]) / 2)
+        assert g["med7"].iloc[t] == med
+    # medians are bounded by the window extremes
+    assert (got["med7"] >= 0).all()
+
+
+def test_negative_types_parity_and_complement():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import user_negative_types
+    got = _canon(user_negative_types(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["user_negative_types"],
+                       tables=("events",)))
+    pd.testing.assert_frame_equal(got, exp)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "event_type"])
+    catalog = set(ev["event_type"])
+    assert (got["n_used"] + got["n_neg"] == len(catalog)).all()
+    # spot-check one user's complement
+    uid = got["user_id"].iloc[0]
+    used = set(ev.loc[ev["user_id"] == uid, "event_type"])
+    row = got[got["user_id"] == uid].iloc[0]
+    neg = [t for t in sorted(catalog) if t not in used]
+    assert row["negatives"] == ",".join(neg)
+
+
+def test_markov_stationary_parity_and_fixpoint_direction():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import event_type_markov_stationary
+    got = _canon(event_type_markov_stationary(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["event_type_markov_stationary"],
+                       tables=("events",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # mass is conserved up to truncation (each round loses < k micro)
+    total = got["v_micro"].sum()
+    k = len(got)
+    assert 1_000_000 - 8 * k * k <= total <= 1_000_000
+    # the integer iterate tracks the float stationary vector: compare
+    # against numpy power iteration on the row-normalised matrix
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"],
+                        kind="mergesort")
+    prev = ev.groupby("user_id")["event_type"].shift(1)
+    tr = pd.crosstab(prev, ev["event_type"])
+    states = sorted(set(tr.index) | set(tr.columns))
+    P = tr.reindex(index=states, columns=states, fill_value=0) \
+        .to_numpy().astype(float)
+    P = P / P.sum(axis=1, keepdims=True)
+    v = np.full(len(states), 1.0 / len(states))
+    for _ in range(8):
+        v = v @ P
+    for s, vf in zip(states, v):
+        row = got[got["state"] == s]
+        assert abs(row["v_micro"].iloc[0] / 1e6 - vf) < 0.001
+
+
 def test_event_type_cosine_parity_and_definition():
     import __ray_entry__ as E
     from wsid_ray.pipelines.mlstats import event_type_cosine

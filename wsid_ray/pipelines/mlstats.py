@@ -84,6 +84,93 @@ def lineitem_group_ols(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# negative sampling panel (training-pair generation)
+# ---------------------------------------------------------------------------
+
+def user_negative_types(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """Negative-sampling panel: per user, the catalog event types they
+    have NEVER interacted with (the deterministic negatives a
+    recommender trains against) — used count, negative count and the
+    sorted comma-joined negative list.
+
+    Scale: distinct (user, type) partials fold once on user_id; the
+    catalog (type-cardinality, the model side) broadcasts into the
+    fold — the classic small-side anti join."""
+    src = read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = src.map_batches(part, batch_format="pandas")
+    catalog = sorted({r["event_type"] for r in collect_rows(
+        pairs.map_batches(
+            lambda df: df[["event_type"]].drop_duplicates(),
+            batch_format="pandas"))})
+    cat_ref = ray.put(catalog)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cat = ray.get(cat_ref)
+        rows = []
+        for uid, g in df.groupby("user_id", sort=True):
+            used = set(g["event_type"])
+            neg = [t for t in cat if t not in used]
+            rows.append((uid, len(used), len(neg), ",".join(neg)))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_used", "n_neg", "negatives"]).astype(
+            {"user_id": "int64", "n_used": "int64", "n_neg": "int64"})
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_used", pa.int64()),
+                            ("n_neg", pa.int64()),
+                            ("negatives", pa.string())])
+    return bucketed_group_apply(pairs, ["user_id"], fold,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain stationary distribution (fixed-round integer contract)
+# ---------------------------------------------------------------------------
+
+def event_type_markov_stationary(sf_dir: str,
+                                 rounds: int = 8) -> pa.Table:
+    """Stationary distribution of the event-type Markov chain: 8
+    synchronous power rounds of v ← vP in exact integer micro-units —
+    the 7th bounded-iteration contract (k-means/CW/PageRank/k-core/BFS
+    /hub precedents).  Each term is v_i·c_ij // rowtot_i (truncating),
+    summed exactly, so round r is a pure function of round r-1 and the
+    mirror unrolls identically; v0 is the uniform 1e6 // k.
+
+    Scale: transition counts ride the existing bucketed fold
+    (|types|² rows); the power rounds are k×k driver math."""
+    from ..util import collect_rows as _cr
+    from .queries import q_event_type_transitions
+
+    rows = _cr(q_event_type_transitions(sf_dir))
+    c: dict[tuple[str, str], int] = {}
+    rt: dict[str, int] = {}
+    states = set()
+    for r in rows:
+        i, j, n = r["prev_type"], r["event_type"], int(r["n"])
+        c[(i, j)] = c.get((i, j), 0) + n
+        rt[i] = rt.get(i, 0) + n
+        states.update((i, j))
+    k = len(states)
+    v = {s: 1_000_000 // k for s in sorted(states)}
+    for _ in range(rounds):
+        nv: dict[str, int] = {}
+        for (i, j), cij in c.items():
+            if i in v:
+                nv[j] = nv.get(j, 0) + (v[i] * cij) // rt[i]
+        v = nv
+    ks = sorted(v)
+    return pa.table({
+        "state": pa.array(ks, pa.string()),
+        "v_micro": pa.array([v[s] for s in ks], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
 # item-item similarity + shard-balance audit
 # ---------------------------------------------------------------------------
 

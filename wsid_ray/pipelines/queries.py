@@ -2975,6 +2975,27 @@ def q_doc_bm25_topk(sf_dir: str) -> rd.Dataset:
     return bm25_topk(read_documents(sf_dir))
 
 
+def q_user_negative_types(sf_dir: str) -> rd.Dataset:
+    """Negative-sampling panel: per user the never-interacted catalog
+    types (count + sorted list) — broadcast small-side anti join."""
+    from .mlstats import user_negative_types
+    return user_negative_types(sf_dir)
+
+
+def q_user_rolling_median7(sf_dir: str) -> rd.Dataset:
+    """Rolling 7-day window MEDIAN over the dense daily series (exact:
+    int or dyadic half on both sides)."""
+    from .sequences import user_rolling_median7
+    return user_rolling_median7(sf_dir)
+
+
+def q_event_type_markov_stationary(sf_dir: str) -> "pa.Table":
+    """Markov stationary distribution: 8 exact integer power rounds
+    over the transition counts (unrolled identically in the mirror)."""
+    from .mlstats import event_type_markov_stationary
+    return event_type_markov_stationary(sf_dir)
+
+
 def q_event_type_cosine(sf_dir: str) -> "pa.Table":
     """Item-item cosine over per-user engagement vectors (exact int
     dot/norms, one float chain at 6 dp)."""
@@ -3078,6 +3099,9 @@ QUERIES = {
     "embedding_pq_codes": q_embedding_pq_codes,
     "event_type_cosine": q_event_type_cosine,
     "doc_hash_shard_balance": q_doc_hash_shard_balance,
+    "event_type_markov_stationary": q_event_type_markov_stationary,
+    "user_rolling_median7": q_user_rolling_median7,
+    "user_negative_types": q_user_negative_types,
     "user_purchase_carry": q_user_purchase_carry,
     "customer_rolling_orders": q_customer_rolling_orders,
     "orders_profile": q_orders_profile,

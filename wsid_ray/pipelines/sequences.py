@@ -435,3 +435,40 @@ def user_daily_ewma(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     return bucketed_group_apply(dense, ["user_id"], fold,
                                 num_buckets=num_buckets,
                                 out_schema=out_schema)
+
+
+def user_rolling_median7(sf_dir: str, window: int = 7,
+                         num_buckets: int = 16) -> rd.Dataset:
+    """Rolling-window MEDIAN over the dense daily series: per user and
+    day, the interpolated median of the trailing ``window`` dense-day
+    event counts (head-of-series windows shrink to the available
+    days — dense rows make ROWS and RANGE frames identical).
+
+    Exactness: counts are ints, so the median is either an int or a
+    dyadic half (mean of the two middle ints) — exactly representable
+    in float64 on both sides; no rounding contract needed.
+
+    Scale: rides user_daily_dense's single bucketed shuffle; the
+    rolling pass is a vectorised pandas window per user series."""
+    dense = user_daily_dense(sf_dir, num_buckets=num_buckets)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for uid, g in df.groupby("user_id", sort=True):
+            g = g.sort_values("day", kind="mergesort",
+                              ignore_index=True)
+            med = g["n_events"].rolling(window, min_periods=1) \
+                .median()
+            frames.append(pd.DataFrame({
+                "user_id": g["user_id"], "day": g["day"],
+                "n_events": g["n_events"],
+                "med7": med.astype("float64")}))
+        return pd.concat(frames, ignore_index=True)
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("day", pa.timestamp("us")),
+                            ("n_events", pa.int64()),
+                            ("med7", pa.float64())])
+    return bucketed_group_apply(dense, ["user_id"], fold,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
