@@ -173,35 +173,14 @@ def _sql_cooc_edges(tr: str, tok: str, gaz: str) -> str:
     """
 
 
-def _sql_sense_inventory(tr: str, tok: str, gaz: str,
-                         algo: str = "cw") -> str:
-    """DuckDB mirror of the induced sense inventory itself (VERDICT r03
-    item 1) — the graph clustering unrolled into CTE rounds under the
-    v2 integer determinism contract (wsid_ray/cw.py docstring), the
-    same move as the k-means Lloyd mirror (_sql_kmeans):
-
-      * edge weights quantised to int64 micro-units
-        ``floor(npmi*1e6 + 0.5)`` on the bit-identical npmi doubles of
-        the shared cooc chain;
-      * nodes indexed per term in lexicographic order (``nid``), so
-        integer label order == node-name order;
-      * algo='cw': CW_ITERATIONS synchronous monotone rounds — each
-        node's attractor is the neighbour label with maximal summed
-        incident weight (ties → lowest label), adopted only if smaller
-        than the current label.  The engine early-exits at a fixpoint;
-        a fixpoint is stable, so the mirror always running the full cap
-        computes the identical labelling;
-      * algo='hyperlex': HYPERLEX_HUB_ROUNDS synchronous rounds of
-        greedy maximal-independent-set hub selection by (wdeg desc,
-        name asc) rank, then HYPERLEX_ATTACH_ROUNDS rounds attaching
-        unlabelled nodes to the strongest labelled neighbour (weight
-        desc, label asc); leftovers become singletons;
-      * renumbering by (cluster size desc, min member asc); vector
-        weight = intra-cluster incident micro-unit sum / 1e6, top
-        SENSE_TOP_K per sense by (weight desc, token asc).
-    """
-    from wsid_ray.config import (CW_ITERATIONS, HYPERLEX_ATTACH_ROUNDS,
-                                 HYPERLEX_HUB_ROUNDS, NPMI_MIN, SENSE_TOP_K)
+def _sql_sense_label_ctes(algo: str = "cw"):
+    """(ctes, fin): the quantised-edge / node-index / directed-
+    adjacency CTEs plus the bounded-round label-propagation chain
+    (CW or HyperLex) under the v2 integer contract — shared by
+    _sql_sense_inventory and _sql_sense_modularity."""
+    from wsid_ray.config import (CW_ITERATIONS,
+                                 HYPERLEX_ATTACH_ROUNDS,
+                                 HYPERLEX_HUB_ROUNDS, NPMI_MIN)
     ctes = [f"""edges AS (
             SELECT term, w, v,
                    CAST(floor(npmi * 1e6 + 0.5) AS BIGINT) AS wq
@@ -296,6 +275,39 @@ def _sql_sense_inventory(tr: str, tok: str, gaz: str,
         fin = "fin_hx"
     else:
         raise ValueError(f"unknown induction algorithm {algo!r}")
+    return ctes, fin
+
+
+def _sql_sense_inventory(tr: str, tok: str, gaz: str,
+                         algo: str = "cw") -> str:
+    """DuckDB mirror of the induced sense inventory itself (VERDICT r03
+    item 1) — the graph clustering unrolled into CTE rounds under the
+    v2 integer determinism contract (wsid_ray/cw.py docstring), the
+    same move as the k-means Lloyd mirror (_sql_kmeans):
+
+      * edge weights quantised to int64 micro-units
+        ``floor(npmi*1e6 + 0.5)`` on the bit-identical npmi doubles of
+        the shared cooc chain;
+      * nodes indexed per term in lexicographic order (``nid``), so
+        integer label order == node-name order;
+      * algo='cw': CW_ITERATIONS synchronous monotone rounds — each
+        node's attractor is the neighbour label with maximal summed
+        incident weight (ties → lowest label), adopted only if smaller
+        than the current label.  The engine early-exits at a fixpoint;
+        a fixpoint is stable, so the mirror always running the full cap
+        computes the identical labelling;
+      * algo='hyperlex': HYPERLEX_HUB_ROUNDS synchronous rounds of
+        greedy maximal-independent-set hub selection by (wdeg desc,
+        name asc) rank, then HYPERLEX_ATTACH_ROUNDS rounds attaching
+        unlabelled nodes to the strongest labelled neighbour (weight
+        desc, label asc); leftovers become singletons;
+      * renumbering by (cluster size desc, min member asc); vector
+        weight = intra-cluster incident micro-unit sum / 1e6, top
+        SENSE_TOP_K per sense by (weight desc, token asc).
+    """
+    from wsid_ray.config import (CW_ITERATIONS, HYPERLEX_ATTACH_ROUNDS,
+                                 HYPERLEX_HUB_ROUNDS, NPMI_MIN, SENSE_TOP_K)
+    ctes, fin = _sql_sense_label_ctes(algo)
     ctes.append(f"""cl AS (
             SELECT term, lab, count(*) AS sz, min(node) AS mn
             FROM {fin} GROUP BY term, lab)""")
@@ -328,6 +340,65 @@ def _sql_sense_inventory(tr: str, tok: str, gaz: str,
         FROM vec
         QUALIFY row_number() OVER (PARTITION BY term, sense_id
             ORDER BY micro DESC, token ASC) <= {SENSE_TOP_K}
+    """
+
+
+def _sql_sense_modularity(tr: str, tok: str, gaz: str,
+                          algo: str = "cw") -> str:
+    """DuckDB mirror of stages/induce.sense_modularity: weighted
+    Newman modularity of the CW partition per term — the pure-integer
+    identity Q·4m² = Σ_c (4m·e_c − d_c²) in HUGEINT (dir double-counts
+    each edge, so Σ_dir intra = 2e_c and the numerator is
+    Σ_c (2m·e2_c − d_c²)); only the final division is float, 6 dp
+    half-up."""
+    ctes, fin = _sql_sense_label_ctes(algo)
+    ctes = list(ctes)
+    ctes.append("""qm AS (SELECT term,
+                         CAST(SUM(CAST(wq AS HUGEINT)) AS HUGEINT) AS m
+                  FROM edges GROUP BY term)""")
+    ctes.append(f"""qdc AS (
+            SELECT d.term, fu.lab,
+                   CAST(SUM(CAST(d.wq AS HUGEINT)) AS HUGEINT) AS dc
+            FROM dir d
+            JOIN {fin} fu ON fu.term = d.term AND fu.node = d.u
+            GROUP BY d.term, fu.lab)""")
+    ctes.append(f"""qec AS (
+            SELECT d.term, fu.lab,
+                   CAST(SUM(CAST(d.wq AS HUGEINT)) AS HUGEINT) AS e2
+            FROM dir d
+            JOIN {fin} fu ON fu.term = d.term AND fu.node = d.u
+            JOIN {fin} fv ON fv.term = d.term AND fv.node = d.v
+            WHERE fu.lab = fv.lab
+            GROUP BY d.term, fu.lab)""")
+    ctes.append("""qn AS (
+            SELECT d.term,
+                   SUM(2 * qm.m * coalesce(e.e2, 0) - d.dc * d.dc)
+                       AS qnum
+            FROM qdc d
+            JOIN qm ON qm.term = d.term
+            LEFT JOIN qec e ON e.term = d.term AND e.lab = d.lab
+            GROUP BY d.term)""")
+    ctes.append("""qnn AS (SELECT term, CAST(count(*) AS BIGINT)
+                              AS n_nodes
+                   FROM nd GROUP BY term)""")
+    ctes.append(f"""qns AS (SELECT term,
+                           CAST(count(DISTINCT lab) AS BIGINT)
+                               AS n_senses
+                    FROM {fin} GROUP BY term)""")
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {_sql_cooc_chain(tr, tok, gaz)},
+        {joined}
+        SELECT q.term, qnn.n_nodes, qns.n_senses,
+               CAST(qm.m AS BIGINT) AS m_micro,
+               floor(CAST(q.qnum AS DOUBLE)
+                     / CAST(4 * qm.m * qm.m AS DOUBLE) * 1e6 + 0.5)
+                   / 1e6 AS q6
+        FROM qn q
+        JOIN qm ON qm.term = q.term
+        JOIN qnn ON qnn.term = q.term
+        JOIN qns ON qns.term = q.term
+        WHERE qm.m > 0
     """
 
 
@@ -1882,6 +1953,75 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
                           ORDER BY version DESC) AS rn FROM u)
             WHERE rn = 1
+        """,
+        # pipelines/mlstats.source_token_kl: KL(source ‖ corpus) with
+        # per-term micro-nat quantisation before the order-free sum;
+        # the ln argument is one float division of exact int products
+        "source_token_kl": r"""
+            WITH w AS (SELECT source,
+                              list_filter(regexp_split_to_array(
+                                  text, '\s+'), x -> x <> '') AS ws
+                       FROM documents),
+            tfk AS (SELECT source, unnest(ws) AS token FROM w),
+            st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+                   FROM tfk GROUP BY ALL),
+            ctk AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct
+                    FROM st GROUP BY token),
+            nss AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+                    FROM st GROUP BY source),
+            nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st),
+            terms AS (SELECT st.source,
+                             CAST(floor(st.c * ln(
+                                 (CAST(st.c AS DOUBLE) * nt.n)
+                                 / (CAST(nss.ns AS DOUBLE) * ctk.ct))
+                                 * 1e6 + 0.5) AS BIGINT) AS t
+                      FROM st
+                      JOIN ctk USING (token)
+                      JOIN nss USING (source), nt),
+            agg AS (SELECT source, CAST(sum(t) AS BIGINT) AS k
+                    FROM terms GROUP BY source)
+            SELECT s.source, s.ns AS n_tokens,
+                   CAST(coalesce(a.k, 0) AS BIGINT) AS kl_sum_micro,
+                   CAST(coalesce(a.k, 0) // s.ns AS BIGINT)
+                       AS kl_mean_micro
+            FROM nss s LEFT JOIN agg a USING (source)
+        """,
+        # stages/induce.sense_modularity: weighted Newman modularity of
+        # the CW partition per term (integer Q·4m² identity)
+        "sense_modularity": _sql_sense_modularity(tr, tok, gaz),
+        # relational_ext.orders_scd2_history: SCD2 validity rows over
+        # the same derived CDC stream (LEAD version - 1, NULL current)
+        "orders_scd2_history": """
+            WITH base AS (
+                SELECT o_orderkey, 1 AS version,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders),
+            chg AS (
+                SELECT o_orderkey, 2 AS version, cents + 500 AS cents
+                FROM base WHERE o_orderkey % 10 = 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, 2, cents
+                FROM base WHERE o_orderkey % 97 = 0),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM chg)
+            SELECT o_orderkey, CAST(version AS BIGINT) AS version,
+                   cents,
+                   CAST(lead(version) OVER w - 1 AS BIGINT) AS valid_to,
+                   CAST(CASE WHEN lead(version) OVER w IS NULL
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_current
+            FROM u
+            WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)
+        """,
+        # analytics.order_price_cume: CUME_DIST on the two-pass exact
+        # rank machinery, 6 dp half-up (ties share)
+        "order_price_cume": """
+            SELECT o_orderkey, o_orderstatus,
+                   floor(cume_dist() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) * 1e6 + 0.5) / 1e6
+                       AS cd6
+            FROM orders
         """,
         # analytics.order_price_percentile_cont: interpolated
         # percentiles lifted to exact integer centi-cents

@@ -1300,3 +1300,27 @@ def doc_readability_percentile(sf_dir: str,
     return exact_partitioned_ranks(pairs, "part", "flesch_micro",
                                    "doc_id", bin_width, emit, schema,
                                    num_buckets=8)
+
+
+def order_price_cume(sf_dir: str, bin_cents: int = 100_000) -> rd.Dataset:
+    """CUME_DIST per order status over price — count(value ≤ v)/N from
+    the exact two-pass rank machinery (ties share: within-bin
+    searchsorted(right) against the bin's exclusive start rank), 6 dp
+    half-up.  Completes the rank-window family beside ROW_NUMBER/RANK/
+    PERCENT_RANK/NTILE with no co-located partition."""
+    schema = pa.schema([("o_orderkey", pa.int64()),
+                        ("o_orderstatus", pa.string()),
+                        ("cd6", pa.float64())])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        cents = g["price_cents"].to_numpy()
+        le = start + np.searchsorted(cents, cents, side="right")
+        cd = np.floor(le.astype(np.float64) / n * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "o_orderstatus": g["o_orderstatus"].to_numpy(),
+            "cd6": cd})
+
+    return exact_partitioned_ranks(_order_price_pairs(sf_dir),
+                                   "o_orderstatus", "price_cents",
+                                   "o_orderkey", bin_cents, emit, schema)

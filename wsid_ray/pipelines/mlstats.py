@@ -84,6 +84,95 @@ def lineitem_group_ols(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# corpus-divergence (domain drift) panel
+# ---------------------------------------------------------------------------
+
+def source_token_kl(sf_dir: str, num_buckets: int = 16) -> pa.Table:
+    """Domain-drift panel: KL(source ‖ corpus) over whitespace-token
+    unigram distributions, per source — the mixture-weighting signal a
+    data-curation pipeline balances on.
+
+    Integer contract: per-(source, token) contribution
+    c_st · ln((c_st·N) / (N_s·c_t)) is quantised to micro-nats
+    (half-up) BEFORE the sum, so the distributed total is order-free;
+    the ln argument is ONE float division of two exact integer
+    products.  Emitted: token mass, summed micro-nats and the
+    truncating per-token mean kl_micro.
+
+    Scale: (source, token) partial counts fold on token (vocab-bounded
+    rows), corpus counts derive from the same fold — one shuffle; the
+    per-source rollup ships source-cardinality rows."""
+    src = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["source", "text"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        rows = {"source": [], "token": []}
+        for s, ts in zip(df["source"], toks):
+            rows["source"].extend([s] * len(ts))
+            rows["token"].extend(ts)
+        g = pd.DataFrame(rows)
+        out = g.groupby(["source", "token"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return out.astype({"c": "int64"})
+
+    st = bucketed_sum(src.map_batches(part, batch_format="pandas"),
+                      ["source", "token"], ["c"],
+                      num_buckets=num_buckets)
+
+    def tok_fold(df: pd.DataFrame) -> pd.DataFrame:
+        # corpus token counts + per-source contributions live in the
+        # same token-keyed bucket: attach c_t to every (source, token)
+        df = df.groupby(["source", "token"], as_index=False).sum()
+        ct = df.groupby("token")["c"].transform("sum")
+        return df.assign(ct=ct.astype("int64"))
+
+    out_schema = pa.schema([("source", pa.string()),
+                            ("token", pa.string()),
+                            ("c", pa.int64()), ("ct", pa.int64())])
+    with_ct = bucketed_group_apply(st, ["token"], tok_fold,
+                                   num_buckets=num_buckets,
+                                   out_schema=out_schema)
+    totals = collect_rows(bucketed_sum(
+        with_ct.map_batches(
+            lambda df: df.groupby("source", as_index=False)
+            .agg(ns=("c", "sum")).astype({"ns": "int64"}),
+            batch_format="pandas"),
+        ["source"], ["ns"], num_buckets=2))
+    ns_of = {r["source"]: int(r["ns"]) for r in totals}
+    n_tot = sum(ns_of.values())
+    ref = ray.put(ns_of)
+
+    def kl_part(df: pd.DataFrame) -> pd.DataFrame:
+        ns = ray.get(ref)
+        nsv = df["source"].map(ns).to_numpy().astype(np.int64)
+        c = df["c"].to_numpy()
+        ct = df["ct"].to_numpy()
+        arg = (c.astype(np.float64) * n_tot) / (nsv.astype(np.float64)
+                                                * ct)
+        t = np.floor(c * np.log(arg) * 1e6 + 0.5).astype(np.int64)
+        out = df.assign(kl=t)[["source", "kl"]]
+        g = out.groupby("source", as_index=False).sum()
+        return g.astype({"kl": "int64"})
+
+    kl = collect_rows(bucketed_sum(
+        with_ct.map_batches(kl_part, batch_format="pandas"),
+        ["source"], ["kl"], num_buckets=2))
+    kl_of = {r["source"]: int(r["kl"]) for r in kl}
+    ss = sorted(ns_of)
+    mean = []
+    for s in ss:
+        d = kl_of.get(s, 0)
+        mean.append((abs(d) // ns_of[s]) * (1 if d >= 0 else -1))
+    return pa.table({
+        "source": pa.array(ss, pa.string()),
+        "n_tokens": pa.array([ns_of[s] for s in ss], pa.int64()),
+        "kl_sum_micro": pa.array([kl_of.get(s, 0) for s in ss],
+                                 pa.int64()),
+        "kl_mean_micro": pa.array(mean, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
 # negative sampling panel (training-pair generation)
 # ---------------------------------------------------------------------------
 

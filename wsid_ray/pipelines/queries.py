@@ -2975,6 +2975,39 @@ def q_doc_bm25_topk(sf_dir: str) -> rd.Dataset:
     return bm25_topk(read_documents(sf_dir))
 
 
+def q_source_token_kl(sf_dir: str) -> "pa.Table":
+    """Domain-drift KL(source ‖ corpus) over token unigrams —
+    per-term micro-nat quantisation before the order-free sum."""
+    from .mlstats import source_token_kl
+    return source_token_kl(sf_dir)
+
+
+def q_sense_modularity(sf_dir: str) -> rd.Dataset:
+    """Weighted Newman modularity of each term's induced CW partition
+    (exact-integer Q·4m² identity, one float division at 6 dp)."""
+    from ..stages.cooc import cooc_edges
+    from ..stages.induce import sense_modularity
+    from .flagship import detect_mentions
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG)
+    return sense_modularity(
+        cooc_edges(mentions, CFG.cooc_min_count, CFG.npmi_min))
+
+
+def q_orders_scd2_history(sf_dir: str) -> rd.Dataset:
+    """SCD Type-2 history over the CDC stream: validity rows with
+    valid_to = next version − 1 and the is_current flag."""
+    from .relational_ext import orders_scd2_history
+    return orders_scd2_history(sf_dir)
+
+
+def q_order_price_cume(sf_dir: str) -> rd.Dataset:
+    """CUME_DIST per status from the exact two-pass rank machinery
+    (ties share; 6 dp half-up)."""
+    return analytics.order_price_cume(sf_dir)
+
+
 def q_user_negative_types(sf_dir: str) -> rd.Dataset:
     """Negative-sampling panel: per user the never-interacted catalog
     types (count + sorted list) — broadcast small-side anti join."""
@@ -3102,6 +3135,10 @@ QUERIES = {
     "event_type_markov_stationary": q_event_type_markov_stationary,
     "user_rolling_median7": q_user_rolling_median7,
     "user_negative_types": q_user_negative_types,
+    "orders_scd2_history": q_orders_scd2_history,
+    "order_price_cume": q_order_price_cume,
+    "sense_modularity": q_sense_modularity,
+    "source_token_kl": q_source_token_kl,
     "user_purchase_carry": q_user_purchase_carry,
     "customer_rolling_orders": q_customer_rolling_orders,
     "orders_profile": q_orders_profile,

@@ -965,3 +965,62 @@ def purchase_nearby_clicks(sf_dir: str, tol_us: int = 1_800_000_000,
     return bucketed_group_apply(
         j.map_batches(partial, batch_format="pandas"),
         ["event_id"], fold, num_buckets=8, out_schema=out_schema)
+
+
+def orders_scd2_history(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """SCD Type-2 history build over the CDC stream (same derived
+    base-v1 + changes-v2 feed as orders_cdc_merge, shared verbatim with
+    the mirror): per key, every version becomes a validity row —
+    valid_to = next version - 1 (NULL while current) and the
+    is_current flag.  The lakehouse history-table materialisation.
+
+    Distributed shape: one bucketed fold per key over the unioned
+    version rows (version-cardinality per key is the CDC depth, never
+    corpus-sized); the LEAD is a vectorised shift inside the sorted
+    group."""
+    from ..stages.groups import bucketed_group_apply
+    from .analytics import _cents
+
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def base_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "version": np.int64(1),
+            "cents": _cents(df["o_totalprice"].to_numpy())})
+
+    def update_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy()
+        c = _cents(df["o_totalprice"].to_numpy())
+        upd = pd.DataFrame({"o_orderkey": k[k % 10 == 0],
+                            "version": np.int64(2),
+                            "cents": c[k % 10 == 0] + 500})
+        ins = pd.DataFrame({"o_orderkey": k[k % 97 == 0] + 100_000_000,
+                            "version": np.int64(2),
+                            "cents": c[k % 97 == 0]})
+        return pd.concat([upd, ins], ignore_index=True)
+
+    u = src.map_batches(base_rows, batch_format="pandas").union(
+        src.map_batches(update_rows, batch_format="pandas"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderkey", "version"],
+                            kind="mergesort", ignore_index=True)
+        nxt = df.groupby("o_orderkey", sort=False)["version"].shift(-1)
+        valid_to = nxt - 1
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "version": df["version"].astype("int64"),
+            "cents": df["cents"].astype("int64"),
+            "valid_to": valid_to.astype("Int64"),
+            "is_current": nxt.isna().astype("int64")})
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("version", pa.int64()),
+                            ("cents", pa.int64()),
+                            ("valid_to", pa.int64()),
+                            ("is_current", pa.int64())])
+    return bucketed_group_apply(u, ["o_orderkey"], fold,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)

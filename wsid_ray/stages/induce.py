@@ -60,3 +60,66 @@ def induce_senses(edges: rd.Dataset, algo: str = "cw") -> rd.Dataset:
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_group_apply(edges, ["term"], per_bucket, num_buckets=16)
+
+
+def sense_modularity(edges: rd.Dataset, algo: str = "cw",
+                     num_buckets: int = 8) -> rd.Dataset:
+    """Clustering-quality metric for the induced senses: weighted
+    Newman modularity of each term's CW partition over its NPMI ego
+    graph, computed in EXACT integers — with micro-unit edge weights
+    wq, m = Σwq, per-cluster intra sum e_c and weighted degree d_c,
+    Q·4m² = Σ_c (4m·e_c − d_c²) is a pure integer identity; the only
+    float is the final division, 6 dp half-up.
+
+    Same partitioning as induce_senses (all of a term's edges in one
+    bucket, term graphs vocab-bounded); labels come from the identical
+    cluster_graph call, so this metric scores exactly the shipped
+    inventory's partition."""
+    from ..cw import cluster_graph, quantize_weight
+    from .groups import bucketed_group_apply
+
+    def per_term(g: pd.DataFrame) -> list:
+        term = g["term"].iloc[0]
+        e = list(zip(g["w"], g["v"], g["npmi"].astype(float)))
+        nodes = sorted(set(g["w"]) | set(g["v"]))
+        if not nodes:
+            return []
+        lab = cluster_graph(nodes, e, seed_key=term, algo=algo)
+        m = 0
+        e_c: dict[int, int] = {}
+        d_c: dict[int, int] = {}
+        for u, v, w in e:
+            q = quantize_weight(w)
+            m += q
+            cu, cv = lab[u], lab[v]
+            d_c[cu] = d_c.get(cu, 0) + q
+            d_c[cv] = d_c.get(cv, 0) + q
+            if cu == cv:
+                e_c[cu] = e_c.get(cu, 0) + q
+        if m == 0:
+            return []
+        qnum = sum(4 * m * e_c.get(c, 0) - d * d
+                   for c, d in d_c.items())
+        import numpy as np
+        q6 = float(np.floor(float(qnum) / float(4 * m * m) * 1e6
+                            + 0.5) / 1e6)
+        return [(term, len(nodes), len(set(lab.values())), m, q6)]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in df.groupby("term", sort=True):
+            rows.extend(per_term(g))
+        out = pd.DataFrame(rows, columns=["term", "n_nodes", "n_senses",
+                                          "m_micro", "q6"])
+        return out.astype({"n_nodes": "int64", "n_senses": "int64",
+                           "m_micro": "int64", "q6": "float64"})
+
+    import pyarrow as pa
+    out_schema = pa.schema([("term", pa.string()),
+                            ("n_nodes", pa.int64()),
+                            ("n_senses", pa.int64()),
+                            ("m_micro", pa.int64()),
+                            ("q6", pa.float64())])
+    return bucketed_group_apply(edges, ["term"], per_bucket,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
