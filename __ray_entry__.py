@@ -1511,7 +1511,7 @@ def _sql_user_event_pivot(sf: str = "/root/testdata/sf0.01") -> str:
 def oracle_sql() -> dict[str, str]:
     from wsid_ray.artifacts import ANN_K, ANN_QUERY_IDS, ensure
     from wsid_ray.config import (GAZETTEER, NPMI_MIN, PRED_ADDRESSES,
-                                 STOPWORDS)
+                                 PRED_CO_MENTION, STOPWORDS)
     from wsid_ray.fixtures import generate, transcripts_dir
     from wsid_ray.pipelines.queries import _HLL_ALPHA_M2
 
@@ -1985,6 +1985,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(a.k, 0) // s.ns AS BIGINT)
                        AS kl_mean_micro
             FROM nss s LEFT JOIN agg a USING (source)
+        """,
+        # pipelines/mlstats.source_lang_mi: MI contingency cells with
+        # per-cell micro-nat quantisation (exact int products inside
+        # the one float division, the KL convention)
+        "source_lang_mi": """
+            WITH mst AS (SELECT source, lang,
+                                CAST(count(*) AS BIGINT) AS c
+                         FROM documents GROUP BY ALL),
+            mcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs
+                    FROM mst GROUP BY source),
+            mcl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl
+                    FROM mst GROUP BY lang),
+            mnt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM mst)
+            SELECT mst.source, mst.lang, mst.c,
+                   CAST(floor(mst.c * ln(
+                       (CAST(mst.c AS DOUBLE) * mnt.n)
+                       / (CAST(mcs.cs AS DOUBLE) * mcl.cl))
+                       * 1e6 + 0.5) AS BIGINT) AS mi_term_micro
+            FROM mst
+            JOIN mcs USING (source)
+            JOIN mcl USING (lang), mnt
+        """,
+        # pipelines/mlstats.segment_target_encoding: smoothed mean
+        # encoding, exact HUGEINT finish (m = 100)
+        "segment_target_encoding": """
+            WITH tej AS (SELECT c.c_mktsegment,
+                                CAST(floor(o.o_totalprice * 100 + 0.5)
+                                     AS BIGINT) AS cents
+                         FROM orders o
+                         JOIN customer c ON o.o_custkey = c.c_custkey),
+            tes AS (SELECT c_mktsegment,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(cents) AS BIGINT) AS sum_cents
+                    FROM tej GROUP BY c_mktsegment),
+            tet AS (SELECT CAST(sum(n) AS HUGEINT) AS nt,
+                           CAST(sum(sum_cents) AS HUGEINT) AS total
+                    FROM tes)
+            SELECT s.c_mktsegment, s.n, s.sum_cents,
+                   CAST((CAST(s.sum_cents AS HUGEINT) * tet.nt
+                         + 100 * tet.total) * 1000000
+                        // (tet.nt * (CAST(s.n AS HUGEINT) + 100))
+                        AS BIGINT) AS enc_micro_cents
+            FROM tes s, tet
+        """,
+        # stages/textstats.feature_hash_batch: hashing-trick BoW,
+        # bucket = md5_number_upper(token) % 64 (shared hash parity)
+        "doc_feature_hash": r"""
+            WITH fhw AS (SELECT doc_id,
+                                list_filter(regexp_split_to_array(
+                                    text, '\s+'), x -> x <> '') AS ws
+                         FROM documents),
+            fhf AS (SELECT doc_id, unnest(ws) AS tok FROM fhw)
+            SELECT doc_id,
+                   CAST(md5_number_upper(tok) % 64 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM fhf GROUP BY ALL
         """,
         # stages/induce.sense_modularity: weighted Newman modularity of
         # the CW partition per term (integer Q·4m² identity)
@@ -3049,6 +3105,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, CAST(count(*) AS BIGINT) AS n_objs,
                    string_agg(obj, ',' ORDER BY obj) AS objs
             FROM tcf GROUP BY subj HAVING count(*) > 1
+        """,
+        # pipelines/kg.kg_two_hop_paths: SPARQL-shaped a→mid→c over the
+        # deduped co-mention edges (distinct intermediates per pair)
+        "kg_two_hop_paths": f"""
+            WITH RECURSIVE {_sql_triples_chain(linked_sel)},
+            kg_e AS MATERIALIZED (
+                SELECT subj, obj FROM (
+                    SELECT subj, pred, obj FROM tr_all
+                    QUALIFY row_number() OVER (
+                        PARTITION BY subj, pred, obj
+                        ORDER BY conv_id, turn_idx) = 1)
+                WHERE pred = '{PRED_CO_MENTION}')
+            SELECT e1.subj AS a, e2.obj AS c,
+                   CAST(count(*) AS BIGINT) AS n_paths,
+                   min(e1.obj) AS first_mid
+            FROM kg_e e1 JOIN kg_e e2 ON e1.obj = e2.subj
+            WHERE e1.subj <> e2.obj
+            GROUP BY 1, 2
+        """,
+        # pipelines/kg.kg_entity_degree: per-entity degree profile over
+        # the deduped store (out triples / preds / in co-mentions /
+        # distinct neighbours)
+        "kg_entity_degree": f"""
+            WITH RECURSIVE {_sql_triples_chain(linked_sel)},
+            kg_t AS MATERIALIZED (
+                SELECT subj, pred, obj FROM tr_all
+                QUALIFY row_number() OVER (
+                    PARTITION BY subj, pred, obj
+                    ORDER BY conv_id, turn_idx) = 1),
+            kg_co AS MATERIALIZED (
+                SELECT subj, obj FROM kg_t
+                WHERE pred = '{PRED_CO_MENTION}'),
+            kg_out AS (SELECT subj AS ent,
+                              CAST(count(*) AS BIGINT) AS n_out,
+                              CAST(count(DISTINCT pred) AS BIGINT)
+                                  AS n_preds_out
+                       FROM kg_t GROUP BY subj),
+            kg_in AS (SELECT obj AS ent,
+                             CAST(count(*) AS BIGINT) AS n_in_co
+                      FROM kg_co GROUP BY obj),
+            kg_nb AS (SELECT subj AS ent, obj AS nb FROM kg_co
+                      UNION SELECT obj, subj FROM kg_co),
+            kg_nbc AS (SELECT ent, CAST(count(DISTINCT nb) AS BIGINT)
+                                  AS n_neighbors
+                       FROM kg_nb GROUP BY ent),
+            kg_ents AS (SELECT DISTINCT ent FROM (
+                SELECT subj AS ent FROM kg_t
+                UNION ALL SELECT obj FROM kg_co))
+            SELECT e.ent,
+                   CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_out,
+                   CAST(coalesce(o.n_preds_out, 0) AS BIGINT)
+                       AS n_preds_out,
+                   CAST(coalesce(i.n_in_co, 0) AS BIGINT) AS n_in_co,
+                   CAST(coalesce(nn.n_neighbors, 0) AS BIGINT)
+                       AS n_neighbors
+            FROM kg_ents e
+            LEFT JOIN kg_out o USING (ent)
+            LEFT JOIN kg_in i USING (ent)
+            LEFT JOIN kg_nbc nn USING (ent)
+        """,
+        # pipelines/kg.kg_pred_cooc: distinct subjects per unordered
+        # predicate pair
+        "kg_pred_cooc": f"""
+            WITH RECURSIVE {_sql_triples_chain(linked_sel)},
+            kg_sp AS MATERIALIZED (
+                SELECT DISTINCT subj, pred FROM tr_all)
+            SELECT a.pred AS pred_a, b.pred AS pred_b,
+                   CAST(count(*) AS BIGINT) AS n_subjects
+            FROM kg_sp a JOIN kg_sp b
+                 ON a.subj = b.subj AND a.pred < b.pred
+            GROUP BY 1, 2
         """,
         # pipelines/queries.q_key_uniqueness_report: per-key assertion
         # report (data-contract validation)

@@ -1,0 +1,206 @@
+"""KG query operators over the deduped triple store (round-4 batch E).
+
+The flagship emits a canonical `(subj, pred, obj, conv_id, turn_idx,
+ts)` triple table (stages/triples.py, first-provenance dedup).  A KG
+consumer then *queries* that store — path traversal, entity degree
+profiles, predicate co-occurrence.  These are the SPARQL-shaped reads
+re-expressed as bucketed Ray Data plans; all three are SQL-checked via
+the shared unrolled triple-chain mirror (__ray_entry__._sql_triples).
+
+Scale notes: the triple store after dedup is entity-vocabulary bounded
+(far smaller than the corpus), but none of these plans relies on that —
+joins are bucketed on the join key, partial aggregates fold before
+every shuffle, and no operator materializes the store on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import PRED_CO_MENTION
+from ..stages.groups import bucketed_group_apply
+from .analytics import bucketed_sum
+
+
+def _co_mention_edges(triples: rd.Dataset) -> rd.Dataset:
+    """Deduped entity→entity edges (pred == co_mentioned_with)."""
+    return triples.map_batches(
+        lambda df: df[df["pred"] == PRED_CO_MENTION][["subj", "obj"]],
+        batch_format="pandas")
+
+
+def kg_two_hop_paths(triples: rd.Dataset,
+                     num_buckets: int = 8) -> rd.Dataset:
+    """Two-hop path query a→mid→c over the deduped co-mention edges
+    (a ≠ c): per (subj, obj) endpoint pair the number of distinct
+    intermediate entities and the lexicographically first one — the
+    basic SPARQL `?a p ?m . ?m p ?c` traversal.
+
+    Distributed shape: both edge sides shuffle ONCE, bucketed on the
+    join key `mid` (e1 by obj, e2 by subj), so each bucket holds every
+    edge incident to its mids; the within-bucket cross product per mid
+    emits (a, c, mid) rows that are globally distinct by construction
+    (a mid lives in exactly one bucket and edges are pre-deduped), and
+    the final fold on (a, c) counts them — no all-pairs stage, fan-out
+    is bounded by per-mid degree (skew = a hub entity; at 100 TB cap
+    per-mid degree upstream or salt the hub's bucket)."""
+    edges = _co_mention_edges(triples)
+
+    left = edges.map_batches(
+        lambda df: pd.DataFrame({"mid": df["obj"], "a": df["subj"]}),
+        batch_format="pandas")
+    right = edges.map_batches(
+        lambda df: pd.DataFrame({"mid": df["subj"], "c": df["obj"]}),
+        batch_format="pandas")
+    pcols = ["mid", "side", "a", "c"]
+    tagged = left.map_batches(
+        lambda df: df.assign(side=np.int64(0), c="")[pcols],
+        batch_format="pandas").union(right.map_batches(
+            lambda df: df.assign(side=np.int64(1), a="")[pcols],
+            batch_format="pandas"))
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("mid", sort=False):
+            la = g.loc[g["side"] == 0, "a"].drop_duplicates()
+            rc = g.loc[g["side"] == 1, "c"].drop_duplicates()
+            if la.empty or rc.empty:
+                continue
+            prod = pd.MultiIndex.from_product(
+                [la, rc]).to_frame(index=False)
+            prod.columns = ["a", "c"]
+            prod = prod[prod["a"] != prod["c"]]
+            if len(prod):
+                outs.append(prod.assign(mid=g["mid"].iloc[0]))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "c": pd.Series(dtype=object),
+                                 "mid": pd.Series(dtype=object)})
+        return pd.concat(outs, ignore_index=True)
+
+    paths = bucketed_group_apply(
+        tagged, ["mid"], expand, num_buckets=num_buckets,
+        out_schema=pa.schema([("a", pa.string()), ("c", pa.string()),
+                              ("mid", pa.string())]))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "c"], as_index=False).agg(
+            n_paths=("mid", "size"), first_mid=("mid", "min"))
+        g["n_paths"] = g["n_paths"].astype("int64")
+        return g
+
+    out_schema = pa.schema([("a", pa.string()), ("c", pa.string()),
+                            ("n_paths", pa.int64()),
+                            ("first_mid", pa.string())])
+    return bucketed_group_apply(paths, ["a", "c"], fold,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
+
+
+def kg_entity_degree(triples: rd.Dataset,
+                     num_buckets: int = 8) -> rd.Dataset:
+    """Per-entity degree profile over the deduped store: outgoing
+    triple count, distinct outgoing predicates, incoming co-mention
+    count, and distinct co-mention neighbours (union of both
+    directions) — the node summary an entity-resolution or KG-quality
+    pass ranks on.
+
+    Partial per-batch dedup/count rows union into ONE bucketed fold on
+    the entity; neighbour sets stay per-bucket (an entity's rows
+    co-locate) and only distinct pairs ship."""
+
+    def out_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("subj", as_index=False).agg(n_out=("pred", "size"))
+        g["n_out"] = g["n_out"].astype("int64")
+        preds = df[["subj", "pred"]].drop_duplicates()
+        g = g.merge(preds.groupby("subj", as_index=False)
+                    .agg(pred_list=("pred", lambda s: "\x00".join(sorted(set(s))))),
+                    on="subj")
+        return g.rename(columns={"subj": "ent"})
+
+    # neighbour rows: entity-valued edges only, both directions
+    def nb_rows(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["pred"] == PRED_CO_MENTION]
+        a = pd.DataFrame({"ent": e["subj"], "nb": e["obj"],
+                          "is_in": np.int64(0)})
+        b = pd.DataFrame({"ent": e["obj"], "nb": e["subj"],
+                          "is_in": np.int64(1)})
+        return pd.concat([a, b], ignore_index=True).drop_duplicates(
+            subset=["ent", "nb", "is_in"])
+
+    cols = ["ent", "kind", "n_out", "pred_list", "nb", "is_in"]
+    tagged = triples.map_batches(out_rows, batch_format="pandas") \
+        .map_batches(lambda df: df.assign(kind=np.int64(0), nb="",
+                                          is_in=np.int64(0))[cols],
+                     batch_format="pandas") \
+        .union(triples.map_batches(nb_rows, batch_format="pandas")
+               .map_batches(lambda df: df.assign(kind=np.int64(1),
+                                                 n_out=np.int64(0),
+                                                 pred_list="")[cols],
+                            batch_format="pandas"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for ent, g in df.groupby("ent", sort=True):
+            o = g[g["kind"] == 0]
+            n_out = int(o["n_out"].sum())
+            preds: set[str] = set()
+            for pl in o["pred_list"]:
+                if pl:
+                    preds.update(pl.split("\x00"))
+            nbg = g[g["kind"] == 1].drop_duplicates(
+                subset=["nb", "is_in"])
+            n_in = int((nbg["is_in"] == 1).sum())
+            rows.append((ent, n_out, len(preds), n_in,
+                         int(nbg["nb"].nunique())))
+        out = pd.DataFrame(rows, columns=["ent", "n_out", "n_preds_out",
+                                          "n_in_co", "n_neighbors"])
+        return out.astype({"n_out": "int64", "n_preds_out": "int64",
+                           "n_in_co": "int64", "n_neighbors": "int64"})
+
+    out_schema = pa.schema([("ent", pa.string()), ("n_out", pa.int64()),
+                            ("n_preds_out", pa.int64()),
+                            ("n_in_co", pa.int64()),
+                            ("n_neighbors", pa.int64())])
+    return bucketed_group_apply(tagged, ["ent"], fold,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
+
+
+def kg_pred_cooc(triples: rd.Dataset, num_buckets: int = 8) -> rd.Dataset:
+    """Predicate co-occurrence: for every unordered predicate pair
+    (pa < pb), how many distinct subjects carry both — the schema-
+    discovery signal for predicate clustering / ontology inference.
+
+    Distinct (subj, pred) partials bucket on subj (each subject's pair
+    expansion is local, predicates-per-subject is tiny); pair partial
+    counts fold in one final bucketed sum keyed on the pair."""
+    sp = triples.map_batches(
+        lambda df: df[["subj", "pred"]].drop_duplicates(),
+        batch_format="pandas")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        outs = {"pred_a": [], "pred_b": []}
+        for _, g in df.groupby("subj", sort=False):
+            ps = sorted(set(g["pred"]))
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    outs["pred_a"].append(ps[i])
+                    outs["pred_b"].append(ps[j])
+        out = pd.DataFrame(outs)
+        out = out.groupby(["pred_a", "pred_b"], as_index=False).size() \
+            .rename(columns={"size": "n_subjects"})
+        out["n_subjects"] = out["n_subjects"].astype("int64")
+        return out
+
+    partials = bucketed_group_apply(
+        sp, ["subj"], pairs, num_buckets=num_buckets,
+        out_schema=pa.schema([("pred_a", pa.string()),
+                              ("pred_b", pa.string()),
+                              ("n_subjects", pa.int64())]))
+    return bucketed_sum(partials, ["pred_a", "pred_b"], ["n_subjects"],
+                        num_buckets=4)

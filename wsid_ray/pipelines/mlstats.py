@@ -897,3 +897,101 @@ def event_value_outliers(sf_dir: str,
         "q3_centi": pa.array([q_of[e][1] for e in ets], pa.int64()),
         "n_low": pa.array([f_of[e]["n_low"] for e in ets], pa.int64()),
         "n_high": pa.array([f_of[e]["n_high"] for e in ets], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# categorical-dependence + encoding panels
+# ---------------------------------------------------------------------------
+
+def source_lang_mi(sf_dir: str) -> pa.Table:
+    """Mutual information between the source feed and the language
+    label, per contingency cell — the feature-selection signal beside
+    the chi-square independence test (status_priority_chisq).
+
+    Integer contract (the KL machinery's): per cell the contribution
+    c_sl · ln((c_sl·N)/(c_s·c_l)) quantises to micro-nats half-up; the
+    ln argument is ONE float division of two exact integer products.
+    The corpus pass is a distributed (source, lang) partial count; the
+    cell table is (feeds × languages)-bounded, so the finish is
+    driver-small by construction."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["source", "lang"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return g.astype({"c": "int64"})
+
+    cells = collect_rows(bucketed_sum(
+        docs.map_batches(part, batch_format="pandas"),
+        ["source", "lang"], ["c"], num_buckets=4))
+    cs: dict[str, int] = {}
+    cl: dict[str, int] = {}
+    for r in cells:
+        cs[r["source"]] = cs.get(r["source"], 0) + int(r["c"])
+        cl[r["lang"]] = cl.get(r["lang"], 0) + int(r["c"])
+    n = sum(cs.values())
+    rows = sorted(cells, key=lambda r: (r["source"], r["lang"]))
+    mi = []
+    for r in rows:
+        c = int(r["c"])
+        arg = float(c * n) / float(cs[r["source"]] * cl[r["lang"]])
+        mi.append(int(np.floor(c * np.log(arg) * 1e6 + 0.5)))
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "c": pa.array([int(r["c"]) for r in rows], pa.int64()),
+        "mi_term_micro": pa.array(mi, pa.int64())})
+
+
+def segment_target_encoding(sf_dir: str, m: int = 100) -> pa.Table:
+    """Smoothed target (mean) encoding of the customer market segment
+    against order price — enc = (sum + m·global_mean)/(n + m), the
+    leakage-resistant categorical encoder (Micci-Barreca 2001).
+
+    Exact-integer finish: enc_micro_cents =
+    floor((sum_cents·N + m·total_cents)·10⁶ / (N·(n + m))) evaluated in
+    Python arbitrary-precision ints on the segment-cardinality result
+    (DuckDB mirror: the same expression in HUGEINT).  The heavy pass —
+    the orders×customer join and per-segment sums — is the distributed
+    bucketed hash join; only (segment, n, sum) rows reach the driver."""
+    from ..stages.joins import hash_join
+    from .analytics import _cents
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda df: pd.DataFrame({
+            "custkey": df["o_custkey"],
+            "cents": _cents(df["o_totalprice"].to_numpy())}),
+        batch_format="pandas")
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda df: df.rename(columns={"c_custkey": "custkey"}),
+        batch_format="pandas")
+    joined = hash_join(orders, cust, on=["custkey"], how="inner",
+                       num_buckets=16)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum"))
+        return g.astype({"n": "int64", "sum_cents": "int64"})
+
+    segs = collect_rows(bucketed_sum(
+        joined.map_batches(part, batch_format="pandas"),
+        ["c_mktsegment"], ["n", "sum_cents"], num_buckets=4))
+    segs.sort(key=lambda r: r["c_mktsegment"])
+    n_tot = sum(int(r["n"]) for r in segs)
+    total = sum(int(r["sum_cents"]) for r in segs)
+    enc = []
+    for r in segs:
+        num = (int(r["sum_cents"]) * n_tot + m * total) * 1_000_000
+        enc.append(num // (n_tot * (int(r["n"]) + m)))
+    return pa.table({
+        "c_mktsegment": pa.array([r["c_mktsegment"] for r in segs],
+                                 pa.string()),
+        "n": pa.array([int(r["n"]) for r in segs], pa.int64()),
+        "sum_cents": pa.array([int(r["sum_cents"]) for r in segs],
+                              pa.int64()),
+        "enc_micro_cents": pa.array(enc, pa.int64())})

@@ -3008,6 +3008,50 @@ def q_order_price_cume(sf_dir: str) -> rd.Dataset:
     return analytics.order_price_cume(sf_dir)
 
 
+def q_kg_two_hop_paths(sf_dir: str) -> rd.Dataset:
+    """SPARQL-shaped two-hop traversal a→mid→c over the deduped
+    co-mention edges: distinct-intermediate counts per endpoint pair
+    (one bucketed join on mid, fold on the pair)."""
+    from .kg import kg_two_hop_paths
+    return kg_two_hop_paths(_flagship(sf_dir).triples)
+
+
+def q_kg_entity_degree(sf_dir: str) -> rd.Dataset:
+    """Per-entity KG degree profile: outgoing triples, distinct
+    predicates, incoming co-mentions, distinct neighbours."""
+    from .kg import kg_entity_degree
+    return kg_entity_degree(_flagship(sf_dir).triples)
+
+
+def q_kg_pred_cooc(sf_dir: str) -> rd.Dataset:
+    """Predicate co-occurrence (distinct subjects carrying both preds
+    of each unordered pair) — the ontology-inference signal."""
+    from .kg import kg_pred_cooc
+    return kg_pred_cooc(_flagship(sf_dir).triples)
+
+
+def q_source_lang_mi(sf_dir: str) -> "pa.Table":
+    """Mutual information cells between source feed and language
+    (micro-nat integer contract, driver-small contingency)."""
+    from .mlstats import source_lang_mi
+    return source_lang_mi(sf_dir)
+
+
+def q_segment_target_encoding(sf_dir: str) -> "pa.Table":
+    """Smoothed target (mean) encoding of market segment vs order
+    price — exact bigint finish over distributed partial sums."""
+    from .mlstats import segment_target_encoding
+    return segment_target_encoding(sf_dir)
+
+
+def q_doc_feature_hash(sf_dir: str) -> rd.Dataset:
+    """Hashing-trick bag-of-words: 64-bucket md5-parity token folds per
+    document in COO rows — stateless, shuffle-free."""
+    from ..stages.textstats import feature_hash_batch, read_documents
+    return read_documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(feature_hash_batch, batch_format="pyarrow")
+
+
 def q_user_negative_types(sf_dir: str) -> rd.Dataset:
     """Negative-sampling panel: per user the never-interacted catalog
     types (count + sorted list) — broadcast small-side anti join."""
@@ -3135,6 +3179,12 @@ QUERIES = {
     "event_type_markov_stationary": q_event_type_markov_stationary,
     "user_rolling_median7": q_user_rolling_median7,
     "user_negative_types": q_user_negative_types,
+    "kg_two_hop_paths": q_kg_two_hop_paths,
+    "kg_entity_degree": q_kg_entity_degree,
+    "kg_pred_cooc": q_kg_pred_cooc,
+    "source_lang_mi": q_source_lang_mi,
+    "segment_target_encoding": q_segment_target_encoding,
+    "doc_feature_hash": q_doc_feature_hash,
     "orders_scd2_history": q_orders_scd2_history,
     "order_price_cume": q_order_price_cume,
     "sense_modularity": q_sense_modularity,

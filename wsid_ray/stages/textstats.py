@@ -458,3 +458,48 @@ def readability_batch(t: pa.Table) -> pa.Table:
         "n_sentences": pa.array(sv, pa.int64()),
         "n_syllables": pa.array(syv, pa.int64()),
         "fre6": pa.array(fre6, pa.float64())})
+
+
+# per process; bounded (same 100 TB open-vocabulary policy as the
+# simhash/token memos above)
+_FEAT_HASH_MEMO: dict[str, int] = BoundedCache(500_000)
+
+
+def feature_hash_batch(t: pa.Table, num_features: int = 64) -> pa.Table:
+    """(doc_id, bucket, n) — hashing-trick bag-of-words (Weinberger et
+    al. 2009): every whitespace token folds into ``num_features``
+    buckets via the md5-parity 64-bit hash, giving a fixed-width sparse
+    feature vector per document without a vocabulary pass.
+
+    Deterministic + mirrored: bucket = md5_number_upper(token) %
+    num_features (first 8 md5 digest bytes little-endian, the shared
+    engine/DuckDB hash convention).  Vectorised: md5 once per DISTINCT
+    token (per-worker bounded memo), one np.unique fold per batch.
+    Stateless map — no shuffle; the output is the sparse (doc, bucket)
+    count matrix in COO rows."""
+    row_of, nonempty, flat, _n = _word_rows(t)
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    row_of = row_of[nonempty]
+    if not len(row_of):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    enc = pc.dictionary_encode(flat.filter(pa.array(nonempty)))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    vocab = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    memo = _FEAT_HASH_MEMO
+    buck = np.empty(len(vocab), dtype=np.int64)
+    for u, tok in enumerate(vocab):
+        h = memo.get(tok)
+        if h is None:
+            h = memo[tok] = int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[:8], "little")
+        buck[u] = h % num_features
+    key = row_of.astype(np.int64) * num_features + buck[codes]
+    uk, counts = np.unique(key, return_counts=True)
+    return pa.table({
+        "doc_id": pa.array(doc_ids[uk // num_features], pa.int64()),
+        "bucket": pa.array(uk % num_features, pa.int64()),
+        "n": pa.array(counts.astype(np.int64), pa.int64())})
