@@ -268,7 +268,8 @@ def exact_partitioned_ranks(pairs: rd.Dataset, part_col: str,
                             value_col: str, id_col: str,
                             bin_width: int, emit,
                             out_schema: pa.Schema,
-                            num_buckets: int = 16) -> rd.Dataset:
+                            num_buckets: int = 16,
+                            pin: bool = False) -> rd.Dataset:
     """Generic EXACT two-pass distributed rank-window machinery
     (VERDICT r03 item 2; shared by NTILE, ROW_NUMBER/RANK/PERCENT_RANK
     and activity deciles).
@@ -283,9 +284,20 @@ def exact_partitioned_ranks(pairs: rd.Dataset, part_col: str,
     with g sorted by (value, id), the bin's partition-global exclusive
     start rank, and the partition size.  Scale bound: the heaviest
     single (partition, bin) group — tune bin_width down to split hot
-    value ranges, never the partition count."""
+    value ranges, never the partition count.
+
+    ``pin=True`` materialises ``pairs`` ONCE before the two passes —
+    use when the upstream is itself a shuffle or a CPU-heavy transform
+    (otherwise both passes re-execute it).  The pinned stream is the
+    narrow (part, value, id) projection, so the object-store cost is
+    ~24 B/row and spills to disk past memory; recompute stays the right
+    default for trivially-cheap upstreams (a pruned parquet read)."""
     from ..stages.groups import bucketed_group_apply
     from ..util import collect_rows
+
+    if pin:
+        from ..util import compact_blocks
+        pairs = compact_blocks(pairs)
 
     def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({part_col: df[part_col],
@@ -420,9 +432,10 @@ def user_activity_deciles(sf_dir: str, n_tiles: int = 10,
             "n": g["n"].to_numpy(),
             "decile": ntile_emit(n_tiles, rank, n).astype("int64")})
 
+    # pin: the upstream is a per-user count shuffle — don't run it twice
     return exact_partitioned_ranks(pairs, "part", "n", "user_id",
                                    bin_width, emit, schema,
-                                   num_buckets=8)
+                                   num_buckets=8, pin=True)
 
 
 # histogram-sketch quantiles: (numerator, denominator) per quantile so
@@ -1297,9 +1310,10 @@ def doc_readability_percentile(sf_dir: str,
             "doc_id": g["doc_id"].to_numpy(),
             "flesch_micro": v, "pr_micro": pr.astype("int64")})
 
+    # pin: the Flesch pass is regex-heavy over full text — compute once
     return exact_partitioned_ranks(pairs, "part", "flesch_micro",
                                    "doc_id", bin_width, emit, schema,
-                                   num_buckets=8)
+                                   num_buckets=8, pin=True)
 
 
 def order_price_cume(sf_dir: str, bin_cents: int = 100_000) -> rd.Dataset:

@@ -1490,9 +1490,10 @@ def q_user_median_gap(sf_dir: str,
             "n": np.int64(n),
             "median_gap_us": hit["gap_us"].to_numpy()})
 
+    # pin: the LAG-gap upstream is itself a bucketed shuffle — run once
     return exact_partitioned_ranks(pr, "user_id", "gap_us", "event_id",
                                    bin_us, emit, out_schema,
-                                   num_buckets=8)
+                                   num_buckets=8, pin=True)
 
 
 def q_event_type_transitions(sf_dir: str) -> rd.Dataset:
