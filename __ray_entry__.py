@@ -2042,6 +2042,236 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM fhf GROUP BY ALL
         """,
+        # pipelines/mlstats.langid_confusion: model pred vs fixture
+        # label matrix over the shared langid mirror
+        "langid_confusion": f"""
+            SELECT d.lang, l.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents d
+            JOIN ({_sql_doc_langid()}) l USING (doc_id)
+            GROUP BY ALL
+        """,
+        # pipelines/mlstats.langid_eval: per-language P/R/F1 as micro
+        # ints with truncating //; labels = union(true, predicted);
+        # NULL where a denominator is zero
+        "langid_eval": f"""
+            WITH lec AS (
+                SELECT d.lang, l.lang_pred, count(*) AS n
+                FROM documents d
+                JOIN ({_sql_doc_langid()}) l USING (doc_id)
+                GROUP BY ALL),
+            lel AS (SELECT lang FROM lec
+                    UNION SELECT lang_pred FROM lec),
+            lem AS (
+                SELECT ll.lang,
+                       coalesce(sum(CASE WHEN c.lang = ll.lang
+                                          AND c.lang_pred = ll.lang
+                                    THEN c.n END), 0) AS tp,
+                       coalesce(sum(CASE WHEN c.lang <> ll.lang
+                                          AND c.lang_pred = ll.lang
+                                    THEN c.n END), 0) AS fp,
+                       coalesce(sum(CASE WHEN c.lang = ll.lang
+                                          AND c.lang_pred <> ll.lang
+                                    THEN c.n END), 0) AS fn
+                FROM lel ll LEFT JOIN lec c
+                  ON c.lang = ll.lang OR c.lang_pred = ll.lang
+                GROUP BY ll.lang)
+            SELECT lang, CAST(tp + fn AS BIGINT) AS n_true,
+                   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn,
+                   CAST(CASE WHEN tp + fp > 0
+                        THEN tp * 1000000 // (tp + fp) END AS BIGINT)
+                       AS precision_micro,
+                   CAST(CASE WHEN tp + fn > 0
+                        THEN tp * 1000000 // (tp + fn) END AS BIGINT)
+                       AS recall_micro,
+                   CAST(CASE WHEN 2 * tp + fp + fn > 0
+                        THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END
+                        AS BIGINT) AS f1_micro
+            FROM lem
+        """,
+        # pipelines/mlstats.status_theil_index: quantised-ln integer
+        # contract; per-row term BIGINT, HUGEINT sum, truncating //
+        "status_theil_index": """
+            WITH thb AS (SELECT o_orderstatus,
+                                CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) AS cents
+                         FROM orders),
+            tht AS (SELECT o_orderstatus,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(cents) AS BIGINT) AS sum_cents
+                    FROM thb GROUP BY 1),
+            thx AS (SELECT b.o_orderstatus,
+                           CAST(floor(ln(CAST(b.cents AS DOUBLE) * t.n
+                                         / t.sum_cents) * 1e6 + 0.5)
+                                AS BIGINT) * b.cents AS term
+                    FROM thb b JOIN tht t USING (o_orderstatus))
+            SELECT t.o_orderstatus, t.n, t.sum_cents,
+                   CAST(sum(x.term) // t.sum_cents AS BIGINT)
+                       AS theil_micro
+            FROM thx x JOIN tht t USING (o_orderstatus)
+            GROUP BY t.o_orderstatus, t.n, t.sum_cents
+        """,
+        # pipelines/mlstats.session_type_pmi: PMI of event types sharing
+        # a 30-min gap session (same session rule as user_sessions)
+        "session_type_pmi": """
+            WITH spf AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sps AS (
+                SELECT user_id, event_type,
+                       sum(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS sid
+                FROM spf),
+            spp AS (SELECT DISTINCT user_id, sid, event_type FROM sps),
+            spn AS (SELECT count(*) AS ns FROM
+                    (SELECT DISTINCT user_id, sid FROM spp)),
+            sp1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                    FROM spp GROUP BY 1),
+            sp2 AS (SELECT a.event_type AS type_a,
+                           b.event_type AS type_b,
+                           CAST(count(*) AS BIGINT) AS n_both
+                    FROM spp a JOIN spp b
+                      ON a.user_id = b.user_id AND a.sid = b.sid
+                     AND a.event_type < b.event_type
+                    GROUP BY 1, 2)
+            SELECT p.type_a, p.type_b, p.n_both,
+                   sa.n AS n_a, sb.n AS n_b,
+                   CAST(spn.ns AS BIGINT) AS n_sessions,
+                   CAST(floor(ln(CAST(p.n_both * spn.ns AS DOUBLE)
+                                 / CAST(sa.n * sb.n AS DOUBLE))
+                              * 1e6 + 0.5) AS BIGINT) AS pmi_micro
+            FROM sp2 p
+            JOIN sp1 sa ON sa.event_type = p.type_a
+            JOIN sp1 sb ON sb.event_type = p.type_b
+            CROSS JOIN spn
+        """,
+        # pipelines/mlstats.priority_price_mwu: Mann–Whitney U with
+        # exact average-rank integers (2·avgrank = 2·rank + cnt − 1)
+        "priority_price_mwu": """
+            WITH mwb AS (
+                SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents,
+                       CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END AS ga
+                FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+            mwr AS (SELECT cents, ga,
+                           rank() OVER (ORDER BY cents) AS rk,
+                           count(*) OVER (PARTITION BY cents) AS cnt
+                    FROM mwb),
+            mwt AS (SELECT CAST(sum(ga) AS BIGINT) AS n_a,
+                           CAST(sum(1 - ga) AS BIGINT) AS n_b,
+                           sum(CASE WHEN ga = 1
+                               THEN 2 * rk + cnt - 1 END) AS s2a
+                    FROM mwr)
+            SELECT n_a, n_b,
+                   CAST(s2a - n_a * (n_a + 1) AS BIGINT) AS u2,
+                   CAST((s2a - n_a * (n_a + 1)) * 1000000
+                        // (2 * n_a * n_b) AS BIGINT) AS auc_micro
+            FROM mwt
+        """,
+        # pipelines/mlstats.dup_quality_auc: exact integer AUC via
+        # distinct-score counts over the near-dup drop list
+        "dup_quality_auc": f"""
+            WITH dqd AS ({droplist_sql}),
+            dqs AS (SELECT q.doc_id,
+                           CAST(floor(alpha_ratio * 1e6 + 0.5) AS BIGINT)
+                               AS s
+                    FROM ({_sql_doc_quality(stop)}) q),
+            dql AS (SELECT dqs.s,
+                           CASE WHEN d.doc_id IS NOT NULL
+                                THEN 1 ELSE 0 END AS is_dup
+                    FROM dqs LEFT JOIN dqd d USING (doc_id)),
+            dqc AS (SELECT s, CAST(sum(is_dup) AS BIGINT) AS np,
+                           CAST(sum(1 - is_dup) AS BIGINT) AS nn
+                    FROM dql GROUP BY s),
+            dqr AS (SELECT s, np, nn,
+                           coalesce(sum(nn) OVER (ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cumneg
+                    FROM dqc),
+            dqt AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                           CAST(sum(nn) AS BIGINT) AS n_neg,
+                           sum(np * (2 * cumneg + nn)) AS num2
+                    FROM dqr)
+            SELECT n_pos, n_neg,
+                   CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN num2 * 1000000 // (2 * n_pos * n_neg)
+                        END AS BIGINT) AS auc_micro
+            FROM dqt
+        """,
+        # pipelines/mlstats.lang_source_hhi: Herfindahl concentration,
+        # exact integer shares
+        "lang_source_hhi": """
+            WITH hhc AS (SELECT lang, source,
+                                CAST(count(*) AS BIGINT) AS n
+                         FROM documents GROUP BY 1, 2)
+            SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(sum(n * n) * 1000000
+                        // (sum(n) * sum(n)) AS BIGINT) AS hhi_micro
+            FROM hhc GROUP BY lang
+        """,
+        # pipelines/mlstats.doc_edit_pairs: levenshtein on the LSH
+        # candidate set (200-char heads)
+        "doc_edit_pairs": f"""
+            SELECT c.doc_a, c.doc_b,
+                   CAST(levenshtein(substr(da.text, 1, 200),
+                                    substr(db.text, 1, 200))
+                        AS BIGINT) AS edit_dist
+            FROM ({_sql_minhash_candidates(tok, 3)}) c
+            JOIN documents da ON da.doc_id = c.doc_a
+            JOIN documents db ON db.doc_id = c.doc_b
+        """,
+        # pipelines/mlstats.ann_ndcg: position-weighted ANN ranking
+        # quality vs the exact top-k (quantised 1/log2 weights)
+        "ann_ndcg": f"""
+            WITH nde AS ({_SQL_KNN_EXACT}),
+            nda AS (
+                SELECT 'ivf' AS method, query_id, vec_id, score
+                FROM read_parquet('{art["ivf_topk"]}')
+                UNION ALL
+                SELECT 'lsh', query_id, vec_id, score
+                FROM read_parquet('{art["lsh_topk"]}')),
+            ndr AS (SELECT method, query_id, vec_id,
+                           row_number() OVER (
+                               PARTITION BY method, query_id
+                               ORDER BY score DESC, vec_id) AS pos
+                    FROM nda),
+            ndw AS (SELECT i AS pos,
+                           CAST(floor(1e6 / log2(i + 1) + 0.5) AS BIGINT)
+                               AS w
+                    FROM generate_series(1, {ANN_K}) AS t(i)),
+            ndi AS (SELECT CAST(sum(w) AS BIGINT) AS idcg FROM ndw),
+            ndd AS (SELECT r.method, r.query_id,
+                           CAST(coalesce(sum(
+                               CASE WHEN e.vec_id IS NOT NULL
+                               THEN w.w END), 0) AS BIGINT) AS dcg
+                    FROM ndr r
+                    JOIN ndw w USING (pos)
+                    LEFT JOIN nde e ON e.query_id = r.query_id
+                                   AND e.vec_id = r.vec_id
+                    GROUP BY 1, 2)
+            SELECT d.method, d.query_id, d.dcg,
+                   CAST(d.dcg * 1000000 // ndi.idcg AS BIGINT)
+                       AS ndcg_micro
+            FROM ndd d CROSS JOIN ndi
+        """,
+        # pipelines/mlstats.dup_source_matrix: near-dup pairs per
+        # unordered source-feed pair over the jaccard chain
+        "dup_source_matrix": f"""
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM ({_sql_jaccard_pairs(tok)}) p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b
+            GROUP BY 1, 2
+        """,
         # stages/induce.sense_modularity: weighted Newman modularity of
         # the CW partition per term (integer Q·4m² identity)
         "sense_modularity": _sql_sense_modularity(tr, tok, gaz),

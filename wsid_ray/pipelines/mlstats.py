@@ -995,3 +995,519 @@ def segment_target_encoding(sf_dir: str, m: int = 100) -> pa.Table:
         "sum_cents": pa.array([int(r["sum_cents"]) for r in segs],
                               pa.int64()),
         "enc_micro_cents": pa.array(enc, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch F: model evaluation, inequality, session PMI, dup matrix
+# ---------------------------------------------------------------------------
+
+def langid_confusion(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
+    """Confusion matrix of the langid model against the fixture's true
+    ``lang`` label — the model-drift monitor for the language gate.
+
+    One fused pass: each batch scores itself (``langid_batch`` — the
+    SQL-mirrored builtin) and emits (lang, lang_pred, n_docs) partial
+    counts, so no per-doc row ever shuffles; the exchange moves at most
+    |langs|² rows per batch."""
+    from ..stages.textstats import langid_batch, read_documents
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        pred = langid_batch(t)
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pandas(),
+            "lang_pred": pred["lang_pred"].to_pandas()})
+        g = df.groupby(["lang", "lang_pred"], as_index=False).size() \
+              .rename(columns={"size": "n_docs"})
+        return g.astype({"n_docs": "int64"})
+
+    return bucketed_sum(docs.map_batches(part, batch_format="pyarrow"),
+                        ["lang", "lang_pred"], ["n_docs"],
+                        num_buckets=num_buckets)
+
+
+def langid_eval(sf_dir: str) -> pa.Table:
+    """Per-language precision / recall / F1 of the langid model vs the
+    fixture label — exact-integer finish over the confusion matrix
+    (micro-units, truncating division; NULL when a denominator is 0).
+
+    The corpus pass is ``langid_confusion``; only the |langs|²-bounded
+    matrix reaches the driver."""
+    conf = collect_rows(langid_confusion(sf_dir))
+    labels = sorted({r["lang"] for r in conf}
+                    | {r["lang_pred"] for r in conf})
+    cols: dict[str, list] = {k: [] for k in (
+        "lang", "n_true", "tp", "fp", "fn",
+        "precision_micro", "recall_micro", "f1_micro")}
+    for lab in labels:
+        tp = sum(int(r["n_docs"]) for r in conf
+                 if r["lang"] == lab and r["lang_pred"] == lab)
+        fp = sum(int(r["n_docs"]) for r in conf
+                 if r["lang"] != lab and r["lang_pred"] == lab)
+        fn = sum(int(r["n_docs"]) for r in conf
+                 if r["lang"] == lab and r["lang_pred"] != lab)
+        cols["lang"].append(lab)
+        cols["n_true"].append(tp + fn)
+        cols["tp"].append(tp)
+        cols["fp"].append(fp)
+        cols["fn"].append(fn)
+        cols["precision_micro"].append(
+            tp * 1_000_000 // (tp + fp) if tp + fp else None)
+        cols["recall_micro"].append(
+            tp * 1_000_000 // (tp + fn) if tp + fn else None)
+        cols["f1_micro"].append(
+            2 * tp * 1_000_000 // (2 * tp + fp + fn)
+            if 2 * tp + fp + fn else None)
+    return pa.table({
+        "lang": pa.array(cols["lang"], pa.string()),
+        "n_true": pa.array(cols["n_true"], pa.int64()),
+        "tp": pa.array(cols["tp"], pa.int64()),
+        "fp": pa.array(cols["fp"], pa.int64()),
+        "fn": pa.array(cols["fn"], pa.int64()),
+        "precision_micro": pa.array(cols["precision_micro"], pa.int64()),
+        "recall_micro": pa.array(cols["recall_micro"], pa.int64()),
+        "f1_micro": pa.array(cols["f1_micro"], pa.int64())})
+
+
+def status_theil_index(sf_dir: str, num_buckets: int = 4) -> pa.Table:
+    """Theil T inequality index of order value per status — the
+    decomposable complement of the Gini panel (``q_status_gini``):
+    T = (1/(N·μ)) · Σ xᵢ·ln(xᵢ·N/Σx).
+
+    Integer contract: per row lᵢ = floor(ln(centsᵢ·n/Σcents)·1e6+0.5)
+    (the ln argument is ONE double expression — exact-int numerator
+    under 2⁵³ at bench scale, noted for 100 TB — identical in DuckDB);
+    the per-row product cents·lᵢ is int64-exact (≤ ~1.3e15) and sums in
+    Python arbitrary precision (HUGEINT mirror), carried between stages
+    as decimal strings (the Gini/PCA precedent).  theil_micro =
+    Σterms // Σcents, truncating on both sides (Theil ≥ 0).  Two scans,
+    no co-located status partition."""
+    from .analytics import _cents
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderstatus", "o_totalprice"])
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderstatus": df["o_orderstatus"],
+            "cents": _cents(df["o_totalprice"].to_numpy())})
+
+    pr = orders.map_batches(base, batch_format="pandas")
+
+    def m1(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderstatus", as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum"))
+        return g.astype({"n": "int64", "sum_cents": "int64"})
+
+    tot = collect_rows(bucketed_sum(
+        pr.map_batches(m1, batch_format="pandas"),
+        ["o_orderstatus"], ["n", "sum_cents"], num_buckets=num_buckets))
+    stats = {r["o_orderstatus"]: (int(r["n"]), int(r["sum_cents"]))
+             for r in tot}
+
+    def terms(df: pd.DataFrame) -> pd.DataFrame:
+        sts, sums = [], []
+        for st, g in df.groupby("o_orderstatus", sort=False):
+            n, total = stats[st]
+            c = g["cents"].to_numpy()
+            lam = np.floor(np.log(c.astype(np.float64) * float(n)
+                                  / float(total)) * 1e6 + 0.5) \
+                .astype(np.int64)
+            prod = c * lam          # |cents·l_micro| <= ~1.3e15: exact
+            s = 0
+            for i in range(0, len(prod), 4096):   # int64-safe chunks
+                s += int(prod[i:i + 4096].sum())
+            sts.append(st)
+            sums.append(str(s))
+        return pd.DataFrame({
+            "o_orderstatus": pd.Series(sts, dtype="string"),
+            "term_sum": pd.Series(sums, dtype="string")})
+
+    parts = collect_rows(pr.map_batches(terms, batch_format="pandas"))
+    acc: dict[str, int] = {}
+    for r in parts:
+        acc[r["o_orderstatus"]] = acc.get(r["o_orderstatus"], 0) \
+            + int(r["term_sum"])
+    rows = sorted(stats)
+    theil = []
+    for st in rows:
+        n, total = stats[st]
+        s = acc.get(st, 0)
+        q = abs(s) // total
+        theil.append(q if s >= 0 else -q)   # truncating (SQL //)
+    return pa.table({
+        "o_orderstatus": pa.array(rows, pa.string()),
+        "n": pa.array([stats[st][0] for st in rows], pa.int64()),
+        "sum_cents": pa.array([stats[st][1] for st in rows], pa.int64()),
+        "theil_micro": pa.array(theil, pa.int64())})
+
+
+def session_type_pmi(sf_dir: str, gap_minutes: int = 30,
+                     num_buckets: int = 16) -> pa.Table:
+    """PMI between event types co-occurring inside the same gap-based
+    session — the basket-affinity signal at session granularity (the
+    conversation-level sibling is ``term_association_rules``).
+
+    One bucketed shuffle keyed on the user (the sessionize plan); inside
+    a bucket everything is vectorised pandas: session ids via
+    diff/cumsum, per-session distinct types via drop_duplicates, pairs
+    via a per-session self-merge (fan-out ≤ |types|² rows per session).
+    Partials encode singles as (t, ''), the session total as ('', ''),
+    so ONE tiny (type_a, type_b) fold finishes the sweep;
+    pmi_micro = floor(ln(n_both·S / (n_a·n_b))·1e6 + 0.5) with
+    exact-int products inside the one double division."""
+    ev = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort", ignore_index=True)
+        prev_ts = df.groupby("user_id", sort=False)["ts"].shift()
+        new_s = prev_ts.isna() | ((df["ts"] - prev_ts) > gap)
+        sid = (new_s.groupby(df["user_id"], sort=False)
+               .cumsum() - 1).astype("int64")
+        pres = pd.DataFrame({
+            "user_id": df["user_id"], "sid": sid,
+            "t": df["event_type"]}).drop_duplicates()
+        sing = pres.groupby("t", as_index=False).size()
+        n_sess = len(pres[["user_id", "sid"]].drop_duplicates())
+        both = pres.merge(pres, on=["user_id", "sid"])
+        both = both[both["t_x"] < both["t_y"]]
+        pairs = both.groupby(["t_x", "t_y"], as_index=False).size()
+        return pd.DataFrame({
+            "type_a": (list(pairs["t_x"]) + list(sing["t"]) + [""]),
+            "type_b": (list(pairs["t_y"]) + [""] * len(sing) + [""]),
+            "c": pd.array(list(pairs["size"]) + list(sing["size"])
+                          + [n_sess], dtype="int64")})
+
+    folded = collect_rows(bucketed_sum(
+        bucketed_group_apply(ev, ["user_id"], part,
+                             num_buckets=num_buckets),
+        ["type_a", "type_b"], ["c"], num_buckets=4))
+    sing = {r["type_a"]: int(r["c"]) for r in folded
+            if r["type_b"] == "" and r["type_a"] != ""}
+    n_sessions = sum(int(r["c"]) for r in folded
+                     if r["type_a"] == "" and r["type_b"] == "")
+    pairs = sorted((r for r in folded if r["type_b"] != ""),
+                   key=lambda r: (r["type_a"], r["type_b"]))
+    pmi = []
+    for r in pairs:
+        arg = float(int(r["c"]) * n_sessions) \
+            / float(sing[r["type_a"]] * sing[r["type_b"]])
+        pmi.append(int(np.floor(np.log(arg) * 1e6 + 0.5)))
+    return pa.table({
+        "type_a": pa.array([r["type_a"] for r in pairs], pa.string()),
+        "type_b": pa.array([r["type_b"] for r in pairs], pa.string()),
+        "n_both": pa.array([int(r["c"]) for r in pairs], pa.int64()),
+        "n_a": pa.array([sing[r["type_a"]] for r in pairs], pa.int64()),
+        "n_b": pa.array([sing[r["type_b"]] for r in pairs], pa.int64()),
+        "n_sessions": pa.array([n_sessions] * len(pairs), pa.int64()),
+        "pmi_micro": pa.array(pmi, pa.int64())})
+
+
+def dup_source_matrix(sf_dir: str, threshold: float = 0.5,
+                      num_buckets: int = 16) -> rd.Dataset:
+    """Near-dup pair counts crossed with the source feed of each side —
+    the "which feeds mirror each other" matrix that decides crawl
+    de-prioritisation.  Rides the hash-green LSH→verify chain
+    (``jaccard_pairs``); sources attach via two partitioned hash joins
+    (only the candidate pairs and the (doc_id, source) projection move);
+    the (source_lo, source_hi) fold is feeds²-bounded."""
+    from ..stages.dedup import jaccard_pairs
+    from ..stages.joins import hash_join
+    from ..stages.textstats import read_documents
+
+    docs = read_documents(sf_dir)
+    pairs = jaccard_pairs(docs, threshold=threshold, shingle_k=3)
+    src = read_documents(sf_dir, columns=["doc_id", "source"])
+
+    def tag(name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({name: t["doc_id"],
+                             f"src_{name}": t["source"]})
+        return fn
+
+    j = hash_join(
+        hash_join(pairs, src.map_batches(tag("doc_a"),
+                                         batch_format="pyarrow"),
+                  on=["doc_a"], num_buckets=num_buckets),
+        src.map_batches(tag("doc_b"), batch_format="pyarrow"),
+        on=["doc_b"], num_buckets=num_buckets)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["src_doc_a"].to_numpy()
+        b = df["src_doc_b"].to_numpy()
+        g = pd.DataFrame({"source_a": np.minimum(a, b),
+                          "source_b": np.maximum(a, b)}) \
+            .groupby(["source_a", "source_b"], as_index=False).size() \
+            .rename(columns={"size": "n_pairs"})
+        return g.astype({"n_pairs": "int64"})
+
+    return bucketed_sum(j.map_batches(fold, batch_format="pandas"),
+                        ["source_a", "source_b"], ["n_pairs"],
+                        num_buckets=4)
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch G: rank tests, ranking metrics, concentration, edit dist
+# ---------------------------------------------------------------------------
+
+def priority_price_mwu(sf_dir: str, prio_a: str = "1-URGENT",
+                       prio_b: str = "5-LOW",
+                       bin_cents: int = 100_000) -> pa.Table:
+    """Mann–Whitney U between two order priorities on price — the
+    non-parametric sibling of the Welch panel (same comparison, no
+    normality assumption).  Exact rank identity with average ranks for
+    ties: 2·avgrank = 2·lo + cnt + 1 per tie group, so every partial is
+    an integer.  Runs on the generic two-pass rank machinery (one
+    combined sample, value-binned — a tie group never spans bins), so
+    neither sample is co-located; U2 = Σ2rankₐ − nₐ(nₐ+1) and
+    auc_micro = U2·10⁶ // (2·nₐ·n_b) finish on three integers."""
+    from .analytics import _cents
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderpriority"].isin([prio_a, prio_b])]
+        return pd.DataFrame({
+            "pk": pd.Series(["all"] * len(df), dtype="string"),
+            "cents": _cents(df["o_totalprice"].to_numpy()),
+            "o_orderkey": df["o_orderkey"].astype("int64").to_numpy(),
+            "ga": (df["o_orderpriority"] == prio_a)
+            .astype("int64").to_numpy()})
+
+    pr = orders.map_batches(base, batch_format="pandas")
+    part_schema = pa.schema([("s2a", pa.string()), ("n_a", pa.int64()),
+                             ("n_b", pa.int64())])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        c = g["cents"].to_numpy()
+        ga = g["ga"].to_numpy()
+        # tie groups are contiguous in the sorted g
+        _, first, cnt = np.unique(c, return_index=True,
+                                  return_counts=True)
+        lo = start + first                       # 0-based global lo rank
+        w = 2 * lo + cnt + 1                     # = 2·avgrank per group
+        na_v = np.add.reduceat(ga, first)
+        s2a = sum(int(a) * int(b) for a, b in zip(na_v, w))
+        return pd.DataFrame({
+            "s2a": pd.Series([str(s2a)], dtype="string"),
+            "n_a": [int(ga.sum())],
+            "n_b": [int(len(g) - ga.sum())]})
+
+    parts = collect_rows(exact_partitioned_ranks(
+        pr, "pk", "cents", "o_orderkey", bin_cents, emit, part_schema,
+        num_buckets=8))
+    s2a = sum(int(r["s2a"]) for r in parts)
+    n_a = sum(int(r["n_a"]) for r in parts)
+    n_b = sum(int(r["n_b"]) for r in parts)
+    u2 = s2a - n_a * (n_a + 1)
+    auc = u2 * 1_000_000 // (2 * n_a * n_b) if n_a and n_b else None
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "u2": pa.array([u2], pa.int64()),
+        "auc_micro": pa.array([auc], pa.int64())})
+
+
+def dup_quality_auc(sf_dir: str, num_buckets: int = 4) -> pa.Table:
+    """AUC of the alpha-ratio quality score as a discriminator of
+    near-dup membership (the end-to-end LSH→verify→components drop
+    list) — "does low quality predict duplication".
+
+    Exact integer AUC over distinct-score counts: for each score v
+    ascending, numerator2 += n_pos(v)·(2·cum_neg(<v) + n_neg(v)); the
+    driver finish is score-cardinality-bounded (≤ 10⁶+1 distinct
+    6-dp micros, independent of corpus size).  The drop list broadcasts
+    as a key set; documents are never shuffled."""
+    from ..stages.dedup import near_dup_drop_list
+    from ..stages.textstats import quality_batch, read_documents
+
+    drops = {r["doc_id"] for r in collect_rows(
+        near_dup_drop_list(read_documents(sf_dir)))}
+    d_ref = ray.put(drops)
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        q = quality_batch(t)
+        score = np.floor(np.asarray(q["alpha_ratio"], dtype=np.float64)
+                         * 1e6 + 0.5).astype(np.int64)
+        dd = ray.get(d_ref)
+        is_dup = q["doc_id"].to_pandas().isin(dd).astype("int64")
+        g = pd.DataFrame({"score_micro": score, "is_dup": is_dup}) \
+            .groupby(["score_micro", "is_dup"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return g.astype({"n": "int64"})
+
+    cnt = collect_rows(bucketed_sum(
+        docs.map_batches(part, batch_format="pyarrow"),
+        ["score_micro", "is_dup"], ["n"], num_buckets=num_buckets))
+    pos: dict[int, int] = {}
+    neg: dict[int, int] = {}
+    for r in cnt:
+        d = pos if int(r["is_dup"]) else neg
+        v = int(r["score_micro"])
+        d[v] = d.get(v, 0) + int(r["n"])
+    num2, cum_neg = 0, 0
+    for v in sorted(set(pos) | set(neg)):
+        num2 += pos.get(v, 0) * (2 * cum_neg + neg.get(v, 0))
+        cum_neg += neg.get(v, 0)
+    n_pos, n_neg = sum(pos.values()), sum(neg.values())
+    auc = (num2 * 1_000_000 // (2 * n_pos * n_neg)
+           if n_pos and n_neg else None)
+    return pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "auc_micro": pa.array([auc], pa.int64())})
+
+
+def lang_source_hhi(sf_dir: str, num_buckets: int = 4) -> pa.Table:
+    """Herfindahl–Hirschman concentration of the source mix per
+    language — "is this language fed by one crawl?" (the diversity
+    gate beside nation_segment_entropy).  hhi_micro =
+    Σ_s n_ls²·10⁶ // N_l² — exact ints end to end; one partial-count
+    pass, a (langs × feeds)-bounded fold, driver finish."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["lang", "source"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], as_index=False).size() \
+              .rename(columns={"size": "n"})
+        return g.astype({"n": "int64"})
+
+    cells = collect_rows(bucketed_sum(
+        docs.map_batches(part, batch_format="pandas"),
+        ["lang", "source"], ["n"], num_buckets=num_buckets))
+    tot: dict[str, int] = {}
+    sq: dict[str, int] = {}
+    for r in cells:
+        lang, n = r["lang"], int(r["n"])
+        tot[lang] = tot.get(lang, 0) + n
+        sq[lang] = sq.get(lang, 0) + n * n
+    langs = sorted(tot)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_docs": pa.array([tot[la] for la in langs], pa.int64()),
+        "hhi_micro": pa.array(
+            [sq[la] * 1_000_000 // (tot[la] * tot[la]) for la in langs],
+            pa.int64())})
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Vectorised-row DP edit distance (numpy inner loops only over the
+    shorter string's rows; the left-to-right min recurrence folds via
+    minimum.accumulate of (v − j) + j)."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return max(len(a), len(b))
+    A = np.array(list(a))
+    B = np.array(list(b))
+    idx = np.arange(len(B) + 1, dtype=np.int64)
+    prev = idx.copy()
+    base = np.empty(len(B) + 1, dtype=np.int64)
+    for i, ca in enumerate(A, 1):
+        cost = (B != ca).astype(np.int64)
+        base[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + cost, out=base[1:])
+        cur = np.minimum.accumulate(base - idx) + idx
+        prev = cur.copy()
+    return int(prev[-1])
+
+
+def doc_edit_pairs(sf_dir: str, head_chars: int = 200,
+                   num_buckets: int = 16) -> rd.Dataset:
+    """Character-level Levenshtein distance on the MinHash-LSH candidate
+    pairs (first ``head_chars`` chars of each side) — the fuzzy-match
+    verifier for OCR/typo near-dups that token-set Jaccard misses.
+
+    Same physical plan as jaccard_pairs: candidates from the banded LSH
+    (never all-pairs), two partitioned hash joins attach each side's
+    text head, per-pair DP only on candidates (O(head²) each,
+    numpy-vectorised rows).  DuckDB mirror: levenshtein() on the same
+    candidate set."""
+    from ..stages.dedup import minhash_candidates
+    from ..stages.joins import hash_join
+    from ..stages.textstats import read_documents
+
+    docs = read_documents(sf_dir)
+    cands = minhash_candidates(docs, shingle_k=3)
+
+    def head(name: str):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                name: t["doc_id"],
+                f"head_{name}": pc.utf8_slice_codeunits(
+                    t["text"], 0, head_chars)})
+        return fn
+
+    j = hash_join(
+        hash_join(cands, docs.map_batches(head("doc_a"),
+                                          batch_format="pyarrow"),
+                  on=["doc_a"], num_buckets=num_buckets),
+        docs.map_batches(head("doc_b"), batch_format="pyarrow"),
+        on=["doc_b"], num_buckets=num_buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_a": df["doc_a"].astype("int64"),
+            "doc_b": df["doc_b"].astype("int64"),
+            "edit_dist": pd.array(
+                [_levenshtein(a, b) for a, b in
+                 zip(df["head_doc_a"], df["head_doc_b"])],
+                dtype="int64")})
+
+    out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("edit_dist", pa.int64())])
+    return j.map_batches(verify, batch_format="pandas").map_batches(
+        lambda t: t.cast(out_schema), batch_format="pyarrow")
+
+
+def ann_ndcg(sf_dir: str) -> pa.Table:
+    """nDCG@k of the approximate ANN hit lists (IVF, LSH) against the
+    exact brute-force top-k — position-weighted ranking quality beside
+    the hash-green set-overlap ``knn_recall``.
+
+    Binary relevance (hit ∈ exact top-k); position weights
+    w_i = floor(10⁶/log2(i+1) + 0.5) quantise once (identical double
+    expression in DuckDB); dcg/idcg are integer sums and
+    ndcg_micro = dcg·10⁶ // idcg.  The exact side is the distributed
+    scorer; the approximate side is the engine's own seeded artifact —
+    both are what the SQL mirror reads."""
+    import pyarrow.parquet as pq
+
+    from ..artifacts import ANN_K, ann_queries, ensure
+    from ..stages.knn import knn_topk, read_embeddings
+    from ..util import collect_table
+
+    paths = ensure(sf_dir)
+    q = ann_queries(sf_dir)
+    et = collect_table(knn_topk(read_embeddings(sf_dir), q, k=ANN_K))
+    exact = set(zip(et["query_id"].to_pylist(),
+                    et["vec_id"].to_pylist()))
+    w = {i: int(np.floor(1e6 / np.log2(i + 1) + 0.5))
+         for i in range(1, ANN_K + 1)}
+    idcg = sum(w.values())
+    rows = []
+    for method in ("ivf", "lsh"):
+        t = pq.read_table(paths[f"{method}_topk"]).to_pandas()
+        t = t.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        t["pos"] = t.groupby("query_id").cumcount() + 1
+        for qid, g in t.groupby("query_id"):
+            dcg = sum(w[int(p)] for p, v in zip(g["pos"], g["vec_id"])
+                      if (qid, int(v)) in exact)
+            rows.append((method, int(qid), dcg,
+                         dcg * 1_000_000 // idcg))
+    return pa.table({
+        "method": pa.array([r[0] for r in rows], pa.string()),
+        "query_id": pa.array([r[1] for r in rows], pa.int64()),
+        "dcg": pa.array([r[2] for r in rows], pa.int64()),
+        "ndcg_micro": pa.array([r[3] for r in rows], pa.int64())})

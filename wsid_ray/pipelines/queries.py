@@ -3045,6 +3045,76 @@ def q_segment_target_encoding(sf_dir: str) -> "pa.Table":
     return segment_target_encoding(sf_dir)
 
 
+def q_langid_confusion(sf_dir: str) -> rd.Dataset:
+    """Langid confusion matrix (model pred vs fixture label) — fused
+    per-batch scoring, |langs|²-bounded exchange."""
+    from .mlstats import langid_confusion
+    return langid_confusion(sf_dir)
+
+
+def q_langid_eval(sf_dir: str) -> "pa.Table":
+    """Per-language P/R/F1 of the langid model — exact micro-int
+    truncating finish over the confusion matrix."""
+    from .mlstats import langid_eval
+    return langid_eval(sf_dir)
+
+
+def q_status_theil_index(sf_dir: str) -> "pa.Table":
+    """Theil T inequality of order value per status — quantised-ln
+    integer contract, decimal-string partial sums."""
+    from .mlstats import status_theil_index
+    return status_theil_index(sf_dir)
+
+
+def q_session_type_pmi(sf_dir: str) -> "pa.Table":
+    """PMI between event types sharing a gap session — one user-keyed
+    shuffle, types²-bounded fold."""
+    from .mlstats import session_type_pmi
+    return session_type_pmi(sf_dir)
+
+
+def q_dup_source_matrix(sf_dir: str) -> rd.Dataset:
+    """Near-dup pair counts per unordered source-feed pair — rides the
+    LSH→verify chain plus two partitioned source joins."""
+    from .mlstats import dup_source_matrix
+    return dup_source_matrix(sf_dir)
+
+
+def q_priority_price_mwu(sf_dir: str) -> "pa.Table":
+    """Mann–Whitney U (urgent vs low priority on price) — exact
+    average-rank integers on the two-pass rank machinery."""
+    from .mlstats import priority_price_mwu
+    return priority_price_mwu(sf_dir)
+
+
+def q_dup_quality_auc(sf_dir: str) -> "pa.Table":
+    """AUC of the quality score vs near-dup membership — exact
+    distinct-score-count identity, score-cardinality-bounded finish."""
+    from .mlstats import dup_quality_auc
+    return dup_quality_auc(sf_dir)
+
+
+def q_lang_source_hhi(sf_dir: str) -> "pa.Table":
+    """Herfindahl concentration of source mix per language — exact
+    integer shares."""
+    from .mlstats import lang_source_hhi
+    return lang_source_hhi(sf_dir)
+
+
+def q_doc_edit_pairs(sf_dir: str) -> rd.Dataset:
+    """Levenshtein distance on LSH candidate pairs (200-char heads) —
+    the fuzzy-match verifier."""
+    from .mlstats import doc_edit_pairs
+    return doc_edit_pairs(sf_dir)
+
+
+def q_ann_ndcg(sf_dir: str) -> "pa.Table":
+    """nDCG@10 of IVF/LSH vs the exact top-k — quantised position
+    weights, integer dcg/idcg."""
+    from .mlstats import ann_ndcg
+    return ann_ndcg(sf_dir)
+
+
 def q_doc_feature_hash(sf_dir: str) -> rd.Dataset:
     """Hashing-trick bag-of-words: 64-bucket md5-parity token folds per
     document in COO rows — stateless, shuffle-free."""
@@ -3186,6 +3256,16 @@ QUERIES = {
     "source_lang_mi": q_source_lang_mi,
     "segment_target_encoding": q_segment_target_encoding,
     "doc_feature_hash": q_doc_feature_hash,
+    "langid_confusion": q_langid_confusion,
+    "langid_eval": q_langid_eval,
+    "status_theil_index": q_status_theil_index,
+    "session_type_pmi": q_session_type_pmi,
+    "dup_source_matrix": q_dup_source_matrix,
+    "priority_price_mwu": q_priority_price_mwu,
+    "dup_quality_auc": q_dup_quality_auc,
+    "lang_source_hhi": q_lang_source_hhi,
+    "doc_edit_pairs": q_doc_edit_pairs,
+    "ann_ndcg": q_ann_ndcg,
     "orders_scd2_history": q_orders_scd2_history,
     "order_price_cume": q_order_price_cume,
     "sense_modularity": q_sense_modularity,
