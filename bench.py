@@ -117,6 +117,15 @@ def run_bench() -> dict:
         side["cooc_adamic_adar"] = q_cooc_adamic_adar
         side["customer_rfm"] = q_customer_rfm
         side["user_daily_ewma"] = q_user_daily_ewma
+    # r4 batch-F/G additions (heaviest of the eval/verify family —
+    # first baselines)
+    from wsid_ray.pipelines.queries import (q_doc_edit_pairs,
+                                            q_dup_quality_auc,
+                                            q_priority_price_mwu)
+    if side:
+        side["doc_edit_pairs"] = q_doc_edit_pairs
+        side["dup_quality_auc"] = q_dup_quality_auc
+        side["priority_price_mwu"] = q_priority_price_mwu
     for name, fn in side.items():
         t0 = time.time()
         res = fn(sf_dir)
