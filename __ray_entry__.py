@@ -2261,6 +2261,152 @@ def oracle_sql() -> dict[str, str]:
                        AS ndcg_micro
             FROM ndd d CROSS JOIN ndi
         """,
+        # pipelines/mlstats.qty_price_spearman: exact Spearman via
+        # average-rank integers (2r+cnt−1), HUGEINT moments, one float
+        "qty_price_spearman": """
+            WITH spb AS (
+                SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS xq,
+                       CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS yc
+                FROM lineitem),
+            spx AS (SELECT xq, CAST(count(*) AS BIGINT) AS cx
+                    FROM spb GROUP BY xq),
+            spu AS (SELECT xq,
+                           2 * coalesce(sum(cx) OVER (ORDER BY xq
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) + cx + 1 AS u
+                    FROM spx),
+            spy AS (SELECT yc, CAST(count(*) AS BIGINT) AS cy
+                    FROM spb GROUP BY yc),
+            spv AS (SELECT yc,
+                           2 * coalesce(sum(cy) OVER (ORDER BY yc
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) + cy + 1 AS v
+                    FROM spy),
+            spc AS (SELECT xq, yc, CAST(count(*) AS BIGINT) AS c
+                    FROM spb GROUP BY 1, 2),
+            spt AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                           CAST(sum(CAST(c AS HUGEINT) * u) AS HUGEINT)
+                               AS su,
+                           CAST(sum(CAST(c AS HUGEINT) * v) AS HUGEINT)
+                               AS sv,
+                           CAST(sum(CAST(c AS HUGEINT) * u * v)
+                                AS HUGEINT) AS suv,
+                           CAST(sum(CAST(c AS HUGEINT) * u * u)
+                                AS HUGEINT) AS su2,
+                           CAST(sum(CAST(c AS HUGEINT) * v * v)
+                                AS HUGEINT) AS sv2
+                    FROM spc JOIN spu USING (xq) JOIN spv USING (yc))
+            SELECT n,
+                   CAST(CASE WHEN n * su2 - su * su <> 0
+                              AND n * sv2 - sv * sv <> 0
+                        THEN floor(CAST(n * suv - su * sv AS DOUBLE)
+                             / sqrt(CAST(n * su2 - su * su AS DOUBLE)
+                                    * CAST(n * sv2 - sv * sv AS DOUBLE))
+                             * 1e6 + 0.5) END AS BIGINT) AS rho_micro
+            FROM spt
+        """,
+        # pipelines/mlstats.source_profile_cosine: exact integer
+        # dot/norm sums over (token, source) counts
+        "source_profile_cosine": f"""
+            WITH pcw AS (SELECT {tok} AS toks, source FROM documents),
+            pcf AS (SELECT unnest(toks) AS token, source FROM pcw),
+            pcc AS MATERIALIZED (
+                SELECT token, source, CAST(count(*) AS BIGINT) AS c
+                FROM pcf GROUP BY 1, 2),
+            pcd AS MATERIALIZED (
+                SELECT a.source AS src_a, b.source AS src_b,
+                       CAST(sum(a.c * b.c) AS HUGEINT) AS dot
+                FROM pcc a JOIN pcc b ON a.token = b.token
+                                      AND a.source <= b.source
+                GROUP BY 1, 2)
+            SELECT d.src_a, d.src_b, CAST(d.dot AS BIGINT) AS dot,
+                   CAST(floor(CAST(d.dot AS DOUBLE)
+                              / sqrt(CAST(na.dot AS DOUBLE)
+                                     * CAST(nb.dot AS DOUBLE))
+                              * 1e6 + 0.5) AS BIGINT) AS cos_micro
+            FROM pcd d
+            JOIN pcd na ON na.src_a = d.src_a AND na.src_b = d.src_a
+            JOIN pcd nb ON nb.src_a = d.src_b AND nb.src_b = d.src_b
+            WHERE d.src_a < d.src_b
+        """,
+        # pipelines/mlstats.customer_revenue_pareto: exact NTILE
+        # deciles over per-customer revenue, integer shares
+        "customer_revenue_pareto": """
+            WITH crr AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS rev
+                FROM orders GROUP BY 1),
+            crn AS (SELECT rev,
+                           ntile(10) OVER (ORDER BY rev, o_custkey)
+                               AS decile
+                    FROM crr),
+            cra AS (SELECT decile,
+                           CAST(count(*) AS BIGINT) AS n_customers,
+                           CAST(sum(rev) AS BIGINT) AS rev_cents
+                    FROM crn GROUP BY 1),
+            crt AS (SELECT CAST(sum(rev_cents) AS HUGEINT) AS tot
+                    FROM cra)
+            SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+                   rev_cents,
+                   CAST(CAST(rev_cents AS HUGEINT) * 1000000 // crt.tot
+                        AS BIGINT) AS share_micro
+            FROM cra, crt
+        """,
+        # pipelines/mlstats.embedding_jl_projection: md5-parity ±1
+        # signs, integer matmul in long format
+        "embedding_jl_projection": """
+            WITH jlb AS (SELECT vec_id,
+                                CAST(unnest(embedding) AS DOUBLE) AS e,
+                                generate_subscripts(embedding, 1) AS d
+                         FROM embeddings),
+            jlq AS (SELECT vec_id, d - 1 AS d0,
+                           CAST(floor(e * 1e6 + 0.5) AS BIGINT) AS em
+                    FROM jlb),
+            jls AS (SELECT d0, j,
+                           1 - 2 * CAST(md5_number_upper(
+                               CAST(d0 AS VARCHAR) || ':'
+                               || CAST(j AS VARCHAR)) % 2 AS BIGINT)
+                               AS sgn
+                    FROM (SELECT DISTINCT d0 FROM jlq)
+                    CROSS JOIN generate_series(0, 7) AS t(j))
+            SELECT q.vec_id, CAST(s.j AS BIGINT) AS j,
+                   CAST(sum(q.em * s.sgn) AS BIGINT) AS proj_micro
+            FROM jlq q JOIN jls s USING (d0)
+            GROUP BY 1, 2
+        """,
+        # stages/pagerank.degree_assortativity: Newman r per term ego
+        # graph, both-direction pairs, exact integer moments
+        "cooc_assortativity": f"""
+            WITH cae AS MATERIALIZED (
+                SELECT term, w, v FROM ({_sql_cooc_edges(tr, tok, gaz)})),
+            can AS (SELECT term, w AS nd FROM cae
+                    UNION ALL SELECT term, v FROM cae),
+            cad AS MATERIALIZED (
+                SELECT term, nd, CAST(count(*) AS BIGINT) AS d
+                FROM can GROUP BY 1, 2),
+            cap AS (SELECT e.term, dw.d AS x, dv.d AS y
+                    FROM cae e
+                    JOIN cad dw ON dw.term = e.term AND dw.nd = e.w
+                    JOIN cad dv ON dv.term = e.term AND dv.nd = e.v
+                    UNION ALL
+                    SELECT e.term, dv.d, dw.d
+                    FROM cae e
+                    JOIN cad dw ON dw.term = e.term AND dw.nd = e.w
+                    JOIN cad dv ON dv.term = e.term AND dv.nd = e.v),
+            cam AS (SELECT term, CAST(count(*) AS BIGINT) AS m2,
+                           CAST(sum(x) AS HUGEINT) AS sx,
+                           CAST(sum(x * y) AS HUGEINT) AS sxy,
+                           CAST(sum(x * x) AS HUGEINT) AS sx2
+                    FROM cap GROUP BY term)
+            SELECT term, CAST(m2 // 2 AS BIGINT) AS n_edges,
+                   CAST(CASE WHEN m2 * sx2 - sx * sx <> 0
+                        THEN floor(CAST(m2 * sxy - sx * sx AS DOUBLE)
+                                   / CAST(m2 * sx2 - sx * sx AS DOUBLE)
+                                   * 1e6 + 0.5) END AS BIGINT) AS r_micro
+            FROM cam
+        """,
         # pipelines/mlstats.dup_source_matrix: near-dup pairs per
         # unordered source-feed pair over the jaccard chain
         "dup_source_matrix": f"""

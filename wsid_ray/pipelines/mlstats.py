@@ -1511,3 +1511,284 @@ def ann_ndcg(sf_dir: str) -> pa.Table:
         "query_id": pa.array([r[1] for r in rows], pa.int64()),
         "dcg": pa.array([r[2] for r in rows], pa.int64()),
         "ndcg_micro": pa.array([r[3] for r in rows], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# round-4 batch H: Spearman, profile cosine, Pareto deciles, JL projection
+# ---------------------------------------------------------------------------
+
+def _chunk_int_sum(a: np.ndarray, chunk: int = 4096) -> int:
+    """Exact Python-int sum of an int64 array whose TOTAL may overflow
+    int64 (per-chunk partial sums stay in range; the fold is arbitrary
+    precision)."""
+    s = 0
+    for i in range(0, len(a), chunk):
+        s += int(a[i:i + chunk].sum())
+    return s
+
+
+def qty_price_spearman(sf_dir: str, bin_cents: int = 100_000,
+                       num_buckets: int = 16) -> pa.Table:
+    """Distributed EXACT Spearman rank correlation between lineitem
+    quantity and extended price — the monotonic-dependence screen next
+    to the OLS panel.
+
+    Integer contract: per variable, average ranks with ties enter as
+    u = 2·avgrank = 2·(rows strictly below) + cnt + 1 — always an
+    integer.  Quantity has a tiny distinct domain, so its u map folds
+    from a 50-row marginal and broadcasts; the price side rides the
+    generic two-pass rank machinery (no co-location), whose emit
+    carries each row's quantity along, so Σu, Σv, Σuv, Σu², Σv²
+    accumulate in ONE pass with NO row-id join (the fixture's lineitem
+    key is not unique — a row-keyed join would fan out).  Partials are
+    decimal-string Python ints (past int64 at corpus scale); ρ =
+    (n·Σuv − Σu·Σv)/√((n·Σu²−Σu²ₘ)(n·Σv²−Σv²ₘ)) is one float chain
+    quantised to micro — identical HUGEINT→DOUBLE expression in
+    DuckDB."""
+    from .analytics import _cents, exact_partitioned_ranks
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"])
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pk": pd.Series(["all"] * len(df), dtype="string"),
+            "xq": np.floor(df["l_quantity"].to_numpy(np.float64)
+                           + 0.5).astype(np.int64),
+            "yc": _cents(df["l_extendedprice"].to_numpy())})
+
+    pr = li.map_batches(base, batch_format="pandas")
+
+    def xpart(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("xq", as_index=False).size() \
+            .rename(columns={"size": "cx"})
+        return g.astype({"cx": "int64"})
+
+    xh = sorted(collect_rows(bucketed_sum(
+        pr.map_batches(xpart, batch_format="pandas"),
+        ["xq"], ["cx"], num_buckets=4)), key=lambda r: int(r["xq"]))
+    u_map, below = {}, 0
+    for r in xh:
+        c = int(r["cx"])
+        u_map[int(r["xq"])] = 2 * below + c + 1
+        below += c
+
+    part_schema = pa.schema([("n", pa.int64()), ("su", pa.string()),
+                             ("sv", pa.string()), ("suv", pa.string()),
+                             ("su2", pa.string()), ("sv2", pa.string())])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        yc = g["yc"].to_numpy()
+        _, first, cnt = np.unique(yc, return_index=True,
+                                  return_counts=True)
+        v = np.repeat(2 * (start + first) + cnt + 1, cnt)
+        u = g["xq"].map(u_map).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "n": pd.Series([len(g)], dtype="int64"),
+            "su": pd.Series([str(_chunk_int_sum(u))], dtype="string"),
+            "sv": pd.Series([str(_chunk_int_sum(v))], dtype="string"),
+            "suv": pd.Series([str(_pairsum(u, v))], dtype="string"),
+            "su2": pd.Series([str(_pairsum(u, u))], dtype="string"),
+            "sv2": pd.Series([str(_pairsum(v, v))], dtype="string")})
+
+    parts = collect_rows(exact_partitioned_ranks(
+        pr, "pk", "yc", "xq", bin_cents, emit, part_schema,
+        num_buckets=num_buckets))
+    n = sum(int(r["n"]) for r in parts)
+    su = sum(int(r["su"]) for r in parts)
+    sv = sum(int(r["sv"]) for r in parts)
+    suv = sum(int(r["suv"]) for r in parts)
+    su2 = sum(int(r["su2"]) for r in parts)
+    sv2 = sum(int(r["sv2"]) for r in parts)
+    num = n * suv - su * sv
+    dx = n * su2 - su * su
+    dy = n * sv2 - sv * sv
+    rho = (None if dx == 0 or dy == 0 else
+           int(np.floor(float(num) / np.sqrt(float(dx) * float(dy))
+                        * 1e6 + 0.5)))
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "rho_micro": pa.array([rho], pa.int64())})
+
+
+def _pairsum(a: np.ndarray, b: np.ndarray, chunk: int = 4096) -> int:
+    """Exact Python-int Σ aᵢ·bᵢ (per-element product int64-safe; the
+    running total may not be)."""
+    s = 0
+    for i in range(0, len(a), chunk):
+        s += int((a[i:i + chunk] * b[i:i + chunk]).sum())
+    return s
+
+
+def source_profile_cosine(sf_dir: str, num_buckets: int = 16) -> pa.Table:
+    """Cosine similarity between the unigram-count profiles of every
+    source-feed pair — "which feeds publish the same language" at the
+    vocabulary level (the content-level sibling is dup_source_matrix).
+
+    Exact integer dot/norm sums: per-batch (token, source) partial
+    counts, ONE token-keyed shuffle whose groups expand to
+    feeds²-bounded (src_a ≤ src_b) partial products, a tiny pair fold,
+    and one float chain per pair at 6 dp.  Per-pair products are
+    int64-safe at bench scale (count² per token); the 100 TB path
+    upgrades the partials to decimal strings like the Spearman fold."""
+    from ..stages.textstats import read_documents
+    from ..stages.tokenize import tokenize_column
+    from ..util import list_row_indices
+
+    docs = read_documents(sf_dir, columns=["doc_id", "text", "source"])
+
+    def part(t: pa.Table) -> pd.DataFrame:
+        toks = tokenize_column(t["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        row_of = list_row_indices(toks)
+        flat = toks.flatten()
+        src = np.asarray(t["source"].to_pylist(), dtype=object)[row_of]
+        g = pd.DataFrame({"token": flat.to_pandas(), "source": src}) \
+            .groupby(["token", "source"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return g.astype({"c": "int64"})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["token", "source"], as_index=False)["c"].sum()
+        m = df.merge(df, on="token")
+        m = m[m["source_x"] <= m["source_y"]]
+        m["dot"] = m["c_x"] * m["c_y"]
+        out = m.groupby(["source_x", "source_y"],
+                        as_index=False)["dot"].sum() \
+            .rename(columns={"source_x": "src_a", "source_y": "src_b"})
+        return out.astype({"dot": "int64"})
+
+    part_schema = pa.schema([("src_a", pa.string()),
+                             ("src_b", pa.string()),
+                             ("dot", pa.int64())])
+    folded = collect_rows(bucketed_sum(
+        bucketed_group_apply(
+            docs.map_batches(part, batch_format="pyarrow"),
+            ["token"], pairs, num_buckets=num_buckets,
+            out_schema=part_schema),
+        ["src_a", "src_b"], ["dot"], num_buckets=4))
+    norm = {r["src_a"]: int(r["dot"]) for r in folded
+            if r["src_a"] == r["src_b"]}
+    rows = sorted((r for r in folded if r["src_a"] < r["src_b"]),
+                  key=lambda r: (r["src_a"], r["src_b"]))
+    cos = [int(np.floor(float(int(r["dot"]))
+                        / np.sqrt(float(norm[r["src_a"]])
+                                  * float(norm[r["src_b"]]))
+                        * 1e6 + 0.5)) for r in rows]
+    return pa.table({
+        "src_a": pa.array([r["src_a"] for r in rows], pa.string()),
+        "src_b": pa.array([r["src_b"] for r in rows], pa.string()),
+        "dot": pa.array([int(r["dot"]) for r in rows], pa.int64()),
+        "cos_micro": pa.array(cos, pa.int64())})
+
+
+def customer_revenue_pareto(sf_dir: str, n_tiles: int = 10,
+                            bin_cents: int = 1_000_000) -> pa.Table:
+    """Revenue concentration deciles (the Pareto/Lorenz panel): rank
+    ordering customers by total order revenue, split into exact NTILE
+    deciles (the hash-green order_price_ntile rule), report each
+    decile's customer count, revenue and share of total in micro-units.
+
+    Per-customer revenue is one bucketed grouped sum; deciles ride the
+    generic two-pass rank machinery with the revenue stream PINNED (the
+    upstream is itself a shuffle — the rank-engine pin rule); the decile
+    fold is 10-row bounded and the share finish is exact-int."""
+    from .analytics import (_cents, exact_partitioned_ranks, ntile_emit)
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "rev": _cents(df["o_totalprice"].to_numpy())}) \
+            .groupby("o_custkey", as_index=False)["rev"].sum()
+        return g.astype({"rev": "int64"})
+
+    rev = bucketed_sum(orders.map_batches(part, batch_format="pandas"),
+                       ["o_custkey"], ["rev"], num_buckets=8)
+    pr = rev.map_batches(
+        lambda df: pd.DataFrame({
+            "pk": pd.Series(["all"] * len(df), dtype="string"),
+            "rev": df["rev"].astype("int64"),
+            "o_custkey": df["o_custkey"].astype("int64")}),
+        batch_format="pandas")
+
+    part_schema = pa.schema([("decile", pa.int64()),
+                             ("n_customers", pa.int64()),
+                             ("rev_cents", pa.int64())])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        ranks = start + np.arange(len(g), dtype=np.int64)
+        dec = ntile_emit(n_tiles, ranks, n).astype("int64")
+        out = pd.DataFrame({"decile": dec,
+                            "rev_cents": g["rev"].to_numpy()}) \
+            .groupby("decile", as_index=False).agg(
+                n_customers=("rev_cents", "size"),
+                rev_cents=("rev_cents", "sum"))
+        return out[["decile", "n_customers", "rev_cents"]].astype(
+            {"n_customers": "int64", "rev_cents": "int64"})
+
+    folded = collect_rows(bucketed_sum(
+        exact_partitioned_ranks(pr, "pk", "rev", "o_custkey", bin_cents,
+                                emit, part_schema, num_buckets=8,
+                                pin=True),
+        ["decile"], ["n_customers", "rev_cents"], num_buckets=2))
+    folded.sort(key=lambda r: int(r["decile"]))
+    total = sum(int(r["rev_cents"]) for r in folded)
+    return pa.table({
+        "decile": pa.array([int(r["decile"]) for r in folded],
+                           pa.int64()),
+        "n_customers": pa.array([int(r["n_customers"]) for r in folded],
+                                pa.int64()),
+        "rev_cents": pa.array([int(r["rev_cents"]) for r in folded],
+                              pa.int64()),
+        "share_micro": pa.array(
+            [int(r["rev_cents"]) * 1_000_000 // total for r in folded],
+            pa.int64())})
+
+
+def _jl_signs(dim: int, out_dim: int) -> np.ndarray:
+    """Deterministic ±1 JL sign matrix: sign(d, j) = 1 − 2·parity of the
+    64-bit md5 hash of "d:j" (first 8 digest bytes little-endian — the
+    repo's md5_number_upper contract, so the matrix is reproducible in
+    SQL)."""
+    import hashlib
+    s = np.empty((dim, out_dim), dtype=np.int64)
+    for d in range(dim):
+        for j in range(out_dim):
+            h = int.from_bytes(
+                hashlib.md5(f"{d}:{j}".encode()).digest()[:8], "little")
+            s[d, j] = 1 - 2 * (h % 2)
+    return s
+
+
+def embedding_jl_projection(sf_dir: str, out_dim: int = 8) -> rd.Dataset:
+    """Johnson–Lindenstrauss sign projection of the embedding table to
+    ``out_dim`` dims — the deterministic dimension-reduction front end
+    for ANN at scale (Achlioptas 2003 ±1 variant).
+
+    Exact: components quantise to micro ints, the projection is an
+    integer matmul against the md5-derived ±1 matrix (built once per
+    process, broadcast-free), output is long-format (vec_id, j,
+    proj_micro) — stateless, shuffle-free, and byte-identical to the
+    DuckDB mirror's md5_number_upper parity signs."""
+    from ..stages.knn import read_embeddings
+
+    emb = read_embeddings(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        S = _jl_signs(X.shape[1] if len(X) else 64, out_dim)
+        Xm = np.floor(X * 1e6 + 0.5).astype(np.int64)
+        P = Xm @ S                                  # (B, out_dim) exact
+        n = len(Xm)
+        vid = np.repeat(t["vec_id"].to_numpy(zero_copy_only=False), out_dim)
+        return pa.table({
+            "vec_id": pa.array(vid, pa.int64()),
+            "j": pa.array(np.tile(np.arange(out_dim, dtype=np.int64), n),
+                          pa.int64()),
+            "proj_micro": pa.array(P.reshape(-1), pa.int64())})
+
+    return emb.map_batches(project, batch_format="pyarrow")

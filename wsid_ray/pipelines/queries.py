@@ -3115,6 +3115,41 @@ def q_ann_ndcg(sf_dir: str) -> "pa.Table":
     return ann_ndcg(sf_dir)
 
 
+def q_qty_price_spearman(sf_dir: str) -> "pa.Table":
+    """Distributed exact Spearman (quantity vs price) — average-rank
+    integers from two rank passes joined on the row id."""
+    from .mlstats import qty_price_spearman
+    return qty_price_spearman(sf_dir)
+
+
+def q_source_profile_cosine(sf_dir: str) -> "pa.Table":
+    """Cosine between source unigram-count profiles — exact integer
+    dot/norm sums, one token-keyed shuffle."""
+    from .mlstats import source_profile_cosine
+    return source_profile_cosine(sf_dir)
+
+
+def q_customer_revenue_pareto(sf_dir: str) -> "pa.Table":
+    """Revenue-concentration deciles (Pareto/Lorenz panel) — exact
+    NTILE over per-customer revenue, integer shares."""
+    from .mlstats import customer_revenue_pareto
+    return customer_revenue_pareto(sf_dir)
+
+
+def q_embedding_jl_projection(sf_dir: str) -> rd.Dataset:
+    """JL ±1 sign projection to 8 dims — md5-parity signs, integer
+    matmul, stateless."""
+    from .mlstats import embedding_jl_projection
+    return embedding_jl_projection(sf_dir)
+
+
+def q_cooc_assortativity(sf_dir: str) -> rd.Dataset:
+    """Per-term degree assortativity of the NPMI ego graphs — exact
+    integer moments, one term-keyed shuffle."""
+    from ..stages.pagerank import degree_assortativity
+    return degree_assortativity(_cooc_edge_stream(sf_dir))
+
+
 def q_doc_feature_hash(sf_dir: str) -> rd.Dataset:
     """Hashing-trick bag-of-words: 64-bucket md5-parity token folds per
     document in COO rows — stateless, shuffle-free."""
@@ -3266,6 +3301,11 @@ QUERIES = {
     "lang_source_hhi": q_lang_source_hhi,
     "doc_edit_pairs": q_doc_edit_pairs,
     "ann_ndcg": q_ann_ndcg,
+    "qty_price_spearman": q_qty_price_spearman,
+    "source_profile_cosine": q_source_profile_cosine,
+    "customer_revenue_pareto": q_customer_revenue_pareto,
+    "embedding_jl_projection": q_embedding_jl_projection,
+    "cooc_assortativity": q_cooc_assortativity,
     "orders_scd2_history": q_orders_scd2_history,
     "order_price_cume": q_order_price_cume,
     "sense_modularity": q_sense_modularity,

@@ -565,3 +565,50 @@ def adamic_adar(edges: rd.Dataset, num_buckets: int = 8) -> rd.Dataset:
                     edge_keys, "__k", anti=True)
     return out.map_batches(lambda t: t.drop(["__k"]),
                            batch_format="pyarrow")
+
+
+def degree_assortativity(edges: rd.Dataset,
+                         num_buckets: int = 8) -> rd.Dataset:
+    """Per-term degree assortativity (Newman 2002 r) of the NPMI ego
+    graphs — do hub context words attach to hubs or to leaves?  Each
+    undirected edge contributes both (deg_w, deg_v) and the swap, so the
+    x/y marginals coincide and r = (M·Σxy − Σx²ₘ) / (M·Σx² − Σx²ₘ) with
+    exact integer moments and ONE float division quantised to micro
+    (NULL for zero-variance/regular graphs — same rule in the DuckDB
+    mirror).
+
+    One shuffle keyed on the term (graphs are window/vocab-bounded);
+    inside a bucket everything is pandas value_counts/map — no second
+    pass over the raw edge stream."""
+    from .groups import bucketed_group_apply
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        terms, n_edges, r_micro = [], [], []
+        for term, g in df.groupby("term", sort=False):
+            deg = pd.concat([g["w"], g["v"]]).value_counts()
+            dw = g["w"].map(deg).to_numpy(dtype=np.int64)
+            dv = g["v"].map(deg).to_numpy(dtype=np.int64)
+            x = np.concatenate([dw, dv])
+            y = np.concatenate([dv, dw])
+            m2 = len(x)
+            sx = int(x.sum())
+            sxy = int((x * y).sum())
+            sx2 = int((x * x).sum())
+            num = m2 * sxy - sx * sx
+            den = m2 * sx2 - sx * sx
+            terms.append(term)
+            n_edges.append(len(g))
+            r_micro.append(None if den == 0 else
+                           int(np.floor(float(num) / float(den)
+                                        * 1e6 + 0.5)))
+        return pd.DataFrame({
+            "term": pd.Series(terms, dtype="string"),
+            "n_edges": pd.Series(n_edges, dtype="int64"),
+            "r_micro": pd.array(r_micro, dtype="Int64")})
+
+    out_schema = pa.schema([("term", pa.string()),
+                            ("n_edges", pa.int64()),
+                            ("r_micro", pa.int64())])
+    return bucketed_group_apply(edges, ["term"], fn,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
