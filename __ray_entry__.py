@@ -2407,6 +2407,149 @@ def oracle_sql() -> dict[str, str]:
                                    * 1e6 + 0.5) END AS BIGINT) AS r_micro
             FROM cam
         """,
+        # pipelines/mlstats.priority_price_ks: two-sample KS D with an
+        # exact integer ECDF numerator
+        "priority_price_ks": """
+            WITH ksb AS (
+                SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents,
+                       CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END AS ga
+                FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+            ksd AS (SELECT cents, CAST(sum(ga) AS BIGINT) AS cca,
+                           CAST(sum(1 - ga) AS BIGINT) AS ccb
+                    FROM ksb GROUP BY cents),
+            ksc AS (SELECT cents,
+                           sum(cca) OVER (ORDER BY cents) AS cuma,
+                           sum(ccb) OVER (ORDER BY cents) AS cumb
+                    FROM ksd),
+            kst AS (SELECT CAST(sum(cca) AS BIGINT) AS n_a,
+                           CAST(sum(ccb) AS BIGINT) AS n_b FROM ksd)
+            SELECT kst.n_a, kst.n_b,
+                   CAST(max(abs(CAST(cuma AS HUGEINT) * kst.n_b
+                                - CAST(cumb AS HUGEINT) * kst.n_a))
+                        * 1000000
+                        // (CAST(kst.n_a AS HUGEINT) * kst.n_b)
+                        AS BIGINT) AS d_micro
+            FROM ksc, kst
+            GROUP BY kst.n_a, kst.n_b
+        """,
+        # pipelines/mlstats.langid_kappa: chance-corrected agreement
+        # over the langid confusion matrix
+        "langid_kappa": f"""
+            WITH kcc AS MATERIALIZED (
+                SELECT d.lang, l.lang_pred, CAST(count(*) AS BIGINT) AS n
+                FROM documents d
+                JOIN ({_sql_doc_langid()}) l USING (doc_id)
+                GROUP BY ALL),
+            kct AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+                           CAST(coalesce(sum(n) FILTER (
+                               WHERE lang = lang_pred), 0) AS BIGINT)
+                               AS diag
+                    FROM kcc),
+            kcr AS (SELECT lang AS lab, CAST(sum(n) AS BIGINT) AS rn
+                    FROM kcc GROUP BY 1),
+            kcl AS (SELECT lang_pred AS lab, CAST(sum(n) AS BIGINT) AS cn
+                    FROM kcc GROUP BY 1),
+            kcp AS (SELECT CAST(sum(CAST(coalesce(r.rn, 0) AS HUGEINT)
+                                    * coalesce(c.cn, 0)) AS HUGEINT)
+                               AS pe
+                    FROM kcr r FULL JOIN kcl c USING (lab))
+            SELECT t.n_docs, t.diag AS n_agree,
+                   CAST(CASE WHEN CAST(t.n_docs AS HUGEINT) * t.n_docs
+                                  - p.pe <> 0
+                        THEN floor(CAST(CAST(t.n_docs AS HUGEINT)
+                                        * t.diag - p.pe AS DOUBLE)
+                                   / CAST(CAST(t.n_docs AS HUGEINT)
+                                          * t.n_docs - p.pe AS DOUBLE)
+                                   * 1e6 + 0.5) END AS BIGINT)
+                       AS kappa_micro
+            FROM kct t, kcp p
+        """,
+        # pipelines/mlstats.dup_score_lift: decile lift of the quality
+        # score against the near-dup drop list
+        "dup_score_lift": f"""
+            WITH dld AS ({droplist_sql}),
+            dls AS (SELECT q.doc_id,
+                           CAST(floor(alpha_ratio * 1e6 + 0.5)
+                                AS BIGINT) AS s
+                    FROM ({_sql_doc_quality(stop)}) q),
+            dll AS (SELECT dls.doc_id, dls.s,
+                           CASE WHEN d.doc_id IS NOT NULL
+                                THEN 1 ELSE 0 END AS is_dup
+                    FROM dls LEFT JOIN dld d USING (doc_id)),
+            dln AS (SELECT s, is_dup,
+                           ntile(10) OVER (ORDER BY s, doc_id) AS decile
+                    FROM dll),
+            dla AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(is_dup) AS BIGINT) AS n_dup
+                    FROM dln GROUP BY 1),
+            dlt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+                           CAST(sum(n_dup) AS BIGINT) AS nd FROM dla)
+            SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_dup,
+                   CAST(CASE WHEN dlt.nd > 0
+                        THEN CAST(n_dup AS HUGEINT) * dlt.nt * 1000000
+                             // (CAST(n_docs AS HUGEINT) * dlt.nd)
+                        END AS BIGINT) AS lift_micro
+            FROM dla, dlt
+        """,
+        # pipelines/mlstats.qty_line_kendall: tau-b from cell-pair
+        # concordance with tie corrections
+        "qty_line_kendall": """
+            WITH klc AS MATERIALIZED (
+                SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                       CAST(l_linenumber AS BIGINT) AS y,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM lineitem GROUP BY 1, 2),
+            klp AS (SELECT
+                        CAST(coalesce(sum(CASE WHEN a.y < b.y
+                             THEN a.c * b.c END), 0) AS HUGEINT) AS conc,
+                        CAST(coalesce(sum(CASE WHEN a.y > b.y
+                             THEN a.c * b.c END), 0) AS HUGEINT) AS disc
+                    FROM klc a JOIN klc b
+                      ON a.x < b.x AND a.y <> b.y),
+            klt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM klc),
+            klx AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) // 2)
+                                AS HUGEINT) AS n1
+                    FROM (SELECT sum(c) AS t FROM klc GROUP BY x)),
+            kly AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) // 2)
+                                AS HUGEINT) AS n2
+                    FROM (SELECT sum(c) AS t FROM klc GROUP BY y)),
+            kl0 AS (SELECT CAST(klt.n AS HUGEINT) * (klt.n - 1) // 2
+                               AS n0, klt.n FROM klt)
+            SELECT kl0.n, CAST(klp.conc AS BIGINT) AS concordant,
+                   CAST(klp.disc AS BIGINT) AS discordant,
+                   CAST(CASE WHEN (kl0.n0 - klx.n1) * (kl0.n0 - kly.n2)
+                                  <> 0
+                        THEN floor(CAST(klp.conc - klp.disc AS DOUBLE)
+                             / sqrt(CAST(kl0.n0 - klx.n1 AS DOUBLE)
+                                    * CAST(kl0.n0 - kly.n2 AS DOUBLE))
+                             * 1e6 + 0.5) END AS BIGINT) AS tau_b_micro
+            FROM kl0, klp, klx, kly
+        """,
+        # pipelines/mlstats.status_trimmed_mean: exact rank-trimmed
+        # robust mean per status
+        "status_trimmed_mean": """
+            WITH tmb AS (SELECT o_orderstatus,
+                                CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) AS cents, o_orderkey
+                         FROM orders),
+            tmr AS (SELECT o_orderstatus, cents,
+                           row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY cents, o_orderkey) - 1 AS rk,
+                           count(*) OVER (PARTITION BY o_orderstatus)
+                               AS n
+                    FROM tmb),
+            tmk AS (SELECT o_orderstatus, cents
+                    FROM tmr WHERE rk >= n * 10 // 100
+                               AND rk < n - n * 10 // 100)
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(CAST(sum(cents) AS HUGEINT) * 1000000
+                        // count(*) AS BIGINT)
+                       AS trimmed_mean_micro_cents
+            FROM tmk GROUP BY o_orderstatus
+        """,
         # pipelines/mlstats.dup_source_matrix: near-dup pairs per
         # unordered source-feed pair over the jaccard chain
         "dup_source_matrix": f"""

@@ -1749,6 +1749,297 @@ def customer_revenue_pareto(sf_dir: str, n_tiles: int = 10,
             pa.int64())})
 
 
+# ---------------------------------------------------------------------------
+# round-4 batch I: KS test, Cohen's kappa, lift deciles, Kendall, trim mean
+# ---------------------------------------------------------------------------
+
+def priority_price_ks(sf_dir: str, prio_a: str = "1-URGENT",
+                      prio_b: str = "5-LOW",
+                      bin_cents: int = 100_000,
+                      num_buckets: int = 16) -> pa.Table:
+    """Two-sample Kolmogorov–Smirnov D between two order priorities on
+    price — the distribution-shape test beside the Welch (means) and
+    Mann–Whitney (ranks) panels.
+
+    Exact: D's numerator max|cumA·n_b − cumB·n_a| is an integer at
+    every distinct value.  Two-level prefix, nothing co-located: pass 1
+    folds a (value-bin, group) histogram (bin-count-bounded) into
+    per-bin start offsets; pass 2 shuffles rows keyed on the BIN and
+    scans each bin's distinct values vectorised, emitting one max per
+    bin; d_micro = max·10⁶ // (n_a·n_b) finishes on three integers."""
+    from .analytics import _cents
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"])
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderpriority"].isin([prio_a, prio_b])]
+        return pd.DataFrame({
+            "cents": _cents(df["o_totalprice"].to_numpy()),
+            "ga": (df["o_orderpriority"] == prio_a)
+            .astype("int64").to_numpy()})
+
+    pr = orders.map_batches(base, batch_format="pandas")
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"bin": df["cents"].to_numpy() // bin_cents,
+                          "ga": df["ga"]}) \
+            .groupby(["bin", "ga"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return g.astype({"bin": "int64", "c": "int64"})
+
+    rows = collect_rows(bucketed_sum(
+        pr.map_batches(hist, batch_format="pandas"),
+        ["bin", "ga"], ["c"], num_buckets=4))
+    per_bin: dict[int, list[int]] = {}
+    for r in rows:
+        b = per_bin.setdefault(int(r["bin"]), [0, 0])
+        b[int(r["ga"])] += int(r["c"])
+    start_a, start_b = {}, {}
+    ca = cb = 0
+    for b in sorted(per_bin):
+        start_a[b], start_b[b] = ca, cb
+        cb += per_bin[b][0]
+        ca += per_bin[b][1]
+    n_a, n_b = ca, cb
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bin=(df["cents"].to_numpy()
+                              // bin_cents).astype("int64"))
+
+    def ksmax(df: pd.DataFrame) -> pd.DataFrame:
+        bins, mx = [], []
+        for b, g in df.groupby("bin", sort=False):
+            cell = g.groupby("cents", sort=True)["ga"].agg(
+                ["sum", "size"])
+            cuma = start_a[int(b)] + cell["sum"].cumsum().to_numpy()
+            cumb = start_b[int(b)] + (cell["size"]
+                                      - cell["sum"]).cumsum().to_numpy()
+            d = np.abs(cuma * n_b - cumb * n_a)
+            bins.append(int(b))
+            mx.append(int(d.max()))
+        return pd.DataFrame({
+            "bin": pd.Series(bins, dtype="int64"),
+            "mx": pd.Series(mx, dtype="int64")})
+
+    parts = collect_rows(bucketed_group_apply(
+        pr.map_batches(binned, batch_format="pandas"), ["bin"], ksmax,
+        num_buckets=num_buckets,
+        out_schema=pa.schema([("bin", pa.int64()), ("mx", pa.int64())])))
+    d_num = max((int(r["mx"]) for r in parts), default=0)
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "d_micro": pa.array(
+            [d_num * 1_000_000 // (n_a * n_b) if n_a and n_b else None],
+            pa.int64())})
+
+
+def langid_kappa(sf_dir: str) -> pa.Table:
+    """Cohen's kappa of the langid model vs the fixture label —
+    chance-corrected agreement over the confusion matrix:
+    κ = (N·Σdiag − Σ_l row_l·col_l) / (N² − Σ_l row_l·col_l), one float
+    division of two exact integers, micro half-up.  The corpus pass is
+    ``langid_confusion``; the finish is |langs|-bounded."""
+    conf = collect_rows(langid_confusion(sf_dir))
+    n = sum(int(r["n_docs"]) for r in conf)
+    diag = sum(int(r["n_docs"]) for r in conf
+               if r["lang"] == r["lang_pred"])
+    row: dict[str, int] = {}
+    col: dict[str, int] = {}
+    for r in conf:
+        row[r["lang"]] = row.get(r["lang"], 0) + int(r["n_docs"])
+        col[r["lang_pred"]] = col.get(r["lang_pred"], 0) \
+            + int(r["n_docs"])
+    pe_num = sum(row.get(lab, 0) * col.get(lab, 0)
+                 for lab in set(row) | set(col))
+    num = n * diag - pe_num
+    den = n * n - pe_num
+    kappa = (None if den == 0 else
+             int(np.floor(float(num) / float(den) * 1e6 + 0.5)))
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "n_agree": pa.array([diag], pa.int64()),
+        "kappa_micro": pa.array([kappa], pa.int64())})
+
+
+def dup_score_lift(sf_dir: str, n_tiles: int = 10,
+                   bin_score: int = 100_000,
+                   num_buckets: int = 8) -> pa.Table:
+    """Decile lift table of the quality score against near-dup
+    membership — the model-evaluation view next to ``dup_quality_auc``
+    (AUC says "can it rank", lift says "how much better per decile").
+
+    Deciles are exact NTILE over (score, doc_id) on the two-pass rank
+    machinery; the drop list broadcasts; the fold is 10 rows;
+    lift_micro = n_dup_d·N·10⁶ // (n_d·N_dup) is exact-int."""
+    from ..stages.dedup import near_dup_drop_list
+    from ..stages.textstats import quality_batch, read_documents
+    from .analytics import exact_partitioned_ranks, ntile_emit
+
+    drops = {r["doc_id"] for r in collect_rows(
+        near_dup_drop_list(read_documents(sf_dir)))}
+    d_ref = ray.put(drops)
+    docs = read_documents(sf_dir, columns=["doc_id", "text"])
+
+    def base(t: pa.Table) -> pd.DataFrame:
+        q = quality_batch(t)
+        dd = ray.get(d_ref)
+        return pd.DataFrame({
+            "pk": pd.Series(["all"] * t.num_rows, dtype="string"),
+            "s": np.floor(np.asarray(q["alpha_ratio"],
+                                     dtype=np.float64) * 1e6
+                          + 0.5).astype(np.int64),
+            "doc_id": q["doc_id"].to_pandas().astype("int64"),
+            "is_dup": q["doc_id"].to_pandas().isin(dd).astype("int64")})
+
+    pr = docs.map_batches(base, batch_format="pyarrow")
+    part_schema = pa.schema([("decile", pa.int64()),
+                             ("n_docs", pa.int64()),
+                             ("n_dup", pa.int64())])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        ranks = start + np.arange(len(g), dtype=np.int64)
+        dec = ntile_emit(n_tiles, ranks, n).astype("int64")
+        out = pd.DataFrame({"decile": dec, "is_dup": g["is_dup"]
+                            .to_numpy()}) \
+            .groupby("decile", as_index=False).agg(
+                n_docs=("is_dup", "size"), n_dup=("is_dup", "sum"))
+        return out.astype({"n_docs": "int64", "n_dup": "int64"})
+
+    folded = collect_rows(bucketed_sum(
+        exact_partitioned_ranks(pr, "pk", "s", "doc_id", bin_score,
+                                emit, part_schema,
+                                num_buckets=num_buckets),
+        ["decile"], ["n_docs", "n_dup"], num_buckets=2))
+    folded.sort(key=lambda r: int(r["decile"]))
+    n_tot = sum(int(r["n_docs"]) for r in folded)
+    n_dup = sum(int(r["n_dup"]) for r in folded)
+    return pa.table({
+        "decile": pa.array([int(r["decile"]) for r in folded],
+                           pa.int64()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in folded],
+                           pa.int64()),
+        "n_dup": pa.array([int(r["n_dup"]) for r in folded], pa.int64()),
+        "lift_micro": pa.array(
+            [int(r["n_dup"]) * n_tot * 1_000_000
+             // (int(r["n_docs"]) * n_dup) if n_dup else None
+             for r in folded], pa.int64())})
+
+
+def qty_line_kendall(sf_dir: str, num_buckets: int = 4) -> pa.Table:
+    """Kendall τ-b between lineitem quantity and line number — the
+    ordinal-vs-ordinal dependence test (both domains are tiny, so the
+    cell table is driver-small by construction and the O(cells²)
+    concordance scan is exact integer work).
+
+    τ-b = (C − D) / √((n₀−n₁)(n₀−n₂)) with C/D from cell-pair products
+    and tie corrections from the marginals — all Python ints; one float
+    chain at 6 dp (identical HUGEINT→DOUBLE mirror)."""
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_linenumber"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "x": np.floor(df["l_quantity"].to_numpy(np.float64)
+                          + 0.5).astype(np.int64),
+            "y": df["l_linenumber"].astype("int64")}) \
+            .groupby(["x", "y"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return g.astype({"c": "int64"})
+
+    cells = [(int(r["x"]), int(r["y"]), int(r["c"]))
+             for r in collect_rows(bucketed_sum(
+                 li.map_batches(part, batch_format="pandas"),
+                 ["x", "y"], ["c"], num_buckets=num_buckets))]
+    n = sum(c for _, _, c in cells)
+    conc = disc = 0
+    for i, (x1, y1, c1) in enumerate(cells):
+        for x2, y2, c2 in cells[i + 1:]:
+            if x1 == x2 or y1 == y2:
+                continue
+            if (x1 < x2) == (y1 < y2):
+                conc += c1 * c2
+            else:
+                disc += c1 * c2
+    tx: dict[int, int] = {}
+    ty: dict[int, int] = {}
+    for x, y, c in cells:
+        tx[x] = tx.get(x, 0) + c
+        ty[y] = ty.get(y, 0) + c
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in tx.values())
+    n2 = sum(t * (t - 1) // 2 for t in ty.values())
+    den = float(n0 - n1) * float(n0 - n2)
+    tau = (None if den == 0.0 else
+           int(np.floor(float(conc - disc) / np.sqrt(den) * 1e6 + 0.5)))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "concordant": pa.array([conc], pa.int64()),
+        "discordant": pa.array([disc], pa.int64()),
+        "tau_b_micro": pa.array([tau], pa.int64())})
+
+
+def status_trimmed_mean(sf_dir: str, trim_pct: int = 10,
+                        bin_cents: int = 100_000,
+                        num_buckets: int = 8) -> pa.Table:
+    """10%-trimmed mean of order value per status — the robust-location
+    sibling of the Tukey-fence outlier panel (cuts ⌊n·pct/100⌋ rows off
+    EACH tail by exact global rank, so one fat-finger order can't move
+    the mean).
+
+    Rides the two-pass rank machinery (per-status ranks, nothing
+    co-located); kept-row sums fold as decimal strings;
+    mean_micro_cents = sum·10⁶ // n_kept exact-int.  Equal values at
+    the trim boundary are interchangeable, so the (value, id) tie order
+    never changes the sum."""
+    from .analytics import _cents, exact_partitioned_ranks
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderstatus": df["o_orderstatus"],
+            "cents": _cents(df["o_totalprice"].to_numpy()),
+            "o_orderkey": df["o_orderkey"].astype("int64")})
+
+    pr = orders.map_batches(base, batch_format="pandas")
+    part_schema = pa.schema([("o_orderstatus", pa.string()),
+                             ("n_kept", pa.int64()),
+                             ("sum_kept", pa.string())])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        k = n * trim_pct // 100
+        ranks = start + np.arange(len(g), dtype=np.int64)
+        keep = (ranks >= k) & (ranks < n - k)
+        kept = g["cents"].to_numpy()[keep]
+        return pd.DataFrame({
+            "o_orderstatus": pd.Series([g["o_orderstatus"].iloc[0]],
+                                       dtype="string"),
+            "n_kept": pd.Series([int(keep.sum())], dtype="int64"),
+            "sum_kept": pd.Series([str(_chunk_int_sum(kept))],
+                                  dtype="string")})
+
+    parts = collect_rows(exact_partitioned_ranks(
+        pr, "o_orderstatus", "cents", "o_orderkey", bin_cents, emit,
+        part_schema, num_buckets=num_buckets))
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["o_orderstatus"], [0, 0])
+        a[0] += int(r["n_kept"])
+        a[1] += int(r["sum_kept"])
+    sts = sorted(agg)
+    return pa.table({
+        "o_orderstatus": pa.array(sts, pa.string()),
+        "n_kept": pa.array([agg[s][0] for s in sts], pa.int64()),
+        "trimmed_mean_micro_cents": pa.array(
+            [agg[s][1] * 1_000_000 // agg[s][0] if agg[s][0] else None
+             for s in sts], pa.int64())})
+
+
 def _jl_signs(dim: int, out_dim: int) -> np.ndarray:
     """Deterministic ±1 JL sign matrix: sign(d, j) = 1 − 2·parity of the
     64-bit md5 hash of "d:j" (first 8 digest bytes little-endian — the

@@ -3150,6 +3150,41 @@ def q_cooc_assortativity(sf_dir: str) -> rd.Dataset:
     return degree_assortativity(_cooc_edge_stream(sf_dir))
 
 
+def q_priority_price_ks(sf_dir: str) -> "pa.Table":
+    """Two-sample KS D (urgent vs low on price) — exact integer ECDF
+    numerator, two-level bin prefix, nothing co-located."""
+    from .mlstats import priority_price_ks
+    return priority_price_ks(sf_dir)
+
+
+def q_langid_kappa(sf_dir: str) -> "pa.Table":
+    """Cohen's kappa of langid vs fixture label — exact int identity
+    over the confusion matrix."""
+    from .mlstats import langid_kappa
+    return langid_kappa(sf_dir)
+
+
+def q_dup_score_lift(sf_dir: str) -> "pa.Table":
+    """Decile lift of the quality score vs near-dup membership — exact
+    NTILE + integer lift."""
+    from .mlstats import dup_score_lift
+    return dup_score_lift(sf_dir)
+
+
+def q_qty_line_kendall(sf_dir: str) -> "pa.Table":
+    """Kendall tau-b (quantity vs line number) — exact cell-pair
+    concordance with tie corrections."""
+    from .mlstats import qty_line_kendall
+    return qty_line_kendall(sf_dir)
+
+
+def q_status_trimmed_mean(sf_dir: str) -> "pa.Table":
+    """10%-trimmed mean per status — exact rank-trimmed integer sums on
+    the two-pass machinery."""
+    from .mlstats import status_trimmed_mean
+    return status_trimmed_mean(sf_dir)
+
+
 def q_doc_feature_hash(sf_dir: str) -> rd.Dataset:
     """Hashing-trick bag-of-words: 64-bucket md5-parity token folds per
     document in COO rows — stateless, shuffle-free."""
@@ -3306,6 +3341,11 @@ QUERIES = {
     "customer_revenue_pareto": q_customer_revenue_pareto,
     "embedding_jl_projection": q_embedding_jl_projection,
     "cooc_assortativity": q_cooc_assortativity,
+    "priority_price_ks": q_priority_price_ks,
+    "langid_kappa": q_langid_kappa,
+    "dup_score_lift": q_dup_score_lift,
+    "qty_line_kendall": q_qty_line_kendall,
+    "status_trimmed_mean": q_status_trimmed_mean,
     "orders_scd2_history": q_orders_scd2_history,
     "order_price_cume": q_order_price_cume,
     "sense_modularity": q_sense_modularity,
