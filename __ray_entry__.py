@@ -1259,7 +1259,8 @@ def _sql_pack_sequences(cap: int = 256) -> str:
 
 
 def _sql_kmeans(k: int = 4, iters: int = 3, dim: int = 64,
-                emb_expr: str = "embedding") -> str:
+                emb_expr: str = "embedding",
+                cents_only: bool = False) -> str:
     """DuckDB mirror of stages/kmeans.kmeans_assign — the Lloyd loop
     unrolled to ``iters`` CTE rounds.  Hash-exactness rests on the
     integer contract shared with the engine (kmeans.py module doc):
@@ -1303,6 +1304,13 @@ def _sql_kmeans(k: int = 4, iters: int = 3, dim: int = 64,
                 FROM s{it} GROUP BY cid) u USING (cid))""")
         prev = f"c{it}"
     joined = ",\n        ".join(ctes)
+    if cents_only:
+        # the FINAL codebook (kmeans.kmeans_fit) instead of the
+        # assignment — what the PQ-ADC mirror builds its LUT from
+        return f"""
+        WITH {joined}
+        SELECT cid, qe FROM {prev}
+    """
     return f"""
         WITH {joined}
         SELECT q.vec_id,
@@ -1310,6 +1318,56 @@ def _sql_kmeans(k: int = 4, iters: int = 3, dim: int = 64,
                    AS cluster,
                CAST(min(({dist}) * {k} + c.cid) // {k} AS BIGINT) AS dist
         FROM q, {prev} c GROUP BY q.vec_id
+    """
+
+
+def _sql_pq_adc_topk(n_subspaces: int = 4, k: int = 4, iters: int = 3,
+                     dim: int = 64, n_queries: int = 5,
+                     topk: int = 10) -> str:
+    """DuckDB mirror of stages/kmeans.pq_adc_topk — PQ asymmetric
+    distance.  Per subspace the FINAL codebook comes from the unrolled
+    Lloyd mirror (cents_only); every vector takes the min(dist*k+cid)
+    code per subspace (identical key to the kmeans assignment); the
+    query-side LUT is the exact int64 squared distance from the query's
+    quantised slice to each centroid; ADC = SUM over subspaces of the
+    LUT entry at the vector's code; rank (adc ASC, vec_id ASC), self
+    excluded, top ``topk``."""
+    sub = dim // n_subspaces
+    cents_union = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS subspace, cid, qe FROM ("
+        + _sql_kmeans(k, iters, sub,
+                      f"list_slice(embedding, {s * sub + 1}, "
+                      f"{(s + 1) * sub})", cents_only=True)
+        + ")" for s in range(n_subspaces))
+    quant = ("list_transform(embedding, x -> "
+             "CAST(floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) "
+             "* sign(CAST(x AS DOUBLE)) AS BIGINT))")
+    dist = (f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"i -> (v.qe[c.subspace * {sub} + i] - c.qe[i])"
+            f" * (v.qe[c.subspace * {sub} + i] - c.qe[i])))")
+    return f"""
+        WITH qv AS (SELECT vec_id, {quant} AS qe FROM embeddings),
+        cents AS ({cents_union}),
+        vd AS (SELECT v.vec_id, c.subspace, c.cid, {dist} AS d
+               FROM qv v CROSS JOIN cents c),
+        codes AS (SELECT vec_id, subspace,
+                         CAST(min(d * {k} + cid) % {k} AS BIGINT) AS code
+                  FROM vd GROUP BY vec_id, subspace),
+        lut AS (SELECT v.vec_id AS query_id, c.subspace, c.cid,
+                       {dist} AS d
+                FROM (SELECT * FROM qv WHERE vec_id < {n_queries}) v
+                CROSS JOIN cents c),
+        adc AS (SELECT l.query_id, cd.vec_id,
+                       CAST(SUM(l.d) AS BIGINT) AS adc_dist
+                FROM codes cd JOIN lut l
+                  ON l.subspace = cd.subspace AND l.cid = cd.code
+                GROUP BY l.query_id, cd.vec_id)
+        SELECT query_id, vec_id, adc_dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dist, vec_id) AS rk
+            FROM adc WHERE vec_id <> query_id)
+        WHERE rk <= {topk}
     """
 
 
@@ -4399,6 +4457,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id, CAST({s} AS BIGINT) AS subspace, "
             f"cluster AS code, dist FROM ({_sql_kmeans(4, 3, 16, f'list_slice(embedding, {s * 16 + 1}, {(s + 1) * 16})')})"
             for s in range(4)),
+        # stages/kmeans.pq_adc_topk: PQ asymmetric-distance top-k over
+        # the same subspace codebooks (LUT scoring, exact int64)
+        "pq_adc_topk": _sql_pq_adc_topk(),
         # SemDeDup: within-cluster near-identical drops (kmeans.py)
         "semdedup_drops": _sql_semdedup(),
         # add-one-smoothed corpus bigram LM scores; per-term int64

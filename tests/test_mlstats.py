@@ -278,6 +278,59 @@ def test_pq_codes_parity_and_reconstruction_bound():
     assert (got["dist"] >= 0).all()
 
 
+def test_pq_adc_topk_parity_and_adc_semantics():
+    import __ray_entry__ as E
+    from wsid_ray.stages.kmeans import (kmeans_fit, pq_adc_topk,
+                                        quantize)
+    from wsid_ray.stages.knn import read_embeddings
+    got = _canon(pq_adc_topk(read_embeddings(SF)).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["pq_adc_topk"],
+                       tables=("embeddings",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # shape: 5 queries × top-10, self never returned, dist nonneg
+    assert got.groupby("query_id")["vec_id"].count().eq(10).all()
+    assert (got["query_id"] != got["vec_id"]).all()
+    assert (got["adc_dist"] >= 0).all()
+    # ADC semantics recomputed independently in numpy: codebooks from
+    # the same kmeans_fit, LUT lookup sum must reproduce adc_dist
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    Q = quantize(np.stack(emb["embedding"].to_numpy())
+                 .astype(np.float64))
+    dim, S, k = Q.shape[1], 4, 4
+    sub = dim // S
+    ds = read_embeddings(SF)
+    import pyarrow as pa
+    import ray.data as rd
+
+    def _slice(t, lo, hi):
+        M = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in t["embedding"].to_pylist()])[:, lo:hi]
+        return pa.table({"vec_id": t["vec_id"],
+                         "embedding": pa.array(list(M),
+                                               type=pa.list_(
+                                                   pa.float64()))})
+
+    cents = [kmeans_fit(ds.map_batches(
+        lambda t, _lo=s * sub, _hi=(s + 1) * sub: _slice(t, _lo, _hi),
+        batch_format="pyarrow"), k=k, iters=3) for s in range(S)]
+    vid = emb["vec_id"].to_numpy()
+    codes = np.empty((len(vid), S), dtype=np.int64)
+    for s in range(S):
+        X = Q[:, s * sub:(s + 1) * sub]
+        d = ((X[:, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = np.argmin(d * k + np.arange(k), axis=1)
+    pos = {v: i for i, v in enumerate(vid)}
+    for _, row in got.head(20).iterrows():
+        qi, vi = pos[row["query_id"]], pos[row["vec_id"]]
+        adc = 0
+        for s in range(S):
+            qs = Q[qi, s * sub:(s + 1) * sub]
+            c = cents[s][codes[vi, s]]
+            adc += int(((qs - c) ** 2).sum())
+        assert adc == row["adc_dist"]
+
+
 def test_kmv_parity_underfull_and_full_branch():
     import hashlib
 

@@ -3236,6 +3236,13 @@ def q_embedding_pq_codes(sf_dir: str) -> rd.Dataset:
     return pq_codes(read_embeddings(sf_dir))
 
 
+def q_pq_adc_topk(sf_dir: str) -> rd.Dataset:
+    """PQ asymmetric-distance top-10 per fixed query (vec_id < 5):
+    integer-contract subspace codebooks, exact int64 LUT scoring."""
+    from ..stages.kmeans import pq_adc_topk
+    return pq_adc_topk(read_embeddings(sf_dir))
+
+
 def q_user_kmv_registers(sf_dir: str) -> "pa.Table":
     """KMV distinct sketch registers (k=32 smallest 63-bit md5 hashes
     of user_id) — hash-checkable like the HLL registers."""
@@ -3315,6 +3322,7 @@ QUERIES = {
     "user_kmv_registers": q_user_kmv_registers,
     "user_kmv_estimate": q_user_kmv_estimate,
     "embedding_pq_codes": q_embedding_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
     "event_type_cosine": q_event_type_cosine,
     "doc_hash_shard_balance": q_doc_hash_shard_balance,
     "event_type_markov_stationary": q_event_type_markov_stationary,

@@ -72,14 +72,13 @@ def _init_centroids(embeds: rd.Dataset, k: int) -> np.ndarray:
                                dtype=np.float64))
 
 
-def kmeans_assign(embeds: rd.Dataset, k: int = 4, iters: int = 3,
-                  include_q: bool = False) -> rd.Dataset:
-    """Fit k-means for ``iters`` Lloyd iterations and return the final
-    assignment: (vec_id, cluster, dist) with dist the exact quantised
-    squared distance (``include_q=True`` additionally carries the
-    quantised vector for downstream within-cluster work, e.g.
-    semantic_dedup).  See module docstring for the determinism and
-    scale contract."""
+def kmeans_fit(embeds: rd.Dataset, k: int = 4,
+               iters: int = 3) -> "np.ndarray":
+    """Run the integer-contract Lloyd loop and return the FINAL
+    centroids (k × dim quantised ints) — the fit half of
+    ``kmeans_assign``, exposed so PQ asymmetric-distance scoring
+    (``pq_adc_topk``) can build its lookup tables from the same
+    centroids the codes were assigned against."""
     cents = _init_centroids(embeds, k)
     dim = cents.shape[1]
 
@@ -115,7 +114,18 @@ def kmeans_assign(embeds: rd.Dataset, k: int = 4, iters: int = 3,
                         -((-2 * S + n) // (2 * n)))
         cents = cents.copy()
         cents[nz] = newc
+    return cents
 
+
+def kmeans_assign(embeds: rd.Dataset, k: int = 4, iters: int = 3,
+                  include_q: bool = False) -> rd.Dataset:
+    """Fit k-means for ``iters`` Lloyd iterations and return the final
+    assignment: (vec_id, cluster, dist) with dist the exact quantised
+    squared distance (``include_q=True`` additionally carries the
+    quantised vector for downstream within-cluster work, e.g.
+    semantic_dedup).  See module docstring for the determinism and
+    scale contract."""
+    cents = kmeans_fit(embeds, k=k, iters=iters)
     ref = ray.put(cents)
 
     def assign(t: pa.Table, _ref=ref) -> pa.Table:
@@ -316,3 +326,112 @@ def pq_codes(embeds: rd.Dataset, n_subspaces: int = 4, k: int = 4,
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+def pq_adc_topk(embeds: rd.Dataset, n_queries: int = 5,
+                n_subspaces: int = 4, k_codes: int = 4, iters: int = 3,
+                topk: int = 10) -> rd.Dataset:
+    """PQ asymmetric-distance top-k (ADC, Jegou et al. 2011): the ANN
+    answer path that pairs with ``pq_codes``.  Per subspace the codebook
+    comes from the SAME integer-contract Lloyd fit (``kmeans_fit``); a
+    query's distance to a database vector is approximated by the exact
+    int64 sum, over subspaces, of the squared quantised distance between
+    the query's slice and the CENTROID the vector's code points at —
+    queries stay un-quantised-to-codes (asymmetric), vectors cost only
+    S·log2(k) bits.
+
+    Hash-exact by construction: quantised micro-int slices, exact int64
+    LUT entries, assignment keys ``min(dist·k + cid)`` shared with the
+    kmeans mirror, ranking ``(adc_dist ASC, vec_id ASC)``, self excluded.
+
+    Scale shape: ``n_subspaces`` streaming Lloyd fits; ONE scoring pass
+    over the corpus with the (tiny) codebooks + LUT broadcast via
+    ``ray.put``, emitting per-batch partial top-k per query; one
+    bucketed fold on query_id.  The fixed query set (vec_id <
+    n_queries) is a driver-side take of a handful of rows — the
+    documented small-side pattern."""
+    import pyarrow.compute as pc
+
+    first = embeds.take(1)[0]
+    dim = len(first["embedding"])
+    assert dim % n_subspaces == 0, "dim must divide into subspaces"
+    sub = dim // n_subspaces
+
+    cents = []
+    for s in range(n_subspaces):
+        lo, hi = s * sub, (s + 1) * sub
+
+        def slice_fn(t: pa.Table, _lo=lo, _hi=hi) -> pa.Table:
+            M = _to_matrix(t["embedding"])[:, _lo:_hi]
+            return pa.table({
+                "vec_id": t["vec_id"],
+                "embedding": pa.array(list(M),
+                                      type=pa.list_(pa.float64()))})
+
+        cents.append(kmeans_fit(
+            embeds.map_batches(slice_fn, batch_format="pyarrow"),
+            k=k_codes, iters=iters))
+    C = np.stack(cents)                       # (S, k, sub) int64
+
+    qrows = embeds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_queries)),
+        batch_format="pyarrow").take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Qq = quantize(np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                            for r in qrows]))  # (nq, dim)
+
+    LUT = np.empty((len(qids), n_subspaces, k_codes), dtype=np.int64)
+    for s in range(n_subspaces):
+        qs = Qq[:, s * sub:(s + 1) * sub]
+        diff = qs[:, None, :] - C[s][None, :, :]
+        LUT[:, s, :] = (diff * diff).sum(axis=2)
+
+    ref = ray.put((C, LUT, qids))
+
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        C, LUT, qids = ray.get(_ref)
+        Q = quantize(_to_matrix(t["embedding"]))
+        n = Q.shape[0]
+        codes = np.empty((n, n_subspaces), dtype=np.int64)
+        for s in range(n_subspaces):
+            X = Q[:, s * sub:(s + 1) * sub]
+            d = ((X[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d * k_codes
+                                    + np.arange(k_codes), axis=1)
+        adc = np.zeros((len(qids), n), dtype=np.int64)
+        for s in range(n_subspaces):
+            adc += LUT[:, s, :][:, codes[:, s]]
+        vid = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        qo, vo, do = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = vid != qid
+            order = np.lexsort((vid[mask], adc[qi][mask]))[:topk]
+            qo.append(np.full(len(order), qid, dtype=np.int64))
+            vo.append(vid[mask][order])
+            do.append(adc[qi][mask][order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qo) if qo
+                                 else np.empty(0, np.int64)),
+            "vec_id": pa.array(np.concatenate(vo) if vo
+                               else np.empty(0, np.int64)),
+            "adc_dist": pa.array(np.concatenate(do) if do
+                                 else np.empty(0, np.int64))})
+
+    scored = embeds.map_batches(score, batch_format="pyarrow",
+                                batch_size=4096)
+
+    import pandas as pd
+
+    def topk_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "adc_dist", "vec_id"],
+                            kind="mergesort")
+        return df.groupby("query_id", sort=True).head(topk)
+
+    from .groups import bucketed_group_apply
+    return bucketed_group_apply(
+        scored, ["query_id"], topk_df, num_buckets=4,
+        out_schema=pa.schema([("query_id", pa.int64()),
+                              ("vec_id", pa.int64()),
+                              ("adc_dist", pa.int64())]))
