@@ -177,6 +177,28 @@ def _run_control(files: list[str], nproc: int, reps: int = 2) -> float:
     return time.time() - t0
 
 
+def _burn(_):
+    """Fixed integer workload for the window-health probe (no Arrow, no
+    memory traffic): per-process wall is pure CPU speed."""
+    t0 = time.time()
+    x = 0
+    for i in range(30_000_000):
+        x += i * i
+    return time.time() - t0
+
+
+def _run_probe(nproc: int) -> float:
+    """Mean per-process seconds for the integer burn at ``nproc``-way
+    parallelism.  SCALE.md round-4 forensics: hypervisor tenant noise
+    moves this box's per-core speed ~2x between windows; the lo/hi probe
+    ratio recorded next to each sample says whether that window measured
+    the pipeline or the neighbour's workload (healthy: hi/lo ≤ ~1.3)."""
+    import multiprocessing as mp
+    with mp.Pool(nproc) as pool:
+        walls = pool.map(_burn, range(nproc), chunksize=1)
+    return sum(walls) / len(walls)
+
+
 def run_scaling() -> dict:
     # The scaling pair runs on a ~6x-larger corpus than the headline
     # (sf0.6, ~29M turns): the criterion measures the pipeline's parallel
@@ -253,19 +275,21 @@ def run_scaling() -> dict:
             res = child(ncpu)
             t1 = time.time()
             ctl_wall = _run_control(ctl_files, ncpu)
+            probe = _run_probe(ncpu)
             samples.append({
                 "round": rnd, "num_cpus": ncpu,
                 "wall_s": res["value"],
                 "turns_per_sec": res["turns_per_sec"],
                 "triples_per_sec": res["triples_per_sec"],
                 "control_wall_s": round(ctl_wall, 3),
+                "probe_per_proc_s": round(probe, 3),
                 "sf": res["sf"],
                 "t_start": round(t0, 1), "t_pipeline_end": round(t1, 1),
                 "t_end": round(time.time(), 1),
             })
     by_level = {n: [s for s in samples if s["num_cpus"] == n]
                 for n in (lo, hi)}
-    pair_effs, ctl_effs, norm_effs = [], [], []
+    pair_effs, ctl_effs, norm_effs, probe_ratios = [], [], [], []
     for rnd in range(rounds):
         s_lo = next(s for s in samples
                     if s["round"] == rnd and s["num_cpus"] == lo)
@@ -277,6 +301,8 @@ def run_scaling() -> dict:
             (s_lo["control_wall_s"] / s_hi["control_wall_s"]) / (hi / lo),
             3))
         norm_effs.append(round(pair_effs[-1] / ctl_effs[-1], 3))
+        probe_ratios.append(round(
+            s_hi["probe_per_proc_s"] / s_lo["probe_per_proc_s"], 3))
     best_lo = min(by_level[lo], key=lambda s: s["wall_s"])
     best_hi = min(by_level[hi], key=lambda s: s["wall_s"])
     eff_cross_best = round(
@@ -292,6 +318,7 @@ def run_scaling() -> dict:
         "pair_efficiencies": pair_effs,
         "control_pair_efficiencies": ctl_effs,
         "normalized_pair_efficiencies": norm_effs,
+        "probe_hi_over_lo_per_proc": probe_ratios,
         "eff_matched_best": eff_best,
         "eff_matched_median": eff_median,
         "eff_cross_best_of": eff_cross_best,

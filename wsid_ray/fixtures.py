@@ -97,6 +97,15 @@ SCALES: dict[str, dict] = {
     # corpus has to grow with the engine (same reasoning that moved r2
     # from sf0.1 to sf0.3; BASELINE.md methodology notes).
     "sf0.6": {"n_convs": 2_400_000, "n_files": 64},
+    # round-4 scaling scale (~57M turns): at sf0.6 the 16-CPU flagship
+    # wall shrank to ~82 s, so the measured ~30 s of per-run fixed cost
+    # (Ray/session startup, streaming-executor ramp per execution,
+    # driver collects of vocab-bounded models) reads as serial fraction
+    # and caps the raw 4->16 ratio at ~2.9 even in a quiet window.  Same
+    # reasoning that moved r2 sf0.1->sf0.3 and r3 ->sf0.6: the corpus
+    # grows with the engine so the measurement keeps measuring the
+    # pipeline (SCALE.md round-4 forensics).
+    "sf1.2": {"n_convs": 4_800_000, "n_files": 128},
 }
 
 DATA_ROOT = os.environ.get("WSID_RAY_DATA", "/tmp/wsid_ray_data")
