@@ -48,13 +48,22 @@ class FlagshipArtifacts:
 
 
 def detect_mentions(turns: rd.Dataset, cfg: PipelineConfig) -> rd.Dataset:
-    # stateless tasks (elastic, uses every CPU) — see MentionDetector doc
+    # stateless tasks (elastic, uses every CPU) — see MentionDetector doc.
+    # batch_size stays UNSET: an explicit batch_size on any map blocks
+    # Ray Data's read fusion, splitting the chain into ReadParquet +
+    # MapBatches(...) and round-tripping the whole decoded corpus through
+    # the object store once per pass (measured: the read op alone ships
+    # ~6 GB/pass at sf0.6).  Unset, the plan fuses to
+    # ReadParquet->tokenize->detect(->score) and the decoded text never
+    # leaves the worker.  Results are batch-size-invariant (stateless
+    # per-row kernels); block granularity is set at the read
+    # (sources/transcripts.py) which is where memory per task is bounded.
     from ..stages.mentions import detect_batch
     return turns.map_batches(
         detect_batch,
         fn_kwargs=dict(window_size=cfg.window_size,
                        gazetteer=cfg.gazetteer),
-        batch_format="pyarrow", batch_size=4096)
+        batch_format="pyarrow")
 
 
 def induce_inventory(mentions: rd.Dataset, cfg: PipelineConfig) -> list[dict]:

@@ -22,24 +22,19 @@ def read_transcripts(sf_dir_or_scale: str, columns: list[str] | None = None,
     scale name. ``files`` overrides the shard list (checkpoint resume uses
     this to skip completed input shards — SURVEY.md §2.4 J5).
 
-    Block granularity: one block per ROW GROUP (files are written with
-    64k-row groups), floored at one block per file.  Coarser (per-file)
-    blocks measured better at low parallelism (task dispatch ≈8 ms/task),
-    but at high parallelism they amplify stragglers — a stalled vCPU in
-    the last wave costs a whole file's work.  Row-group-sized tasks cap
-    the straggler cost at one group, which is the 100 TB layout rule
-    (groups near the block target).  ``override_num_blocks`` asks for
-    min(256, 4×CPUs) blocks, clamped to at least the file count; Ray
-    will not split below row-group boundaries, so the effective
-    granularity is min(requested, row-group count) without consulting
-    group counts here (the 256 cap bounds driver-side task bookkeeping
-    on huge path lists)."""
-    import ray
+    Block granularity: exactly ONE block per file
+    (``override_num_blocks=len(paths)``).  Asking for more blocks than
+    files makes Ray append a ``SplitBlocks`` suffix to the read op, and
+    a split read can never fuse with the downstream maps — the whole
+    decoded corpus then round-trips through the object store once per
+    pass (~6 GB/pass at sf0.6, measured).  With per-file blocks the plan
+    fuses to ``ReadParquet->tokenize->detect(->score)`` and decoded text
+    never leaves the worker heap.  The same fusion contract requires the
+    chained maps to leave ``batch_size`` unset (flagship.detect_mentions
+    note).  Consequence for the 100 TB layout: FILE size is the task
+    granularity — write shards near the per-task memory budget
+    (~0.5–1 GB decoded), which the corpus generators here do; straggler
+    cost is then one file, bounded by the same rule."""
     paths = files if files is not None else transcript_files(sf_dir_or_scale)
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    blocks = max(len(paths), min(256, 4 * cpus))
     return read_parquet_clean(paths, columns=columns or ALL_COLUMNS,
-                              override_num_blocks=blocks)
+                              override_num_blocks=len(paths))

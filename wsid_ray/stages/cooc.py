@@ -162,8 +162,14 @@ def aggregate_counts(mentions: rd.Dataset) -> rd.Dataset:
     """
     from .groups import bucketed_group_apply
 
+    # no explicit batch_size: lets the partial-count map fuse with the
+    # upstream ReadParquet->tokenize->detect chain (an explicit size
+    # blocks read fusion and ships the decoded corpus through the object
+    # store — pipelines/flagship.py detect_mentions note), and makes one
+    # partial table per BLOCK instead of per 65k rows, shrinking the
+    # shuffle input.
     partials = mentions.select_columns(["term", "win_tokens"]).map_batches(
-        count_windows_batch, batch_format="pyarrow", batch_size=65536)
+        count_windows_batch, batch_format="pyarrow")
 
     def combine(df):
         out = df.groupby(["term", "w", "v"], sort=False,

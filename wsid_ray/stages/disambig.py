@@ -269,8 +269,11 @@ def disambiguate(mentions_raw: rd.Dataset, inventory_ref,
             return _scorer_for(inventory_ref, edge_maps_ref,
                                expand_gamma)(batch)
 
-        return mentions_raw.map_batches(
-            score, batch_format="pyarrow", batch_size=32768)
+        # no explicit batch_size: an explicit size blocks Ray Data's
+        # read fusion and forces the decoded corpus through the object
+        # store (pipelines/flagship.py detect_mentions note); unset, the
+        # whole read→tokenize→detect→score pass is ONE fused operator.
+        return mentions_raw.map_batches(score, batch_format="pyarrow")
 
     from ..runtime import pool_limits
     if concurrency is None:
