@@ -8,10 +8,17 @@ union-find → triples → dedup) over sf0.1-scale synthetic transcripts
 Side queries time representative operators over the driver-provided
 tables in $GRAFT_SF_DIR.
 
-Prints ONE JSON line.  ``--scaling`` runs the headline twice in fresh
-processes at num_cpus=8 and num_cpus=32 on the same (pre-generated,
-page-warm) input and reports the N→4N scaling efficiency
-(BASELINE.json:14 two-cluster-size criterion, sandbox proxy).
+Prints ONE JSON line.  ``--scaling`` runs the headline at two CPU
+levels in fresh processes on the same (pre-generated, page-warm) input
+and reports the N→4N scaling efficiency (BASELINE.json two-cluster-size
+criterion, sandbox proxy), with an in-window pure-Arrow hardware control
+and an integer-burn window-health probe recorded per sample.  Default
+pair 4v16 @ sf0.6 (~25 min).  The CANONICAL round-4 record
+(SCALING_r04.json) was produced with
+``WSID_SCALING_LO=2 WSID_SCALING_HI=8
+WSID_SCALING_SF_DIR=/root/testdata/sf1.2`` (~2 h): both levels below
+this box's ~16-core memory-bandwidth knee, raw matched-window median
+1.256 — see BASELINE.md.
 """
 
 from __future__ import annotations
