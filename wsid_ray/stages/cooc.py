@@ -280,6 +280,17 @@ def cooc_edges(mentions: rd.Dataset, min_count: int, npmi_min: float) -> rd.Data
     # relative to the input) so the two downstream consumers in
     # split_counts don't re-run the counting shuffle.
     counts = aggregate_counts(mentions).materialize()
+    return cooc_edges_from_counts(counts, min_count, npmi_min)
+
+
+def cooc_edges_from_counts(counts: rd.Dataset, min_count: int,
+                           npmi_min: float) -> rd.Dataset:
+    """Already-aggregated (term, w, v, n) counts -> pruned NPMI edges.
+
+    Split out of cooc_edges so callers that already hold the materialized
+    counts (pipelines/flagship.fit_model decides its driver-vs-distributed
+    path from a distributed count of this table) reuse it instead of
+    re-running the corpus-scale counting shuffle."""
     totals, unigrams, pairs = split_counts(counts)
     totals_ref = ray.put(totals)
     unigrams_ref = ray.put(unigrams)
