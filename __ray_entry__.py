@@ -460,6 +460,52 @@ def _sql_doc_langid() -> str:
     """
 
 
+def _sql_doc_langid_model(profile_path: str) -> str:
+    """DuckDB mirror of the corpus-trained trigram langid model
+    (wsid_ray/langprofile.py): both sides read the SAME profile parquet
+    (integer lp_micro quantised once at training), score docs by exact
+    int64 sums over trigram occurrences of the first-256-codepoint
+    lowercased head (unseen trigram -> the language's tri='' default
+    row), argmax with ties to the lexicographically smallest lang, score
+    = floor(sum/n_tri + 0.5)/1e6; headless docs (n_tri = 0) -> ('und',
+    0.0)."""
+    return f"""
+        WITH lm_prof AS MATERIALIZED (
+            SELECT lang, tri, lp_micro
+            FROM read_parquet('{profile_path}')),
+        lm_def AS (SELECT lang, lp_micro AS def_lp FROM lm_prof
+                   WHERE tri = ''),
+        lm_d AS (SELECT doc_id, substr(lower(text), 1, 256) AS s
+                 FROM documents),
+        lm_ex AS (
+            SELECT doc_id, substr(s, CAST(i AS INTEGER), 3) AS tri
+            FROM (SELECT doc_id, s,
+                         unnest(range(1, greatest(len(s) - 2, 0) + 1)) AS i
+                  FROM lm_d)),
+        lm_scored AS (
+            SELECT e.doc_id, dd.lang,
+                   CAST(sum(coalesce(p.lp_micro, dd.def_lp)) AS BIGINT)
+                       AS s_micro,
+                   CAST(count(*) AS BIGINT) AS n_tri
+            FROM lm_ex e
+            CROSS JOIN lm_def dd
+            LEFT JOIN lm_prof p ON p.lang = dd.lang AND p.tri = e.tri
+            GROUP BY 1, 2),
+        lm_best AS (
+            SELECT doc_id, lang, s_micro, n_tri,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY s_micro DESC, lang ASC)
+                       AS rn
+            FROM lm_scored)
+        SELECT d.doc_id,
+               coalesce(b.lang, 'und') AS lang_pred,
+               coalesce(floor(b.s_micro / b.n_tri + 0.5) / 1e6, 0.0)
+                   AS lang_score
+        FROM lm_d d
+        LEFT JOIN lm_best b ON b.doc_id = d.doc_id AND b.rn = 1
+    """
+
+
 def _sql_doc_simhash(tok: str) -> str:
     """DuckDB mirror of stages/textstats.simhash_batch: per-token 64-bit
     hash = md5_number_upper (first 8 digest bytes little-endian),
@@ -2105,7 +2151,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": f"""
             SELECT d.lang, l.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
             FROM documents d
-            JOIN ({_sql_doc_langid()}) l USING (doc_id)
+            JOIN ({_sql_doc_langid_model(art['langid_profile'])}) l USING (doc_id)
             GROUP BY ALL
         """,
         # pipelines/mlstats.langid_eval: per-language P/R/F1 as micro
@@ -2115,7 +2161,7 @@ def oracle_sql() -> dict[str, str]:
             WITH lec AS (
                 SELECT d.lang, l.lang_pred, count(*) AS n
                 FROM documents d
-                JOIN ({_sql_doc_langid()}) l USING (doc_id)
+                JOIN ({_sql_doc_langid_model(art['langid_profile'])}) l USING (doc_id)
                 GROUP BY ALL),
             lel AS (SELECT lang FROM lec
                     UNION SELECT lang_pred FROM lec),
@@ -2499,7 +2545,7 @@ def oracle_sql() -> dict[str, str]:
             WITH kcc AS MATERIALIZED (
                 SELECT d.lang, l.lang_pred, CAST(count(*) AS BIGINT) AS n
                 FROM documents d
-                JOIN ({_sql_doc_langid()}) l USING (doc_id)
+                JOIN ({_sql_doc_langid_model(art['langid_profile'])}) l USING (doc_id)
                 GROUP BY ALL),
             kct AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
                            CAST(coalesce(sum(n) FILTER (
@@ -3580,6 +3626,7 @@ def oracle_sql() -> dict[str, str]:
         "sense_inventory_hyperlex": _sql_sense_inventory(
             tr, tok, gaz, algo="hyperlex"),
         "doc_langid": _sql_doc_langid(),
+        "doc_langid_model": _sql_doc_langid_model(art["langid_profile"]),
         # recursive-CTE mirror of the distributed hash-to-min union-find
         # rounds (D3): reachability closure over near-dup pairs, min label
         # composed end-to-end MinHash dedup chain: LSH candidates ->

@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 
 from .config import DEFAULT_CONFIG, GAZETTEER, kb_candidates
 
-_ART_VERSION = "a2"
+_ART_VERSION = "a3"
 _ROOT = os.path.join(tempfile.gettempdir(), "wsid_ray_artifacts",
                      _ART_VERSION)
 
@@ -80,6 +80,7 @@ def ensure(sf_dir_or_scale: str) -> dict[str, str]:
         "kb": os.path.join(d, "kb.parquet"),
         "ivf_topk": os.path.join(d, "ivf_topk.parquet"),
         "lsh_topk": os.path.join(d, "lsh_topk.parquet"),
+        "langid_profile": os.path.join(d, "langid_profile.parquet"),
     }
     if os.path.exists(os.path.join(d, "_DONE")):
         return paths
@@ -144,6 +145,17 @@ def ensure(sf_dir_or_scale: str) -> dict[str, str]:
             _write_sorted(res.select(["query_id", "vec_id", "score"]),
                           os.path.join(tmp, f"{name}.parquet"),
                           ["query_id", "vec_id"])
+
+        # --- corpus-trained trigram langid profile (VERDICT r04 item 2):
+        # distributed count pass over the scale's labelled documents,
+        # integer lp_micro quantised once here — engine scorer and DuckDB
+        # oracle both read these bytes ------------------------------------
+        from .langprofile import train_langid_profile
+        from .stages.textstats import read_documents
+        pq.write_table(
+            train_langid_profile(read_documents(sf, columns=["text",
+                                                             "lang"])),
+            os.path.join(tmp, "langid_profile.parquet"))
 
         with open(os.path.join(tmp, "_DONE"), "w") as fh:
             fh.write(_ART_VERSION)

@@ -1001,23 +1001,40 @@ def segment_target_encoding(sf_dir: str, m: int = 100) -> pa.Table:
 # round-4 batch F: model evaluation, inequality, session PMI, dup matrix
 # ---------------------------------------------------------------------------
 
-def langid_confusion(sf_dir: str, num_buckets: int = 4) -> rd.Dataset:
+def corpus_langid_model(sf_dir: str):
+    """The scale's corpus-trained trigram langid model (artifact-backed:
+    only the profile PATH ships with tasks; workers load it once —
+    wsid_ray/langprofile.py)."""
+    from ..artifacts import ensure
+    from ..langprofile import TrigramLangId
+    return TrigramLangId(ensure(sf_dir)["langid_profile"])
+
+
+def langid_confusion(sf_dir: str, num_buckets: int = 4,
+                     model: str | None = "corpus") -> rd.Dataset:
     """Confusion matrix of the langid model against the fixture's true
     ``lang`` label — the model-drift monitor for the language gate.
 
-    One fused pass: each batch scores itself (``langid_batch`` — the
-    SQL-mirrored builtin) and emits (lang, lang_pred, n_docs) partial
-    counts, so no per-doc row ever shuffles; the exchange moves at most
-    |langs|² rows per batch."""
+    ``model="corpus"`` (default since r5) scores with the corpus-trained
+    trigram profile (VERDICT r04 item 2; SQL mirror reads the same
+    artifact); ``model=None`` keeps the builtin marker heuristic.
+
+    One fused pass: each batch scores itself and emits
+    (lang, lang_pred, n_docs) partial counts, so no per-doc row ever
+    shuffles; the exchange moves at most |langs|² rows per batch."""
     from ..stages.textstats import langid_batch, read_documents
 
+    scorer = corpus_langid_model(sf_dir) if model == "corpus" else None
     docs = read_documents(sf_dir, columns=["doc_id", "text", "lang"])
 
     def part(t: pa.Table) -> pd.DataFrame:
-        pred = langid_batch(t)
+        if scorer is not None:
+            preds, _ = scorer(t["text"].to_pylist())
+        else:
+            preds = langid_batch(t)["lang_pred"].to_pylist()
         df = pd.DataFrame({
             "lang": t["lang"].to_pandas(),
-            "lang_pred": pred["lang_pred"].to_pandas()})
+            "lang_pred": pd.Series(preds, dtype=object)})
         g = df.groupby(["lang", "lang_pred"], as_index=False).size() \
               .rename(columns={"size": "n_docs"})
         return g.astype({"n_docs": "int64"})

@@ -898,6 +898,17 @@ def q_doc_langid(sf_dir: str) -> rd.Dataset:
     return langid_documents(read_documents(sf_dir))
 
 
+def q_doc_langid_model(sf_dir: str) -> rd.Dataset:
+    """Per-doc language via the corpus-trained trigram profile model
+    (wsid_ray/langprofile.py) through the actor-pool model path —
+    LangIdScorer resolves the model once per actor; only the artifact
+    path ships.  SQL mirror reads the identical profile parquet."""
+    from ..stages.textstats import langid_documents
+    from .mlstats import corpus_langid_model
+    model = corpus_langid_model(sf_dir)
+    return langid_documents(read_documents(sf_dir), model=model)
+
+
 def q_doc_quality_filter(sf_dir: str) -> rd.Dataset:
     """C4-style filter, reported as the kept doc ids (+ n_chars)."""
     from ..stages.textstats import quality_batch, quality_filter_batch
@@ -3522,6 +3533,7 @@ QUERIES = {
     "doc_split_counts": q_doc_split_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_langid": q_doc_langid,
+    "doc_langid_model": q_doc_langid_model,
     "doc_repetition": q_doc_repetition,
     "doc_stratified_sample": q_doc_stratified_sample,
     "bigram_lm_score": q_bigram_lm_score,
