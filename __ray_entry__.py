@@ -3627,6 +3627,30 @@ def oracle_sql() -> dict[str, str]:
             tr, tok, gaz, algo="hyperlex"),
         "doc_langid": _sql_doc_langid(),
         "doc_langid_model": _sql_doc_langid_model(art["langid_profile"]),
+        # stages/multimodal.MediaFeaturizer vs the fixture-side
+        # expected-decode artifact (encoder bodies / JPEG encoder
+        # reconstruction, NO Huffman): a wrong decode -> hash mismatch.
+        # md5 runs over the uppercase hex of the decoded bytes (DuckDB
+        # md5 takes VARCHAR only); byte mean via hex-pair explosion.
+        "media_features": f"""
+            WITH md AS (SELECT media_id, kind, hex(decoded) AS hs,
+                               octet_length(decoded) AS nb
+                        FROM read_parquet('{art["media_decoded"]}')),
+            mb AS (SELECT media_id,
+                          (strpos('0123456789ABCDEF',
+                                  substr(hs, 2 * i - 1, 1)) - 1) * 16
+                          + strpos('0123456789ABCDEF',
+                                   substr(hs, 2 * i, 1)) - 1 AS val
+                   FROM (SELECT media_id, hs,
+                                unnest(range(1, nb + 1)) AS i
+                         FROM md)),
+            mm AS (SELECT media_id, avg(val) AS m FROM mb GROUP BY 1)
+            SELECT d.media_id, d.kind, CAST(d.nb AS BIGINT) AS n_bytes,
+                   floor(coalesce(mm.m, 0.0) * 1e6 + 0.5) / 1e6
+                       AS mean_val,
+                   md5(d.hs) AS content_hash
+            FROM md d LEFT JOIN mm USING (media_id)
+        """,
         # recursive-CTE mirror of the distributed hash-to-min union-find
         # rounds (D3): reachability closure over near-dup pairs, min label
         # composed end-to-end MinHash dedup chain: LSH candidates ->

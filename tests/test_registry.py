@@ -21,8 +21,7 @@ def test_registry_oracle_lockstep():
     assert not dangling, f"oracle keys without queries: {dangling}"
     # rows-only queries are a deliberate, documented set
     rows_only = sorted(set(qs) - set(osql))
-    assert rows_only == ["knn_ivf_topk", "knn_lsh_topk",
-                         "media_features"], rows_only
+    assert rows_only == ["knn_ivf_topk", "knn_lsh_topk"], rows_only
     # every callable takes one positional sf_dir argument
     import inspect
     for name, fn in qs.items():

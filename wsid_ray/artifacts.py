@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 
 from .config import DEFAULT_CONFIG, GAZETTEER, kb_candidates
 
-_ART_VERSION = "a3"
+_ART_VERSION = "a4"
 _ROOT = os.path.join(tempfile.gettempdir(), "wsid_ray_artifacts",
                      _ART_VERSION)
 
@@ -81,6 +81,7 @@ def ensure(sf_dir_or_scale: str) -> dict[str, str]:
         "ivf_topk": os.path.join(d, "ivf_topk.parquet"),
         "lsh_topk": os.path.join(d, "lsh_topk.parquet"),
         "langid_profile": os.path.join(d, "langid_profile.parquet"),
+        "media_decoded": os.path.join(d, "media_decoded.parquet"),
     }
     if os.path.exists(os.path.join(d, "_DONE")):
         return paths
@@ -156,6 +157,13 @@ def ensure(sf_dir_or_scale: str) -> dict[str, str]:
             train_langid_profile(read_documents(sf, columns=["text",
                                                              "lang"])),
             os.path.join(tmp, "langid_profile.parquet"))
+
+        # --- media expected-decode ground truth (VERDICT r04 item 3):
+        # encoder-side bodies / JPEG reconstructions (no Huffman), so the
+        # media_features oracle checks the engine's decode path for real
+        from .stages.multimodal import synth_media_expected_table
+        pq.write_table(synth_media_expected_table(300, 42),
+                       os.path.join(tmp, "media_decoded.parquet"))
 
         with open(os.path.join(tmp, "_DONE"), "w") as fh:
             fh.write(_ART_VERSION)

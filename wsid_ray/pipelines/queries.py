@@ -2105,8 +2105,11 @@ def q_embedding_near_dup(sf_dir: str) -> rd.Dataset:
 
 
 def q_media_features(sf_dir: str) -> rd.Dataset:
-    """Multimodal plumbing demo: synthetic binary media -> actor-pool
-    decode + featurize (rows-only check; payloads are deterministic)."""
+    """Multimodal decode + featurize over real container payloads
+    (PNG/JPEG/PGM/WAV/Y4M) through the actor-pool codec stage.
+    SQL-checked since r5: the oracle computes the same features from the
+    fixture-side expected-decode artifact (encoder bodies / JPEG encoder
+    reconstruction), so a wrong decode hash-mismatches."""
     from ..stages.multimodal import featurize, media_dataset
     return featurize(media_dataset(n=300))
 

