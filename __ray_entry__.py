@@ -1544,6 +1544,40 @@ def _sql_dedup_spans(tok: str, k: int = 5) -> str:
     """
 
 
+def _sql_exact_substrings(tok: str, L: int = 5) -> str:
+    """DuckDB mirror of dedup.exact_substrings: a length-L token window
+    is duplicated iff its exact joined text occurs at >= 2 positions
+    corpus-wide (within-doc repeats count); covered = union of [p, p+L);
+    output = maximal covered runs (gaps-and-islands) with md5 span
+    fingerprints."""
+    return f"""
+        WITH es_src AS MATERIALIZED (
+            SELECT doc_id, {tok} AS toks FROM documents),
+        es_win AS MATERIALIZED (
+            SELECT doc_id, p,
+                   array_to_string(list_slice(toks, p + 1, p + {L}),
+                                   ' ') AS w
+            FROM (SELECT doc_id, toks,
+                         unnest(range(len(toks) - {L} + 1)) AS p
+                  FROM es_src WHERE len(toks) >= {L})),
+        es_dup AS (SELECT w FROM es_win GROUP BY w HAVING count(*) >= 2),
+        es_cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + {L})) AS t
+                   FROM es_win WHERE w IN (SELECT w FROM es_dup)),
+        es_runs AS (SELECT doc_id, t,
+                           t - row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY t) AS grp
+                    FROM es_cov),
+        es_spans AS (SELECT doc_id, min(t) AS start,
+                            CAST(count(*) AS BIGINT) AS len
+                     FROM es_runs GROUP BY doc_id, grp)
+        SELECT s.doc_id, CAST(s.start AS BIGINT) AS start, s.len,
+               md5(array_to_string(list_slice(
+                   src.toks, CAST(s.start + 1 AS BIGINT),
+                   CAST(s.start + s.len AS BIGINT)), ' ')) AS span_fp
+        FROM es_spans s JOIN es_src src USING (doc_id)
+    """
+
+
 def _sql_dup_ngram_stats(tok: str, k: int = 5) -> str:
     """DuckDB mirror of dedup.dup_ngram_stats."""
     return f"""
@@ -4439,6 +4473,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # dedup.dedup_spans: Lee-et-al-style duplicate-span removal
         "doc_dedup_spans": _sql_dedup_spans(tok),
+        "doc_exact_substrings": _sql_exact_substrings(tok),
         # composed chain v2: span removal x language rollup
         "doc_pipeline_spans_summary": f"""
             SELECT d.lang, l.lang_pred,

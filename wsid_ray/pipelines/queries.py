@@ -893,6 +893,14 @@ def q_doc_fingerprint(sf_dir: str) -> rd.Dataset:
                                               batch_format="pyarrow")
 
 
+def q_doc_exact_substrings(sf_dir: str) -> rd.Dataset:
+    """Suffix-granularity exact-substring duplicated spans (Lee et al.
+    2022 exact variant): maximal covered runs with arbitrary boundaries,
+    text-verified (stages/dedup.exact_substrings)."""
+    from ..stages.dedup import exact_substrings
+    return exact_substrings(read_documents(sf_dir), min_len=5)
+
+
 def q_doc_langid(sf_dir: str) -> rd.Dataset:
     from ..stages.textstats import langid_documents
     return langid_documents(read_documents(sf_dir))
@@ -3537,6 +3545,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_langid": q_doc_langid,
     "doc_langid_model": q_doc_langid_model,
+    "doc_exact_substrings": q_doc_exact_substrings,
     "doc_repetition": q_doc_repetition,
     "doc_stratified_sample": q_doc_stratified_sample,
     "bigram_lm_score": q_bigram_lm_score,
