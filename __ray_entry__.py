@@ -3690,6 +3690,7 @@ def oracle_sql() -> dict[str, str]:
         # composed end-to-end MinHash dedup chain: LSH candidates ->
         # exact Jaccard verify -> reachability closure -> drop non-min
         "doc_near_dup_drops": droplist_sql,
+        "doc_near_dup_drops_checkpointed": droplist_sql,
         # pipelines/queries.q_source_dedup_impact: per-feed curation
         # impact of the end-to-end near-dup chain
         "source_dedup_impact": f"""

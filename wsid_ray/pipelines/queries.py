@@ -7,6 +7,8 @@ hashes values after sorting columns by name).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -2011,6 +2013,22 @@ def q_doc_near_dup_drops(sf_dir: str) -> rd.Dataset:
                               shingle_k=3)
 
 
+def q_doc_near_dup_drops_checkpointed(sf_dir: str) -> rd.Dataset:
+    """Same drop list as doc_near_dup_drops, via the RESUMABLE
+    checkpointed chain (pipelines/neardup_ckpt.py): per-shard sketch
+    manifests, candidates/verify/CC replayed from the persisted rows —
+    shares the doc_near_dup_drops oracle (shard layout cannot change
+    the result)."""
+    import tempfile
+
+    from .neardup_ckpt import drops_dataset, run_neardup_checkpointed
+    out = os.path.join(tempfile.gettempdir(), "wsid_ray_neardup_ckpt",
+                       os.path.basename(str(sf_dir).rstrip("/")))
+    run_neardup_checkpointed(sf_dir, out, threshold=0.5, shingle_k=3,
+                             num_shards=4)
+    return drops_dataset(out)
+
+
 def q_user_sessions(sf_dir: str) -> rd.Dataset:
     """Gap-based sessionization of the events stream (30-min gap)."""
     from ..stages.sessions import sessionize
@@ -3497,6 +3515,7 @@ QUERIES = {
     "doc_minhash_candidates": q_doc_minhash_candidates,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_near_dup_drops": q_doc_near_dup_drops,
+    "doc_near_dup_drops_checkpointed": q_doc_near_dup_drops_checkpointed,
     "knn_cosine_topk": q_knn_cosine_topk,
     "knn_ivf_topk": q_knn_ivf_topk,
     "knn_lsh_topk": q_knn_lsh_topk,

@@ -212,6 +212,14 @@ def minhash_candidates(docs: rd.Dataset, num_perm: int = 64,
         fn_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
                        num_bands=num_bands),
         batch_format="pyarrow", batch_size=1024)
+    return candidates_from_bands(bands, num_buckets=num_buckets)
+
+
+def candidates_from_bands(bands: rd.Dataset,
+                          num_buckets: int = 32) -> rd.Dataset:
+    """(doc_id, band_id, band_hash) rows -> distinct candidate pairs —
+    split out so the checkpointed chain can resume from persisted band
+    rows (pipelines/neardup_ckpt.py)."""
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out_a: list[int] = []
@@ -243,11 +251,17 @@ def near_dup_drop_list(docs: rd.Dataset, threshold: float = 0.5,
     SQL-checked bucketed machinery (jaccard_pairs, unionfind) — nothing
     new moves at scale; the CC node set is near-dup-pair-bounded, far
     below corpus size."""
+    pairs = jaccard_pairs(docs, threshold=threshold, shingle_k=shingle_k)
+    return drops_from_pairs(pairs)
+
+
+def drops_from_pairs(pairs: rd.Dataset) -> rd.Dataset:
+    """Verified (doc_a, doc_b) pairs -> (doc_id, kept_by) drop rows via
+    connected components + smallest-id-wins — split out so the
+    checkpointed chain can resume from persisted verified pairs."""
     import pyarrow.compute as pc
 
     from .unionfind import connected_components
-
-    pairs = jaccard_pairs(docs, threshold=threshold, shingle_k=shingle_k)
 
     # CC labels are strings with lexicographic min — zero-pad the int64
     # doc ids so lexicographic == numeric order
@@ -358,24 +372,36 @@ def jaccard_pairs(docs: rd.Dataset, threshold: float,
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold, half-up 6dp.
     Mirrored 1:1 (candidates included) in oracle SQL.
     """
-    from .joins import hash_join
-
     cands = minhash_candidates(docs, num_perm=num_perm,
                                shingle_k=shingle_k, num_bands=num_bands)
 
-    def to_sets(name: str):
+    def to_sets(t: pa.Table) -> pa.Table:
+        toks = tokenize_column(t["text"]).to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "sh": pa.array(
+                [_shingle_strings(ts, shingle_k) for ts in toks],
+                type=pa.list_(pa.string())),
+        })
+
+    sets = docs.map_batches(to_sets, batch_format="pyarrow")
+    return verify_candidate_pairs(cands, sets, threshold)
+
+
+def verify_candidate_pairs(cands: rd.Dataset, sets: rd.Dataset,
+                           threshold: float) -> rd.Dataset:
+    """(doc_a, doc_b) candidates + (doc_id, sh) shingle-set table ->
+    verified (doc_a, doc_b, jaccard >= threshold) — split out so the
+    checkpointed chain can resume from persisted shingle sets."""
+    from .joins import hash_join
+
+    def side(name: str):
         def fn(t: pa.Table) -> pa.Table:
-            toks = tokenize_column(t["text"]).to_pylist()
-            return pa.table({
-                name: t["doc_id"],
-                f"sh_{name}": pa.array(
-                    [_shingle_strings(ts, shingle_k) for ts in toks],
-                    type=pa.list_(pa.string())),
-            })
+            return pa.table({name: t["doc_id"], f"sh_{name}": t["sh"]})
         return fn
 
-    sets_a = docs.map_batches(to_sets("doc_a"), batch_format="pyarrow")
-    sets_b = docs.map_batches(to_sets("doc_b"), batch_format="pyarrow")
+    sets_a = sets.map_batches(side("doc_a"), batch_format="pyarrow")
+    sets_b = sets.map_batches(side("doc_b"), batch_format="pyarrow")
     joined = hash_join(hash_join(cands, sets_a, on=["doc_a"],
                                  num_buckets=16),
                        sets_b, on=["doc_b"], num_buckets=16)
