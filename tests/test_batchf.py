@@ -25,12 +25,21 @@ def _duck(sql: str, tables=("documents",)) -> pd.DataFrame:
         con.close()
 
 
+def _sf_oracle(sql: str) -> str:
+    """oracle_sql() embeds the sf0.01 langid-profile artifact path; this
+    test runs at SF — swap in SF's profile so both sides score with the
+    same corpus-trained model."""
+    from wsid_ray.artifacts import ensure
+    return sql.replace(ensure("sf0.01")["langid_profile"],
+                       ensure(SF)["langid_profile"])
+
+
 def test_langid_confusion_parity_and_mass():
     import __ray_entry__ as E
     from wsid_ray.pipelines.mlstats import langid_confusion
     from wsid_ray.util import collect_table
     got = _canon(collect_table(langid_confusion(SF)).to_pandas())
-    exp = _canon(_duck(E.oracle_sql()["langid_confusion"]))
+    exp = _canon(_duck(_sf_oracle(E.oracle_sql()["langid_confusion"])))
     pd.testing.assert_frame_equal(got, exp)
     n_docs = len(pd.read_parquet(f"{SF}/documents.parquet",
                                  columns=["doc_id"]))
@@ -42,7 +51,7 @@ def test_langid_eval_parity_and_confusion_identity():
     from wsid_ray.pipelines.mlstats import langid_confusion, langid_eval
     from wsid_ray.util import collect_table
     got = _canon(langid_eval(SF).to_pandas())
-    exp = _canon(_duck(E.oracle_sql()["langid_eval"]))
+    exp = _canon(_duck(_sf_oracle(E.oracle_sql()["langid_eval"])))
     pd.testing.assert_frame_equal(got, exp)
     # recompute P/R/F1 straight from the confusion matrix
     conf = collect_table(langid_confusion(SF)).to_pandas()

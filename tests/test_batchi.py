@@ -25,6 +25,15 @@ def _duck(sql: str, tables=("documents",)) -> pd.DataFrame:
         con.close()
 
 
+def _sf_oracle(sql: str) -> str:
+    """oracle_sql() embeds the sf0.01 langid-profile artifact path; this
+    test runs at SF — swap in SF's profile so both sides score with the
+    same corpus-trained model."""
+    from wsid_ray.artifacts import ensure
+    return sql.replace(ensure("sf0.01")["langid_profile"],
+                       ensure(SF)["langid_profile"])
+
+
 def test_ks_parity_and_ecdf_recompute():
     import __ray_entry__ as E
     from wsid_ray.pipelines.mlstats import priority_price_ks
@@ -52,7 +61,7 @@ def test_kappa_parity_and_direct():
     from wsid_ray.pipelines.mlstats import langid_confusion, langid_kappa
     from wsid_ray.util import collect_table
     got = _canon(langid_kappa(SF).to_pandas())
-    exp = _canon(_duck(E.oracle_sql()["langid_kappa"]))
+    exp = _canon(_duck(_sf_oracle(E.oracle_sql()["langid_kappa"])))
     pd.testing.assert_frame_equal(got, exp)
     conf = collect_table(langid_confusion(SF)).to_pandas()
     n = conf["n_docs"].sum()
