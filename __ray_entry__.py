@@ -3661,6 +3661,26 @@ def oracle_sql() -> dict[str, str]:
             tr, tok, gaz, algo="hyperlex"),
         "doc_langid": _sql_doc_langid(),
         "doc_langid_model": _sql_doc_langid_model(art["langid_profile"]),
+        # wsid_ray/embedmodel.TfidfHashEmbedder: signed feature hashing
+        # (md5_number_upper; bucket = h % dim, sign = bit 63) of
+        # tf x idf_micro, idf read from the shared trained artifact;
+        # zero-sum buckets dropped on both sides
+        "doc_tfidf_embedding": f"""
+            WITH te_idf AS MATERIALIZED (
+                SELECT token, idf_micro FROM read_parquet('{art["idf"]}')),
+            te_tok AS (SELECT doc_id, unnest({tok}) AS tk FROM documents),
+            te_h AS (SELECT doc_id, tk, md5_number_upper(tk) AS h
+                     FROM te_tok),
+            te_v AS (SELECT t.doc_id AS vec_id,
+                            CAST(t.h % 32 AS BIGINT) AS bucket,
+                            (CASE WHEN (t.h >> 63) & 1 = 1 THEN -1
+                                  ELSE 1 END)
+                            * coalesce(i.idf_micro, 1000000) AS v
+                     FROM te_h t
+                     LEFT JOIN te_idf i ON i.token = t.tk)
+            SELECT vec_id, bucket, CAST(sum(v) AS BIGINT) AS val
+            FROM te_v GROUP BY 1, 2 HAVING sum(v) <> 0
+        """,
         # stages/multimodal.MediaFeaturizer vs the fixture-side
         # expected-decode artifact (encoder bodies / JPEG encoder
         # reconstruction, NO Huffman): a wrong decode -> hash mismatch.

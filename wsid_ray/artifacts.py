@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 
 from .config import DEFAULT_CONFIG, GAZETTEER, kb_candidates
 
-_ART_VERSION = "a4"
+_ART_VERSION = "a5"
 _ROOT = os.path.join(tempfile.gettempdir(), "wsid_ray_artifacts",
                      _ART_VERSION)
 
@@ -82,6 +82,7 @@ def ensure(sf_dir_or_scale: str) -> dict[str, str]:
         "lsh_topk": os.path.join(d, "lsh_topk.parquet"),
         "langid_profile": os.path.join(d, "langid_profile.parquet"),
         "media_decoded": os.path.join(d, "media_decoded.parquet"),
+        "idf": os.path.join(d, "idf.parquet"),
     }
     if os.path.exists(os.path.join(d, "_DONE")):
         return paths
@@ -164,6 +165,13 @@ def ensure(sf_dir_or_scale: str) -> dict[str, str]:
         from .stages.multimodal import synth_media_expected_table
         pq.write_table(synth_media_expected_table(300, 42),
                        os.path.join(tmp, "media_decoded.parquet"))
+
+        # --- corpus-trained IDF table (r5): distributed df pass; integer
+        # idf_micro read by BOTH the TfidfHashEmbedder and its oracle ----
+        from .embedmodel import train_idf
+        pq.write_table(
+            train_idf(read_documents(sf, columns=["doc_id", "text"])),
+            os.path.join(tmp, "idf.parquet"))
 
         with open(os.path.join(tmp, "_DONE"), "w") as fh:
             fh.write(_ART_VERSION)

@@ -895,6 +895,47 @@ def q_doc_fingerprint(sf_dir: str) -> rd.Dataset:
                                               batch_format="pyarrow")
 
 
+_TFIDF_EMB_DIM = 32
+
+
+def q_doc_tfidf_embedding(sf_dir: str) -> rd.Dataset:
+    """Corpus-trained TF-IDF hashed embeddings (wsid_ray/embedmodel.py)
+    through the actor-pool model path, exploded to (vec_id, bucket, val)
+    int64 rows — hash-exact vs an oracle reading the same integer IDF
+    artifact.  Zero-sum buckets dropped on both sides (sign
+    cancellation), so only touched, informative cells ship."""
+    from ..artifacts import ensure
+    from ..embedmodel import TfidfHashEmbedder
+    from ..stages.embed import embed_documents
+
+    model = TfidfHashEmbedder(ensure(sf_dir)["idf"], dim=_TFIDF_EMB_DIM)
+    emb = embed_documents(read_documents(sf_dir), dim=_TFIDF_EMB_DIM,
+                          model=model)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.int64())})
+        vecs = t["embedding"]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        M = vecs.flatten().to_numpy(zero_copy_only=False).reshape(
+            n, _TFIDF_EMB_DIM)
+        vid = np.repeat(t["vec_id"].to_numpy(zero_copy_only=False),
+                        _TFIDF_EMB_DIM)
+        bucket = np.tile(np.arange(_TFIDF_EMB_DIM, dtype=np.int64), n)
+        val = M.ravel()
+        keep = val != 0
+        return pa.table({
+            "vec_id": pa.array(vid[keep], pa.int64()),
+            "bucket": pa.array(bucket[keep], pa.int64()),
+            "val": pa.array(val[keep].astype(np.int64), pa.int64())})
+
+    return emb.map_batches(explode, batch_format="pyarrow")
+
+
 def q_doc_exact_substrings(sf_dir: str) -> rd.Dataset:
     """Suffix-granularity exact-substring duplicated spans (Lee et al.
     2022 exact variant): maximal covered runs with arbitrary boundaries,
@@ -3565,6 +3606,7 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_langid_model": q_doc_langid_model,
     "doc_exact_substrings": q_doc_exact_substrings,
+    "doc_tfidf_embedding": q_doc_tfidf_embedding,
     "doc_repetition": q_doc_repetition,
     "doc_stratified_sample": q_doc_stratified_sample,
     "bigram_lm_score": q_bigram_lm_score,
