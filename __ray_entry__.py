@@ -3681,6 +3681,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, bucket, CAST(sum(v) AS BIGINT) AS val
             FROM te_v GROUP BY 1, 2 HAVING sum(v) <> 0
         """,
+        # stages/knn.near_dup_pairs_exact_int over the trained
+        # TfidfHashEmbedder: integer cosine threshold cos > 4/5 decided
+        # by HUGEINT cross-multiplication — no float anywhere, so the
+        # mirror is exact by construction (dot ≤ √(na2·nb2) < 2**53 by
+        # Cauchy-Schwarz; 25·dot² < 2**104 fits HUGEINT)
+        "doc_tfidf_near_dup": f"""
+            WITH tn_idf AS MATERIALIZED (
+                SELECT token, idf_micro FROM read_parquet('{art["idf"]}')),
+            tn_tok AS (SELECT doc_id, unnest({tok}) AS tk FROM documents),
+            tn_h AS (SELECT doc_id, tk, md5_number_upper(tk) AS h
+                     FROM tn_tok),
+            tn_v AS (SELECT t.doc_id,
+                            CAST(t.h % 32 AS BIGINT) AS bucket,
+                            (CASE WHEN (t.h >> 63) & 1 = 1 THEN -1
+                                  ELSE 1 END)
+                            * coalesce(i.idf_micro, 1000000) AS v
+                     FROM tn_h t
+                     LEFT JOIN tn_idf i ON i.token = t.tk),
+            tn_vec AS MATERIALIZED (
+                SELECT doc_id, bucket, CAST(sum(v) AS BIGINT) AS val
+                FROM tn_v GROUP BY 1, 2 HAVING sum(v) <> 0),
+            tn_norm AS MATERIALIZED (
+                SELECT doc_id, sum(CAST(val AS HUGEINT) * val) AS n2
+                FROM tn_vec GROUP BY 1),
+            tn_dot AS (
+                SELECT a.doc_id AS vec_a, b.doc_id AS vec_b,
+                       sum(CAST(a.val AS HUGEINT) * b.val) AS dot
+                FROM tn_vec a JOIN tn_vec b
+                  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT d.vec_a, d.vec_b, CAST(d.dot AS BIGINT) AS dot,
+                   CAST(na.n2 AS BIGINT) AS na2,
+                   CAST(nb.n2 AS BIGINT) AS nb2
+            FROM tn_dot d
+            JOIN tn_norm na ON na.doc_id = d.vec_a
+            JOIN tn_norm nb ON nb.doc_id = d.vec_b
+            WHERE d.dot > 0 AND 25 * d.dot * d.dot > 16 * na.n2 * nb.n2
+        """,
         # stages/multimodal.MediaFeaturizer vs the fixture-side
         # expected-decode artifact (encoder bodies / JPEG encoder
         # reconstruction, NO Huffman): a wrong decode -> hash mismatch.

@@ -111,6 +111,61 @@ def test_model_differs_from_unweighted_fake(ray_session, tmp_path):
     assert not np.allclose(np.asarray(fake), real)
 
 
+def _int_pairs(vecs, tau_num, tau_den):
+    from wsid_ray.stages.knn import near_dup_pairs_exact_int
+    ds = rd.from_items([{"vec_id": i, "embedding": [float(x) for x in v]}
+                        for i, v in vecs.items()])
+    out = near_dup_pairs_exact_int(ds, tau_num=tau_num, tau_den=tau_den)
+    return sorted((r["vec_a"], r["vec_b"], r["dot"], r["na2"], r["nb2"])
+                  for r in out.take_all())
+
+
+def test_exact_int_near_dup_strict_boundary(ray_session):
+    """cos([3,4],[1,0]) == 3/5 EXACTLY: strict > excludes it at tau=3/5
+    and includes it at tau=59/100 — the float prefilter cannot blur the
+    boundary because the decision is arbitrary-precision integer."""
+    vecs = {1: [3, 4], 2: [1, 0]}
+    assert _int_pairs(vecs, 3, 5) == []
+    assert _int_pairs(vecs, 59, 100) == [(1, 2, 3, 25, 1)]
+
+
+def test_exact_int_near_dup_norms_travel_with_ids(ray_session):
+    """vec_a < vec_b is enforced after the block-pair join; na2 must be
+    vec_a's norm regardless of which block each id landed in (ids 8 and
+    17 fall in different mod-8 blocks, in both orders)."""
+    vecs = {17: [2, 0], 8: [1, 1], 24: [3, 3]}
+    got = _int_pairs(vecs, 1, 2)
+    assert (8, 24, 6, 2, 18) in got
+    for a, b, dot, na2, nb2 in got:
+        assert a < b
+
+
+def test_exact_int_near_dup_rejects_nonint_and_huge(ray_session):
+    import pytest
+    with pytest.raises(Exception, match="integer-valued"):
+        _int_pairs({1: [0.5, 1.0], 2: [1.0, 0.0]}, 1, 2)
+    with pytest.raises(Exception, match="magnitude contract"):
+        _int_pairs({1: [float(1 << 29), 0.0], 2: [1.0, 0.0]}, 1, 2)
+
+
+def test_trained_near_dup_end_to_end(ray_session, tmp_path):
+    """Identical docs through the trained-model chain are cos=1 pairs;
+    unrelated docs stay out at tau=4/5."""
+    from wsid_ray.stages.embed import embed_documents
+    from wsid_ray.stages.knn import near_dup_pairs_exact_int
+    p = _idf_path(tmp_path)
+    docs = rd.from_items(
+        [{"doc_id": 0, "text": _DOCS[0]},
+         {"doc_id": 9, "text": _DOCS[0]},   # exact dup, different block
+         {"doc_id": 2, "text": _DOCS[2]}])
+    emb = embed_documents(docs, dim=32, model=TfidfHashEmbedder(p, dim=32))
+    got = [(r["vec_a"], r["vec_b"], r["dot"], r["na2"], r["nb2"])
+           for r in near_dup_pairs_exact_int(emb, 4, 5).take_all()]
+    assert len(got) == 1
+    a, b, dot, na2, nb2 = got[0]
+    assert (a, b) == (0, 9) and dot == na2 == nb2  # cos exactly 1
+
+
 def test_actor_pool_model_path(ray_session, tmp_path):
     from wsid_ray.stages.embed import embed_documents
     p = _idf_path(tmp_path)

@@ -936,6 +936,24 @@ def q_doc_tfidf_embedding(sf_dir: str) -> rd.Dataset:
     return emb.map_batches(explode, batch_format="pyarrow")
 
 
+def q_doc_tfidf_near_dup(sf_dir: str) -> rd.Dataset:
+    """End-to-end near-dup with the TRAINED model (r5): documents ->
+    TfidfHashEmbedder actor pool (IDF artifact loaded once per worker) ->
+    integer-exact block-pair cosine near-dup at cos > 4/5.  Output is
+    (vec_a, vec_b, dot, na2, nb2) exact int64 — no float score — so the
+    DuckDB mirror (sparse bucket self-join + HUGEINT cross-multiplied
+    threshold) is hash-exact by construction."""
+    from ..artifacts import ensure
+    from ..embedmodel import TfidfHashEmbedder
+    from ..stages.embed import embed_documents
+    from ..stages.knn import near_dup_pairs_exact_int
+
+    model = TfidfHashEmbedder(ensure(sf_dir)["idf"], dim=_TFIDF_EMB_DIM)
+    emb = embed_documents(read_documents(sf_dir), dim=_TFIDF_EMB_DIM,
+                          model=model)
+    return near_dup_pairs_exact_int(emb, tau_num=4, tau_den=5)
+
+
 def q_doc_exact_substrings(sf_dir: str) -> rd.Dataset:
     """Suffix-granularity exact-substring duplicated spans (Lee et al.
     2022 exact variant): maximal covered runs with arbitrary boundaries,
@@ -3607,6 +3625,7 @@ QUERIES = {
     "doc_langid_model": q_doc_langid_model,
     "doc_exact_substrings": q_doc_exact_substrings,
     "doc_tfidf_embedding": q_doc_tfidf_embedding,
+    "doc_tfidf_near_dup": q_doc_tfidf_near_dup,
     "doc_repetition": q_doc_repetition,
     "doc_stratified_sample": q_doc_stratified_sample,
     "bigram_lm_score": q_bigram_lm_score,

@@ -224,6 +224,118 @@ def near_dup_pairs(embeddings: rd.Dataset, threshold: float,
                                 num_buckets=B * (B + 1) // 2)
 
 
+_INT_EMB_MAX_ABS = 1 << 28  # per-cell magnitude contract (see below)
+
+
+def near_dup_pairs_exact_int(embeddings: rd.Dataset, tau_num: int,
+                             tau_den: int,
+                             num_blocks: int = 8) -> rd.Dataset:
+    """Integer-exact embedding-cosine near-dup: pairs with
+    cosine > tau_num/tau_den over INTEGER-VALUED vectors, emitted as
+    (vec_a, vec_b, dot, na2, nb2) — all exact int64, NO float score, so
+    the SQL mirror is trivially hash-exact (DuckDB compares
+    ``den²·dot² > num²·na2·nb2`` in HUGEINT).
+
+    Same distributed block-pair triangle join as :func:`near_dup_pairs`
+    (data movement O(n·B), one task per unordered block pair, nothing on
+    the driver).  Inside a tile: int64 matmul for exact dot products
+    (magnitude contract: per-cell |val| < 2**28, so each of the ≤dim
+    products stays < 2**56 and the sum < 2**63 for dim ≤ 128 — asserted),
+    then a float64 prefilter with a 1e-9 band picks candidates and the
+    strict threshold is decided with arbitrary-precision Python ints on
+    that (output-sized) candidate set only.  The prefilter cannot drop a
+    true pair: by Cauchy-Schwarz dot ≤ √(na2·nb2) < 2**53, so the float
+    cosine is accurate to ~1e-15 « the band."""
+    B = num_blocks
+    t2n, t2d = tau_num * tau_num, tau_den * tau_den
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = vids % B
+        other = np.tile(np.arange(B, dtype=np.int64), n)
+        blk_rep = np.repeat(blk, B)
+        take = pa.array(np.repeat(np.arange(n), B), type=pa.int64())
+        import pyarrow.compute as pc
+        return pa.table({
+            "pi": pa.array(np.minimum(blk_rep, other), type=pa.int32()),
+            "pj": pa.array(np.maximum(blk_rep, other), type=pa.int32()),
+            "blk": pa.array(blk_rep, type=pa.int32()),
+            "vec_id": pc.take(t["vec_id"], take),
+            "embedding": pc.take(t["embedding"], take),
+        })
+
+    exploded = embeddings.map_batches(explode, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def _imat(rows) -> np.ndarray:
+        M = np.asarray(rows.tolist(), dtype=np.float64)
+        I = M.astype(np.int64)
+        if (I != M).any():
+            raise ValueError("exact-int near-dup needs integer-valued "
+                             "embeddings")
+        if np.abs(I).max(initial=0) >= _INT_EMB_MAX_ABS:
+            raise ValueError("embedding cell exceeds the 2**28 exact-dot "
+                             "magnitude contract")
+        return I
+
+    def _emit(ids_a, ids_b, dot, na2, nb2):
+        """Float prefilter band -> exact integer strict-threshold."""
+        tau = tau_num / tau_den
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cosf = dot.astype(np.float64) / np.sqrt(
+                na2.astype(np.float64)[:, None]
+                * nb2.astype(np.float64)[None, :])
+        ca, cb = np.nonzero(np.nan_to_num(cosf) >= tau - 1e-9)
+        rows = []
+        for i, j in zip(ca.tolist(), cb.tolist()):
+            d = int(dot[i, j])
+            if d <= 0:
+                continue
+            a2, b2 = int(na2[i]), int(nb2[j])
+            if t2d * d * d > t2n * a2 * b2:  # exact, arbitrary precision
+                va, vb = int(ids_a[i]), int(ids_b[j])
+                if va > vb:  # norms travel with their ids
+                    va, vb, a2, b2 = vb, va, b2, a2
+                rows.append((va, vb, d, a2, b2))
+        return rows
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out: list[tuple] = []
+        for (pi, pj), g in df.groupby(["pi", "pj"], sort=True):
+            g = g.drop_duplicates("vec_id")
+            left = g[g["blk"] == pi]
+            if not len(left) or (pi == pj and len(left) < 2):
+                continue
+            ids_l = left["vec_id"].to_numpy()
+            L = _imat(left["embedding"])
+            n2_l = (L * L).sum(axis=1)
+            if pi == pj:
+                order = np.argsort(ids_l, kind="stable")
+                Ls, ids_s, n2_s = L[order], ids_l[order], n2_l[order]
+                D = Ls @ Ls.T
+                iu = np.triu(np.ones_like(D, dtype=bool), k=1)
+                D = np.where(iu, D, np.int64(0))  # each pair once, a < b
+                out.extend(_emit(ids_s, ids_s, D, n2_s, n2_s))
+            else:
+                right = g[g["blk"] == pj]
+                if not len(right):
+                    continue
+                R = _imat(right["embedding"])
+                out.extend(_emit(ids_l, right["vec_id"].to_numpy(),
+                                 L @ R.T, n2_l, (R * R).sum(axis=1)))
+        cols = list(zip(*out)) if out else [[]] * 5
+        return pd.DataFrame({
+            name: pd.Series(np.asarray(c, dtype=np.int64), dtype="int64")
+            for name, c in zip(
+                ("vec_a", "vec_b", "dot", "na2", "nb2"), cols)})
+
+    from .groups import bucketed_group_apply
+    return bucketed_group_apply(exploded, ["pi", "pj"], pairs_in_bucket,
+                                num_buckets=B * (B + 1) // 2)
+
+
 def kmeans_centroids(X: np.ndarray, k: int, iters: int = 10,
                      seed: int = 42) -> np.ndarray:
     """Deterministic Lloyd's k-means on (a sample of) the corpus — the
