@@ -1201,6 +1201,53 @@ _SQL_KNN_SELF = """
 """
 
 
+def _sql_bpe_merges(rounds: int = 6, passes: int = 12) -> str:
+    """DuckDB mirror of stages/bpe.train_bpe — the BPE merge loop
+    unrolled to ``rounds`` CTE triples (p{r}: freq-weighted
+    adjacent-pair counts over word TYPES, b{r}: the (cnt DESC, lft,
+    rgt) argmax, s{r}: the merge applied as ``passes`` nested
+    leftmost-nonoverlapping replaces on the delimiter-framed symbol
+    string — DuckDB replace() and Python str.replace share those
+    semantics, and 12 passes reach fixpoint for the ≤25-symbol words
+    the engine's contract asserts).  s{r}/b{r} MATERIALIZED so the
+    final UNION doesn't re-derive the whole chain per round."""
+    tok = _sql_token_expr()
+    ctes = [f"""w AS MATERIALIZED (
+            SELECT tk AS word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest({tok}) AS tk FROM documents)
+            WHERE length(tk) <= 24 GROUP BY 1)""",
+            """s0 AS MATERIALIZED (SELECT freq,
+                '|' || array_to_string(list_transform(
+                    range(1, length(word) + 1), i -> word[i]), '|')
+                    || '|</w>|' AS seq
+            FROM w)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""p{r} AS (
+            SELECT sy[i] AS lft, sy[i + 1] AS rgt,
+                   CAST(sum(freq) AS BIGINT) AS n
+            FROM (SELECT freq, sy, unnest(range(1, len(sy))) AS i
+                  FROM (SELECT freq,
+                               string_split(trim(seq, '|'), '|') AS sy
+                        FROM s{r - 1}))
+            GROUP BY 1, 2)""")
+        ctes.append(f"""b{r} AS MATERIALIZED (
+            SELECT lft, rgt, n FROM p{r}
+            ORDER BY n DESC, lft ASC, rgt ASC LIMIT 1)""")
+        expr = "seq"
+        for _ in range(passes):
+            expr = (f"replace({expr}, '|' || b{r}.lft || '|' || "
+                    f"b{r}.rgt || '|', '|' || b{r}.lft || b{r}.rgt "
+                    f"|| '|')")
+        ctes.append(f"s{r} AS MATERIALIZED (SELECT freq, {expr} AS seq "
+                    f"FROM s{r - 1}, b{r})")
+    joined = ",\n        ".join(ctes)
+    sel = "\n            UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnd, lft, rgt, "
+        f"lft || rgt AS merged, n AS cnt FROM b{r}"
+        for r in range(1, rounds + 1))
+    return f"WITH {joined}\n        {sel}"
+
+
 def _sql_markov_stationary(rounds: int = 8) -> str:
     """DuckDB mirror of pipelines/mlstats.event_type_markov_stationary
     — the v ← vP power iteration unrolled to ``rounds`` CTE rounds
@@ -3719,6 +3766,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN tn_norm nb ON nb.doc_id = d.vec_b
             WHERE d.dot > 0 AND 25 * d.dot * d.dot > 16 * na.n2 * nb.n2
         """,
+        # stages/bpe.train_bpe: distributed BPE tokenizer-vocab training
+        # (Sennrich 2016), 6 merge rounds unrolled into CTE triples
+        "bpe_merges": _sql_bpe_merges(rounds=6),
         # stages/multimodal.MediaFeaturizer vs the fixture-side
         # expected-decode artifact (encoder bodies / JPEG encoder
         # reconstruction, NO Huffman): a wrong decode -> hash mismatch.

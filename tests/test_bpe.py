@@ -1,0 +1,111 @@
+"""Distributed BPE training (stages/bpe.py): merges match an
+independent symbol-list reference implementation (Sennrich 2016
+get_stats/merge semantics), training is block-split invariant, the
+replace-to-fixpoint apply equals list-scan merging, and tie-breaks are
+deterministic."""
+
+from collections import Counter
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from wsid_ray.stages.bpe import (_EOW, _apply_merges, _pair_counts,
+                                 _seq_strings, encode_words, train_bpe)
+from wsid_ray.stages.tokenize import tokenize_column
+
+
+def _ref_bpe(texts, rounds):
+    """Independent reference: explicit symbol LISTS (no string-replace),
+    single left-to-right merge scan — the classic implementation."""
+    freq: Counter = Counter()
+    for toklist in tokenize_column(pa.array(texts)).to_pylist():
+        for w in toklist:
+            if len(w) <= 24:
+                freq[w] += 1
+    vocab = {w: list(w) + [_EOW] for w in freq}
+    out = []
+    for rnd in range(1, rounds + 1):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rnd, l, r, l + r, n))
+        for w, syms in vocab.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            vocab[w] = new
+    return out
+
+
+_TEXTS = [
+    "low low low low low",
+    "lower lower newest newest newest",
+    "newest newest newest widest widest widest",
+]
+
+
+def _docs(texts):
+    return rd.from_items([{"doc_id": i, "text": t}
+                          for i, t in enumerate(texts)])
+
+
+def test_merges_match_reference(ray_session):
+    got = train_bpe(_docs(_TEXTS), rounds=6).to_pylist()
+    want = _ref_bpe(_TEXTS, 6)
+    assert [(r["rnd"], r["lft"], r["rgt"], r["merged"], r["cnt"])
+            for r in got] == want
+
+
+def test_block_split_invariant(ray_session):
+    texts = _TEXTS * 4
+    a = train_bpe(_docs(texts), rounds=4)
+    b = train_bpe(_docs(texts).repartition(5), rounds=4)
+    assert a.equals(b)
+
+
+def test_apply_fixpoint_equals_list_scan(ray_session):
+    """Runs and interleavings where one replace pass is not enough:
+    string-replace-to-fixpoint must equal the reference list scan."""
+    for word, merge in [("aaaa", ("a", "a")), ("ababab", ("a", "b")),
+                        ("aaab", ("a", "a")), ("baaa", ("a", "a"))]:
+        seq = _apply_merges(_seq_strings(pd.Series([word])),
+                            [merge]).iloc[0]
+        syms, i = [], 0
+        ref_syms = list(word) + [_EOW]
+        while i < len(ref_syms):
+            if (i + 1 < len(ref_syms) and ref_syms[i] == merge[0]
+                    and ref_syms[i + 1] == merge[1]):
+                syms.append(merge[0] + merge[1])
+                i += 2
+            else:
+                syms.append(ref_syms[i])
+                i += 1
+        assert seq == "|" + "|".join(syms) + "|", word
+
+
+def test_pair_counts_weighted_and_masked(ray_session):
+    """Counts are freq-weighted and never cross word boundaries."""
+    df = _pair_counts(_seq_strings(pd.Series(["ab", "ba"])),
+                      pd.Series([3, 5]).to_numpy())
+    got = {(r.lft, r.rgt): r.n for r in df.itertuples()}
+    assert got == {("a", "b"): 3, ("b", _EOW): 3,
+                   ("b", "a"): 5, ("a", _EOW): 5}
+
+
+def test_encode_words_roundtrip(ray_session):
+    merges = [("e", "s"), ("es", "t"), ("est", _EOW)]
+    out = encode_words(pd.Series(["newest", "widest", "low"]), merges)
+    assert out.iloc[0] == ["n", "e", "w", "est</w>"]
+    assert out.iloc[1] == ["w", "i", "d", "est</w>"]
+    assert out.iloc[2] == ["l", "o", "w", _EOW]

@@ -954,6 +954,15 @@ def q_doc_tfidf_near_dup(sf_dir: str) -> rd.Dataset:
     return near_dup_pairs_exact_int(emb, tau_num=4, tau_den=5)
 
 
+def q_bpe_merges(sf_dir: str) -> pa.Table:
+    """Distributed BPE tokenizer-vocabulary training (stages/bpe.py,
+    Sennrich et al. 2016): 6 merge rounds over the corpus word-type
+    table; returns the tiny (rnd, lft, rgt, merged, cnt) merge table —
+    hash-exact vs the unrolled-CTE DuckDB mirror."""
+    from ..stages.bpe import train_bpe
+    return train_bpe(read_documents(sf_dir), rounds=6)
+
+
 def q_doc_exact_substrings(sf_dir: str) -> rd.Dataset:
     """Suffix-granularity exact-substring duplicated spans (Lee et al.
     2022 exact variant): maximal covered runs with arbitrary boundaries,
@@ -3626,6 +3635,7 @@ QUERIES = {
     "doc_exact_substrings": q_doc_exact_substrings,
     "doc_tfidf_embedding": q_doc_tfidf_embedding,
     "doc_tfidf_near_dup": q_doc_tfidf_near_dup,
+    "bpe_merges": q_bpe_merges,
     "doc_repetition": q_doc_repetition,
     "doc_stratified_sample": q_doc_stratified_sample,
     "bigram_lm_score": q_bigram_lm_score,
