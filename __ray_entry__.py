@@ -1201,7 +1201,8 @@ _SQL_KNN_SELF = """
 """
 
 
-def _sql_bpe_merges(rounds: int = 6, passes: int = 12) -> str:
+def _sql_bpe_merges(rounds: int = 6, passes: int = 12,
+                    subword_counts: bool = False) -> str:
     """DuckDB mirror of stages/bpe.train_bpe — the BPE merge loop
     unrolled to ``rounds`` CTE triples (p{r}: freq-weighted
     adjacent-pair counts over word TYPES, b{r}: the (cnt DESC, lft,
@@ -1241,6 +1242,16 @@ def _sql_bpe_merges(rounds: int = 6, passes: int = 12) -> str:
         ctes.append(f"s{r} AS MATERIALIZED (SELECT freq, {expr} AS seq "
                     f"FROM s{r - 1}, b{r})")
     joined = ",\n        ".join(ctes)
+    if subword_counts:
+        # stages/bpe.subword_counts: the corpus re-tokenized with the
+        # trained merges — s{rounds} already holds every word type's
+        # final symbol string, weighted by freq
+        return f"""WITH {joined}
+            SELECT sym AS subword, CAST(sum(freq) AS BIGINT) AS n
+            FROM (SELECT freq,
+                         unnest(string_split(trim(seq, '|'), '|')) AS sym
+                  FROM s{rounds})
+            GROUP BY 1"""
     sel = "\n            UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS rnd, lft, rgt, "
         f"lft || rgt AS merged, n AS cnt FROM b{r}"
@@ -3769,6 +3780,10 @@ def oracle_sql() -> dict[str, str]:
         # stages/bpe.train_bpe: distributed BPE tokenizer-vocab training
         # (Sennrich 2016), 6 merge rounds unrolled into CTE triples
         "bpe_merges": _sql_bpe_merges(rounds=6),
+        # stages/bpe.subword_counts: corpus re-tokenized with the
+        # trained 6-round vocab, (subword, n) frequencies
+        "doc_bpe_subword_counts": _sql_bpe_merges(rounds=6,
+                                                  subword_counts=True),
         # stages/multimodal.MediaFeaturizer vs the fixture-side
         # expected-decode artifact (encoder bodies / JPEG encoder
         # reconstruction, NO Huffman): a wrong decode -> hash mismatch.

@@ -103,6 +103,23 @@ def test_pair_counts_weighted_and_masked(ray_session):
                    ("b", "a"): 5, ("a", _EOW): 5}
 
 
+def test_subword_counts_match_reference(ray_session):
+    """Corpus subword frequencies under the trained merges equal a
+    token-by-token reference encode (word-type trick is invisible)."""
+    from wsid_ray.stages.bpe import subword_counts
+    merges = [(r[1], r[2]) for r in _ref_bpe(_TEXTS, 3)]
+    got = {r["subword"]: r["n"]
+           for r in subword_counts(_docs(_TEXTS), merges).take_all()}
+    want: Counter = Counter()
+    for toklist in tokenize_column(pa.array(_TEXTS)).to_pylist():
+        for w in toklist:
+            if len(w) > 24:
+                continue
+            for s in encode_words(pd.Series([w]), merges).iloc[0]:
+                want[s] += 1
+    assert got == dict(want)
+
+
 def test_encode_words_roundtrip(ray_session):
     merges = [("e", "s"), ("es", "t"), ("est", _EOW)]
     out = encode_words(pd.Series(["newest", "widest", "low"]), merges)

@@ -963,6 +963,17 @@ def q_bpe_merges(sf_dir: str) -> pa.Table:
     return train_bpe(read_documents(sf_dir), rounds=6)
 
 
+def q_doc_bpe_subword_counts(sf_dir: str) -> rd.Dataset:
+    """Train the 6-round BPE vocab, then tokenize the corpus with it:
+    (subword, n) frequency table — the end-to-end train→encode chain,
+    hash-exact vs the oracle's s6 symbol explosion."""
+    from ..stages.bpe import subword_counts, train_bpe
+    merges_tbl = train_bpe(read_documents(sf_dir), rounds=6)
+    merges = list(zip(merges_tbl["lft"].to_pylist(),
+                      merges_tbl["rgt"].to_pylist()))
+    return subword_counts(read_documents(sf_dir), merges)
+
+
 def q_doc_exact_substrings(sf_dir: str) -> rd.Dataset:
     """Suffix-granularity exact-substring duplicated spans (Lee et al.
     2022 exact variant): maximal covered runs with arbitrary boundaries,
@@ -3636,6 +3647,7 @@ QUERIES = {
     "doc_tfidf_embedding": q_doc_tfidf_embedding,
     "doc_tfidf_near_dup": q_doc_tfidf_near_dup,
     "bpe_merges": q_bpe_merges,
+    "doc_bpe_subword_counts": q_doc_bpe_subword_counts,
     "doc_repetition": q_doc_repetition,
     "doc_stratified_sample": q_doc_stratified_sample,
     "bigram_lm_score": q_bigram_lm_score,

@@ -156,3 +156,38 @@ def encode_words(words: pd.Series, merges: list[tuple[str, str]]
     (the inference side of the tokenizer)."""
     seqs = _apply_merges(_seq_strings(words), merges)
     return seqs.str.strip("|").str.split("|")
+
+
+def subword_counts(docs: rd.Dataset, merges: list[tuple[str, str]]
+                   ) -> rd.Dataset:
+    """Corpus subword frequencies under a trained merge list — the
+    "tokenize the corpus with YOUR tokenizer" pass.  Encoding rides the
+    word-type trick per batch (unique words encoded once, then exploded
+    weighted by their in-batch counts), so the merge application cost is
+    per type, not per token; the broadcast merge list is tiny."""
+    from ..pipelines.analytics import bucketed_sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = tokenize_column(t["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(
+            pc.less_equal(pc.utf8_length(flat), _MAX_WORD_LEN))
+        if not len(flat):
+            return pd.DataFrame({"subword": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        vc = flat.value_counts()
+        words = vc.field("values").to_pandas()
+        wn = vc.field("counts").to_numpy(zero_copy_only=False)
+        subs = encode_words(words, merges)
+        lens = subs.str.len().to_numpy(dtype=np.int64)
+        sym = np.asarray([s for row in subs for s in row], dtype=object)
+        df = pd.DataFrame({"subword": sym, "n": np.repeat(wn, lens)})
+        out = df.groupby("subword", sort=False, as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = docs.select_columns(["text"]).map_batches(
+        partial, batch_format="pyarrow")
+    return bucketed_sum(parts, ["subword"], ["n"], num_buckets=16)
