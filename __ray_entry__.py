@@ -3784,6 +3784,18 @@ def oracle_sql() -> dict[str, str]:
         # trained 6-round vocab, (subword, n) frequencies
         "doc_bpe_subword_counts": _sql_bpe_merges(rounds=6,
                                                   subword_counts=True),
+        # pipelines/queries.q_doc_training_order: RNG-free reproducible
+        # global shuffle (shard, pos) for the training-data writer
+        "doc_training_order": """
+            WITH hh AS (SELECT doc_id,
+                        CAST(md5_number_upper(CAST(doc_id AS VARCHAR))
+                             >> 1 AS BIGINT) AS h63
+                        FROM documents)
+            SELECT doc_id, CAST(h63 % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY h63 % 8
+                        ORDER BY h63, doc_id) AS BIGINT) AS pos
+            FROM hh
+        """,
         # stages/multimodal.MediaFeaturizer vs the fixture-side
         # expected-decode artifact (encoder bodies / JPEG encoder
         # reconstruction, NO Huffman): a wrong decode -> hash mismatch.

@@ -963,6 +963,47 @@ def q_bpe_merges(sf_dir: str) -> pa.Table:
     return train_bpe(read_documents(sf_dir), rounds=6)
 
 
+_TRAIN_ORDER_SHARDS = 8
+
+
+def q_doc_training_order(sf_dir: str) -> rd.Dataset:
+    """Deterministic global training order WITHOUT a global sort or RNG
+    (the training-data writer step): every doc gets (shard, pos) where
+    shard = h63 % 8 and pos = exact ROW_NUMBER within the shard by
+    (h63, doc_id), h63 = md5(doc_id) first-8-bytes-LE >> 1.  Hash order
+    is a uniform permutation, so concatenating shards (or interleaving
+    by pos) is a reproducible full shuffle; ranks come from the shared
+    exact two-pass histogram machinery — no shard is ever co-located in
+    one task."""
+    import hashlib
+
+    from .analytics import exact_partitioned_ranks
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h63 = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                            "little") >> 1 for i in ids.tolist()),
+            dtype=np.int64, count=len(ids))
+        return pd.DataFrame({"shard": h63 % _TRAIN_ORDER_SHARDS,
+                             "h63": h63, "doc_id": ids})
+
+    src = read_documents(sf_dir, columns=["doc_id"]).map_batches(
+        pairs, batch_format="pyarrow")
+    schema = pa.schema([("doc_id", pa.int64()), ("shard", pa.int64()),
+                        ("pos", pa.int64())])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "shard": g["shard"].to_numpy().astype("int64"),
+            "pos": start + np.arange(len(g), dtype=np.int64) + 1})
+
+    return exact_partitioned_ranks(src, "shard", "h63", "doc_id",
+                                   bin_width=1 << 53, emit=emit,
+                                   out_schema=schema)
+
+
 def q_doc_bpe_subword_counts(sf_dir: str) -> rd.Dataset:
     """Train the 6-round BPE vocab, then tokenize the corpus with it:
     (subword, n) frequency table — the end-to-end train→encode chain,
@@ -3648,6 +3689,7 @@ QUERIES = {
     "doc_tfidf_near_dup": q_doc_tfidf_near_dup,
     "bpe_merges": q_bpe_merges,
     "doc_bpe_subword_counts": q_doc_bpe_subword_counts,
+    "doc_training_order": q_doc_training_order,
     "doc_repetition": q_doc_repetition,
     "doc_stratified_sample": q_doc_stratified_sample,
     "bigram_lm_score": q_bigram_lm_score,
