@@ -1848,6 +1848,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(r) AS canon_id FROM reach GROUP BY doc_id
         """
 
+    # shared by doc_embed_near_dup and its resumable checkpointed twin —
+    # mirror of stages/embed.FakeTextEmbedder (md5 token-bucket
+    # histogram) + exact cosine near-dup, end to end
+    embed_neardup_sql = f"""
+            WITH vecs AS (
+                SELECT doc_id,
+                       list_transform(range(32), i ->
+                           CAST(len(list_filter(toks,
+                               y -> md5_number_upper(y) % 32 = i))
+                           AS DOUBLE)) AS v
+                FROM (SELECT doc_id, {tok} AS toks FROM documents)
+            )
+            SELECT a.doc_id AS vec_a, b.doc_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS score
+            FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+            WHERE list_cosine_similarity(a.v, b.v) > 0.99
+        """
+
     return {
         # --- planted-duplicate curation ops (stages/setsim.py): the
         # derived corpus is a pure SQL transform of the driver's own
@@ -4857,23 +4875,12 @@ def oracle_sql() -> dict[str, str]:
                          + 0.5) / 1000000.0 AS avg_k
             FROM x GROUP BY event_type
         """,
-        # mirror of stages/embed.FakeTextEmbedder (md5 token-bucket
-        # histogram) + exact cosine near-dup — checks the text -> embed ->
-        # near-dup pipeline end to end
-        "doc_embed_near_dup": f"""
-            WITH vecs AS (
-                SELECT doc_id,
-                       list_transform(range(32), i ->
-                           CAST(len(list_filter(toks,
-                               y -> md5_number_upper(y) % 32 = i))
-                           AS DOUBLE)) AS v
-                FROM (SELECT doc_id, {tok} AS toks FROM documents)
-            )
-            SELECT a.doc_id AS vec_a, b.doc_id AS vec_b,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS score
-            FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
-            WHERE list_cosine_similarity(a.v, b.v) > 0.99
-        """,
+        # text -> actor-pool embed -> exact cosine near-dup, checked end
+        # to end; the checkpointed twin resumes the inference pass from
+        # per-shard manifests (pipelines/embed_ckpt.py) and must produce
+        # the identical pair list
+        "doc_embed_near_dup": embed_neardup_sql,
+        "doc_embed_near_dup_checkpointed": embed_neardup_sql,
         "embedding_near_dup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_cosine_similarity(

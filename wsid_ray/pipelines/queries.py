@@ -2149,6 +2149,22 @@ def q_doc_near_dup_drops_checkpointed(sf_dir: str) -> rd.Dataset:
     return drops_dataset(out)
 
 
+def q_doc_embed_near_dup_checkpointed(sf_dir: str) -> rd.Dataset:
+    """Same pair list as doc_embed_near_dup, via the RESUMABLE
+    checkpointed embedding pass (pipelines/embed_ckpt.py): per-shard
+    inference manifests, the block-pair cosine join replayed from the
+    persisted vectors — shares the doc_embed_near_dup oracle (shard
+    layout cannot change the result)."""
+    import tempfile
+
+    from .embed_ckpt import pairs_dataset, run_embed_checkpointed
+    out = os.path.join(tempfile.gettempdir(), "wsid_ray_embed_ckpt",
+                       os.path.basename(str(sf_dir).rstrip("/")))
+    run_embed_checkpointed(sf_dir, out, dim=32, threshold=0.99,
+                           num_shards=4)
+    return pairs_dataset(out)
+
+
 def q_user_sessions(sf_dir: str) -> rd.Dataset:
     """Gap-based sessionization of the events stream (30-min gap)."""
     from ..stages.sessions import sessionize
@@ -3636,6 +3652,7 @@ QUERIES = {
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_near_dup_drops": q_doc_near_dup_drops,
     "doc_near_dup_drops_checkpointed": q_doc_near_dup_drops_checkpointed,
+    "doc_embed_near_dup_checkpointed": q_doc_embed_near_dup_checkpointed,
     "knn_cosine_topk": q_knn_cosine_topk,
     "knn_ivf_topk": q_knn_ivf_topk,
     "knn_lsh_topk": q_knn_lsh_topk,
