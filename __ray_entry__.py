@@ -4726,6 +4726,25 @@ def oracle_sql() -> dict[str, str]:
         # micro-unit scaling makes the per-doc sum order-independent
         # (mirror of stages/lm.bigram_lm_scores)
         "bigram_lm_score": _sql_bigram_lm(),
+        # pipelines/queries.q_doc_ppl_buckets: CCNet-style per-language
+        # head/middle/tail tertiles of the LM score (Wenzek 2020) —
+        # NTILE over the int64 micro-unit score, doc_id tie-break
+        "doc_ppl_buckets": f"""
+            WITH lm AS ({_sql_bigram_lm()}),
+            j AS (SELECT lm.doc_id, d.lang,
+                         CAST(floor(lm.lm_score * 1000000 + 0.5)
+                              AS BIGINT) AS lm_micro
+                  FROM lm JOIN documents d USING (doc_id)),
+            t AS (SELECT doc_id, lang,
+                         CAST(ntile(3) OVER (PARTITION BY lang
+                              ORDER BY lm_micro, doc_id) AS BIGINT)
+                             AS ppl_tertile
+                  FROM j)
+            SELECT doc_id, lang, ppl_tertile,
+                   CASE ppl_tertile WHEN 1 THEN 'tail'
+                        WHEN 2 THEN 'middle' ELSE 'head' END AS bucket
+            FROM t
+        """,
         # DSIR-style importance sampling over the LM score (stages/lm.py)
         "doc_importance_sample": f"""
             SELECT doc_id, lm_score, rate FROM (

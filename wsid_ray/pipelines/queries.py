@@ -1079,6 +1079,53 @@ def q_bigram_lm_score(sf_dir: str) -> rd.Dataset:
     return bigram_lm_scores(read_documents(sf_dir))
 
 
+def q_doc_ppl_buckets(sf_dir: str) -> rd.Dataset:
+    """CCNet-style perplexity partition (Wenzek et al. 2020): each
+    language's documents split into head/middle/tail tertiles of the
+    corpus bigram-LM score (higher score = lower perplexity = "head").
+
+    Plan: the SQL-mirrored bigram-LM score, a partitioned hash join to
+    the doc's lang, then the shared exact two-pass NTILE machinery
+    (exact_partitioned_ranks — histogram pass + per-(lang, bin) emit, no
+    language ever co-located in one task).  Ordering key is the int64
+    micro-unit score with doc_id tie-break, so engine and oracle agree
+    bit-for-bit."""
+    from ..stages.joins import hash_join
+    from ..stages.lm import bigram_lm_scores
+    from .analytics import exact_partitioned_ranks, ntile_emit
+
+    scores = bigram_lm_scores(read_documents(sf_dir)).select_columns(
+        ["doc_id", "lm_score"])
+    langs = read_documents(sf_dir, columns=["doc_id", "lang"])
+    j = hash_join(scores, langs, on=["doc_id"])
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        s = t["lm_score"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "lang": t["lang"].to_pandas(),
+            "lm_micro": np.floor(s * 1e6 + 0.5).astype(np.int64),
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)})
+
+    src = j.map_batches(pairs, batch_format="pyarrow")
+    schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                        ("ppl_tertile", pa.int64()),
+                        ("bucket", pa.string())])
+    labels = np.array(["tail", "middle", "head"])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        rank = start + np.arange(len(g), dtype=np.int64)
+        tile = ntile_emit(3, rank, n).astype("int64")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "lang": g["lang"].to_numpy(),
+            "ppl_tertile": tile,
+            "bucket": labels[tile - 1]})
+
+    return exact_partitioned_ranks(src, "lang", "lm_micro", "doc_id",
+                                   bin_width=1 << 20, emit=emit,
+                                   out_schema=schema)
+
+
 def q_doc_pack_sequences(sf_dir: str) -> rd.Dataset:
     """Greedy next-fit sequence packing (256-token budget per pack,
     per-lang partitions, doc_id order)."""
@@ -3710,6 +3757,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_stratified_sample": q_doc_stratified_sample,
     "bigram_lm_score": q_bigram_lm_score,
+    "doc_ppl_buckets": q_doc_ppl_buckets,
     "doc_importance_sample": q_doc_importance_sample,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tfidf_topk": q_doc_tfidf_topk,
