@@ -4745,6 +4745,51 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 'middle' ELSE 'head' END AS bucket
             FROM t
         """,
+        # pipelines/queries._mixture_rates: temperature-based mixture
+        # resampling (q_s ∝ sqrt(n_s), budget = half the corpus tokens);
+        # exact-integer rate contract — sqrt is IEEE correctly rounded,
+        # everything after the half-up micro quantisation is HUGEINT
+        "mixture_plan": r"""
+            WITH w AS (SELECT source,
+                       len(list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS n FROM documents),
+            src AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens
+                    FROM w GROUP BY source),
+            tot AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS t FROM src),
+            s AS (SELECT source, n_tokens,
+                         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT) AS s_micro
+                  FROM src),
+            ss AS (SELECT CAST(sum(s_micro) AS HUGEINT) AS ssum FROM s)
+            SELECT source, n_tokens, s_micro,
+                   CAST(least(CAST(1000000 AS HUGEINT),
+                        ((tot.t * 1 // 2) * s_micro * 1000000)
+                         // (ss.ssum * n_tokens)) AS BIGINT) AS rate_micro
+            FROM s CROSS JOIN ss CROSS JOIN tot
+        """,
+        "doc_mixture_resample": r"""
+            WITH w AS (SELECT source,
+                       len(list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS n FROM documents),
+            src AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens
+                    FROM w GROUP BY source),
+            tot AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS t FROM src),
+            s AS (SELECT source, n_tokens,
+                         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT) AS s_micro
+                  FROM src),
+            ss AS (SELECT CAST(sum(s_micro) AS HUGEINT) AS ssum FROM s),
+            r AS (SELECT source,
+                         CAST(least(CAST(1000000 AS HUGEINT),
+                              ((tot.t * 1 // 2) * s_micro * 1000000)
+                               // (ss.ssum * n_tokens)) AS BIGINT)
+                             AS rate_micro
+                  FROM s CROSS JOIN ss CROSS JOIN tot)
+            SELECT d.doc_id, d.source, r.rate_micro
+            FROM documents d JOIN r USING (source)
+            WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR))
+                  % 1000000 < r.rate_micro
+        """,
         # DSIR-style importance sampling over the LM score (stages/lm.py)
         "doc_importance_sample": f"""
             SELECT doc_id, lm_score, rate FROM (

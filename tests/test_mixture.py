@@ -1,0 +1,72 @@
+"""Round-5: temperature-based mixture resampling — oracle parity plus a
+first-principles recompute of the exact-integer rate contract."""
+
+import hashlib
+import math
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort",
+                          ignore_index=True)
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+def test_mixture_plan_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import q_mixture_plan
+    got = _canon(q_mixture_plan(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["mixture_plan"]))
+    pd.testing.assert_frame_equal(got, exp)
+
+    # recompute the rate contract from the plan's own integers
+    total = int(got["n_tokens"].sum())
+    budget = total // 2
+    s_sum = int(got["s_micro"].sum())
+    for r in got.itertuples():
+        assert r.s_micro == math.floor(math.sqrt(r.n_tokens) * 1e6 + 0.5)
+        assert r.rate_micro == min(
+            1_000_000,
+            budget * r.s_micro * 1_000_000 // (s_sum * r.n_tokens))
+    # sqrt temperature flattens: rates are anti-monotone in token mass
+    m = got.sort_values("n_tokens")
+    assert (m["rate_micro"].to_numpy()[:-1]
+            >= m["rate_micro"].to_numpy()[1:] - 1).all()
+
+
+def test_resample_parity_and_membership():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import (q_doc_mixture_resample,
+                                            q_mixture_plan)
+    got = _canon(q_doc_mixture_resample(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["doc_mixture_resample"]))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got)  # keeps a real subset
+
+    # membership is exactly the hash test under the plan's rates
+    rate = {r.source: r.rate_micro
+            for r in q_mixture_plan(SF).to_pandas().itertuples()}
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "source"])
+    kept = set()
+    for r in docs.itertuples():
+        h = int.from_bytes(
+            hashlib.md5(str(r.doc_id).encode()).digest()[:8],
+            "little") % 1_000_000
+        if h < rate[r.source]:
+            kept.add(r.doc_id)
+    assert set(got["doc_id"]) == kept

@@ -1072,6 +1072,91 @@ def q_doc_stratified_sample(sf_dir: str) -> rd.Dataset:
         .map_batches(stratified_sample_batch, batch_format="pyarrow")
 
 
+# temperature-based mixture resampling (Conneau & Lample 2019 / mT5
+# shape): target share q_s ∝ n_s^(1/2), token budget = half the corpus
+_MIX_BUDGET_NUM, _MIX_BUDGET_DEN = 1, 2
+
+
+def _mixture_rates(sf_dir: str) -> list[dict]:
+    """Per-source acceptance rates for the temperature-sampled mixture,
+    computed with an EXACT integer contract so the SQL mirror is
+    hash-identical: n_s = whitespace-token count per source (distributed
+    partial sums, one tiny source-keyed shuffle), s_s = half-up micro
+    sqrt(n_s) (IEEE sqrt is correctly rounded, so numpy == DuckDB),
+    rate_micro_s = min(1e6, B·s_s·1e6 // (Σs·n_s)) in arbitrary-precision
+    ints with B = Σn // 2.  Only the source-bounded count table ever
+    reaches the driver."""
+    import math
+
+    from ..stages.textstats import token_counts_batch
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        tc = token_counts_batch(t)
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas(),
+            "n_tokens": tc["n_ws_tokens"].to_numpy()})
+        return df.groupby("source", as_index=False)["n_tokens"].sum()
+
+    counts = collect_rows(bucketed_sum(
+        read_documents(sf_dir, columns=["doc_id", "source", "text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n_tokens"], num_buckets=4))
+    total = sum(int(r["n_tokens"]) for r in counts)
+    budget = total * _MIX_BUDGET_NUM // _MIX_BUDGET_DEN
+    rows = []
+    for r in counts:
+        n = int(r["n_tokens"])
+        rows.append({"source": r["source"], "n_tokens": n,
+                     "s_micro": math.floor(math.sqrt(n) * 1e6 + 0.5)})
+    s_sum = sum(r["s_micro"] for r in rows)
+    for r in rows:
+        r["rate_micro"] = min(
+            1_000_000,
+            budget * r["s_micro"] * 1_000_000
+            // (s_sum * r["n_tokens"]))
+    return sorted(rows, key=lambda r: r["source"])
+
+
+def q_mixture_plan(sf_dir: str) -> pa.Table:
+    """The per-source mixture plan itself: token mass, micro-sqrt target
+    weight and the exact-integer acceptance rate."""
+    rows = _mixture_rates(sf_dir)
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+        "s_micro": pa.array([r["s_micro"] for r in rows], pa.int64()),
+        "rate_micro": pa.array([r["rate_micro"] for r in rows],
+                               pa.int64())})
+
+
+def q_doc_mixture_resample(sf_dir: str) -> rd.Dataset:
+    """Temperature-based data-mixing resampler: the kept documents under
+    the per-source rates of q_mixture_plan, accepted by the deterministic
+    content-stable hash test md5(doc_id) % 1e6 < rate_micro — no RNG, no
+    shuffle; the tiny rate map ships to every task."""
+    import hashlib
+
+    rate = {r["source"]: r["rate_micro"] for r in _mixture_rates(sf_dir)}
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                            "little") % 1_000_000 for i in ids),
+            dtype=np.int64, count=len(ids))
+        srcs = t["source"].to_pylist()
+        rm = np.fromiter((rate[s] for s in srcs), dtype=np.int64,
+                         count=len(srcs))
+        out = pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                        "rate_micro": pa.array(rm, pa.int64())})
+        return out.filter(pa.array(h < rm))
+
+    return read_documents(sf_dir, columns=["doc_id", "source"]) \
+        .map_batches(keep, batch_format="pyarrow")
+
+
 def q_bigram_lm_score(sf_dir: str) -> rd.Dataset:
     """Corpus bigram-LM quality scores (CCNet-style), add-one smoothing;
     counts + partitioned joins only — no broadcast model."""
@@ -3758,6 +3843,8 @@ QUERIES = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "bigram_lm_score": q_bigram_lm_score,
     "doc_ppl_buckets": q_doc_ppl_buckets,
+    "mixture_plan": q_mixture_plan,
+    "doc_mixture_resample": q_doc_mixture_resample,
     "doc_importance_sample": q_doc_importance_sample,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_tfidf_topk": q_doc_tfidf_topk,
