@@ -1821,6 +1821,40 @@ def oracle_sql() -> dict[str, str]:
                       FROM reach GROUP BY doc_id)
             SELECT doc_id, kept_by FROM canon WHERE doc_id <> kept_by
         """
+    # quality-aware retention: same closure as droplist_sql, keeper is
+    # the component's longest doc (n_chars DESC, doc_id ASC)
+    keep_longest_sql = f"""
+            WITH RECURSIVE p AS (
+                SELECT doc_a, doc_b
+                FROM ({_sql_jaccard_pairs(tok)})
+            ),
+            nodes AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_a AS doc_id FROM p
+                    UNION ALL SELECT doc_b FROM p)
+            ),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM p
+                  UNION ALL SELECT doc_b, doc_a FROM p),
+            reach AS (
+                SELECT doc_id, doc_id AS r FROM nodes
+                UNION
+                SELECT e.a AS doc_id, reach.r
+                FROM e JOIN reach ON reach.doc_id = e.b
+            ),
+            comp AS (SELECT doc_id, min(r) AS comp_id
+                     FROM reach GROUP BY doc_id),
+            best AS (
+                SELECT comp_id, doc_id AS kept_by FROM (
+                    SELECT comp.comp_id, comp.doc_id,
+                           row_number() OVER (PARTITION BY comp.comp_id
+                               ORDER BY d.n_chars DESC, comp.doc_id)
+                               AS rn
+                    FROM comp JOIN documents d USING (doc_id))
+                WHERE rn = 1)
+            SELECT c.doc_id, b.kept_by
+            FROM comp c JOIN best b USING (comp_id)
+            WHERE c.doc_id <> b.kept_by
+        """
     # shared by doc_dup_components and dup_component_sizes
     dupcomp_sql = f"""
             WITH RECURSIVE p AS (
@@ -3844,6 +3878,7 @@ def oracle_sql() -> dict[str, str]:
         # exact Jaccard verify -> reachability closure -> drop non-min
         "doc_near_dup_drops": droplist_sql,
         "doc_near_dup_drops_checkpointed": droplist_sql,
+        "doc_near_dup_keep_longest": keep_longest_sql,
         # pipelines/queries.q_source_dedup_impact: per-feed curation
         # impact of the end-to-end near-dup chain
         "source_dedup_impact": f"""

@@ -70,3 +70,31 @@ def test_resample_parity_and_membership():
         if h < rate[r.source]:
             kept.add(r.doc_id)
     assert set(got["doc_id"]) == kept
+
+
+def test_keep_longest_retention():
+    """Keep-longest near-dup retention: parity + policy recompute —
+    every component keeps exactly its longest member."""
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import (q_doc_near_dup_drops,
+                                            q_doc_near_dup_keep_longest)
+    got = _canon(q_doc_near_dup_keep_longest(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["doc_near_dup_keep_longest"]))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got)
+
+    # same components as the min-id chain (same dropped+kept node sets),
+    # different keeper policy
+    minid = q_doc_near_dup_drops(SF).to_pandas()
+    nodes_long = set(got["doc_id"]) | set(got["kept_by"])
+    nodes_min = set(minid["doc_id"]) | set(minid["kept_by"])
+    assert nodes_long == nodes_min
+
+    # the keeper really is the longest (ties: smallest id)
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "n_chars"]) \
+             .set_index("doc_id")["n_chars"]
+    for kept_by, g in got.groupby("kept_by"):
+        members = list(g["doc_id"]) + [kept_by]
+        best = sorted(members, key=lambda d: (-docs[d], d))[0]
+        assert best == kept_by

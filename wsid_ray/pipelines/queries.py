@@ -2205,6 +2205,58 @@ def q_simhash_near_dup(sf_dir: str) -> rd.Dataset:
     return simhash_near_dup(read_documents(sf_dir), max_hamming=3)
 
 
+def q_doc_near_dup_keep_longest(sf_dir: str) -> rd.Dataset:
+    """Quality-aware retention policy for the near-dup chain (the Lee
+    et al. 2022 / BigCode "keep the longest" variant): same LSH →
+    Jaccard-verify → connected-components chain as doc_near_dup_drops,
+    but within each component the KEEPER is the doc with the most
+    characters (tie: smaller doc_id) instead of the smallest id.
+
+    Components come from the shared bucketed machinery; the retention
+    pick is one more bucketed shuffle of tiny (comp, n_chars, doc_id)
+    rows with a fully-vectorised per-bucket argmax."""
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import jaccard_pairs
+    from ..stages.groups import bucketed_group_apply
+    from ..stages.joins import hash_join
+    from ..stages.unionfind import connected_components
+
+    pairs = jaccard_pairs(read_documents(sf_dir), threshold=0.5,
+                          shingle_k=3)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        def pad(col):
+            return pc.utf8_lpad(pc.cast(t[col], pa.string()), 20, "0")
+        return pa.table({"u": pad("doc_a"), "v": pad("doc_b")})
+
+    comp = connected_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow"))
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["node"], pa.int64()),
+                         "comp_id": pc.cast(t["comp"], pa.int64())})
+
+    members = comp.map_batches(to_int, batch_format="pyarrow")
+    lens = read_documents(sf_dir, columns=["doc_id", "n_chars"])
+    j = hash_join(members, lens, on=["doc_id"], num_buckets=8)
+    schema = pa.schema([("doc_id", pa.int64()), ("kept_by", pa.int64())])
+
+    def drop_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["comp_id", "n_chars", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        keeper = df.groupby("comp_id", sort=False)["doc_id"] \
+                   .transform("first")
+        mask = df["doc_id"].to_numpy() != keeper.to_numpy()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[mask],
+            "kept_by": keeper.to_numpy()[mask]})
+
+    return bucketed_group_apply(j, ["comp_id"], drop_rows,
+                                num_buckets=8, out_schema=schema)
+
+
 def q_doc_dup_components(sf_dir: str) -> rd.Dataset:
     """Connected components over simhash near-dup pairs via the
     DISTRIBUTED hash-to-min union-find rounds (D3) — doc ids are
@@ -3785,6 +3837,7 @@ QUERIES = {
     "doc_near_dup_drops": q_doc_near_dup_drops,
     "doc_near_dup_drops_checkpointed": q_doc_near_dup_drops_checkpointed,
     "doc_embed_near_dup_checkpointed": q_doc_embed_near_dup_checkpointed,
+    "doc_near_dup_keep_longest": q_doc_near_dup_keep_longest,
     "knn_cosine_topk": q_knn_cosine_topk,
     "knn_ivf_topk": q_knn_ivf_topk,
     "knn_lsh_topk": q_knn_lsh_topk,
