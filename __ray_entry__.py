@@ -4780,6 +4780,66 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 'middle' ELSE 'head' END AS bucket
             FROM t
         """,
+        # pipelines/queries.q_source_distinct_ngrams: distinct-1/2/3
+        # lexical diversity per source (Li 2016)
+        "source_distinct_ngrams": r"""
+            WITH w AS (SELECT source,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws FROM documents),
+            g1 AS (SELECT source, unnest(ws) AS gram, 1 AS n FROM w),
+            g2 AS (SELECT source, ws[i] || ' ' || ws[i + 1] AS gram,
+                          2 AS n
+                   FROM (SELECT source, ws,
+                                unnest(range(1, len(ws))) AS i
+                         FROM w WHERE len(ws) >= 2)),
+            g3 AS (SELECT source,
+                          ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                              AS gram, 3 AS n
+                   FROM (SELECT source, ws,
+                                unnest(range(1, len(ws) - 1)) AS i
+                         FROM w WHERE len(ws) >= 3)),
+            g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+                  UNION ALL SELECT * FROM g3)
+            SELECT source, CAST(n AS BIGINT) AS n,
+                   CAST(count(DISTINCT gram) AS BIGINT)
+                       AS distinct_ngrams,
+                   CAST(count(*) AS BIGINT) AS total_ngrams,
+                   CAST(floor(count(DISTINCT gram)
+                        / CAST(count(*) AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS ratio_micro
+            FROM g GROUP BY source, n
+        """,
+        # pipelines/queries.q_source_unigram_kl: per-source domain-shift
+        # KL(P_s || P_corpus) in integer micro-nats — per-term micro
+        # quantised c*ln(c*N/(N_s*c_w)), exact integer sums, one float
+        # division at the end (same contract as bigram_lm_score)
+        "source_unigram_kl": r"""
+            WITH w AS (SELECT source,
+                       unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS tok FROM documents),
+            st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+                   FROM w GROUP BY ALL),
+            ct AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cw
+                   FROM st GROUP BY tok),
+            ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens
+                   FROM st GROUP BY source),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM st),
+            terms AS (
+                SELECT st.source,
+                       CAST(floor(st.c * ln(
+                            (CAST(st.c AS DOUBLE) * n.nn)
+                            / (CAST(ns.n_tokens AS DOUBLE) * ct.cw))
+                            * 1000000 + 0.5) AS BIGINT) AS sc
+                FROM st JOIN ct USING (tok) JOIN ns USING (source)
+                CROSS JOIN n)
+            SELECT ns.source, ns.n_tokens,
+                   CAST(floor((CAST(sum(sc) AS DOUBLE) / 1000000.0)
+                        / ns.n_tokens * 1000000 + 0.5) AS BIGINT)
+                       AS kl_micro
+            FROM terms JOIN ns USING (source)
+            GROUP BY ns.source, ns.n_tokens
+        """,
         # pipelines/queries._mixture_rates: temperature-based mixture
         # resampling (q_s ∝ sqrt(n_s), budget = half the corpus tokens);
         # exact-integer rate contract — sqrt is IEEE correctly rounded,

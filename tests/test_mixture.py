@@ -98,3 +98,62 @@ def test_keep_longest_retention():
         members = list(g["doc_id"]) + [kept_by]
         best = sorted(members, key=lambda d: (-docs[d], d))[0]
         assert best == kept_by
+
+
+def test_source_unigram_kl():
+    """Domain-shift KL: parity + non-negativity + a first-principles
+    float recompute within the quantisation tolerance."""
+    import math
+    from collections import Counter
+
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import q_source_unigram_kl
+    got = _canon(q_source_unigram_kl(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["source_unigram_kl"]))
+    pd.testing.assert_frame_equal(got, exp)
+
+    assert (got["kl_micro"] >= 0).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "text"])
+    corpus = Counter()
+    per_src: dict = {}
+    for r in docs.itertuples():
+        toks = [w for w in r.text.split() if w]
+        corpus.update(toks)
+        per_src.setdefault(r.source, Counter()).update(toks)
+    N = sum(corpus.values())
+    for r in got.itertuples():
+        cs = per_src[r.source]
+        ns = sum(cs.values())
+        assert ns == r.n_tokens
+        kl = sum(c / ns * math.log((c * N) / (ns * corpus[w]))
+                 for w, c in cs.items())
+        assert abs(kl * 1e6 - r.kl_micro) < 2.0  # quantisation band
+
+
+def test_source_distinct_ngrams():
+    """Distinct-n diversity: parity + a brute-force recompute."""
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import q_source_distinct_ngrams
+    got = _canon(q_source_distinct_ngrams(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["source_distinct_ngrams"]))
+    pd.testing.assert_frame_equal(got, exp)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "text"])
+    seen: dict = {}
+    tot: dict = {}
+    for r in docs.itertuples():
+        ts = [w for w in r.text.split() if w]
+        for n in (1, 2, 3):
+            for i in range(len(ts) - n + 1):
+                g = " ".join(ts[i:i + n])
+                seen.setdefault((r.source, n), set()).add(g)
+                tot[(r.source, n)] = tot.get((r.source, n), 0) + 1
+    for r in got.itertuples():
+        assert r.distinct_ngrams == len(seen[(r.source, r.n)])
+        assert r.total_ngrams == tot[(r.source, r.n)]
+    # higher n -> more distinctiveness (sanity on synthetic corpus)
+    piv = got.pivot_table(index="source", columns="n",
+                          values="ratio_micro")
+    assert (piv[3] >= piv[2]).all() and (piv[2] >= piv[1]).all()

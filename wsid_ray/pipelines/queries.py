@@ -1072,6 +1072,140 @@ def q_doc_stratified_sample(sf_dir: str) -> rd.Dataset:
         .map_batches(stratified_sample_batch, batch_format="pyarrow")
 
 
+def q_source_unigram_kl(sf_dir: str) -> pa.Table:
+    """Per-source domain shift: KL(P_source ‖ P_corpus) over unigram
+    distributions, in integer micro-nats — the DSIR-flavoured domain
+    distance a mixture planner reads next to mixture_plan.
+
+    Contract mirrors bigram_lm_score: per-(source, token) counts (one
+    bucketed shuffle of partials), a partitioned join to the corpus
+    token counts, per-term int64 micro quantisation of
+    c·ln(c·N / (N_s·c_w)), exact integer sums, one float division at
+    the end — order-free, hash-exact vs DuckDB.  Only the
+    source-bounded final table reaches the driver."""
+    import math
+
+    from ..stages.joins import hash_join
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        from ..stages.textstats import _word_rows
+        row_of, nonempty, flat, _n = _word_rows(t)
+        srcs = np.asarray(t["source"].to_pylist(), dtype=object)
+        df = pd.DataFrame({
+            "source": srcs[row_of[nonempty]],
+            "token": flat.to_numpy(zero_copy_only=False)[nonempty]})
+        out = df.groupby(["source", "token"], as_index=False).size()
+        return out.rename(columns={"size": "c"}).astype({"c": "int64"})
+
+    st = bucketed_sum(
+        read_documents(sf_dir, columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["source", "token"], ["c"], num_buckets=8)
+    ct = bucketed_sum(
+        st.map_batches(lambda t: t.select(["token", "c"])
+                       .rename_columns(["token", "cw"]),
+                       batch_format="pyarrow"),
+        ["token"], ["cw"], num_buckets=8)
+    ns_rows = collect_rows(bucketed_sum(
+        st.map_batches(lambda t: t.select(["source", "c"])
+                       .rename_columns(["source", "n_tokens"]),
+                       batch_format="pyarrow"),
+        ["source"], ["n_tokens"], num_buckets=2))
+    n_of = {r["source"]: int(r["n_tokens"]) for r in ns_rows}
+    N = float(sum(n_of.values()))
+
+    j = hash_join(st, ct, on=["token"], num_buckets=8)
+
+    def terms(t: pa.Table) -> pd.DataFrame:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cw = t["cw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        srcs = t["source"].to_pylist()
+        ns = np.fromiter((n_of[s] for s in srcs), dtype=np.float64,
+                         count=len(srcs))
+        sc = np.floor(c * np.log((c * N) / (ns * cw)) * 1e6
+                      + 0.5).astype(np.int64)
+        return pd.DataFrame({"source": srcs, "sc": sc}) \
+            .groupby("source", as_index=False)["sc"].sum()
+
+    sums = collect_rows(bucketed_sum(
+        j.map_batches(terms, batch_format="pyarrow"),
+        ["source"], ["sc"], num_buckets=2))
+    rows = sorted(sums, key=lambda r: r["source"])
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n_tokens": pa.array([n_of[r["source"]] for r in rows],
+                             pa.int64()),
+        "kl_micro": pa.array(
+            [int(math.floor((int(r["sc"]) / 1e6) / n_of[r["source"]]
+                            * 1e6 + 0.5)) for r in rows], pa.int64())})
+
+
+def q_source_distinct_ngrams(sf_dir: str) -> rd.Dataset:
+    """Distinct-n lexical diversity per source (Li et al. 2016
+    distinct-1/2/3): distinct n-grams vs total n-grams and the micro
+    ratio — the degenerate-generation / templated-boilerplate signal a
+    curation dashboard reads per feed.
+
+    Gram rows are (source, n, gram)-keyed partial counts (dedup class
+    machinery — same comprehension shape as the MinHash shingler), one
+    bucketed shuffle, then a tiny (source, n) rollup; no distinct ever
+    materialises corpus-wide state in one task."""
+    import pyarrow.compute as pc
+
+    from .analytics import bucketed_sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        srcs = t["source"].to_pylist()
+        counts: dict = {}
+        for s, ws in zip(srcs, words.to_pylist()):
+            ts = [w for w in ws if w]
+            for n in (1, 2, 3):
+                for i in range(len(ts) - n + 1):
+                    key = (s, n, " ".join(ts[i:i + n]))
+                    counts[key] = counts.get(key, 0) + 1
+        if not counts:
+            return pd.DataFrame({"source": [], "n": [], "gram": [],
+                                 "c": []}).astype(
+                {"n": "int64", "c": "int64"})
+        ks = list(counts)
+        return pd.DataFrame({
+            "source": [k[0] for k in ks],
+            "n": np.array([k[1] for k in ks], dtype=np.int64),
+            "gram": [k[2] for k in ks],
+            "c": np.fromiter((counts[k] for k in ks), dtype=np.int64,
+                             count=len(ks))})
+
+    grams = bucketed_sum(
+        read_documents(sf_dir, columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["source", "n", "gram"], ["c"], num_buckets=8)
+
+    def rollup(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["source", "n", "c"]).to_pandas()
+        g = df.groupby(["source", "n"], as_index=False).agg(
+            distinct_ngrams=("c", "size"), total_ngrams=("c", "sum"))
+        return g.astype({"distinct_ngrams": "int64",
+                         "total_ngrams": "int64"})
+
+    agg = bucketed_sum(grams.map_batches(rollup, batch_format="pyarrow"),
+                       ["source", "n"],
+                       ["distinct_ngrams", "total_ngrams"],
+                       num_buckets=2)
+
+    def ratio(t: pa.Table) -> pa.Table:
+        d = t["distinct_ngrams"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        tt = t["total_ngrams"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        rm = np.floor(d / tt * 1e6 + 0.5).astype(np.int64)
+        return t.append_column("ratio_micro", pa.array(rm, pa.int64()))
+
+    return agg.map_batches(ratio, batch_format="pyarrow")
+
+
 # temperature-based mixture resampling (Conneau & Lample 2019 / mT5
 # shape): target share q_s ∝ n_s^(1/2), token budget = half the corpus
 _MIX_BUDGET_NUM, _MIX_BUDGET_DEN = 1, 2
@@ -3897,6 +4031,8 @@ QUERIES = {
     "bigram_lm_score": q_bigram_lm_score,
     "doc_ppl_buckets": q_doc_ppl_buckets,
     "mixture_plan": q_mixture_plan,
+    "source_unigram_kl": q_source_unigram_kl,
+    "source_distinct_ngrams": q_source_distinct_ngrams,
     "doc_mixture_resample": q_doc_mixture_resample,
     "doc_importance_sample": q_doc_importance_sample,
     "doc_pack_sequences": q_doc_pack_sequences,
