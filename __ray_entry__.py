@@ -1202,7 +1202,8 @@ _SQL_KNN_SELF = """
 
 
 def _sql_bpe_merges(rounds: int = 6, passes: int = 12,
-                    subword_counts: bool = False) -> str:
+                    subword_counts: bool = False,
+                    fertility: bool = False) -> str:
     """DuckDB mirror of stages/bpe.train_bpe — the BPE merge loop
     unrolled to ``rounds`` CTE triples (p{r}: freq-weighted
     adjacent-pair counts over word TYPES, b{r}: the (cnt DESC, lft,
@@ -1213,11 +1214,14 @@ def _sql_bpe_merges(rounds: int = 6, passes: int = 12,
     the engine's contract asserts).  s{r}/b{r} MATERIALIZED so the
     final UNION doesn't re-derive the whole chain per round."""
     tok = _sql_token_expr()
+    # fertility mode carries the word through the merge chain so the
+    # final seq can be joined back to per-(lang, word) frequencies
+    keep = ", word" if fertility else ""
     ctes = [f"""w AS MATERIALIZED (
             SELECT tk AS word, CAST(count(*) AS BIGINT) AS freq
             FROM (SELECT unnest({tok}) AS tk FROM documents)
             WHERE length(tk) <= 24 GROUP BY 1)""",
-            """s0 AS MATERIALIZED (SELECT freq,
+            f"""s0 AS MATERIALIZED (SELECT freq{keep},
                 '|' || array_to_string(list_transform(
                     range(1, length(word) + 1), i -> word[i]), '|')
                     || '|</w>|' AS seq
@@ -1239,9 +1243,31 @@ def _sql_bpe_merges(rounds: int = 6, passes: int = 12,
             expr = (f"replace({expr}, '|' || b{r}.lft || '|' || "
                     f"b{r}.rgt || '|', '|' || b{r}.lft || b{r}.rgt "
                     f"|| '|')")
-        ctes.append(f"s{r} AS MATERIALIZED (SELECT freq, {expr} AS seq "
-                    f"FROM s{r - 1}, b{r})")
+        ctes.append(f"s{r} AS MATERIALIZED (SELECT freq{keep}, "
+                    f"{expr} AS seq FROM s{r - 1}, b{r})")
     joined = ",\n        ".join(ctes)
+    if fertility:
+        # per-lang fertility: (lang, word) freqs joined to each word
+        # type's final subword count under the trained merges
+        return f"""WITH {joined},
+            wl AS (SELECT lang, tk AS word,
+                          CAST(count(*) AS BIGINT) AS freq
+                   FROM (SELECT lang, unnest({tok}) AS tk
+                         FROM documents)
+                   WHERE length(tk) <= 24 GROUP BY 1, 2),
+            nsub AS (SELECT word,
+                            CAST(len(string_split(trim(seq, '|'), '|'))
+                                 AS BIGINT) AS n_sub
+                     FROM s{rounds})
+            SELECT wl.lang,
+                   CAST(sum(wl.freq) AS BIGINT) AS n_words,
+                   CAST(sum(wl.freq * nsub.n_sub) AS BIGINT)
+                       AS n_subwords,
+                   CAST(floor(sum(wl.freq * nsub.n_sub)
+                        / CAST(sum(wl.freq) AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS fertility_micro
+            FROM wl JOIN nsub USING (word)
+            GROUP BY wl.lang"""
     if subword_counts:
         # stages/bpe.subword_counts: the corpus re-tokenized with the
         # trained merges — s{rounds} already holds every word type's
@@ -3836,6 +3862,9 @@ def oracle_sql() -> dict[str, str]:
         # trained 6-round vocab, (subword, n) frequencies
         "doc_bpe_subword_counts": _sql_bpe_merges(rounds=6,
                                                   subword_counts=True),
+        # trained-vocab fertility per language (subwords per word)
+        "bpe_fertility_by_lang": _sql_bpe_merges(rounds=6,
+                                                 fertility=True),
         # pipelines/queries.q_doc_training_order: RNG-free reproducible
         # global shuffle (shard, pos) for the training-data writer
         "doc_training_order": """

@@ -126,3 +126,49 @@ def test_encode_words_roundtrip(ray_session):
     assert out.iloc[0] == ["n", "e", "w", "est</w>"]
     assert out.iloc[1] == ["w", "i", "d", "est</w>"]
     assert out.iloc[2] == ["l", "o", "w", _EOW]
+
+
+
+def test_fertility_by_lang():
+    """Trained-vocab fertility: parity + a reference recompute with the
+    module's own encoder."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import q_bpe_fertility_by_lang
+    from wsid_ray.stages.bpe import _MAX_WORD_LEN
+    from wsid_ray.stages.textstats import read_documents
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), kind="mergesort",
+                              ignore_index=True)
+
+    got = canon(q_bpe_fertility_by_lang(sf).to_pandas())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    exp = canon(con.sql(E.oracle_sql()["bpe_fertility_by_lang"]).df())
+    con.close()
+    pd.testing.assert_frame_equal(got, exp)
+
+    mt = train_bpe(read_documents(sf), rounds=6)
+    merges = list(zip(mt["lft"].to_pylist(), mt["rgt"].to_pylist()))
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["lang", "text"])
+    toks = tokenize_column(pa.array(docs["text"].tolist())).to_pylist()
+    words: dict = {}
+    for lang, ts in zip(docs["lang"], toks):
+        for w in ts:
+            if len(w) <= _MAX_WORD_LEN:
+                words.setdefault(lang, []).append(w)
+    for r in got.itertuples():
+        ws = words[r.lang]
+        uniq = pd.Series(sorted(set(ws)))
+        nsub = dict(zip(uniq, encode_words(uniq, merges).str.len()))
+        assert r.n_words == len(ws)
+        assert r.n_subwords == sum(nsub[w] for w in ws)
+        # every word emits at least one subword: fertility >= 1
+        assert r.fertility_micro >= 1_000_000

@@ -1004,6 +1004,70 @@ def q_doc_training_order(sf_dir: str) -> rd.Dataset:
                                    out_schema=schema)
 
 
+def q_bpe_fertility_by_lang(sf_dir: str) -> rd.Dataset:
+    """Tokenizer fertility per language under the trained 6-round BPE
+    vocab — subwords emitted per word, THE tokenizer-evaluation metric
+    multilingual training reads before committing a vocab.
+
+    Train once (tiny merge table, broadcast in the task closure), then
+    one corpus pass: per-batch word-TYPE encode (unique words encoded
+    once, freq-weighted), per-lang partial sums, one tiny lang-keyed
+    shuffle, micro ratio at the end."""
+    from ..stages.bpe import _MAX_WORD_LEN, encode_words, train_bpe
+    from ..stages.tokenize import tokenize_column
+    from .analytics import bucketed_sum
+
+    mt = train_bpe(read_documents(sf_dir), rounds=6)
+    merges = list(zip(mt["lft"].to_pylist(), mt["rgt"].to_pylist()))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        from ..util import list_row_indices
+        toks = tokenize_column(t["text"])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        row_of = list_row_indices(toks)
+        ok = pc.less_equal(pc.utf8_length(flat), _MAX_WORD_LEN) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        df = pd.DataFrame({
+            "lang": langs[row_of[ok]],
+            "word": flat.to_numpy(zero_copy_only=False)[ok]})
+        if not len(df):
+            return pd.DataFrame({"lang": [], "n_words": [],
+                                 "n_subwords": []}).astype(
+                {"n_words": "int64", "n_subwords": "int64"})
+        freq = df.groupby(["lang", "word"], as_index=False).size() \
+                 .rename(columns={"size": "freq"})
+        uniq = freq["word"].drop_duplicates()
+        n_sub = dict(zip(uniq,
+                         encode_words(uniq, merges).str.len()))
+        ns = freq["word"].map(n_sub).to_numpy(dtype=np.int64)
+        f = freq["freq"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({"lang": freq["lang"], "n_words": f,
+                            "n_subwords": f * ns})
+        return out.groupby("lang", as_index=False).sum().astype(
+            {"n_words": "int64", "n_subwords": "int64"})
+
+    agg = bucketed_sum(
+        read_documents(sf_dir, columns=["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["lang"], ["n_words", "n_subwords"], num_buckets=2)
+
+    def ratio(t: pa.Table) -> pa.Table:
+        ws = t["n_words"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ss = t["n_subwords"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        fm = np.floor(ss / ws * 1e6 + 0.5).astype(np.int64)
+        return t.append_column("fertility_micro",
+                               pa.array(fm, pa.int64()))
+
+    return agg.map_batches(ratio, batch_format="pyarrow")
+
+
 def q_doc_bpe_subword_counts(sf_dir: str) -> rd.Dataset:
     """Train the 6-round BPE vocab, then tokenize the corpus with it:
     (subword, n) frequency table — the end-to-end train→encode chain,
@@ -4025,6 +4089,7 @@ QUERIES = {
     "doc_tfidf_near_dup": q_doc_tfidf_near_dup,
     "bpe_merges": q_bpe_merges,
     "doc_bpe_subword_counts": q_doc_bpe_subword_counts,
+    "bpe_fertility_by_lang": q_bpe_fertility_by_lang,
     "doc_training_order": q_doc_training_order,
     "doc_repetition": q_doc_repetition,
     "doc_stratified_sample": q_doc_stratified_sample,
