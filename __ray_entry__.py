@@ -4809,6 +4809,46 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 'middle' ELSE 'head' END AS bucket
             FROM t
         """,
+        # pipelines/queries.q_doc_winnowing: Schleimer 2003 winnowing
+        # (w=4 windows over 3-gram 63-bit hashes, rightmost-min ties)
+        # via the window decomposition: pos selected iff for some split
+        # a the previous a hashes are >= h and the next 3-a are > h,
+        # window fully inside the doc
+        "doc_winnowing": r"""
+            WITH w AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws FROM documents),
+            g AS (SELECT doc_id, i - 1 AS pos,
+                         CAST(md5_number_upper(
+                             ws[i] || ' ' || ws[i + 1] || ' '
+                             || ws[i + 2]) >> 1 AS BIGINT) AS h,
+                         len(ws) - 2 AS n
+                  FROM (SELECT doc_id, ws,
+                               unnest(range(1, len(ws) - 1)) AS i
+                        FROM w WHERE len(ws) >= 3)),
+            m AS (SELECT doc_id, pos, h, n,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS p1,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS p2,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS p3,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS f1,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS f2,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS f3
+                  FROM g)
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
+            FROM m
+            WHERE (pos + 3 <= n - 1 AND h < f3)
+               OR (pos >= 1 AND pos + 2 <= n - 1
+                   AND p1 >= h AND h < f2)
+               OR (pos >= 2 AND pos + 1 <= n - 1
+                   AND p2 >= h AND h < f1)
+               OR (pos >= 3 AND p3 >= h)
+        """,
         # pipelines/queries.q_source_distinct_ngrams: distinct-1/2/3
         # lexical diversity per source (Li 2016)
         "source_distinct_ngrams": r"""

@@ -1206,6 +1206,76 @@ def q_source_unigram_kl(sf_dir: str) -> pa.Table:
                             * 1e6 + 0.5)) for r in rows], pa.int64())})
 
 
+_WINNOW_W, _WINNOW_K = 4, 3
+
+
+def q_doc_winnowing(sf_dir: str) -> rd.Dataset:
+    """Winnowing fingerprint selection (Schleimer et al. 2003 — the
+    MOSS local fingerprinting algorithm): over each doc's k-gram hash
+    sequence, every window of w consecutive hashes selects its minimum
+    (ties: rightmost); the selected (doc_id, pos, fp) set is the
+    position-robust fingerprint used for overlap detection.
+
+    Contract shared with the SQL mirror via the window decomposition:
+    pos j is selected iff for SOME split a ∈ [0, w-1] the previous a
+    hashes are all ≥ h_j AND the next w-1-a hashes are all > h_j, with
+    the window fully inside the doc (docs with fewer than w k-grams
+    emit nothing).  Embarrassingly parallel — per-doc numpy sliding
+    minima, no shuffle; hashes are 63-bit md5 so int64 order == the
+    mirror's unsigned order."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    w, k = _WINNOW_W, _WINNOW_K
+    INF = np.iinfo(np.int64).max
+
+    def select(h: np.ndarray) -> np.ndarray:
+        n = len(h)
+        if n < w:
+            return np.zeros(0, dtype=np.int64)
+        sel = np.zeros(n, dtype=bool)
+        j = np.arange(n)
+        for a in range(w):
+            b = w - 1 - a
+            pm = np.full(n, INF, dtype=np.int64)
+            if a:
+                sw = np.lib.stride_tricks.sliding_window_view(h, a)
+                pm[a:] = sw[:n - a].min(axis=1)
+            nm = np.full(n, INF, dtype=np.int64)
+            if b:
+                sw = np.lib.stride_tricks.sliding_window_view(h, b)
+                nm[:n - b] = sw[1:].min(axis=1)
+            sel |= ((pm >= h) & (nm > h)
+                    & (j >= a) & (j <= n - 1 - b))
+        return np.nonzero(sel)[0].astype(np.int64)
+
+    def fingerprints(t: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(t["text"], pattern=r"\s+")
+        ids, poss, fps = [], [], []
+        for did, ws in zip(t["doc_id"].to_pylist(), words.to_pylist()):
+            ts = [x for x in ws if x]
+            n = len(ts) - k + 1
+            if n < 1:
+                continue
+            h = np.fromiter(
+                (int.from_bytes(hashlib.md5(
+                    " ".join(ts[i:i + k]).encode()).digest()[:8],
+                    "little") >> 1 for i in range(n)),
+                dtype=np.int64, count=n)
+            sel = select(h)
+            ids.append(np.full(len(sel), did, dtype=np.int64))
+            poss.append(sel)
+            fps.append(h[sel])
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.zeros(0, dtype=np.int64))
+        return pd.DataFrame({"doc_id": cat(ids), "pos": cat(poss),
+                             "fp": cat(fps)})
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(fingerprints, batch_format="pyarrow")
+
+
 def q_source_distinct_ngrams(sf_dir: str) -> rd.Dataset:
     """Distinct-n lexical diversity per source (Li et al. 2016
     distinct-1/2/3): distinct n-grams vs total n-grams and the micro
@@ -4098,6 +4168,7 @@ QUERIES = {
     "mixture_plan": q_mixture_plan,
     "source_unigram_kl": q_source_unigram_kl,
     "source_distinct_ngrams": q_source_distinct_ngrams,
+    "doc_winnowing": q_doc_winnowing,
     "doc_mixture_resample": q_doc_mixture_resample,
     "doc_importance_sample": q_doc_importance_sample,
     "doc_pack_sequences": q_doc_pack_sequences,
