@@ -1908,6 +1908,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(r) AS canon_id FROM reach GROUP BY doc_id
         """
 
+    # Schleimer 2003 winnowing — shared by doc_winnowing and the
+    # MOSS overlap-pair join
+    winnow_sql = r"""
+            WITH w AS (SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS ws FROM documents),
+            g AS (SELECT doc_id, i - 1 AS pos,
+                         CAST(md5_number_upper(
+                             ws[i] || ' ' || ws[i + 1] || ' '
+                             || ws[i + 2]) >> 1 AS BIGINT) AS h,
+                         len(ws) - 2 AS n
+                  FROM (SELECT doc_id, ws,
+                               unnest(range(1, len(ws) - 1)) AS i
+                        FROM w WHERE len(ws) >= 3)),
+            m AS (SELECT doc_id, pos, h, n,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS p1,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS p2,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS p3,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS f1,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS f2,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS f3
+                  FROM g)
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
+            FROM m
+            WHERE (pos + 3 <= n - 1 AND h < f3)
+               OR (pos >= 1 AND pos + 2 <= n - 1
+                   AND p1 >= h AND h < f2)
+               OR (pos >= 2 AND pos + 1 <= n - 1
+                   AND p2 >= h AND h < f1)
+               OR (pos >= 3 AND p3 >= h)
+        """
+
     # shared by doc_embed_near_dup and its resumable checkpointed twin —
     # mirror of stages/embed.FakeTextEmbedder (md5 token-bucket
     # histogram) + exact cosine near-dup, end to end
@@ -4814,40 +4852,20 @@ def oracle_sql() -> dict[str, str]:
         # via the window decomposition: pos selected iff for some split
         # a the previous a hashes are >= h and the next 3-a are > h,
         # window fully inside the doc
-        "doc_winnowing": r"""
-            WITH w AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '\s+'),
-                                   x -> x <> '') AS ws FROM documents),
-            g AS (SELECT doc_id, i - 1 AS pos,
-                         CAST(md5_number_upper(
-                             ws[i] || ' ' || ws[i + 1] || ' '
-                             || ws[i + 2]) >> 1 AS BIGINT) AS h,
-                         len(ws) - 2 AS n
-                  FROM (SELECT doc_id, ws,
-                               unnest(range(1, len(ws) - 1)) AS i
-                        FROM w WHERE len(ws) >= 3)),
-            m AS (SELECT doc_id, pos, h, n,
-                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS p1,
-                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS p2,
-                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS p3,
-                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS f1,
-                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS f2,
-                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS f3
-                  FROM g)
-            SELECT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
-            FROM m
-            WHERE (pos + 3 <= n - 1 AND h < f3)
-               OR (pos >= 1 AND pos + 2 <= n - 1
-                   AND p1 >= h AND h < f2)
-               OR (pos >= 2 AND pos + 1 <= n - 1
-                   AND p2 >= h AND h < f1)
-               OR (pos >= 3 AND p3 >= h)
+        "doc_winnowing": winnow_sql,
+        # doc pairs sharing >= 2 winnowing fingerprints (posting cap
+        # 1000 shared with the engine)
+        "winnow_overlap_pairs": f"""
+            WITH fp0 AS ({winnow_sql}),
+            d AS (SELECT DISTINCT doc_id, fp FROM fp0),
+            keep AS (SELECT fp FROM d GROUP BY fp
+                     HAVING count(*) BETWEEN 2 AND 1000),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM d a JOIN d b ON b.fp = a.fp
+                                   AND b.doc_id > a.doc_id
+                  WHERE a.fp IN (SELECT fp FROM keep))
+            SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+            FROM p GROUP BY doc_a, doc_b HAVING count(*) >= 2
         """,
         # pipelines/queries.q_source_distinct_ngrams: distinct-1/2/3
         # lexical diversity per source (Li 2016)

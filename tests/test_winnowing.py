@@ -94,3 +94,45 @@ def test_winnowing_parity_and_guarantee():
     assert sel == _canonical(h)
     for s in range(n - W + 1):
         assert any(s <= p <= s + W - 1 for p in sel)
+
+
+def test_overlap_pairs_parity_and_recompute():
+    """MOSS overlap join: parity + brute-force recompute of shared
+    fingerprint counts from the selected sets."""
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import (q_doc_winnowing,
+                                            q_winnow_overlap_pairs)
+    got = q_winnow_overlap_pairs(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    exp = con.sql(E.oracle_sql()["winnow_overlap_pairs"]).df()
+    con.close()
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), kind="mergesort",
+                              ignore_index=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(exp))
+    assert len(got)  # planted near-dups share fingerprints
+
+    fps = q_doc_winnowing(SF).to_pandas()
+    by_doc = {d: set(g["fp"]) for d, g in fps.groupby("doc_id")}
+    from collections import Counter
+    ref: Counter = Counter()
+    docs = sorted(by_doc)
+    by_fp: dict = {}
+    for d, s in by_doc.items():
+        for f in s:
+            by_fp.setdefault(f, []).append(d)
+    for f, ds in by_fp.items():
+        if not (2 <= len(ds) <= 1000):
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                ref[(ds[i], ds[j])] += 1
+    ref = {k: v for k, v in ref.items() if v >= 2}
+    got_map = {(r.doc_a, r.doc_b): r.n_shared for r in got.itertuples()}
+    assert got_map == ref

@@ -1276,6 +1276,55 @@ def q_doc_winnowing(sf_dir: str) -> rd.Dataset:
         .map_batches(fingerprints, batch_format="pyarrow")
 
 
+def q_winnow_overlap_pairs(sf_dir: str) -> rd.Dataset:
+    """MOSS-style overlap candidates: doc pairs sharing ≥ 2 winnowing
+    fingerprints, with the shared-count — what the plagiarism/overlap
+    detector reports.  Posting lists per fingerprint (distinct docs,
+    hot fingerprints over 1000 docs skipped — the shared posting cap),
+    per-fp pair expansion inside one bucketed shuffle, then a pair-keyed
+    count; never an all-pairs stage."""
+    from ..stages.groups import bucketed_group_apply
+    from .analytics import bucketed_sum
+
+    fps = q_doc_winnowing(sf_dir)
+    pair_schema = pa.schema([("doc_a", pa.int64()),
+                             ("doc_b", pa.int64()),
+                             ("c", pa.int64())])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "fp"]].drop_duplicates()
+
+    d = fps.map_batches(dedup, batch_format="pandas")
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, g in df.drop_duplicates(["doc_id", "fp"]) \
+                      .groupby("fp", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy())
+            if not (2 <= len(ids) <= 1000):
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            outs_a.append(ids[ia])
+            outs_b.append(ids[ib])
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.zeros(0, dtype=np.int64))
+        a = cat(outs_a)
+        return pd.DataFrame({"doc_a": a, "doc_b": cat(outs_b),
+                             "c": np.ones(len(a), dtype=np.int64)})
+
+    pairs = bucketed_group_apply(d, ["fp"], expand, num_buckets=8,
+                                 out_schema=pair_schema)
+    summed = bucketed_sum(pairs, ["doc_a", "doc_b"], ["c"],
+                          num_buckets=8)
+
+    def final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.greater_equal(t["c"], 2))
+        return t.rename_columns(["doc_a", "doc_b", "n_shared"])
+
+    return summed.map_batches(final, batch_format="pyarrow")
+
+
 def q_source_distinct_ngrams(sf_dir: str) -> rd.Dataset:
     """Distinct-n lexical diversity per source (Li et al. 2016
     distinct-1/2/3): distinct n-grams vs total n-grams and the micro
@@ -4169,6 +4218,7 @@ QUERIES = {
     "source_unigram_kl": q_source_unigram_kl,
     "source_distinct_ngrams": q_source_distinct_ngrams,
     "doc_winnowing": q_doc_winnowing,
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "doc_mixture_resample": q_doc_mixture_resample,
     "doc_importance_sample": q_doc_importance_sample,
     "doc_pack_sequences": q_doc_pack_sequences,
