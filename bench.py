@@ -133,6 +133,14 @@ def run_bench() -> dict:
         side["doc_edit_pairs"] = q_doc_edit_pairs
         side["dup_quality_auc"] = q_dup_quality_auc
         side["priority_price_mwu"] = q_priority_price_mwu
+    # r5 session additions (corpus-heavy new operators — first baselines)
+    from wsid_ray.pipelines.queries import (q_doc_ppl_buckets,
+                                            q_doc_winnowing,
+                                            q_winnow_overlap_pairs)
+    if side:
+        side["doc_winnowing"] = q_doc_winnowing
+        side["winnow_overlap_pairs"] = q_winnow_overlap_pairs
+        side["doc_ppl_buckets"] = q_doc_ppl_buckets
     for name, fn in side.items():
         t0 = time.time()
         res = fn(sf_dir)
