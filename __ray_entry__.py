@@ -4867,6 +4867,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
             FROM p GROUP BY doc_a, doc_b HAVING count(*) >= 2
         """,
+        # containment over the smaller fingerprint set per pair
+        "winnow_containment": f"""
+            WITH fp0 AS ({winnow_sql}),
+            d AS (SELECT DISTINCT doc_id, fp FROM fp0),
+            nfp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+                    FROM d GROUP BY doc_id),
+            keep AS (SELECT fp FROM d GROUP BY fp
+                     HAVING count(*) BETWEEN 2 AND 1000),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM d a JOIN d b ON b.fp = a.fp
+                                   AND b.doc_id > a.doc_id
+                  WHERE a.fp IN (SELECT fp FROM keep)),
+            pr AS (SELECT doc_a, doc_b,
+                          CAST(count(*) AS BIGINT) AS n_shared
+                   FROM p GROUP BY doc_a, doc_b HAVING count(*) >= 2)
+            SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+                   CAST(floor(pr.n_shared
+                        / CAST(least(na.nfp, nb.nfp) AS DOUBLE)
+                        * 1000000 + 0.5) AS BIGINT)
+                       AS containment_micro
+            FROM pr JOIN nfp na ON na.doc_id = pr.doc_a
+                    JOIN nfp nb ON nb.doc_id = pr.doc_b
+        """,
         # pipelines/queries.q_source_distinct_ngrams: distinct-1/2/3
         # lexical diversity per source (Li 2016)
         "source_distinct_ngrams": r"""

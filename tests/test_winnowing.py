@@ -136,3 +136,34 @@ def test_overlap_pairs_parity_and_recompute():
     ref = {k: v for k, v in ref.items() if v >= 2}
     got_map = {(r.doc_a, r.doc_b): r.n_shared for r in got.itertuples()}
     assert got_map == ref
+
+
+def test_containment_parity_and_bounds():
+    """Containment: parity + bounds + brute-force recompute."""
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import (q_doc_winnowing,
+                                            q_winnow_containment)
+    got = q_winnow_containment(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    exp = con.sql(E.oracle_sql()["winnow_containment"]).df()
+    con.close()
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), kind="mergesort",
+                              ignore_index=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(exp))
+    assert len(got)
+    assert (got["containment_micro"] > 0).all()
+    assert (got["containment_micro"] <= 1_000_000).all()
+
+    fps = q_doc_winnowing(SF).to_pandas()
+    nfp = fps.drop_duplicates(["doc_id", "fp"]) \
+             .groupby("doc_id").size().to_dict()
+    for r in got.itertuples():
+        denom = min(nfp[r.doc_a], nfp[r.doc_b])
+        expct = int(np.floor(r.n_shared / denom * 1e6 + 0.5))
+        assert r.containment_micro == expct

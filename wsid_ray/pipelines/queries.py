@@ -1325,6 +1325,64 @@ def q_winnow_overlap_pairs(sf_dir: str) -> rd.Dataset:
     return summed.map_batches(final, batch_format="pyarrow")
 
 
+def q_winnow_containment(sf_dir: str) -> rd.Dataset:
+    """MOSS containment per candidate pair: n_shared over the SMALLER
+    doc's fingerprint-set size, in micro units — the asymmetric "is A
+    contained in B" score the overlap report ranks by.  Two partitioned
+    joins of the pair list to the per-doc distinct-fingerprint counts;
+    everything pair-bounded."""
+    from ..stages.joins import hash_join
+    from .analytics import bucketed_sum
+
+    pairs = q_winnow_overlap_pairs(sf_dir)
+    fps = q_doc_winnowing(sf_dir)
+
+    # per-batch distinct is NOT exact across batches for counts — count
+    # distinct fps per doc via one fp-level dedup shuffle first
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "fp"]].drop_duplicates()
+        return out.assign(c=np.int64(1))
+
+    uniq = bucketed_sum(fps.map_batches(pre, batch_format="pandas"),
+                        ["doc_id", "fp"], ["c"], num_buckets=8)
+    nfp = bucketed_sum(
+        uniq.map_batches(
+            lambda df: pd.DataFrame({"doc_id": df["doc_id"],
+                                     "nfp": np.ones(len(df),
+                                                    dtype=np.int64)}),
+            batch_format="pandas"),
+        ["doc_id"], ["nfp"], num_buckets=8)
+
+    a = hash_join(
+        pairs.map_batches(lambda t: t.rename_columns(
+            ["doc_id", "doc_b", "n_shared"]), batch_format="pyarrow"),
+        nfp, on=["doc_id"], num_buckets=8).map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "n_shared",
+                                    "nfp_a"]), batch_format="pyarrow")
+    ab = hash_join(
+        a.map_batches(lambda t: pa.table({
+            "doc_id": t["doc_b"], "doc_a": t["doc_a"],
+            "n_shared": t["n_shared"], "nfp_a": t["nfp_a"]}),
+            batch_format="pyarrow"),
+        nfp, on=["doc_id"], num_buckets=8)
+
+    def score(t: pa.Table) -> pa.Table:
+        ns = t["n_shared"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        na = t["nfp_a"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nb = t["nfp"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cm = np.floor(ns / np.minimum(na, nb) * 1e6 + 0.5) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_a": t["doc_a"],
+            "doc_b": t["doc_id"],
+            "n_shared": t["n_shared"],
+            "containment_micro": pa.array(cm, pa.int64())})
+
+    return ab.map_batches(score, batch_format="pyarrow")
+
+
 def q_source_distinct_ngrams(sf_dir: str) -> rd.Dataset:
     """Distinct-n lexical diversity per source (Li et al. 2016
     distinct-1/2/3): distinct n-grams vs total n-grams and the micro
@@ -4219,6 +4277,7 @@ QUERIES = {
     "source_distinct_ngrams": q_source_distinct_ngrams,
     "doc_winnowing": q_doc_winnowing,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
+    "winnow_containment": q_winnow_containment,
     "doc_mixture_resample": q_doc_mixture_resample,
     "doc_importance_sample": q_doc_importance_sample,
     "doc_pack_sequences": q_doc_pack_sequences,
