@@ -4919,6 +4919,38 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS ratio_micro
             FROM g GROUP BY source, n
         """,
+        # pipelines/queries.q_source_keyness_topk: top-10 characteristic
+        # tokens per source by +1-smoothed log-odds vs rest of corpus
+        # (Monroe 2008 family); micro-quantised delta fixes rank order
+        "source_keyness_topk": r"""
+            WITH w AS (SELECT source,
+                       unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS tok FROM documents),
+            st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+                   FROM w GROUP BY ALL),
+            ct AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cw
+                   FROM st GROUP BY tok),
+            ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens
+                   FROM st GROUP BY source),
+            n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM st),
+            d AS (SELECT st.source, st.tok AS token, st.c,
+                         CAST(floor((ln((st.c + 1.0)
+                                  / (ns.n_tokens - st.c + 1.0))
+                              - ln((ct.cw - st.c + 1.0)
+                                  / (n.nn - ns.n_tokens
+                                     - (ct.cw - st.c) + 1.0)))
+                              * 1000000 + 0.5) AS BIGINT)
+                             AS delta_micro
+                  FROM st JOIN ct USING (tok) JOIN ns USING (source)
+                  CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY delta_micro DESC, token) AS rnk
+                  FROM d)
+            SELECT source, token, c, delta_micro,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 10
+        """,
         # pipelines/queries.q_source_unigram_kl: per-source domain-shift
         # KL(P_s || P_corpus) in integer micro-nats — per-term micro
         # quantised c*ln(c*N/(N_s*c_w)), exact integer sums, one float

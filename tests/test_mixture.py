@@ -157,3 +157,45 @@ def test_source_distinct_ngrams():
     piv = got.pivot_table(index="source", columns="n",
                           values="ratio_micro")
     assert (piv[3] >= piv[2]).all() and (piv[2] >= piv[1]).all()
+
+
+def test_source_keyness_topk():
+    """Keyness: parity + brute-force log-odds recompute of one source's
+    panel + rank invariants."""
+    import math
+    from collections import Counter
+
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import q_source_keyness_topk
+    got = _canon(q_source_keyness_topk(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["source_keyness_topk"]))
+    pd.testing.assert_frame_equal(got, exp)
+
+    # exactly 10 ranked rows per source, rnk = 1..10, delta descending
+    for src, g in got.groupby("source"):
+        g = g.sort_values("rnk")
+        assert list(g["rnk"]) == list(range(1, 11))
+        d = g["delta_micro"].to_numpy()
+        assert (d[:-1] >= d[1:]).all()
+
+    # brute-force the winning token of one source
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "text"])
+    corpus = Counter()
+    per_src: dict = {}
+    for r in docs.itertuples():
+        toks = [w for w in r.text.split() if w]
+        corpus.update(toks)
+        per_src.setdefault(r.source, Counter()).update(toks)
+    N = sum(corpus.values())
+    src = sorted(per_src)[0]
+    cs, ns = per_src[src], sum(per_src[src].values())
+    best = max(
+        ((math.floor((math.log((c + 1.0) / (ns - c + 1.0))
+                      - math.log((corpus[w] - c + 1.0)
+                                 / (N - ns - (corpus[w] - c) + 1.0)))
+                     * 1e6 + 0.5), w)
+         for w, c in cs.items()), key=lambda t: (t[0], [-ord(ch) for ch
+                                                        in t[1]]))
+    top = got[(got["source"] == src) & (got["rnk"] == 1)].iloc[0]
+    assert top["delta_micro"] == best[0]

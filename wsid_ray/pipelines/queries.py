@@ -1136,6 +1136,27 @@ def q_doc_stratified_sample(sf_dir: str) -> rd.Dataset:
         .map_batches(stratified_sample_batch, batch_format="pyarrow")
 
 
+def _source_token_counts(sf_dir: str) -> rd.Dataset:
+    """(source, token, c) whitespace-token counts — one bucketed shuffle
+    of per-batch partials; shared by the domain-KL and keyness panels."""
+    from .analytics import bucketed_sum
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        from ..stages.textstats import _word_rows
+        row_of, nonempty, flat, _n = _word_rows(t)
+        srcs = np.asarray(t["source"].to_pylist(), dtype=object)
+        df = pd.DataFrame({
+            "source": srcs[row_of[nonempty]],
+            "token": flat.to_numpy(zero_copy_only=False)[nonempty]})
+        out = df.groupby(["source", "token"], as_index=False).size()
+        return out.rename(columns={"size": "c"}).astype({"c": "int64"})
+
+    return bucketed_sum(
+        read_documents(sf_dir, columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["source", "token"], ["c"], num_buckets=8)
+
+
 def q_source_unigram_kl(sf_dir: str) -> pa.Table:
     """Per-source domain shift: KL(P_source ‖ P_corpus) over unigram
     distributions, in integer micro-nats — the DSIR-flavoured domain
@@ -1153,20 +1174,7 @@ def q_source_unigram_kl(sf_dir: str) -> pa.Table:
     from ..util import collect_rows
     from .analytics import bucketed_sum
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        from ..stages.textstats import _word_rows
-        row_of, nonempty, flat, _n = _word_rows(t)
-        srcs = np.asarray(t["source"].to_pylist(), dtype=object)
-        df = pd.DataFrame({
-            "source": srcs[row_of[nonempty]],
-            "token": flat.to_numpy(zero_copy_only=False)[nonempty]})
-        out = df.groupby(["source", "token"], as_index=False).size()
-        return out.rename(columns={"size": "c"}).astype({"c": "int64"})
-
-    st = bucketed_sum(
-        read_documents(sf_dir, columns=["source", "text"])
-        .map_batches(partial, batch_format="pyarrow"),
-        ["source", "token"], ["c"], num_buckets=8)
+    st = _source_token_counts(sf_dir)
     ct = bucketed_sum(
         st.map_batches(lambda t: t.select(["token", "c"])
                        .rename_columns(["token", "cw"]),
@@ -1445,6 +1453,75 @@ def q_source_distinct_ngrams(sf_dir: str) -> rd.Dataset:
         return t.append_column("ratio_micro", pa.array(rm, pa.int64()))
 
     return agg.map_batches(ratio, batch_format="pyarrow")
+
+
+def q_source_keyness_topk(sf_dir: str) -> rd.Dataset:
+    """Keyness panel: each source's 10 most characteristic tokens by
+    smoothed log-odds vs the rest of the corpus (the "Fightin' Words"
+    family, Monroe et al. 2008, +1-smoothed form) — what a curation
+    dashboard shows per feed.
+
+    delta = ln((c+1)/(N_s−c+1)) − ln((c_r+1)/(N_r−c_r+1)) with c_r/N_r
+    the rest-of-corpus count/total, micro-quantised so the rank order
+    is integer-deterministic (ties: token ASC).  Per-batch partial
+    top-10 before the final per-source fold — the vocab never
+    co-locates."""
+    from ..stages.groups import bucketed_group_apply
+    from ..stages.joins import hash_join
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+
+    st = _source_token_counts(sf_dir)
+    ct = bucketed_sum(
+        st.map_batches(lambda t: t.select(["token", "c"])
+                       .rename_columns(["token", "cw"]),
+                       batch_format="pyarrow"),
+        ["token"], ["cw"], num_buckets=8)
+    ns_rows = collect_rows(bucketed_sum(
+        st.map_batches(lambda t: t.select(["source", "c"])
+                       .rename_columns(["source", "n_tokens"]),
+                       batch_format="pyarrow"),
+        ["source"], ["n_tokens"], num_buckets=2))
+    n_of = {r["source"]: int(r["n_tokens"]) for r in ns_rows}
+    N = float(sum(n_of.values()))
+
+    j = hash_join(st, ct, on=["token"], num_buckets=8)
+
+    def delta(t: pa.Table) -> pd.DataFrame:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cw = t["cw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        srcs = t["source"].to_pylist()
+        ns = np.fromiter((n_of[s] for s in srcs), dtype=np.float64,
+                         count=len(srcs))
+        d = (np.log((c + 1.0) / (ns - c + 1.0))
+             - np.log((cw - c + 1.0) / (N - ns - (cw - c) + 1.0)))
+        df = pd.DataFrame({
+            "source": srcs,
+            "token": t["token"].to_pandas(),
+            "c": t["c"].to_numpy(zero_copy_only=False),
+            "delta_micro": np.floor(d * 1e6 + 0.5).astype(np.int64)})
+        # partial top-10 per source inside the batch
+        df = df.sort_values(["source", "delta_micro", "token"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("source", sort=False).head(10)
+
+    schema = pa.schema([("source", pa.string()), ("token", pa.string()),
+                        ("c", pa.int64()), ("delta_micro", pa.int64()),
+                        ("rnk", pa.int64())])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "delta_micro", "token"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df = df.groupby("source", sort=False).head(10)
+        df["rnk"] = df.groupby("source", sort=False).cumcount() \
+                      .to_numpy() + 1
+        return df.astype({"rnk": "int64"})
+
+    return bucketed_group_apply(
+        j.map_batches(delta, batch_format="pyarrow"),
+        ["source"], final, num_buckets=4, out_schema=schema)
 
 
 # temperature-based mixture resampling (Conneau & Lample 2019 / mT5
@@ -4274,6 +4351,7 @@ QUERIES = {
     "doc_ppl_buckets": q_doc_ppl_buckets,
     "mixture_plan": q_mixture_plan,
     "source_unigram_kl": q_source_unigram_kl,
+    "source_keyness_topk": q_source_keyness_topk,
     "source_distinct_ngrams": q_source_distinct_ngrams,
     "doc_winnowing": q_doc_winnowing,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
