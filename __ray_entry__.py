@@ -4660,6 +4660,18 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string({tok}, ' ')) AS fingerprint
             FROM documents
         """,
+        # pipelines/queries.q_source_neardup_matrix: verified near-dup
+        # pairs rolled up by unordered source pair
+        "source_neardup_matrix": f"""
+            WITH p AS (SELECT doc_a, doc_b
+                       FROM ({_sql_jaccard_pairs(tok)}))
+            SELECT least(da.source, db.source) AS src_a,
+                   greatest(da.source, db.source) AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p JOIN documents da ON da.doc_id = p.doc_a
+                   JOIN documents db ON db.doc_id = p.doc_b
+            GROUP BY 1, 2
+        """,
         # Gopher-style repetition signals: distinct-token ratio + fraction
         # of bigram positions covered by the most frequent word bigram
         # (mirror of stages/textstats.repetition_batch)

@@ -199,3 +199,28 @@ def test_source_keyness_topk():
                                                         in t[1]]))
     top = got[(got["source"] == src) & (got["rnk"] == 1)].iloc[0]
     assert top["delta_micro"] == best[0]
+
+
+def test_source_neardup_matrix():
+    """Syndication matrix: parity + recompute from the verified pair
+    list + total-mass identity."""
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import (q_doc_jaccard_pairs,
+                                            q_source_neardup_matrix)
+    got = _canon(q_source_neardup_matrix(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["source_neardup_matrix"]))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got)
+
+    pairs = q_doc_jaccard_pairs(SF).to_pandas()
+    src = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id", "source"]) \
+            .set_index("doc_id")["source"]
+    from collections import Counter
+    ref: Counter = Counter()
+    for r in pairs.itertuples():
+        a, b = src[r.doc_a], src[r.doc_b]
+        ref[(min(a, b), max(a, b))] += 1
+    assert {(r.src_a, r.src_b): r.n_pairs
+            for r in got.itertuples()} == dict(ref)
+    assert got["n_pairs"].sum() == len(pairs)

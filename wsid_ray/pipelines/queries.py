@@ -1333,6 +1333,46 @@ def q_winnow_overlap_pairs(sf_dir: str) -> rd.Dataset:
     return summed.map_batches(final, batch_format="pyarrow")
 
 
+def q_source_neardup_matrix(sf_dir: str) -> rd.Dataset:
+    """Cross-source near-duplicate matrix: verified near-dup pairs
+    (the SQL-checked LSH → Jaccard chain) rolled up by unordered source
+    pair — the syndication / mirror-feed diagnostic a curation run
+    reads to find feeds republishing each other.  Two partitioned
+    doc→source joins on the pair-bounded list, one tiny source-pair
+    count shuffle."""
+    from ..stages.dedup import jaccard_pairs
+    from ..stages.joins import hash_join
+    from .analytics import bucketed_sum
+
+    pairs = jaccard_pairs(read_documents(sf_dir), threshold=0.5,
+                          shingle_k=3)
+    srcs = read_documents(sf_dir, columns=["doc_id", "source"])
+
+    a = hash_join(
+        pairs.map_batches(lambda t: pa.table({
+            "doc_id": t["doc_a"], "doc_b": t["doc_b"]}),
+            batch_format="pyarrow"),
+        srcs, on=["doc_id"], num_buckets=8)
+    b = hash_join(
+        a.map_batches(lambda t: pa.table({
+            "doc_id": t["doc_b"], "sa": t["source"]}),
+            batch_format="pyarrow"),
+        srcs, on=["doc_id"], num_buckets=8)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        sa = t["sa"].to_pandas()
+        sb = t["source"].to_pandas()
+        df = pd.DataFrame({
+            "src_a": np.minimum(sa, sb),
+            "src_b": np.maximum(sa, sb),
+            "n_pairs": np.ones(t.num_rows, dtype=np.int64)})
+        return df.groupby(["src_a", "src_b"], as_index=False).sum() \
+                 .astype({"n_pairs": "int64"})
+
+    return bucketed_sum(b.map_batches(partial, batch_format="pyarrow"),
+                        ["src_a", "src_b"], ["n_pairs"], num_buckets=2)
+
+
 def q_winnow_containment(sf_dir: str) -> rd.Dataset:
     """MOSS containment per candidate pair: n_shared over the SMALLER
     doc's fingerprint-set size, in micro units — the asymmetric "is A
@@ -4352,6 +4392,7 @@ QUERIES = {
     "mixture_plan": q_mixture_plan,
     "source_unigram_kl": q_source_unigram_kl,
     "source_keyness_topk": q_source_keyness_topk,
+    "source_neardup_matrix": q_source_neardup_matrix,
     "source_distinct_ngrams": q_source_distinct_ngrams,
     "doc_winnowing": q_doc_winnowing,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
