@@ -4660,6 +4660,17 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string({tok}, ' ')) AS fingerprint
             FROM documents
         """,
+        # pipelines/queries.q_doc_blocklist_hits: C4-family blocklist
+        # drop list with hit counts (fixed shared blocklist)
+        "doc_blocklist_hits": r"""
+            WITH w AS (SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS tok FROM documents)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM w WHERE tok IN ('boiler', 'dup', 'spam')
+            GROUP BY doc_id
+        """,
         # pipelines/queries.q_source_neardup_matrix: verified near-dup
         # pairs rolled up by unordered source pair
         "source_neardup_matrix": f"""

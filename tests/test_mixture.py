@@ -224,3 +224,24 @@ def test_source_neardup_matrix():
     assert {(r.src_a, r.src_b): r.n_pairs
             for r in got.itertuples()} == dict(ref)
     assert got["n_pairs"].sum() == len(pairs)
+
+
+def test_doc_blocklist_hits():
+    """Blocklist drop list: parity + brute-force recompute."""
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import (_BLOCKLIST,
+                                            q_doc_blocklist_hits)
+    got = _canon(q_doc_blocklist_hits(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["doc_blocklist_hits"]))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ref = {}
+    bl = set(_BLOCKLIST)
+    for r in docs.itertuples():
+        n = sum(1 for w in r.text.split() if w in bl)
+        if n:
+            ref[r.doc_id] = n
+    assert {r.doc_id: r.n_hits for r in got.itertuples()} == ref

@@ -1333,6 +1333,37 @@ def q_winnow_overlap_pairs(sf_dir: str) -> rd.Dataset:
     return summed.map_batches(final, batch_format="pyarrow")
 
 
+# C4-style blocklist (the "bad words" filter shape); fixed config so
+# engine and oracle share it verbatim
+_BLOCKLIST = ("dup", "boiler", "spam")
+
+
+def q_doc_blocklist_hits(sf_dir: str) -> rd.Dataset:
+    """C4-family blocklist filter: the DROP list — docs containing any
+    blocklisted token, with the hit count (the transparency report a
+    filtered release ships).  Vectorised Arrow is_in over the flat
+    token stream + bincount per doc; stateless, shuffle-free."""
+    import pyarrow.compute as pc
+
+    from ..stages.textstats import _word_rows
+
+    bl = pa.array(sorted(_BLOCKLIST), type=pa.string())
+
+    def hits(t: pa.Table) -> pa.Table:
+        row_of, nonempty, flat, n = _word_rows(t)
+        mask = pc.is_in(flat, value_set=bl) \
+            .to_numpy(zero_copy_only=False).astype(bool) & nonempty
+        nh = np.bincount(row_of[mask], minlength=n).astype(np.int64)
+        keep = nh > 0
+        return pa.table({
+            "doc_id": pc.take(t["doc_id"], pa.array(
+                np.nonzero(keep)[0], type=pa.int64())),
+            "n_hits": pa.array(nh[keep], pa.int64())})
+
+    return read_documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(hits, batch_format="pyarrow")
+
+
 def q_source_neardup_matrix(sf_dir: str) -> rd.Dataset:
     """Cross-source near-duplicate matrix: verified near-dup pairs
     (the SQL-checked LSH → Jaccard chain) rolled up by unordered source
@@ -4393,6 +4424,7 @@ QUERIES = {
     "source_unigram_kl": q_source_unigram_kl,
     "source_keyness_topk": q_source_keyness_topk,
     "source_neardup_matrix": q_source_neardup_matrix,
+    "doc_blocklist_hits": q_doc_blocklist_hits,
     "source_distinct_ngrams": q_source_distinct_ngrams,
     "doc_winnowing": q_doc_winnowing,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
