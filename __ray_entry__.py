@@ -4660,6 +4660,35 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string({tok}, ' ')) AS fingerprint
             FROM documents
         """,
+        # pipelines/queries.q_corpus_f2_sketch: AMS 1996 second-moment
+        # sketch audited vs exact F2 (integer sketch, one float err op)
+        "corpus_f2_sketch": r"""
+            WITH w AS (SELECT unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS tok FROM documents),
+            tokc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                     FROM w GROUP BY tok),
+            rws AS (SELECT unnest(range(5)) AS r),
+            h AS (SELECT rws.r, tokc.c,
+                         md5_number_upper(CAST(rws.r AS VARCHAR)
+                             || ':' || tokc.tok) AS hh
+                  FROM tokc CROSS JOIN rws),
+            cnt AS (SELECT r, hh % 64 AS b,
+                           CAST(sum(CASE WHEN (hh // 64) % 2 = 0
+                                    THEN c ELSE -c END) AS BIGINT)
+                               AS ctr
+                    FROM h GROUP BY 1, 2),
+            est AS (SELECT r, CAST(sum(ctr * ctr) AS BIGINT) AS f2_est
+                    FROM cnt GROUP BY r),
+            ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
+                   FROM tokc)
+            SELECT CAST(est.r AS BIGINT) AS sketch_row, est.f2_est,
+                   ex.f2_exact,
+                   CAST(floor(abs(est.f2_est - ex.f2_exact)
+                        / CAST(ex.f2_exact AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS err_micro
+            FROM est CROSS JOIN ex
+        """,
         # pipelines/queries.q_doc_blocklist_hits: C4-family blocklist
         # drop list with hit counts (fixed shared blocklist)
         "doc_blocklist_hits": r"""

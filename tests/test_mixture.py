@@ -5,6 +5,7 @@ import hashlib
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 SF = "/root/testdata/sf0.001"
@@ -245,3 +246,30 @@ def test_doc_blocklist_hits():
         if n:
             ref[r.doc_id] = n
     assert {r.doc_id: r.n_hits for r in got.itertuples()} == ref
+
+
+def test_corpus_f2_sketch():
+    """AMS F2: parity, exact-F2 identity, and the unbiasedness-flavoured
+    sanity that estimates bracket the truth within the B-bucket bound."""
+    from collections import Counter
+
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import q_corpus_f2_sketch
+    got = _canon(q_corpus_f2_sketch(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["corpus_f2_sketch"]))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) == 5
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    cnt = Counter(w for t in docs["text"] for w in t.split() if w)
+    f2 = sum(c * c for c in cnt.values())
+    assert (got["f2_exact"] == f2).all()
+    # estimates are positive and the per-row error is what's reported
+    for r in got.itertuples():
+        assert r.f2_est > 0
+        assert r.err_micro == int(np.floor(
+            abs(r.f2_est - f2) / f2 * 1e6 + 0.5))
+    # the median estimate should be in the right ballpark (loose bound:
+    # AMS variance <= 2*F2^2/B per row; 10x band catches sign bugs)
+    med = sorted(got["f2_est"])[2]
+    assert f2 / 10 <= med <= f2 * 10

@@ -1333,6 +1333,83 @@ def q_winnow_overlap_pairs(sf_dir: str) -> rd.Dataset:
     return summed.map_batches(final, batch_format="pyarrow")
 
 
+_AMS_ROWS, _AMS_BUCKETS = 5, 64
+
+
+def q_corpus_f2_sketch(sf_dir: str) -> pa.Table:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996)
+    over the corpus unigram distribution, audited against the exact F2
+    — the self-join-size / skew estimator of the streaming literature.
+
+    Fully integer-exact: per (sketch row, token) the bucket and ±1 sign
+    come from the shared md5 integer (b = h % B, sign from the next
+    bit), counters are exact int64 sums of signed counts, each row's
+    estimate is Σ counter², and the only float op is the final relative
+    error.  Token counts are one bucketed shuffle; the sketch itself is
+    R×B rows; only R audit rows reach the driver.  (int64 counter bound:
+    |ctr| ≤ F1 — requantise to HUGEINT-style python ints past ~3e9.)"""
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+
+    def tok_partial(t: pa.Table) -> pd.DataFrame:
+        from ..stages.textstats import _word_rows
+        _row_of, nonempty, flat, _n = _word_rows(t)
+        toks = flat.to_numpy(zero_copy_only=False)[nonempty]
+        df = pd.DataFrame({"token": toks})
+        out = df.groupby("token", as_index=False).size()
+        return out.rename(columns={"size": "c"}).astype({"c": "int64"})
+
+    tokc = bucketed_sum(
+        read_documents(sf_dir, columns=["text"])
+        .map_batches(tok_partial, batch_format="pyarrow"),
+        ["token"], ["c"], num_buckets=8)
+
+    R, B = _AMS_ROWS, _AMS_BUCKETS
+
+    def sketch_partial(t: pa.Table) -> pd.DataFrame:
+        import hashlib
+        toks = t["token"].to_pylist()
+        c = t["c"].to_numpy(zero_copy_only=False)
+        rows, buckets, vals, sq = [], [], [], np.int64(0)
+        sq = (c.astype(np.int64) ** 2).sum()
+        for r in range(R):
+            h = np.fromiter(
+                (int.from_bytes(hashlib.md5(
+                    f"{r}:{w}".encode()).digest()[:8], "little")
+                 for w in toks), dtype=np.uint64, count=len(toks))
+            rows.append(np.full(len(toks), r, dtype=np.int64))
+            buckets.append((h % B).astype(np.int64))
+            sign = np.where((h // B) % 2 == 0, 1, -1).astype(np.int64)
+            vals.append(sign * c)
+        df = pd.DataFrame({
+            "r": np.concatenate(rows), "b": np.concatenate(buckets),
+            "ctr": np.concatenate(vals)})
+        out = df.groupby(["r", "b"], as_index=False)["ctr"].sum()
+        # ride the exact-F2 partial on row -1 bucket 0
+        out = pd.concat([out, pd.DataFrame(
+            {"r": [-1], "b": [0], "ctr": [int(sq)]})],
+            ignore_index=True)
+        return out.astype({"ctr": "int64"})
+
+    cnt = collect_rows(bucketed_sum(
+        tokc.map_batches(sketch_partial, batch_format="pyarrow"),
+        ["r", "b"], ["ctr"], num_buckets=2))
+    f2_exact = sum(int(x["ctr"]) for x in cnt if x["r"] == -1)
+    est = {}
+    for x in cnt:
+        if x["r"] >= 0:
+            est[x["r"]] = est.get(x["r"], 0) + int(x["ctr"]) ** 2
+    rows = sorted(est)
+    import math
+    return pa.table({
+        "sketch_row": pa.array(rows, pa.int64()),
+        "f2_est": pa.array([est[r] for r in rows], pa.int64()),
+        "f2_exact": pa.array([f2_exact] * len(rows), pa.int64()),
+        "err_micro": pa.array(
+            [int(math.floor(abs(est[r] - f2_exact) / f2_exact
+                            * 1e6 + 0.5)) for r in rows], pa.int64())})
+
+
 # C4-style blocklist (the "bad words" filter shape); fixed config so
 # engine and oracle share it verbatim
 _BLOCKLIST = ("dup", "boiler", "spam")
@@ -4425,6 +4502,7 @@ QUERIES = {
     "source_keyness_topk": q_source_keyness_topk,
     "source_neardup_matrix": q_source_neardup_matrix,
     "doc_blocklist_hits": q_doc_blocklist_hits,
+    "corpus_f2_sketch": q_corpus_f2_sketch,
     "source_distinct_ngrams": q_source_distinct_ngrams,
     "doc_winnowing": q_doc_winnowing,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
