@@ -4660,6 +4660,23 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string({tok}, ' ')) AS fingerprint
             FROM documents
         """,
+        # pipelines/queries.q_doc_weighted_sample_topk: RNG-free
+        # Efraimidis-Spirakis weighted sample (key ln(u)/w, nano units)
+        "doc_weighted_sample_topk": r"""
+            WITH k AS (SELECT doc_id, n_chars,
+                CAST(floor(ln((CAST(md5_number_upper(
+                        CAST(doc_id AS VARCHAR)) >> 11 AS DOUBLE) + 0.5)
+                        / 9007199254740992.0)
+                    / n_chars * 1000000000 + 0.5) AS BIGINT)
+                    AS lnkey_nano
+                FROM documents),
+            r AS (SELECT *, row_number() OVER (
+                      ORDER BY lnkey_nano DESC, doc_id) AS rnk
+                  FROM k)
+            SELECT doc_id, n_chars, lnkey_nano,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 64
+        """,
         # pipelines/queries.q_corpus_f2_sketch: AMS 1996 second-moment
         # sketch audited vs exact F2 (integer sketch, one float err op)
         "corpus_f2_sketch": r"""

@@ -273,3 +273,30 @@ def test_corpus_f2_sketch():
     # AMS variance <= 2*F2^2/B per row; 10x band catches sign bugs)
     med = sorted(got["f2_est"])[2]
     assert f2 / 10 <= med <= f2 * 10
+
+
+def test_doc_weighted_sample_topk():
+    """E-S weighted sample: parity + first-principles key recompute +
+    the exact-top-64 property."""
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import q_doc_weighted_sample_topk
+    got = _canon(q_doc_weighted_sample_topk(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["doc_weighted_sample_topk"]))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) == 64
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    keys = {}
+    for r in docs.itertuples():
+        h = int.from_bytes(hashlib.md5(
+            str(r.doc_id).encode()).digest()[:8], "little")
+        u = ((h >> 11) + 0.5) / 2.0 ** 53
+        keys[r.doc_id] = int(np.floor(
+            math.log(u) / r.n_chars * 1e9 + 0.5))
+    for r in got.itertuples():
+        assert keys[r.doc_id] == r.lnkey_nano
+    # selection IS the global top-64 by (key DESC, doc_id ASC)
+    ordered = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:64]
+    assert [d for d, _ in ordered] == list(
+        got.sort_values("rnk")["doc_id"])

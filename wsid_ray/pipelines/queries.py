@@ -1333,6 +1333,64 @@ def q_winnow_overlap_pairs(sf_dir: str) -> rd.Dataset:
     return summed.map_batches(final, batch_format="pyarrow")
 
 
+_WSAMPLE_K = 64
+
+
+def q_doc_weighted_sample_topk(sf_dir: str) -> rd.Dataset:
+    """Weighted sampling without replacement, RNG-free (Efraimidis &
+    Spirakis 2006 A-Res): each doc gets key u^(1/w) with w = n_chars
+    and u a deterministic 53-bit md5 uniform; the top-64 keys ARE the
+    weighted sample — longer docs proportionally likelier, any rerun or
+    repartition reproduces the same set.
+
+    Ordering rides ln(u)/w quantised to int64 nano units (engine and
+    mirror share the exact double: (h>>11 + 0.5)/2^53 is exactly
+    representable), ties by doc_id.  Per-batch partial top-64, then one
+    single-group fold — never a global sort."""
+    import hashlib
+
+    from ..stages.groups import bucketed_group_apply
+
+    K = _WSAMPLE_K
+
+    def keys(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pylist()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                            "little") for i in ids),
+            dtype=np.uint64, count=len(ids))
+        u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) / 2.0 ** 53
+        w = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        lnk = np.floor(np.log(u) / w * 1e9 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "g": np.zeros(len(ids), dtype=np.int64),
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "n_chars": t["n_chars"].to_numpy(zero_copy_only=False),
+            "lnkey_nano": lnk})
+        df = df.sort_values(["lnkey_nano", "doc_id"],
+                            ascending=[False, True], kind="mergesort")
+        return df.head(K)
+
+    schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64()),
+                        ("lnkey_nano", pa.int64()), ("rnk", pa.int64())])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lnkey_nano", "doc_id"],
+                            ascending=[False, True],
+                            kind="mergesort").head(K)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_chars": df["n_chars"].to_numpy(),
+            "lnkey_nano": df["lnkey_nano"].to_numpy(),
+            "rnk": np.arange(1, len(df) + 1, dtype=np.int64)})
+
+    parts = read_documents(sf_dir, columns=["doc_id", "n_chars"]) \
+        .map_batches(keys, batch_format="pyarrow")
+    return bucketed_group_apply(parts, ["g"], final, num_buckets=1,
+                                out_schema=schema)
+
+
 _AMS_ROWS, _AMS_BUCKETS = 5, 64
 
 
@@ -4503,6 +4561,7 @@ QUERIES = {
     "source_neardup_matrix": q_source_neardup_matrix,
     "doc_blocklist_hits": q_doc_blocklist_hits,
     "corpus_f2_sketch": q_corpus_f2_sketch,
+    "doc_weighted_sample_topk": q_doc_weighted_sample_topk,
     "source_distinct_ngrams": q_source_distinct_ngrams,
     "doc_winnowing": q_doc_winnowing,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
