@@ -4660,6 +4660,21 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string({tok}, ' ')) AS fingerprint
             FROM documents
         """,
+        # pipelines/queries.q_corpus_shard_manifest: per-shard content
+        # checksum (md5 of doc fingerprints in doc_id order) + masses
+        "corpus_shard_manifest": f"""
+            WITH d AS (SELECT doc_id, doc_id % 16 AS shard,
+                              md5(array_to_string({tok}, ' ')) AS fp,
+                              len(list_filter(regexp_split_to_array(
+                                  text, '\\s+'), x -> x <> ''))
+                                  AS n_ws
+                       FROM documents)
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_ws) AS BIGINT) AS n_tokens,
+                   md5(string_agg(fp, '' ORDER BY doc_id)) AS checksum
+            FROM d GROUP BY shard
+        """,
         # pipelines/queries.q_doc_weighted_sample_topk: RNG-free
         # Efraimidis-Spirakis weighted sample (key ln(u)/w, nano units)
         "doc_weighted_sample_topk": r"""

