@@ -3281,6 +3281,39 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS fano_micro
             FROM bg
         """,
+        # pipelines/sequences.user_daily_autocorr: lag-1 autocorrelation
+        # over the dense daily series — n²-lifted exact integer moments,
+        # one BIGINT→DOUBLE division at 6 dp; NULL on constant or n<2
+        "user_daily_autocorr": f"""
+            WITH acd AS ({dense_sql}),
+            acl AS (SELECT user_id, day, n_events,
+                           lag(n_events) OVER (PARTITION BY user_id
+                                               ORDER BY day) AS prev
+                    FROM acd),
+            acm AS (SELECT user_id,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(n_events) AS BIGINT) AS s,
+                           CAST(sum(n_events * n_events) AS BIGINT)
+                               AS ss,
+                           CAST(coalesce(sum(n_events * prev), 0)
+                                AS BIGINT) AS sxy,
+                           CAST(arg_min(n_events, day) AS BIGINT)
+                               AS x0,
+                           CAST(arg_max(n_events, day) AS BIGINT)
+                               AS xl
+                    FROM acl GROUP BY user_id)
+            SELECT user_id, n AS n_days,
+                   CASE WHEN n < 2 OR n * n * ss - n * s * s = 0
+                        THEN NULL
+                        ELSE CAST(floor(
+                            CAST(n * n * sxy
+                                 - n * s * (2 * s - x0 - xl)
+                                 + (n - 1) * s * s AS DOUBLE)
+                            / CAST(n * n * ss - n * s * s AS DOUBLE)
+                            * 1e6 + 0.5) AS BIGINT)
+                   END AS ac1_micro
+            FROM acm
+        """,
         # pipelines/sequences.event_user_skew: shuffle-key skew report;
         # the top-k sum is over count VALUES so cutoff ties don't matter
         "event_user_skew": """

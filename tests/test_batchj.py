@@ -1,0 +1,60 @@
+"""Round-5 batch J: lag-1 autocorrelation, Cramér's V, CUSUM
+change-point, Mann-Kendall trend, JS divergence, training-order mix,
+RBO, HITS."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort",
+                          ignore_index=True)
+
+
+def _duck(sql: str, tables=("documents",)) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in tables:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+def test_autocorr_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.sequences import user_daily_autocorr
+    got = _canon(user_daily_autocorr(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["user_daily_autocorr"],
+                       tables=("events",)))
+    got["ac1_micro"] = got["ac1_micro"].astype("float64")
+    exp["ac1_micro"] = exp["ac1_micro"].astype("float64")
+    pd.testing.assert_frame_equal(got, exp)
+    # direct float recompute of the textbook acf(1) per user
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts"])
+    ev["day"] = ev["ts"].dt.floor("D")
+    byu = ev.groupby(["user_id", "day"]).size()
+    checked = 0
+    for uid, g in byu.groupby(level=0):
+        days = pd.date_range(g.index.get_level_values(1).min(),
+                             g.index.get_level_values(1).max(),
+                             freq="D")
+        x = g.droplevel(0).reindex(days, fill_value=0) \
+            .to_numpy(dtype=np.float64)
+        row = got[got["user_id"] == uid].iloc[0]
+        assert row["n_days"] == len(x)
+        d = x - x.mean()
+        den = (d * d).sum()
+        if len(x) < 2 or den == 0:
+            assert pd.isna(row["ac1_micro"])
+            continue
+        r1 = (d[1:] * d[:-1]).sum() / den
+        assert abs(row["ac1_micro"] / 1e6 - r1) < 2e-6
+        checked += 1
+    assert checked >= 10

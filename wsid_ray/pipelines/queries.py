@@ -4373,8 +4373,16 @@ def q_purchase_nearby_clicks(sf_dir: str) -> rd.Dataset:
     return purchase_nearby_clicks(sf_dir)
 
 
+def q_user_daily_autocorr(sf_dir: str) -> rd.Dataset:
+    """Lag-1 autocorrelation per user over the dense daily series —
+    exact integer moments lifted by n², one float division at 6 dp."""
+    from .sequences import user_daily_autocorr
+    return user_daily_autocorr(sf_dir)
+
+
 QUERIES = {
     # --- first: queries new this round (driver cut-off ordering) ---
+    "user_daily_autocorr": q_user_daily_autocorr,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,

@@ -472,3 +472,60 @@ def user_rolling_median7(sf_dir: str, window: int = 7,
     return bucketed_group_apply(dense, ["user_id"], fold,
                                 num_buckets=num_buckets,
                                 out_schema=out_schema)
+
+
+def user_daily_autocorr(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Lag-1 autocorrelation of each user's DENSE daily event series —
+    the burstiness-vs-momentum screen next to the Fano factor: r1 > 0
+    means active days cluster (sessions span days), r1 < 0 means
+    alternation (engage / rest), r1 ~ 0 is memoryless traffic.
+
+    Integer contract: with n dense days, S = Σx, the textbook
+    r1 = Σ(x_t−x̄)(x_{t−1}−x̄) / Σ(x_t−x̄)² is lifted by n² to the
+    exact integer ratio
+
+        num = n²·Σ x_t·x_{t−1} − n·S·(2S − x_0 − x_{n−1}) + (n−1)·S²
+        den = n²·Σ x² − n·S²
+
+    and ac1_micro = floor(num/den · 1e6 + 0.5) is the ONE float op
+    (both sides compute the same BIGINT→DOUBLE division).  den = 0
+    (constant series) or n < 2 yields NULL.
+
+    Scale: rides user_daily_dense's single bucketed shuffle of per-day
+    partial counts; the moment fold is vectorised per user series and
+    emits one row per user."""
+    import numpy as np
+
+    dense = user_daily_dense(sf_dir, num_buckets=num_buckets)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        uids, nds, acs = [], [], []
+        for uid, g in df.groupby("user_id", sort=True):
+            g = g.sort_values("day", kind="mergesort",
+                              ignore_index=True)
+            x = g["n_events"].to_numpy().astype(np.int64)
+            n = len(x)
+            s = int(x.sum())
+            ss = int((x * x).sum())
+            den = n * n * ss - n * s * s
+            if n < 2 or den == 0:
+                ac = None
+            else:
+                sxy = int((x[1:] * x[:-1]).sum())
+                num = (n * n * sxy - n * s * (2 * s - int(x[0])
+                                              - int(x[-1]))
+                       + (n - 1) * s * s)
+                ac = int(np.floor(float(num) / float(den)
+                                  * 1e6 + 0.5))
+            uids.append(int(uid)); nds.append(n); acs.append(ac)
+        return pd.DataFrame({
+            "user_id": pd.Series(uids, dtype="int64"),
+            "n_days": pd.Series(nds, dtype="int64"),
+            "ac1_micro": pd.Series(acs, dtype="Int64")})
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_days", pa.int64()),
+                            ("ac1_micro", pa.int64())])
+    return bucketed_group_apply(dense, ["user_id"], fold,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
