@@ -1824,6 +1824,34 @@ def oracle_sql() -> dict[str, str]:
             FROM cal LEFT JOIN dc ON dc.user_id = cal.user_id
                                  AND dc.day = cal.day
         """
+    # shared by status_priority_chisq and status_priority_cramers_v
+    chisq_sql = """
+            WITH c AS (SELECT o_orderstatus AS r,
+                              o_orderpriority AS cl,
+                              CAST(count(*) AS HUGEINT) AS o
+                       FROM orders GROUP BY ALL),
+            rt AS (SELECT r, SUM(o) AS rt FROM c GROUP BY r),
+            ct AS (SELECT cl, SUM(o) AS ct FROM c GROUP BY cl),
+            nn AS (SELECT SUM(o) AS n FROM c),
+            grid AS (SELECT rt.r, ct.cl, rt.rt, ct.ct,
+                            coalesce(c.o, 0) AS o
+                     FROM rt CROSS JOIN ct
+                     LEFT JOIN c ON c.r = rt.r AND c.cl = ct.cl),
+            cell AS (SELECT (2 * ((o * nn.n - rt * ct)
+                                  * (o * nn.n - rt * ct)) * 1000000
+                             + (nn.n * rt * ct))
+                            // (2 * (nn.n * rt * ct)) AS term
+                     FROM grid, nn)
+            SELECT CAST(nn.n AS BIGINT) AS n,
+                   CAST(rl.k AS BIGINT) AS r_levels,
+                   CAST(cl2.k AS BIGINT) AS c_levels,
+                   CAST((rl.k - 1) * (cl2.k - 1) AS BIGINT) AS dof,
+                   CAST(s.t AS BIGINT) AS chi2_micro
+            FROM nn,
+                 (SELECT count(*) AS k FROM rt) rl,
+                 (SELECT count(*) AS k FROM ct) cl2,
+                 (SELECT SUM(term) AS t FROM cell) s
+        """
     # shared by doc_near_dup_drops and source_dedup_impact
     droplist_sql = f"""
             WITH RECURSIVE p AS (
@@ -5448,32 +5476,22 @@ def oracle_sql() -> dict[str, str]:
         # integer micro sum — per-cell (O·N - rt·ct)²/(N·rt·ct) rounded
         # half-up via (2·num·1e6 + den)//(2·den) in HUGEINT, zero cells
         # included through the margins cross join
-        "status_priority_chisq": """
-            WITH c AS (SELECT o_orderstatus AS r,
-                              o_orderpriority AS cl,
-                              CAST(count(*) AS HUGEINT) AS o
-                       FROM orders GROUP BY ALL),
-            rt AS (SELECT r, SUM(o) AS rt FROM c GROUP BY r),
-            ct AS (SELECT cl, SUM(o) AS ct FROM c GROUP BY cl),
-            nn AS (SELECT SUM(o) AS n FROM c),
-            grid AS (SELECT rt.r, ct.cl, rt.rt, ct.ct,
-                            coalesce(c.o, 0) AS o
-                     FROM rt CROSS JOIN ct
-                     LEFT JOIN c ON c.r = rt.r AND c.cl = ct.cl),
-            cell AS (SELECT (2 * ((o * nn.n - rt * ct)
-                                  * (o * nn.n - rt * ct)) * 1000000
-                             + (nn.n * rt * ct))
-                            // (2 * (nn.n * rt * ct)) AS term
-                     FROM grid, nn)
-            SELECT CAST(nn.n AS BIGINT) AS n,
-                   CAST(rl.k AS BIGINT) AS r_levels,
-                   CAST(cl2.k AS BIGINT) AS c_levels,
-                   CAST((rl.k - 1) * (cl2.k - 1) AS BIGINT) AS dof,
-                   CAST(s.t AS BIGINT) AS chi2_micro
-            FROM nn,
-                 (SELECT count(*) AS k FROM rt) rl,
-                 (SELECT count(*) AS k FROM ct) cl2,
-                 (SELECT SUM(term) AS t FROM cell) s
+        "status_priority_chisq": chisq_sql,
+        # pipelines/mlstats.status_priority_cramers_v: effect size for
+        # the chi-square panel — V = sqrt(chi2 / (N*(min(r,c)-1))),
+        # one shared float chain over the exact integer chi2_micro
+        "status_priority_cramers_v": f"""
+            WITH cv AS ({chisq_sql})
+            SELECT n,
+                   CAST(least(r_levels, c_levels) - 1 AS BIGINT)
+                       AS k_min,
+                   chi2_micro,
+                   CAST(floor(sqrt(
+                       (CAST(chi2_micro AS DOUBLE) / 1e6)
+                       / CAST(n * (least(r_levels, c_levels) - 1)
+                              AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                       AS v_micro
+            FROM cv
         """,
         # pipelines/mlstats.priority_price_welch: Welch t + W-S df per
         # priority pair — exact HUGEINT moments, then ONE shared float

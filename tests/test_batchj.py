@@ -58,3 +58,24 @@ def test_autocorr_parity_and_recompute():
         assert abs(row["ac1_micro"] / 1e6 - r1) < 2e-6
         checked += 1
     assert checked >= 10
+
+
+def test_cramers_v_parity_and_definition():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import status_priority_cramers_v
+    got = _canon(status_priority_cramers_v(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["status_priority_cramers_v"],
+                       tables=("orders",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # direct float recompute from the raw contingency table
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderstatus", "o_orderpriority"])
+    ct = pd.crosstab(o["o_orderstatus"], o["o_orderpriority"])
+    obs = ct.to_numpy(dtype=np.float64)
+    exp_cnt = np.outer(obs.sum(1), obs.sum(0)) / obs.sum()
+    chi2 = ((obs - exp_cnt) ** 2 / exp_cnt).sum()
+    k = min(ct.shape) - 1
+    v = np.sqrt(chi2 / (obs.sum() * k))
+    r = got.iloc[0]
+    assert 0 <= r["v_micro"] <= 1_000_000
+    assert abs(r["v_micro"] / 1e6 - v) < 2e-5

@@ -2100,3 +2100,29 @@ def embedding_jl_projection(sf_dir: str, out_dim: int = 8) -> rd.Dataset:
             "proj_micro": pa.array(P.reshape(-1), pa.int64())})
 
     return emb.map_batches(project, batch_format="pyarrow")
+
+
+def status_priority_cramers_v(sf_dir: str) -> pa.Table:
+    """Cramér's V effect size for the status × priority chi-square
+    panel — the "is the dependence big or just significant" readout:
+    V = sqrt(chi2 / (N · (min(r, c) − 1))), in [0, 1].
+
+    Rides status_priority_chisq's exact integer chi2_micro; the only
+    float work is the shared chain chi2_micro/1e6 ÷ (N·k) → sqrt →
+    half-up micro quantisation, identical in DuckDB.
+
+    Scale: same as the chi-square — category²-bounded fold, driver
+    math on k² cells."""
+    t = status_priority_chisq(sf_dir)
+    n = int(t["n"][0].as_py())
+    r = int(t["r_levels"][0].as_py())
+    c = int(t["c_levels"][0].as_py())
+    chi2_micro = int(t["chi2_micro"][0].as_py())
+    k = min(r, c) - 1
+    v_micro = int(np.floor(
+        np.sqrt((chi2_micro / 1e6) / float(n * k)) * 1e6 + 0.5))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "k_min": pa.array([k], pa.int64()),
+        "chi2_micro": pa.array([chi2_micro], pa.int64()),
+        "v_micro": pa.array([v_micro], pa.int64())})

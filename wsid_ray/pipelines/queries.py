@@ -4373,6 +4373,13 @@ def q_purchase_nearby_clicks(sf_dir: str) -> rd.Dataset:
     return purchase_nearby_clicks(sf_dir)
 
 
+def q_status_priority_cramers_v(sf_dir: str) -> "pa.Table":
+    """Cramér's V effect size over the status × priority table — one
+    shared float chain over the exact integer chi2_micro."""
+    from .mlstats import status_priority_cramers_v
+    return status_priority_cramers_v(sf_dir)
+
+
 def q_user_daily_autocorr(sf_dir: str) -> rd.Dataset:
     """Lag-1 autocorrelation per user over the dense daily series —
     exact integer moments lifted by n², one float division at 6 dp."""
@@ -4383,6 +4390,7 @@ def q_user_daily_autocorr(sf_dir: str) -> rd.Dataset:
 QUERIES = {
     # --- first: queries new this round (driver cut-off ordering) ---
     "user_daily_autocorr": q_user_daily_autocorr,
+    "status_priority_cramers_v": q_status_priority_cramers_v,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,
