@@ -3342,6 +3342,32 @@ def oracle_sql() -> dict[str, str]:
                    END AS ac1_micro
             FROM acm
         """,
+        # pipelines/sequences.daily_volume_cusum: all-integer CUSUM
+        # change-point panel over corpus daily volume (dev = n*cum -
+        # rank*S, peak at argmax |dev| with earliest-day ties)
+        "daily_volume_cusum": """
+            WITH dc AS (SELECT date_trunc('day', ts) AS day,
+                               CAST(count(*) AS BIGINT) AS n_events
+                        FROM events GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(n_events) AS BIGINT) AS s FROM dc),
+            cu AS (SELECT day, n_events,
+                          CAST(sum(n_events) OVER (ORDER BY day)
+                               AS BIGINT) AS cum,
+                          CAST(row_number() OVER (ORDER BY day)
+                               AS BIGINT) AS rnk
+                   FROM dc),
+            cb AS (SELECT cu.day, cu.n_events, cu.cum,
+                          CAST(tot.n * cu.cum - cu.rnk * tot.s
+                               AS BIGINT) AS dev
+                   FROM cu CROSS JOIN tot),
+            pk AS (SELECT min(day) AS pday FROM cb
+                   WHERE abs(dev) = (SELECT max(abs(dev)) FROM cb))
+            SELECT day, n_events, cum, dev,
+                   CAST(CASE WHEN day = pk.pday THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_peak
+            FROM cb CROSS JOIN pk
+        """,
         # pipelines/sequences.event_user_skew: shuffle-key skew report;
         # the top-k sum is over count VALUES so cutoff ties don't matter
         "event_user_skew": """

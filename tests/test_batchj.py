@@ -79,3 +79,23 @@ def test_cramers_v_parity_and_definition():
     r = got.iloc[0]
     assert 0 <= r["v_micro"] <= 1_000_000
     assert abs(r["v_micro"] / 1e6 - v) < 2e-5
+
+
+def test_cusum_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.sequences import daily_volume_cusum
+    got = _canon(daily_volume_cusum(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["daily_volume_cusum"],
+                       tables=("events",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # direct integer recompute
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    dc = ev["ts"].dt.floor("D").value_counts().sort_index()
+    c = dc.to_numpy(dtype=np.int64)
+    n, s = len(c), int(c.sum())
+    dev = n * np.cumsum(c) - np.arange(1, n + 1) * s
+    g = got.sort_values("day", ignore_index=True)
+    assert (g["dev"].to_numpy() == dev).all()
+    assert g["is_peak"].sum() == 1
+    assert (np.abs(g.loc[g["is_peak"] == 1, "dev"].to_numpy())
+            == np.abs(dev).max()).all()

@@ -4373,6 +4373,13 @@ def q_purchase_nearby_clicks(sf_dir: str) -> rd.Dataset:
     return purchase_nearby_clicks(sf_dir)
 
 
+def q_daily_volume_cusum(sf_dir: str) -> rd.Dataset:
+    """All-integer CUSUM change-point panel over corpus daily event
+    volume — dev = n·cum − rank·S, peak flag at argmax |dev|."""
+    from .sequences import daily_volume_cusum
+    return daily_volume_cusum(sf_dir)
+
+
 def q_status_priority_cramers_v(sf_dir: str) -> "pa.Table":
     """Cramér's V effect size over the status × priority table — one
     shared float chain over the exact integer chi2_micro."""
@@ -4391,6 +4398,7 @@ QUERIES = {
     # --- first: queries new this round (driver cut-off ordering) ---
     "user_daily_autocorr": q_user_daily_autocorr,
     "status_priority_cramers_v": q_status_priority_cramers_v,
+    "daily_volume_cusum": q_daily_volume_cusum,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,

@@ -529,3 +529,71 @@ def user_daily_autocorr(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     return bucketed_group_apply(dense, ["user_id"], fold,
                                 num_buckets=num_buckets,
                                 out_schema=out_schema)
+
+
+def daily_volume_cusum(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """CUSUM change-point panel over the corpus-wide daily event
+    volume — the "did traffic shift regime, and when" screen (Page
+    1954 shape): per calendar day, the cumulative count's exact integer
+    deviation from the uniform line, dev_d = n·cum_d − rank_d·S (n×
+    the classic cum − rank·S/n), plus the peak flag at argmax |dev|
+    (earliest day on ties) — the most likely change point.
+
+    All-integer (hash-exact with no rounding contract): counts, prefix
+    sums and deviations are int64 (dev bounded by n·S).
+
+    Scale: per-batch day partials fold on the day key (span-bounded
+    rows); the prefix/argmax pass is ONE single-group fold over the
+    D-row day table — the 100 TB input reaches it only as D partial
+    counts."""
+    import numpy as np
+
+    from ..stages.groups import bucketed_group_apply
+    from .analytics import bucketed_sum
+
+    ds = _events(sf_dir, ["ts"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("datetime64[us]").dt.floor("D")
+        out = pd.DataFrame({"day": day}).groupby(
+            "day", as_index=False).size() \
+            .rename(columns={"size": "n_events"})
+        return out.astype({"n_events": "int64"})
+
+    dc = bucketed_sum(ds.map_batches(part, batch_format="pandas"),
+                      ["day"], ["n_events"], num_buckets=num_buckets)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby("day", as_index=False)["n_events"].sum() \
+            .sort_values("day", kind="mergesort", ignore_index=True)
+        c = df["n_events"].to_numpy().astype(np.int64)
+        n = len(c)
+        s = int(c.sum())
+        cum = np.cumsum(c)
+        rnk = np.arange(1, n + 1, dtype=np.int64)
+        dev = n * cum - rnk * s
+        ma = np.abs(dev).max() if n else 0
+        peak = (np.abs(dev) == ma)
+        # earliest day on ties
+        if peak.any():
+            first = int(np.argmax(peak))
+            peak = np.zeros(n, dtype=bool)
+            peak[first] = True
+        return pd.DataFrame({
+            "day": df["day"],
+            "n_events": c,
+            "cum": cum.astype("int64"),
+            "dev": dev.astype("int64"),
+            "is_peak": peak.astype("int64")})
+
+    out_schema = pa.schema([("day", pa.timestamp("us")),
+                            ("n_events", pa.int64()),
+                            ("cum", pa.int64()),
+                            ("dev", pa.int64()),
+                            ("is_peak", pa.int64())])
+    return bucketed_group_apply(
+        dc.map_batches(lambda df: df.assign(
+            g=np.zeros(len(df), dtype=np.int64)),
+            batch_format="pandas"),
+        ["g"], lambda df: fold(df.drop(columns=["g"])),
+        num_buckets=1, out_schema=out_schema)
