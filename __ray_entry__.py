@@ -1824,6 +1824,17 @@ def oracle_sql() -> dict[str, str]:
             FROM cal LEFT JOIN dc ON dc.user_id = cal.user_id
                                  AND dc.day = cal.day
         """
+    # shared by term_trend_daily and term_trend_mk
+    trend_sql = f"""
+            WITH ttoks AS (SELECT ts, {tok} AS tokens FROM {tr}),
+            tpos AS (SELECT ts, tokens, unnest(tokens) AS tok,
+                            generate_subscripts(tokens, 1) AS p
+                     FROM ttoks)
+            SELECT tok AS term, date_trunc('day', ts) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM tpos WHERE tok IN ({gaz})
+            GROUP BY tok, day{trend_multi}
+    """
     # shared by status_priority_chisq and status_priority_cramers_v
     chisq_sql = """
             WITH c AS (SELECT o_orderstatus AS r,
@@ -4418,15 +4429,35 @@ def oracle_sql() -> dict[str, str]:
         # pipelines/queries.q_term_trend_daily: mention counts per term
         # per calendar day (single + multi-word spans, same position
         # rules as mention_counts)
-        "term_trend_daily": f"""
-            WITH ttoks AS (SELECT ts, {tok} AS tokens FROM {tr}),
-            tpos AS (SELECT ts, tokens, unnest(tokens) AS tok,
-                            generate_subscripts(tokens, 1) AS p
-                     FROM ttoks)
-            SELECT tok AS term, date_trunc('day', ts) AS day,
-                   CAST(count(*) AS BIGINT) AS n
-            FROM tpos WHERE tok IN ({gaz})
-            GROUP BY tok, day{trend_multi}
+        "term_trend_daily": trend_sql,
+        # pipelines/queries.q_term_trend_mk: Mann-Kendall S per term
+        # over the dense daily mention series (pure integer, dense
+        # zero-fill between first and last mention day)
+        "term_trend_mk": f"""
+            WITH mtd AS MATERIALIZED ({trend_sql}),
+            mtb AS (SELECT term, min(day) AS d0, max(day) AS d1
+                    FROM mtd GROUP BY term),
+            mcal AS (SELECT term,
+                            unnest(generate_series(d0, d1,
+                                INTERVAL 1 DAY)) AS day
+                     FROM mtb),
+            mdn AS MATERIALIZED (
+                SELECT mcal.term, mcal.day,
+                       CAST(coalesce(mtd.n, 0) AS BIGINT) AS n
+                FROM mcal LEFT JOIN mtd
+                     ON mtd.term = mcal.term AND mtd.day = mcal.day),
+            mks AS (SELECT a.term,
+                           CAST(sum(CASE WHEN b.n > a.n THEN 1
+                                         WHEN b.n < a.n THEN -1
+                                         ELSE 0 END) AS BIGINT) AS s
+                    FROM mdn a JOIN mdn b
+                         ON b.term = a.term AND b.day > a.day
+                    GROUP BY a.term),
+            mnd AS (SELECT term, CAST(count(*) AS BIGINT) AS n_days
+                    FROM mdn GROUP BY term)
+            SELECT mnd.term, mnd.n_days,
+                   CAST(coalesce(mks.s, 0) AS BIGINT) AS s_stat
+            FROM mnd LEFT JOIN mks ON mks.term = mnd.term
         """,
         # pipelines/queries.q_role_token_stats: role verbosity panel
         "role_token_stats": f"""

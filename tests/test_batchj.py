@@ -99,3 +99,29 @@ def test_cusum_parity_and_recompute():
     assert g["is_peak"].sum() == 1
     assert (np.abs(g.loc[g["is_peak"] == 1, "dev"].to_numpy())
             == np.abs(dev).max()).all()
+
+
+def test_mann_kendall_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import (q_term_trend_daily,
+                                            q_term_trend_mk)
+    got = _canon(q_term_trend_mk(SF).to_pandas())
+    sql = E.oracle_sql()["term_trend_mk"]
+    # the oracle embeds the sf0.01 transcripts path; swap in SF's
+    from wsid_ray.fixtures import transcripts_dir
+    sql = sql.replace(transcripts_dir("sf0.01"), transcripts_dir(SF))
+    exp = _canon(_duck(sql, tables=()))
+    pd.testing.assert_frame_equal(got, exp)
+    # direct recompute from the daily panel
+    td = q_term_trend_daily(SF).to_pandas()
+    checked = 0
+    for term, g in td.groupby("term"):
+        days = pd.date_range(g["day"].min(), g["day"].max(), freq="D")
+        x = g.set_index("day")["n"].reindex(days, fill_value=0) \
+            .to_numpy(dtype=np.int64)
+        s = sum(int(np.sign(x[j] - x[i]))
+                for i in range(len(x)) for j in range(i + 1, len(x)))
+        row = got[got["term"] == term].iloc[0]
+        assert row["n_days"] == len(x) and row["s_stat"] == s
+        checked += 1
+    assert checked >= 3

@@ -464,6 +464,62 @@ def q_term_trend_daily(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow")
 
 
+def q_term_trend_mk(sf_dir: str) -> rd.Dataset:
+    """Mann-Kendall trend test per gazetteer term over its DENSE daily
+    mention counts — the nonparametric "is this entity rising or
+    fading" screen (Mann 1945 / Kendall 1975): S = Σ_{i<j}
+    sign(x_j − x_i) over the zero-filled day series between the term's
+    first and last mention; S > 0 trends up, S < 0 down.  Pure integer
+    (no rounding contract); n_days rides along for the caller's
+    normal-approximation step.
+
+    Scale: rides the same ONE bucketed (term, day) fold as
+    term_trend_daily; the pairwise pass is per-term D² over the
+    span-bounded dense day count — gazetteer × span work, never
+    corpus-shaped."""
+    from ..stages.groups import bucketed_group_apply
+    from .analytics import bucketed_sum
+    from .flagship import detect_mentions
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG).select_columns(["term", "ts"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("datetime64[us]").dt.floor("D")
+        g = pd.DataFrame({"term": df["term"], "day": day})
+        out = g.groupby(["term", "day"], as_index=False).size() \
+               .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    td = bucketed_sum(
+        mentions.map_batches(part, batch_format="pandas"),
+        ["term", "day"], ["n"], num_buckets=8)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        terms, nds, ss = [], [], []
+        for term, g in df.groupby("term", sort=True):
+            g = g.groupby("day", as_index=False)["n"].sum()
+            days = pd.date_range(g["day"].min(), g["day"].max(),
+                                 freq="D", unit="us")
+            x = g.set_index("day")["n"].reindex(days, fill_value=0) \
+                 .to_numpy().astype(np.int64)
+            sgn = np.sign(x[None, :] - x[:, None])
+            s = int(sgn[np.triu_indices(len(x), k=1)].sum())
+            terms.append(term); nds.append(len(x)); ss.append(s)
+        return pd.DataFrame({
+            "term": pd.Series(terms, dtype="object"),
+            "n_days": pd.Series(nds, dtype="int64"),
+            "s_stat": pd.Series(ss, dtype="int64")})
+
+    out_schema = pa.schema([("term", pa.string()),
+                            ("n_days", pa.int64()),
+                            ("s_stat", pa.int64())])
+    return bucketed_group_apply(td, ["term"], fold, num_buckets=4,
+                                out_schema=out_schema)
+
+
 def q_triple_support(sf_dir: str) -> rd.Dataset:
     """KG confidence rollup: per canonical (subj, pred, obj), the raw
     occurrence count, distinct supporting conversations, and first/last
@@ -4399,6 +4455,7 @@ QUERIES = {
     "user_daily_autocorr": q_user_daily_autocorr,
     "status_priority_cramers_v": q_status_priority_cramers_v,
     "daily_volume_cusum": q_daily_volume_cusum,
+    "term_trend_mk": q_term_trend_mk,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,
