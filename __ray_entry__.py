@@ -2337,6 +2337,60 @@ def oracle_sql() -> dict[str, str]:
                        AS kl_mean_micro
             FROM nss s LEFT JOIN agg a USING (source)
         """,
+        # pipelines/mlstats.source_js_divergence: symmetric JS drift
+        # matrix over source unigram profiles — KL-family micro-nat
+        # per-term quantisation, truncating // finish (DuckDB semantics)
+        "source_js_divergence": r"""
+            WITH w AS (SELECT source,
+                              list_filter(regexp_split_to_array(
+                                  text, '\s+'), x -> x <> '') AS ws
+                       FROM documents),
+            tfj AS (SELECT source, unnest(ws) AS token FROM w),
+            st AS MATERIALIZED (
+                SELECT source, token, CAST(count(*) AS BIGINT) AS c
+                FROM tfj GROUP BY ALL),
+            nss AS MATERIALIZED (
+                SELECT source, CAST(sum(c) AS BIGINT) AS ns
+                FROM st GROUP BY source),
+            prs AS (SELECT a.source AS sa, a.ns AS na,
+                           b.source AS sb, b.ns AS nb
+                    FROM nss a JOIN nss b ON a.source < b.source),
+            tks AS MATERIALIZED (SELECT DISTINCT token FROM st),
+            grid AS (SELECT p.sa, p.sb, p.na, p.nb, t.token,
+                            coalesce(xa.c, 0) AS ca,
+                            coalesce(xb.c, 0) AS cb
+                     FROM prs p CROSS JOIN tks t
+                     LEFT JOIN st xa ON xa.source = p.sa
+                                    AND xa.token = t.token
+                     LEFT JOIN st xb ON xb.source = p.sb
+                                    AND xb.token = t.token
+                     WHERE coalesce(xa.c, 0) > 0
+                        OR coalesce(xb.c, 0) > 0),
+            terms AS (SELECT sa, sb,
+                          CASE WHEN ca > 0 THEN CAST(floor(
+                              ca * ln((2 * CAST(ca AS DOUBLE) * nb)
+                                  / (CAST(ca AS DOUBLE) * nb
+                                     + CAST(cb AS DOUBLE) * na))
+                              * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS ta,
+                          CASE WHEN cb > 0 THEN CAST(floor(
+                              cb * ln((2 * CAST(cb AS DOUBLE) * na)
+                                  / (CAST(ca AS DOUBLE) * nb
+                                     + CAST(cb AS DOUBLE) * na))
+                              * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS tb
+                      FROM grid),
+            agg AS (SELECT sa, sb, CAST(sum(ta) AS BIGINT) AS sa_sum,
+                           CAST(sum(tb) AS BIGINT) AS sb_sum
+                    FROM terms GROUP BY sa, sb)
+            SELECT agg.sa AS src_a, agg.sb AS src_b,
+                   agg.sa_sum AS sum_a_micro,
+                   agg.sb_sum AS sum_b_micro,
+                   CAST(agg.sa_sum // (2 * na.ns)
+                        + agg.sb_sum // (2 * nb.ns) AS BIGINT)
+                       AS js_micro
+            FROM agg
+            JOIN nss na ON na.source = agg.sa
+            JOIN nss nb ON nb.source = agg.sb
+        """,
         # pipelines/mlstats.source_lang_mi: MI contingency cells with
         # per-cell micro-nat quantisation (exact int products inside
         # the one float division, the KL convention)

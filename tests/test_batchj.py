@@ -125,3 +125,35 @@ def test_mann_kendall_parity_and_recompute():
         assert row["n_days"] == len(x) and row["s_stat"] == s
         checked += 1
     assert checked >= 3
+
+
+def test_js_divergence_parity_and_definition():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import source_js_divergence
+    got = _canon(source_js_divergence(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["source_js_divergence"]))
+    pd.testing.assert_frame_equal(got, exp)
+    # direct float JS recompute per pair; symmetric, in [0, ln 2]
+    d = pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["source", "text"])
+    cnt = {}
+    for s, t in zip(d["source"], d["text"]):
+        c = cnt.setdefault(s, {})
+        for w in t.split():
+            c[w] = c.get(w, 0) + 1
+    checked = 0
+    for _, r in got.head(8).iterrows():
+        ca, cb = cnt[r["src_a"]], cnt[r["src_b"]]
+        na, nb = sum(ca.values()), sum(cb.values())
+        js = 0.0
+        for w in set(ca) | set(cb):
+            p, q = ca.get(w, 0) / na, cb.get(w, 0) / nb
+            m = (p + q) / 2
+            if p:
+                js += 0.5 * p * np.log(p / m)
+            if q:
+                js += 0.5 * q * np.log(q / m)
+        assert 0 <= r["js_micro"] <= int(np.log(2) * 1e6) + 2
+        assert abs(r["js_micro"] / 1e6 - js) < 5e-5
+        checked += 1
+    assert checked == 8

@@ -2126,3 +2126,110 @@ def status_priority_cramers_v(sf_dir: str) -> pa.Table:
         "k_min": pa.array([k], pa.int64()),
         "chi2_micro": pa.array([chi2_micro], pa.int64()),
         "v_micro": pa.array([v_micro], pa.int64())})
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (DuckDB // semantics)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def source_js_divergence(sf_dir: str, num_buckets: int = 16) -> pa.Table:
+    """Jensen-Shannon divergence between every unordered pair of
+    source-feed unigram profiles — the SYMMETRIC drift matrix next to
+    the one-vs-corpus KL panel (bounded by ln 2, defined even where
+    one feed lacks a token).
+
+    Integer contract (KL-family convention): per (pair, token, side)
+    the contribution c_a·ln(2·c_a·N_b / (c_a·N_b + c_b·N_a)) is
+    quantised to micro-nats half-up BEFORE the sum (the ln argument is
+    the shared float expression CAST(int)·int / (CAST(int)·int +
+    CAST(int)·int)); the two side sums are exact int64, and
+    js_micro = tdiv(S_a, 2·N_a) + tdiv(S_b, 2·N_b) with
+    truncate-toward-zero division (DuckDB // semantics).
+
+    Scale: one (source, token) bucketed shuffle (vocab-bounded rows);
+    the pair expansion runs inside token buckets and ships
+    |sources|²-bounded partial rows; per-source totals broadcast."""
+    from ..stages.groups import bucketed_group_apply
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+
+    src = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["source", "text"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        rows = {"source": [], "token": []}
+        for s, ts in zip(df["source"], toks):
+            rows["source"].extend([s] * len(ts))
+            rows["token"].extend(ts)
+        g = pd.DataFrame(rows)
+        out = g.groupby(["source", "token"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return out.astype({"c": "int64"})
+
+    st = bucketed_sum(src.map_batches(part, batch_format="pandas"),
+                      ["source", "token"], ["c"],
+                      num_buckets=num_buckets)
+
+    totals = collect_rows(bucketed_sum(
+        st.map_batches(
+            lambda df: df.groupby("source", as_index=False)
+            .agg(ns=("c", "sum")).astype({"ns": "int64"}),
+            batch_format="pandas"),
+        ["source"], ["ns"], num_buckets=2))
+    ns_of = {r["source"]: int(r["ns"]) for r in totals}
+    ref = ray.put(ns_of)
+
+    def js_part(df: pd.DataFrame) -> pd.DataFrame:
+        ns = ray.get(ref)
+        srcs = sorted(ns)
+        piv = df.pivot_table(index="token", columns="source",
+                             values="c", fill_value=0, aggfunc="sum")
+        for s in srcs:
+            if s not in piv.columns:
+                piv[s] = 0
+        out = {"src_a": [], "src_b": [], "sa": [], "sb": []}
+        for i, a in enumerate(srcs):
+            ca_all = piv[a].to_numpy().astype(np.int64)
+            na = ns[a]
+            for b in srcs[i + 1:]:
+                cb_all = piv[b].to_numpy().astype(np.int64)
+                nb = ns[b]
+                keep = (ca_all > 0) | (cb_all > 0)
+                ca, cb = ca_all[keep], cb_all[keep]
+                caf, cbf = ca.astype(np.float64), cb.astype(np.float64)
+                den = caf * nb + cbf * na
+                ma = ca > 0
+                ta = int(np.floor(
+                    ca[ma] * np.log((2 * caf[ma] * nb) / den[ma])
+                    * 1e6 + 0.5).astype(np.int64).sum())
+                mb = cb > 0
+                tb = int(np.floor(
+                    cb[mb] * np.log((2 * cbf[mb] * na) / den[mb])
+                    * 1e6 + 0.5).astype(np.int64).sum())
+                out["src_a"].append(a); out["src_b"].append(b)
+                out["sa"].append(ta); out["sb"].append(tb)
+        return pd.DataFrame(out).astype({"sa": "int64", "sb": "int64"})
+
+    out_schema = pa.schema([("src_a", pa.string()),
+                            ("src_b", pa.string()),
+                            ("sa", pa.int64()), ("sb", pa.int64())])
+    sums = collect_rows(bucketed_sum(
+        bucketed_group_apply(st, ["token"], js_part,
+                             num_buckets=num_buckets,
+                             out_schema=out_schema),
+        ["src_a", "src_b"], ["sa", "sb"], num_buckets=2))
+    sums.sort(key=lambda r: (r["src_a"], r["src_b"]))
+    return pa.table({
+        "src_a": pa.array([r["src_a"] for r in sums], pa.string()),
+        "src_b": pa.array([r["src_b"] for r in sums], pa.string()),
+        "sum_a_micro": pa.array([int(r["sa"]) for r in sums],
+                                pa.int64()),
+        "sum_b_micro": pa.array([int(r["sb"]) for r in sums],
+                                pa.int64()),
+        "js_micro": pa.array(
+            [_tdiv(int(r["sa"]), 2 * ns_of[r["src_a"]])
+             + _tdiv(int(r["sb"]), 2 * ns_of[r["src_b"]])
+             for r in sums], pa.int64())})

@@ -4429,6 +4429,13 @@ def q_purchase_nearby_clicks(sf_dir: str) -> rd.Dataset:
     return purchase_nearby_clicks(sf_dir)
 
 
+def q_source_js_divergence(sf_dir: str) -> "pa.Table":
+    """Jensen-Shannon divergence between source unigram profiles —
+    KL-family micro-nat quantisation, truncating integer finish."""
+    from .mlstats import source_js_divergence
+    return source_js_divergence(sf_dir)
+
+
 def q_daily_volume_cusum(sf_dir: str) -> rd.Dataset:
     """All-integer CUSUM change-point panel over corpus daily event
     volume — dev = n·cum − rank·S, peak flag at argmax |dev|."""
@@ -4456,6 +4463,7 @@ QUERIES = {
     "status_priority_cramers_v": q_status_priority_cramers_v,
     "daily_volume_cusum": q_daily_volume_cusum,
     "term_trend_mk": q_term_trend_mk,
+    "source_js_divergence": q_source_js_divergence,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,
