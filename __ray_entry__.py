@@ -4067,6 +4067,32 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY h63, doc_id) AS BIGINT) AS pos
             FROM hh
         """,
+        # pipelines/queries.q_training_order_mix: per-batch source-mix
+        # audit of the round-robin interleaved training order
+        # (batch_id = ((pos-1)*S + shard) // B, all-integer shares)
+        "training_order_mix": """
+            WITH hh AS (SELECT doc_id, source,
+                        CAST(md5_number_upper(CAST(doc_id AS VARCHAR))
+                             >> 1 AS BIGINT) AS h63
+                        FROM documents),
+            tor AS (SELECT source, CAST(h63 % 8 AS BIGINT) AS shard,
+                           CAST(row_number() OVER (PARTITION BY h63 % 8
+                                ORDER BY h63, doc_id) AS BIGINT) AS pos
+                    FROM hh),
+            bt AS (SELECT ((pos - 1) * 8 + shard) // 256 AS batch_id,
+                          source
+                   FROM tor),
+            sc AS (SELECT batch_id, source,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM bt GROUP BY ALL)
+            SELECT CAST(batch_id AS BIGINT) AS batch_id,
+                   CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_src,
+                   CAST(max(c) AS BIGINT) AS max_src_n,
+                   CAST(max(c) * 1000000 // sum(c) AS BIGINT)
+                       AS top_share_micro
+            FROM sc GROUP BY batch_id
+        """,
         # stages/multimodal.MediaFeaturizer vs the fixture-side
         # expected-decode artifact (encoder bodies / JPEG encoder
         # reconstruction, NO Huffman): a wrong decode -> hash mismatch.

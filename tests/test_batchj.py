@@ -157,3 +157,19 @@ def test_js_divergence_parity_and_definition():
         assert abs(r["js_micro"] / 1e6 - js) < 5e-5
         checked += 1
     assert checked == 8
+
+
+def test_training_order_mix_parity_and_mass():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import q_training_order_mix
+    got = _canon(q_training_order_mix(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["training_order_mix"]))
+    pd.testing.assert_frame_equal(got, exp)
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    # every doc lands in exactly one batch
+    assert got["n_docs"].sum() == len(d)
+    assert (got["max_src_n"] <= got["n_docs"]).all()
+    assert (got["n_src"] >= 1).all()
+    # a hash shuffle should mix sources: full batches see many feeds
+    full = got[got["n_docs"] == got["n_docs"].max()]
+    assert (full["top_share_micro"] < 500_000).all()

@@ -1060,6 +1060,78 @@ def q_doc_training_order(sf_dir: str) -> rd.Dataset:
                                    out_schema=schema)
 
 
+def q_training_order_mix(sf_dir: str) -> rd.Dataset:
+    """Training-batch diversity audit over the deterministic global
+    training order: the writer's round-robin interleave of the 8 hash
+    shards is chunked into 256-doc batches (batch_id =
+    ((pos−1)·S + shard) // B, a pure function of the order — no global
+    sort materialises), and each batch reports its doc count, distinct
+    source feeds, the biggest single-source count and its share — the
+    "did the shuffle actually mix the corpus" gate before training.
+
+    All-integer; share is an exact // in micro-units.
+
+    Scale: rides the training order's two-pass rank machinery with the
+    source column carried along; batch partial counts fold on
+    (batch, source) — batches × sources rows, never doc-shaped."""
+    import hashlib
+
+    from ..stages.groups import bucketed_group_apply
+    from .analytics import bucketed_sum, exact_partitioned_ranks
+
+    S, B = _TRAIN_ORDER_SHARDS, 256
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h63 = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                            "little") >> 1 for i in ids.tolist()),
+            dtype=np.int64, count=len(ids))
+        return pd.DataFrame({"shard": h63 % S, "h63": h63,
+                             "doc_id": ids,
+                             "source": t["source"].to_numpy(
+                                 zero_copy_only=False)})
+
+    src = read_documents(sf_dir, columns=["doc_id", "source"]) \
+        .map_batches(pairs, batch_format="pyarrow")
+    schema = pa.schema([("batch_id", pa.int64()),
+                        ("source", pa.string()), ("c", pa.int64())])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        pos = start + np.arange(len(g), dtype=np.int64) + 1
+        bid = ((pos - 1) * S + g["shard"].to_numpy()) // B
+        out = pd.DataFrame({"batch_id": bid, "source": g["source"]}) \
+            .groupby(["batch_id", "source"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return out.astype({"batch_id": "int64", "c": "int64"})
+
+    sc = bucketed_sum(
+        exact_partitioned_ranks(src, "shard", "h63", "doc_id",
+                                bin_width=1 << 53, emit=emit,
+                                out_schema=schema),
+        ["batch_id", "source"], ["c"], num_buckets=4)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["batch_id", "source"], as_index=False)["c"] \
+            .sum()
+        g = df.groupby("batch_id", as_index=False).agg(
+            n_docs=("c", "sum"), n_src=("source", "nunique"),
+            max_src_n=("c", "max"))
+        g["top_share_micro"] = (g["max_src_n"] * 1_000_000
+                                // g["n_docs"])
+        return g.astype({"n_docs": "int64", "n_src": "int64",
+                         "max_src_n": "int64",
+                         "top_share_micro": "int64"})
+
+    out_schema = pa.schema([("batch_id", pa.int64()),
+                            ("n_docs", pa.int64()),
+                            ("n_src", pa.int64()),
+                            ("max_src_n", pa.int64()),
+                            ("top_share_micro", pa.int64())])
+    return bucketed_group_apply(sc, ["batch_id"], fold, num_buckets=4,
+                                out_schema=out_schema)
+
+
 def q_bpe_fertility_by_lang(sf_dir: str) -> rd.Dataset:
     """Tokenizer fertility per language under the trained 6-round BPE
     vocab — subwords emitted per word, THE tokenizer-evaluation metric
@@ -4464,6 +4536,7 @@ QUERIES = {
     "daily_volume_cusum": q_daily_volume_cusum,
     "term_trend_mk": q_term_trend_mk,
     "source_js_divergence": q_source_js_divergence,
+    "training_order_mix": q_training_order_mix,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,
