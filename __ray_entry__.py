@@ -1835,6 +1835,12 @@ def oracle_sql() -> dict[str, str]:
             FROM tpos WHERE tok IN ({gaz})
             GROUP BY tok, day{trend_multi}
     """
+    # exact-rational RBO weights (pipelines/mlstats.ann_rbo):
+    # w_d = 9^(d-1) * (2520 // d) * 10^(K-d), common denom 2520*10^K
+    rbo_wt = ", ".join(
+        f"({d}, {9 ** (d - 1) * (2520 // d) * 10 ** (ANN_K - d)})"
+        for d in range(1, ANN_K + 1))
+    rbo_den = 2520 * 10 ** ANN_K
     # shared by status_priority_chisq and status_priority_cramers_v
     chisq_sql = """
             WITH c AS (SELECT o_orderstatus AS r,
@@ -2665,6 +2671,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d.dcg * 1000000 // ndi.idcg AS BIGINT)
                        AS ndcg_micro
             FROM ndd d CROSS JOIN ndi
+        """,
+        # pipelines/mlstats.ann_rbo: truncated rank-biased overlap
+        # (p=0.9) vs the exact ranking — exact-rational integer lift,
+        # one HUGEINT product, no float
+        "ann_rbo": f"""
+            WITH rbe AS ({_SQL_KNN_EXACT}),
+            reb AS (SELECT query_id, vec_id,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS pb
+                    FROM rbe),
+            rba AS (
+                SELECT 'ivf' AS method, query_id, vec_id, score
+                FROM read_parquet('{art["ivf_topk"]}')
+                UNION ALL
+                SELECT 'lsh', query_id, vec_id, score
+                FROM read_parquet('{art["lsh_topk"]}')),
+            rap AS (SELECT method, query_id, vec_id,
+                           row_number() OVER (
+                               PARTITION BY method, query_id
+                               ORDER BY score DESC, vec_id) AS pa
+                    FROM rba),
+            mm AS (SELECT a.method, a.query_id,
+                          greatest(a.pa, b.pb) AS m
+                   FROM rap a JOIN reb b ON b.query_id = a.query_id
+                                        AND b.vec_id = a.vec_id),
+            rqs AS (SELECT m.method, q.query_id
+                    FROM (SELECT 'ivf' AS method
+                          UNION ALL SELECT 'lsh') m
+                    CROSS JOIN (SELECT DISTINCT query_id FROM rbe) q),
+            rwt AS (SELECT * FROM (VALUES {rbo_wt}) AS t(d, w)),
+            rov AS (SELECT rqs.method, rqs.query_id, rwt.d, rwt.w,
+                           (SELECT count(*) FROM mm
+                            WHERE mm.method = rqs.method
+                              AND mm.query_id = rqs.query_id
+                              AND mm.m <= rwt.d) AS o
+                    FROM rqs CROSS JOIN rwt)
+            SELECT method, query_id,
+                   CAST(sum(o * w) AS BIGINT) AS t_num,
+                   CAST((CAST(sum(o * w) AS HUGEINT) * 1000000)
+                        // {rbo_den} AS BIGINT) AS rbo_micro
+            FROM rov GROUP BY method, query_id
         """,
         # pipelines/mlstats.qty_price_spearman: exact Spearman via
         # average-rank integers (2r+cnt−1), HUGEINT moments, one float

@@ -173,3 +173,41 @@ def test_training_order_mix_parity_and_mass():
     # a hash shuffle should mix sources: full batches see many feeds
     full = got[got["n_docs"] == got["n_docs"].max()]
     assert (full["top_share_micro"] < 500_000).all()
+
+
+def test_ann_rbo_parity_and_identity():
+    from wsid_ray.artifacts import ANN_K
+    from wsid_ray.pipelines.mlstats import ann_rbo
+    got = ann_rbo(SF).to_pandas()
+    assert (got["rbo_micro"] >= 0).all()
+    assert (got["rbo_micro"] <= 1_000_000).all()
+    # self-RBO identity: a list compared with itself scores exactly 1
+    # under the truncated prefix form when o_d = d for every depth
+    w = [9 ** (d - 1) * (2520 // d) * 10 ** (ANN_K - d)
+         for d in range(1, ANN_K + 1)]
+    den = 2520 * 10 ** ANN_K
+    t_full = sum(d * w[d - 1] for d in range(1, ANN_K + 1))
+    # truncated RBO of identical lists = 1 - p^k (p=0.9, k=10)
+    assert t_full * 1_000_000 // den == int((1 - 0.9 ** ANN_K) * 1e6)
+    assert (got["t_num"] <= t_full).all()
+    # float recompute of the definition per row needs the rankings;
+    # cross-check one method against a brute-force python RBO
+    import pyarrow.parquet as pq
+    from wsid_ray.artifacts import ann_queries, ensure
+    from wsid_ray.stages.knn import knn_topk, read_embeddings
+    from wsid_ray.util import collect_table
+    paths = ensure(SF)
+    et = collect_table(knn_topk(read_embeddings(SF),
+                                ann_queries(SF), k=ANN_K)).to_pandas()
+    et = et.sort_values(["query_id", "score", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    t = pq.read_table(paths["ivf_topk"]).to_pandas()
+    t = t.sort_values(["query_id", "score", "vec_id"],
+                      ascending=[True, False, True], kind="mergesort")
+    qid = int(et["query_id"].iloc[0])
+    a = t[t["query_id"] == qid]["vec_id"].tolist()
+    b = et[et["query_id"] == qid]["vec_id"].tolist()
+    rbo = sum((len(set(a[:d]) & set(b[:d])) / d) * 0.1 * 0.9 ** (d - 1)
+              for d in range(1, ANN_K + 1))
+    row = got[(got["method"] == "ivf") & (got["query_id"] == qid)]
+    assert abs(row["rbo_micro"].iloc[0] / 1e6 - rbo) < 2e-6

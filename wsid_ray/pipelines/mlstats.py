@@ -2233,3 +2233,68 @@ def source_js_divergence(sf_dir: str, num_buckets: int = 16) -> pa.Table:
             [_tdiv(int(r["sa"]), 2 * ns_of[r["src_a"]])
              + _tdiv(int(r["sb"]), 2 * ns_of[r["src_b"]])
              for r in sums], pa.int64())})
+
+
+def ann_rbo(sf_dir: str) -> pa.Table:
+    """Rank-biased overlap (Webber et al. 2010, truncated prefix form,
+    p = 0.9) of the approximate ANN hit lists (IVF, LSH) against the
+    exact brute-force ranking — the top-weighted list-similarity audit
+    beside set-overlap recall and position-weighted nDCG.
+
+    Exact-rational contract: RBO@k = Σ_{d=1..k} (o_d/d)·(1−p)·p^{d−1}
+    with o_d the depth-d prefix intersection size; every term is lifted
+    to the common denominator 2520·10^k, so the numerator
+    t_num = Σ o_d · 9^{d−1} · (2520/d) · 10^{k−d} is an EXACT int64 sum
+    and rbo_micro = t_num·10⁶ // (2520·10^k) needs one HUGEINT product
+    — no float anywhere.  Both prefix orders are (rounded score DESC,
+    vec_id), the same deterministic order the hash-green hit lists
+    pin.
+
+    Scale: rides the existing bounded query set — the exact side is
+    the distributed scorer, the approximate side the seeded artifact;
+    driver math is queries × k."""
+    import pyarrow.parquet as pq
+
+    from ..artifacts import ANN_K, ann_queries, ensure
+    from ..stages.knn import knn_topk, read_embeddings
+    from ..util import collect_table
+
+    paths = ensure(sf_dir)
+    q = ann_queries(sf_dir)
+    et = collect_table(
+        knn_topk(read_embeddings(sf_dir), q, k=ANN_K)).to_pandas()
+    et = et.sort_values(["query_id", "score", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    et["pos"] = et.groupby("query_id").cumcount() + 1
+    bpos = {(int(r.query_id), int(r.vec_id)): int(r.pos)
+            for r in et.itertuples()}
+    qids = sorted(et["query_id"].unique().tolist())
+    w = [9 ** (d - 1) * (2520 // d) * 10 ** (ANN_K - d)
+         for d in range(1, ANN_K + 1)]
+    den = 2520 * 10 ** ANN_K
+    rows = []
+    for method in ("ivf", "lsh"):
+        t = pq.read_table(paths[f"{method}_topk"]).to_pandas()
+        t = t.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        t["pos"] = t.groupby("query_id").cumcount() + 1
+        by_q = dict(tuple(t.groupby("query_id")))
+        for qid in qids:
+            g = by_q.get(qid)
+            mx = []
+            if g is not None:
+                for p, v in zip(g["pos"], g["vec_id"]):
+                    b = bpos.get((int(qid), int(v)))
+                    if b is not None:
+                        mx.append(max(int(p), b))
+            t_num = sum(
+                sum(1 for m in mx if m <= d) * w[d - 1]
+                for d in range(1, ANN_K + 1))
+            rows.append((method, int(qid), t_num,
+                         t_num * 1_000_000 // den))
+    return pa.table({
+        "method": pa.array([r[0] for r in rows], pa.string()),
+        "query_id": pa.array([r[1] for r in rows], pa.int64()),
+        "t_num": pa.array([r[2] for r in rows], pa.int64()),
+        "rbo_micro": pa.array([r[3] for r in rows], pa.int64())})

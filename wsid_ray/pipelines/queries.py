@@ -4501,6 +4501,13 @@ def q_purchase_nearby_clicks(sf_dir: str) -> rd.Dataset:
     return purchase_nearby_clicks(sf_dir)
 
 
+def q_ann_rbo(sf_dir: str) -> "pa.Table":
+    """Rank-biased overlap (p=0.9, truncated) of IVF/LSH vs the exact
+    ranking — exact-rational integer lift, no float."""
+    from .mlstats import ann_rbo
+    return ann_rbo(sf_dir)
+
+
 def q_source_js_divergence(sf_dir: str) -> "pa.Table":
     """Jensen-Shannon divergence between source unigram profiles —
     KL-family micro-nat quantisation, truncating integer finish."""
@@ -4537,6 +4544,7 @@ QUERIES = {
     "term_trend_mk": q_term_trend_mk,
     "source_js_divergence": q_source_js_divergence,
     "training_order_mix": q_training_order_mix,
+    "ann_rbo": q_ann_rbo,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,
