@@ -1013,6 +1013,51 @@ def _sql_cooc_pagerank(tr: str, tok: str, gaz: str, rounds: int = 5,
     """
 
 
+def _sql_cooc_hits(tr: str, tok: str, gaz: str, rounds: int = 3) -> str:
+    """DuckDB mirror of stages/pagerank.hits_micro — the fixed
+    synchronous HITS rounds unrolled as CTE triples per half-step
+    (ar/hr: integer neighbour sums, sa/sh: per-term L1 totals, ha/hh:
+    the (raw·1e6)//total normalisation), the 8th bounded-iteration
+    mirror after k-means / CW / PageRank / k-core / BFS / Markov /
+    Lloyd-PQ.  ``ed`` and each raw CTE are AS MATERIALIZED — every one
+    is referenced twice, so inlining would re-expand the cooc chain
+    exponentially."""
+    from wsid_ray.config import NPMI_MIN
+    ctes, prev = "", "hh0"
+    for k in range(1, rounds + 1):
+        for tag, tot in (("a", "sa"), ("h", "sh")):
+            raw, norm = f"{tag}r{k}", f"{tag}{tag}{k}"
+            ctes += f""",
+        {raw} AS MATERIALIZED (
+            SELECT e.term, e.x AS node, CAST(SUM(r.v) AS BIGINT) AS s
+            FROM ed e JOIN {prev} r
+                 ON r.term = e.term AND r.node = e.u
+            GROUP BY e.term, e.x),
+        {tot}{k} AS (SELECT term, CAST(SUM(s) AS BIGINT) AS t
+                     FROM {raw} GROUP BY term),
+        {norm} AS (SELECT r.term, r.node,
+                          CAST((r.s * 1000000) // s.t AS BIGINT) AS v
+                   FROM {raw} r JOIN {tot}{k} s ON s.term = r.term)"""
+            prev = norm
+    return f"""
+        WITH {_sql_cooc_chain(tr, tok, gaz)},
+        he AS (SELECT term, w, v FROM weighted
+               WHERE npmi > {NPMI_MIN}),
+        ed AS MATERIALIZED (
+            SELECT term, w AS u, v AS x FROM he
+            UNION ALL SELECT term, v, w FROM he),
+        hnodes AS (SELECT DISTINCT term, u FROM ed),
+        hnn AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+                FROM hnodes GROUP BY term),
+        hh0 AS (SELECT hnodes.term, hnodes.u AS node,
+                       CAST(1000000 // hnn.n AS BIGINT) AS v
+                FROM hnodes JOIN hnn ON hnn.term = hnodes.term){ctes}
+        SELECT a.term, a.node, a.v AS auth_micro, h.v AS hub_micro
+        FROM aa{rounds} a JOIN hh{rounds} h
+             ON h.term = a.term AND h.node = a.node
+    """
+
+
 def _sql_cooc_kcore(tr: str, tok: str, gaz: str, k: int = 3,
                     rounds: int = 8) -> str:
     """DuckDB mirror of stages/pagerank.kcore — the fixed peel rounds
@@ -3963,6 +4008,9 @@ def oracle_sql() -> dict[str, str]:
         # integer-contract PageRank over the per-term NPMI ego graphs —
         # the third unrolled-CTE iterative mirror (stages/pagerank.py)
         "cooc_pagerank": _sql_cooc_pagerank(tr, tok, gaz, rounds=5),
+        # stages/pagerank.hits_micro: HITS hubs/authorities, 3 unrolled
+        # L1-normalised integer rounds over the NPMI ego graphs
+        "cooc_hits": _sql_cooc_hits(tr, tok, gaz, rounds=3),
         "cooc_pagerank_weighted": _sql_cooc_pagerank(
             tr, tok, gaz, rounds=5, weighted=True),
         # triangles + clustering coefficient (pagerank.triangle_stats):

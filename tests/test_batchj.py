@@ -211,3 +211,47 @@ def test_ann_rbo_parity_and_identity():
               for d in range(1, ANN_K + 1))
     row = got[(got["method"] == "ivf") & (got["query_id"] == qid)]
     assert abs(row["rbo_micro"].iloc[0] / 1e6 - rbo) < 2e-6
+
+
+def test_hits_parity_and_float_band():
+    import __ray_entry__ as E
+    from wsid_ray.fixtures import transcripts_dir
+    from wsid_ray.pipelines.queries import q_cooc_hits
+    got = _canon(q_cooc_hits(SF).to_pandas())
+    sql = E.oracle_sql()["cooc_hits"]
+    sql = sql.replace(transcripts_dir("sf0.01"), transcripts_dir(SF))
+    exp = _canon(_duck(sql, tables=()))
+    pd.testing.assert_frame_equal(got, exp)
+    # L1 mass: per term, normalised scores sum to 1e6 minus bounded
+    # truncation slack (one unit per node)
+    for col in ("auth_micro", "hub_micro"):
+        m = got.groupby("term")[col].agg(["sum", "count"])
+        assert ((m["sum"] <= 1_000_000).all()
+                and (m["sum"] >= 1_000_000 - m["count"]).all())
+    # float HITS recompute band on one term's graph
+    from wsid_ray.config import DEFAULT_CONFIG as CFG
+    from wsid_ray.pipelines.flagship import detect_mentions
+    from wsid_ray.pipelines.queries import read_transcripts
+    from wsid_ray.stages.cooc import cooc_edges
+    from wsid_ray.stages.tokenize import tokenize_batch
+    turns = read_transcripts(SF).map_batches(tokenize_batch,
+                                             batch_format="pyarrow")
+    ed = cooc_edges(detect_mentions(turns, CFG), CFG.cooc_min_count,
+                    CFG.npmi_min).to_pandas()
+    term = got["term"].iloc[0]
+    g = ed[ed["term"] == term]
+    nodes = sorted(set(g["w"]) | set(g["v"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for w_, v_ in zip(g["w"], g["v"]):
+        A[idx[w_], idx[v_]] = A[idx[v_], idx[w_]] = 1.0
+    h = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(3):
+        a = A @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    sub = got[got["term"] == term].set_index("node")
+    for n in nodes:
+        assert abs(sub.loc[n, "auth_micro"] / 1e6 - a[idx[n]]) < 2e-3
+        assert abs(sub.loc[n, "hub_micro"] / 1e6 - h[idx[n]]) < 2e-3

@@ -4501,6 +4501,21 @@ def q_purchase_nearby_clicks(sf_dir: str) -> rd.Dataset:
     return purchase_nearby_clicks(sf_dir)
 
 
+def q_cooc_hits(sf_dir: str) -> rd.Dataset:
+    """HITS hubs/authorities over the per-term NPMI ego graphs —
+    L1-normalised integer power rounds (stages/pagerank.hits_micro),
+    the 8th bounded-iteration algorithm with an unrolled CTE mirror."""
+    from ..stages.cooc import cooc_edges
+    from ..stages.pagerank import hits_micro
+    from .flagship import detect_mentions
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG)
+    edges = cooc_edges(mentions, CFG.cooc_min_count, CFG.npmi_min)
+    return hits_micro(edges, rounds=3)
+
+
 def q_ann_rbo(sf_dir: str) -> "pa.Table":
     """Rank-biased overlap (p=0.9, truncated) of IVF/LSH vs the exact
     ranking — exact-rational integer lift, no float."""
@@ -4545,6 +4560,7 @@ QUERIES = {
     "source_js_divergence": q_source_js_divergence,
     "training_order_mix": q_training_order_mix,
     "ann_rbo": q_ann_rbo,
+    "cooc_hits": q_cooc_hits,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,

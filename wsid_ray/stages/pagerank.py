@@ -612,3 +612,127 @@ def degree_assortativity(edges: rd.Dataset,
     return bucketed_group_apply(edges, ["term"], fn,
                                 num_buckets=num_buckets,
                                 out_schema=out_schema)
+
+
+def hits_micro(edges: rd.Dataset, rounds: int = 3,
+               num_buckets: int = 8) -> rd.Dataset:
+    """HITS hubs/authorities (Kleinberg 1999) over the per-term pruned
+    NPMI ego graphs — the mutual-reinforcement companion to PageRank:
+    a node is a good authority if good hubs point at it, a good hub if
+    it points at good authorities.  On the undirected co-occurrence
+    graphs both roles are computed over the symmetric edge stream.
+
+    Contract (v1, shared verbatim with the unrolled CTE oracle —
+    the 8th bounded-iteration mirror):
+      * scores live in int64 MICRO-UNITS; h0(u) = 1_000_000 // N_term;
+      * one synchronous round (L1-normalised power iteration):
+            a_raw(x) = Σ_{u~x} h(u)          (exact int sum)
+            a(x)     = (a_raw(x)·1e6) // S_a  (S_a = Σ_x a_raw(x))
+            h_raw(x) = Σ_{u~x} a(u)
+            h(x)     = (h_raw(x)·1e6) // S_h
+      * a fixed number of rounds, no convergence test.
+
+    Physical plan: like pagerank_micro — the undirected edge stream is
+    model-shaped (pruned NPMI aggregate, vocabulary-bounded per term);
+    each half-step is ONE partitioned hash join (score → out-edges)
+    plus ONE bucketed sum; the per-term L1 totals are gazetteer-bounded
+    and broadcast via ray.put.  The corpus reaches this operator only
+    through the upstream edge weights."""
+    from ..pipelines.analytics import bucketed_sum
+    from ..util import collect_rows
+    from .joins import hash_join
+
+    def undirect(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"term": t["term"], "u": t["w"], "x": t["v"]}),
+            pa.table({"term": t["term"], "u": t["v"], "x": t["w"]})])
+
+    ed = edges.map_batches(undirect, batch_format="pyarrow") \
+        .materialize()
+
+    def nodes_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[["term", "u"]].drop_duplicates()
+        return g.assign(one=np.int64(1))
+
+    deg = bucketed_sum(
+        ed.map_batches(nodes_part, batch_format="pandas"),
+        ["term", "u"], ["one"], num_buckets=num_buckets)
+
+    n_of: dict[str, int] = {}
+    for r in collect_rows(deg):
+        n_of[r["term"]] = n_of.get(r["term"], 0) + 1
+    init_of = {t: MICRO // n for t, n in n_of.items()}
+    init_ref = ray.put(init_of)
+
+    def init_score(df: pd.DataFrame) -> pd.DataFrame:
+        init = ray.get(init_ref)
+        g = df[["term", "u"]].drop_duplicates()
+        return pd.DataFrame({
+            "term": g["term"], "node": g["u"],
+            "v": g["term"].map(init).astype("int64")})
+
+    score_schema = pa.schema([("term", pa.string()),
+                              ("node", pa.string()),
+                              ("v", pa.int64())])
+
+    def half_step(score: rd.Dataset) -> rd.Dataset:
+        """score(term, node, v) -> L1-normalised neighbour sums."""
+        j = hash_join(
+            ed,
+            score.map_batches(
+                lambda df: df.rename(columns={"node": "u"}),
+                batch_format="pandas"),
+            on=["term", "u"], num_buckets=num_buckets)
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            g = pd.DataFrame({"term": df["term"], "node": df["x"],
+                              "s": df["v"]}) \
+                .groupby(["term", "node"], sort=True,
+                         as_index=False).agg(s=("s", "sum"))
+            return g
+
+        raw = bucketed_sum(
+            j.map_batches(contrib, batch_format="pandas"),
+            ["term", "node"], ["s"], num_buckets=num_buckets) \
+            .materialize()
+
+        tot: dict[str, int] = {}
+        for r in collect_rows(bucketed_sum(
+                raw.map_batches(
+                    lambda df: df.groupby("term", as_index=False)
+                    .agg(t=("s", "sum")).astype({"t": "int64"}),
+                    batch_format="pandas"),
+                ["term"], ["t"], num_buckets=2)):
+            tot[r["term"]] = int(r["t"])
+        tot_ref = ray.put(tot)
+
+        def norm(df: pd.DataFrame) -> pd.DataFrame:
+            t = ray.get(tot_ref)
+            tv = df["term"].map(t).to_numpy(dtype=np.int64)
+            v = (df["s"].to_numpy(dtype=np.int64) * MICRO) // tv
+            return pd.DataFrame({"term": df["term"],
+                                 "node": df["node"],
+                                 "v": v.astype("int64")})
+
+        return raw.map_batches(norm, batch_format="pandas") \
+            .map_batches(lambda t: t.select(score_schema.names)
+                         .cast(score_schema), batch_format="pyarrow") \
+            .materialize()
+
+    h = deg.map_batches(init_score, batch_format="pandas") \
+        .map_batches(lambda t: t.select(score_schema.names)
+                     .cast(score_schema), batch_format="pyarrow") \
+        .materialize()
+    a = h
+    for _ in range(rounds):
+        a = half_step(h)
+        h = half_step(a)
+
+    ar = a.map_batches(
+        lambda df: df.rename(columns={"v": "auth_micro"}),
+        batch_format="pandas")
+    hr = h.map_batches(
+        lambda df: df.rename(columns={"v": "hub_micro"}),
+        batch_format="pandas")
+    return hash_join(ar, hr, on=["term", "node"],
+                     num_buckets=num_buckets)
