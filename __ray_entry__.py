@@ -4298,6 +4298,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM mtr WHERE prev_type IS NOT NULL GROUP BY 1, 2
         """,
+        # pipelines/mlstats.event_transition_entropy: empirical entropy
+        # rate of the event-type chain — KL-family micro-nat cell
+        # quantisation, truncating // finish
+        "event_transition_entropy": """
+            WITH etr AS (SELECT event_type,
+                                lag(event_type) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_type
+                         FROM events),
+            cells AS (SELECT prev_type, event_type,
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM etr WHERE prev_type IS NOT NULL
+                      GROUP BY 1, 2),
+            rtt AS (SELECT prev_type, CAST(sum(c) AS BIGINT) AS r
+                    FROM cells GROUP BY 1),
+            ntt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+            terms AS (SELECT CAST(floor(c * ln(CAST(c AS DOUBLE) / r)
+                                 * 1e6 + 0.5) AS BIGINT) AS t
+                      FROM cells JOIN rtt USING (prev_type))
+            SELECT ntt.n AS n_transitions,
+                   CAST(-sum(t) AS BIGINT) AS h_sum_micro,
+                   CAST((-sum(t)) // ntt.n AS BIGINT)
+                       AS entropy_rate_micro
+            FROM terms, ntt GROUP BY ntt.n
+        """,
         # flagship sense chain downstream of the induced inventory
         # (artifact-anchored — see _sql_linked_mentions / artifacts.py)
         "mentions_linked": linked_sel,

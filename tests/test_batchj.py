@@ -255,3 +255,28 @@ def test_hits_parity_and_float_band():
     for n in nodes:
         assert abs(sub.loc[n, "auth_micro"] / 1e6 - a[idx[n]]) < 2e-3
         assert abs(sub.loc[n, "hub_micro"] / 1e6 - h[idx[n]]) < 2e-3
+
+
+def test_transition_entropy_parity_and_definition():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import event_transition_entropy
+    got = _canon(event_transition_entropy(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["event_transition_entropy"],
+                       tables=("events",)))
+    pd.testing.assert_frame_equal(got, exp)
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"],
+                        kind="mergesort")
+    ev["prev"] = ev.groupby("user_id")["event_type"].shift()
+    tr = ev.dropna(subset=["prev"])
+    cells = tr.groupby(["prev", "event_type"]).size()
+    rt = cells.groupby(level=0).sum()
+    n = cells.sum()
+    h = -sum(c * np.log(c / rt[i]) for (i, _j), c in cells.items()) / n
+    r = got.iloc[0]
+    assert r["n_transitions"] == n
+    assert abs(r["entropy_rate_micro"] / 1e6 - h) < 2e-5
+    k = tr["event_type"].nunique()
+    assert 0 <= r["entropy_rate_micro"] <= int(np.log(k) * 1e6) + 2

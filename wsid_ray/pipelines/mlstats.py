@@ -2298,3 +2298,40 @@ def ann_rbo(sf_dir: str) -> pa.Table:
         "query_id": pa.array([r[1] for r in rows], pa.int64()),
         "t_num": pa.array([r[2] for r in rows], pa.int64()),
         "rbo_micro": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def event_transition_entropy(sf_dir: str) -> pa.Table:
+    """Empirical entropy rate of the event-type Markov chain —
+    H = −Σ_ij (c_ij/N)·ln(c_ij/r_i) in micro-nats: how predictable the
+    next event is given the current one (0 = deterministic funnel,
+    ln k = memoryless uniform).  The behavioural-complexity scalar
+    next to the stationary-distribution panel.
+
+    Integer contract (KL-family): per cell the term
+    c_ij·ln(c_ij/r_i) quantises half-up to micro-nats (the ln argument
+    is ONE CAST(int)/int float division); the sum is exact, negated,
+    and the rate is a truncating division by N (DuckDB // semantics).
+
+    Scale: transition counts ride the existing bucketed fold
+    (|types|² rows); the entropy finish is k² driver math."""
+    from ..util import collect_rows as _cr
+    from .queries import q_event_type_transitions
+
+    rows = _cr(q_event_type_transitions(sf_dir))
+    c: dict[tuple[str, str], int] = {}
+    rt: dict[str, int] = {}
+    for r in rows:
+        i, j, n = r["prev_type"], r["event_type"], int(r["n"])
+        c[(i, j)] = c.get((i, j), 0) + n
+        rt[i] = rt.get(i, 0) + n
+    n_tot = sum(c.values())
+    s = 0
+    for (i, _j), cij in sorted(c.items()):
+        s += int(np.floor(cij * np.log(float(cij) / rt[i])
+                          * 1e6 + 0.5))
+    h_sum = -s
+    return pa.table({
+        "n_transitions": pa.array([n_tot], pa.int64()),
+        "h_sum_micro": pa.array([h_sum], pa.int64()),
+        "entropy_rate_micro": pa.array([_tdiv(h_sum, n_tot)],
+                                       pa.int64())})

@@ -4501,6 +4501,13 @@ def q_purchase_nearby_clicks(sf_dir: str) -> rd.Dataset:
     return purchase_nearby_clicks(sf_dir)
 
 
+def q_event_transition_entropy(sf_dir: str) -> "pa.Table":
+    """Entropy rate of the event-type Markov chain — micro-nat cell
+    quantisation over the transition counts, truncating finish."""
+    from .mlstats import event_transition_entropy
+    return event_transition_entropy(sf_dir)
+
+
 def q_cooc_hits(sf_dir: str) -> rd.Dataset:
     """HITS hubs/authorities over the per-term NPMI ego graphs —
     L1-normalised integer power rounds (stages/pagerank.hits_micro),
@@ -4561,6 +4568,7 @@ QUERIES = {
     "training_order_mix": q_training_order_mix,
     "ann_rbo": q_ann_rbo,
     "cooc_hits": q_cooc_hits,
+    "event_transition_entropy": q_event_transition_entropy,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,
