@@ -4044,6 +4044,38 @@ def oracle_sql() -> dict[str, str]:
                    END AS gcc_micro
             FROM wed w LEFT JOIN tri t ON t.term = w.term
         """,
+        # stages/pagerank.clustering_coefficients: per-node LOCAL
+        # clustering coefficient — triangles explode to member nodes,
+        # lcc = (2*T*1e6) // (d*(d-1)), NULL when deg < 2
+        "cooc_clustering_coef": f"""
+            WITH {_sql_cooc_chain(tr, tok, gaz)},
+            ed AS MATERIALIZED (SELECT term, w, v FROM weighted
+                                WHERE npmi > {NPMI_MIN}),
+            ctri AS MATERIALIZED (
+                SELECT e1.term, e1.w AS a, e1.v AS b, e2.v AS c
+                FROM ed e1
+                JOIN ed e2 ON e2.term = e1.term AND e2.w = e1.v
+                JOIN ed e3 ON e3.term = e1.term AND e3.w = e1.w
+                          AND e3.v = e2.v),
+            tcnt AS (SELECT term, node,
+                            CAST(count(*) AS BIGINT) AS t
+                     FROM (SELECT term, a AS node FROM ctri
+                           UNION ALL SELECT term, b FROM ctri
+                           UNION ALL SELECT term, c FROM ctri)
+                     GROUP BY term, node),
+            cdeg AS (SELECT term, node, CAST(count(*) AS BIGINT) AS deg
+                     FROM (SELECT term, w AS node FROM ed
+                           UNION ALL SELECT term, v FROM ed)
+                     GROUP BY term, node)
+            SELECT d.term, d.node, d.deg,
+                   CAST(COALESCE(t.t, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN d.deg < 2 THEN NULL
+                        ELSE CAST((2 * COALESCE(t.t, 0) * 1000000)
+                                  // (d.deg * (d.deg - 1)) AS BIGINT)
+                   END AS lcc_micro
+            FROM cdeg d LEFT JOIN tcnt t
+                 ON t.term = d.term AND t.node = d.node
+        """,
         # the induced inventory itself, hash-checked (VERDICT r03 item 1):
         # clustering unrolled into CTE rounds under the cw.py v2 integer
         # determinism contract (see _sql_sense_inventory)

@@ -280,3 +280,44 @@ def test_transition_entropy_parity_and_definition():
     assert abs(r["entropy_rate_micro"] / 1e6 - h) < 2e-5
     k = tr["event_type"].nunique()
     assert 0 <= r["entropy_rate_micro"] <= int(np.log(k) * 1e6) + 2
+
+
+def test_clustering_coef_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.fixtures import transcripts_dir
+    from wsid_ray.pipelines.queries import q_cooc_clustering_coef
+    got = _canon(q_cooc_clustering_coef(SF).to_pandas())
+    sql = E.oracle_sql()["cooc_clustering_coef"]
+    sql = sql.replace(transcripts_dir("sf0.01"), transcripts_dir(SF))
+    exp = _canon(_duck(sql, tables=()))
+    got["lcc_micro"] = got["lcc_micro"].astype("float64")
+    exp["lcc_micro"] = exp["lcc_micro"].astype("float64")
+    pd.testing.assert_frame_equal(got, exp)
+    # direct recompute on one term via adjacency sets
+    from wsid_ray.config import DEFAULT_CONFIG as CFG
+    from wsid_ray.pipelines.flagship import detect_mentions
+    from wsid_ray.pipelines.queries import read_transcripts
+    from wsid_ray.stages.cooc import cooc_edges
+    from wsid_ray.stages.tokenize import tokenize_batch
+    turns = read_transcripts(SF).map_batches(tokenize_batch,
+                                             batch_format="pyarrow")
+    ed = cooc_edges(detect_mentions(turns, CFG), CFG.cooc_min_count,
+                    CFG.npmi_min).to_pandas()
+    term = got["term"].iloc[0]
+    g = ed[ed["term"] == term]
+    adj = {}
+    for w_, v_ in zip(g["w"], g["v"]):
+        adj.setdefault(w_, set()).add(v_)
+        adj.setdefault(v_, set()).add(w_)
+    sub = got[got["term"] == term].set_index("node")
+    for n, nbrs in adj.items():
+        t = sum(1 for a in nbrs for b in nbrs
+                if a < b and b in adj[a])
+        d = len(nbrs)
+        row = sub.loc[n]
+        assert row["deg"] == d and row["n_triangles"] == t
+        if d < 2:
+            assert pd.isna(row["lcc_micro"])
+        else:
+            assert row["lcc_micro"] == (2 * t * 1_000_000) \
+                // (d * (d - 1))

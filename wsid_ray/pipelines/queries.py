@@ -4501,6 +4501,20 @@ def q_purchase_nearby_clicks(sf_dir: str) -> rd.Dataset:
     return purchase_nearby_clicks(sf_dir)
 
 
+def q_cooc_clustering_coef(sf_dir: str) -> rd.Dataset:
+    """Local clustering coefficient per node of each term's NPMI ego
+    graph — exact-integer triangle/degree ratio in micro-units."""
+    from ..stages.cooc import cooc_edges
+    from ..stages.pagerank import clustering_coefficients
+    from .flagship import detect_mentions
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG)
+    edges = cooc_edges(mentions, CFG.cooc_min_count, CFG.npmi_min)
+    return clustering_coefficients(edges)
+
+
 def q_event_transition_entropy(sf_dir: str) -> "pa.Table":
     """Entropy rate of the event-type Markov chain — micro-nat cell
     quantisation over the transition counts, truncating finish."""
@@ -4569,6 +4583,7 @@ QUERIES = {
     "ann_rbo": q_ann_rbo,
     "cooc_hits": q_cooc_hits,
     "event_transition_entropy": q_event_transition_entropy,
+    "cooc_clustering_coef": q_cooc_clustering_coef,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,

@@ -736,3 +736,93 @@ def hits_micro(edges: rd.Dataset, rounds: int = 3,
         batch_format="pandas")
     return hash_join(ar, hr, on=["term", "node"],
                      num_buckets=num_buckets)
+
+
+def clustering_coefficients(edges: rd.Dataset,
+                            num_buckets: int = 8) -> rd.Dataset:
+    """LOCAL clustering coefficient per node of each term's NPMI ego
+    graph — lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) in integer
+    micro-units (NULL when deg < 2) — the per-node community-tightness
+    score beside the per-term global coefficient of triangle_stats.
+
+    Exact integers throughout: triangles enumerate once per a<b<c via
+    the same two canonical-edge joins as triangle_stats, then explode
+    to the three member nodes; degrees fold from the undirected
+    stream; the division is a single exact (2·T·1e6) // (d·(d−1)).
+
+    Scale: same bounded plan as triangle_stats — the edge stream is
+    the pruned model-shaped aggregate; triangle rows are graph-sized,
+    never corpus-sized."""
+    from ..pipelines.analytics import bucketed_sum
+    from .joins import hash_join
+
+    edges = edges.map_batches(
+        lambda t: t.select(["term", "w", "v"]), batch_format="pyarrow")
+
+    def rename(cols):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+        return fn
+
+    e_ab = edges.map_batches(rename(["term", "a", "b"]),
+                             batch_format="pyarrow")
+    e_bc = edges.map_batches(rename(["term", "b", "c"]),
+                             batch_format="pyarrow")
+    paths = hash_join(e_ab, e_bc, on=["term", "b"],
+                      num_buckets=num_buckets)
+    e_ac = edges.map_batches(rename(["term", "a", "c"]),
+                             batch_format="pyarrow")
+    closed = hash_join(paths, e_ac, on=["term", "a", "c"],
+                       num_buckets=num_buckets)
+
+    def member_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.concat([
+            df[["term", "a"]].rename(columns={"a": "node"}),
+            df[["term", "b"]].rename(columns={"b": "node"}),
+            df[["term", "c"]].rename(columns={"c": "node"})],
+            ignore_index=True) \
+            .groupby(["term", "node"], sort=True).size() \
+            .rename("t").reset_index()
+        g["t"] = g["t"].astype("int64")
+        return g
+
+    tri = bucketed_sum(
+        closed.map_batches(member_part, batch_format="pandas"),
+        ["term", "node"], ["t"], num_buckets=num_buckets)
+
+    def und(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"term": t["term"], "node": t["w"]}),
+            pa.table({"term": t["term"], "node": t["v"]})])
+
+    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["term", "node"], sort=True).size() \
+              .rename("deg").reset_index()
+        g["deg"] = g["deg"].astype("int64")
+        return g
+
+    deg = bucketed_sum(
+        edges.map_batches(und, batch_format="pyarrow")
+             .map_batches(deg_part, batch_format="pandas"),
+        ["term", "node"], ["deg"], num_buckets=num_buckets)
+
+    j = hash_join(deg, tri, on=["term", "node"], how="left",
+                  num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        tt = pc.fill_null(t["t"].cast(pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        d = t["deg"].to_numpy(zero_copy_only=False)
+        den = d * (d - 1)
+        lcc = np.where(den > 0,
+                       (2 * tt * MICRO) // np.maximum(den, 1), -1)
+        return pa.table({
+            "term": t["term"], "node": t["node"],
+            "deg": pa.array(d, type=pa.int64()),
+            "n_triangles": pa.array(tt, type=pa.int64()),
+            "lcc_micro": pa.array(
+                [None if v < 0 else int(v) for v in lcc],
+                type=pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")
