@@ -1058,6 +1058,51 @@ def _sql_cooc_hits(tr: str, tok: str, gaz: str, rounds: int = 3) -> str:
     """
 
 
+def _sql_cooc_ppr(tr: str, tok: str, gaz: str, rounds: int = 5) -> str:
+    """DuckDB mirror of stages/pagerank.ppr_micro — personalized
+    PageRank with all teleport mass at the per-term hub (deg desc,
+    name asc — the bfs_hops seed rule), unrolled as c{k}/r{k} CTE
+    pairs; the 9th bounded-iteration mirror.  Base term 150000 =
+    (15*1e6)//100 lands only on the seed row."""
+    from wsid_ray.config import NPMI_MIN
+    ctes, prev = "", "pr0"
+    for k in range(1, rounds + 1):
+        ctes += f""",
+        pc{k} AS (SELECT e.term, e.x AS node,
+                         CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+                  FROM ped e
+                  JOIN {prev} r ON r.term = e.term AND r.node = e.u
+                  JOIN pdeg d ON d.term = e.term AND d.u = e.u
+                  GROUP BY e.term, e.x),
+        pr{k} AS (SELECT c.term, c.node,
+                         CAST(CASE WHEN c.node = sd.node
+                              THEN 150000 ELSE 0 END
+                              + (85 * c.s) // 100 AS BIGINT) AS r
+                  FROM pc{k} c JOIN pseed sd ON sd.term = c.term)"""
+        prev = f"pr{k}"
+    return f"""
+        WITH {_sql_cooc_chain(tr, tok, gaz)},
+        pe0 AS (SELECT term, w, v FROM weighted
+                WHERE npmi > {NPMI_MIN}),
+        ped AS MATERIALIZED (
+            SELECT term, w AS u, v AS x FROM pe0
+            UNION ALL SELECT term, v, w FROM pe0),
+        pdeg AS MATERIALIZED (
+            SELECT term, u, CAST(count(*) AS BIGINT) AS deg
+            FROM ped GROUP BY term, u),
+        pseed AS (SELECT term, u AS node
+                  FROM (SELECT term, u, row_number() OVER (
+                            PARTITION BY term ORDER BY deg DESC, u)
+                            AS rk
+                        FROM pdeg) WHERE rk = 1),
+        pr0 AS (SELECT d.term, d.u AS node,
+                       CAST(CASE WHEN d.u = sd.node THEN 1000000
+                            ELSE 0 END AS BIGINT) AS r
+                FROM pdeg d JOIN pseed sd ON sd.term = d.term){ctes}
+        SELECT term, node, r AS ppr_micro FROM {prev}
+    """
+
+
 def _sql_cooc_kcore(tr: str, tok: str, gaz: str, k: int = 3,
                     rounds: int = 8) -> str:
     """DuckDB mirror of stages/pagerank.kcore — the fixed peel rounds
@@ -4011,6 +4056,8 @@ def oracle_sql() -> dict[str, str]:
         # stages/pagerank.hits_micro: HITS hubs/authorities, 3 unrolled
         # L1-normalised integer rounds over the NPMI ego graphs
         "cooc_hits": _sql_cooc_hits(tr, tok, gaz, rounds=3),
+        # stages/pagerank.ppr_micro: personalized PageRank, hub teleport
+        "cooc_ppr": _sql_cooc_ppr(tr, tok, gaz, rounds=5),
         "cooc_pagerank_weighted": _sql_cooc_pagerank(
             tr, tok, gaz, rounds=5, weighted=True),
         # triangles + clustering coefficient (pagerank.triangle_stats):

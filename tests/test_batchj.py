@@ -321,3 +321,45 @@ def test_clustering_coef_parity_and_recompute():
         else:
             assert row["lcc_micro"] == (2 * t * 1_000_000) \
                 // (d * (d - 1))
+
+
+def test_ppr_parity_and_float_band():
+    import __ray_entry__ as E
+    from wsid_ray.fixtures import transcripts_dir
+    from wsid_ray.pipelines.queries import q_cooc_ppr
+    got = _canon(q_cooc_ppr(SF).to_pandas())
+    sql = E.oracle_sql()["cooc_ppr"]
+    sql = sql.replace(transcripts_dir("sf0.01"), transcripts_dir(SF))
+    exp = _canon(_duck(sql, tables=()))
+    pd.testing.assert_frame_equal(got, exp)
+    # float PPR recompute band on one term graph
+    from wsid_ray.config import DEFAULT_CONFIG as CFG
+    from wsid_ray.pipelines.flagship import detect_mentions
+    from wsid_ray.pipelines.queries import read_transcripts
+    from wsid_ray.stages.cooc import cooc_edges
+    from wsid_ray.stages.tokenize import tokenize_batch
+    turns = read_transcripts(SF).map_batches(tokenize_batch,
+                                             batch_format="pyarrow")
+    ed = cooc_edges(detect_mentions(turns, CFG), CFG.cooc_min_count,
+                    CFG.npmi_min).to_pandas()
+    term = got["term"].iloc[0]
+    g = ed[ed["term"] == term]
+    nodes = sorted(set(g["w"]) | set(g["v"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for w_, v_ in zip(g["w"], g["v"]):
+        A[idx[w_], idx[v_]] = A[idx[v_], idx[w_]] = 1.0
+    deg = A.sum(1)
+    seed = max(nodes, key=lambda n: (deg[idx[n]], )) \
+        if len(nodes) else None
+    # seed rule: deg desc, name asc
+    seed = sorted(nodes, key=lambda n: (-deg[idx[n]], n))[0]
+    r = np.zeros(len(nodes)); r[idx[seed]] = 1.0
+    e = np.zeros(len(nodes)); e[idx[seed]] = 0.15
+    for _ in range(5):
+        r = e + 0.85 * (A @ (r / deg))
+    sub = got[got["term"] == term].set_index("node")
+    for n in nodes:
+        assert abs(sub.loc[n, "ppr_micro"] / 1e6 - r[idx[n]]) < 2e-3
+    # mass concentrates at the hub
+    assert sub["ppr_micro"].idxmax() == seed

@@ -4501,6 +4501,20 @@ def q_purchase_nearby_clicks(sf_dir: str) -> rd.Dataset:
     return purchase_nearby_clicks(sf_dir)
 
 
+def q_cooc_ppr(sf_dir: str) -> rd.Dataset:
+    """Personalized PageRank per term graph — teleport mass pinned to
+    the hub node; integer contract, unrolled CTE mirror."""
+    from ..stages.cooc import cooc_edges
+    from ..stages.pagerank import ppr_micro
+    from .flagship import detect_mentions
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG)
+    edges = cooc_edges(mentions, CFG.cooc_min_count, CFG.npmi_min)
+    return ppr_micro(edges, rounds=5)
+
+
 def q_cooc_clustering_coef(sf_dir: str) -> rd.Dataset:
     """Local clustering coefficient per node of each term's NPMI ego
     graph — exact-integer triangle/degree ratio in micro-units."""
@@ -4584,6 +4598,7 @@ QUERIES = {
     "cooc_hits": q_cooc_hits,
     "event_transition_entropy": q_event_transition_entropy,
     "cooc_clustering_coef": q_cooc_clustering_coef,
+    "cooc_ppr": q_cooc_ppr,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,

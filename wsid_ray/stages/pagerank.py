@@ -826,3 +826,112 @@ def clustering_coefficients(edges: rd.Dataset,
                 type=pa.int64())})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def ppr_micro(edges: rd.Dataset, rounds: int = 5,
+              num_buckets: int = 8) -> rd.Dataset:
+    """PERSONALIZED PageRank per term graph: teleport mass returns to
+    the term's hub node (max undirected degree, lexicographically
+    smallest name on ties — the bfs_hops seed rule) instead of
+    spreading uniformly — local importance around the hub, the
+    query-biased ranking of Jeh & Widom 2003 / Haveliwala 2002.
+
+    Contract (v1, 9th bounded-iteration mirror): ranks in int64
+    micro-units; r0 = 1e6 at the seed, 0 elsewhere; one synchronous
+    round
+        c(u)  = r(u) // deg(u)            (per incident edge)
+        s(x)  = Σ_{u~x} c(u)              (exact int sum)
+        r'(x) = [x = seed]·150000 + (85·s(x)) // 100
+    for a fixed number of rounds; every node keeps a row each round
+    (each node in the pruned graph has ≥ 1 neighbour, so the
+    contribution join is total).
+
+    Physical plan: identical to pagerank_micro — per round ONE
+    partitioned hash join + ONE bucketed sum over the model-shaped
+    edge stream; the seed map is gazetteer-bounded and broadcast."""
+    from ..pipelines.analytics import bucketed_sum
+    from ..util import collect_rows
+    from .joins import hash_join
+
+    def undirect(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"term": t["term"], "u": t["w"], "x": t["v"]}),
+            pa.table({"term": t["term"], "u": t["v"], "x": t["w"]})])
+
+    ed = edges.map_batches(
+        lambda t: t.select(["term", "w", "v"]),
+        batch_format="pyarrow") \
+        .map_batches(undirect, batch_format="pyarrow")
+
+    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["term", "u"], sort=True, as_index=False) \
+              .size().rename(columns={"size": "deg"})
+        return g.astype({"deg": "int64"})
+
+    deg = bucketed_sum(ed.map_batches(deg_part, batch_format="pandas"),
+                       ["term", "u"], ["deg"], num_buckets=num_buckets)
+
+    ed_deg = hash_join(ed, deg, on=["term", "u"],
+                       num_buckets=num_buckets).materialize()
+
+    # seed per term: (deg desc, name asc) — gazetteer-bounded
+    seed_of: dict[str, str] = {}
+    best: dict[str, tuple[int, str]] = {}
+    for r in collect_rows(deg):
+        key = (-int(r["deg"]), r["u"])
+        if r["term"] not in best or key < best[r["term"]]:
+            best[r["term"]] = key
+            seed_of[r["term"]] = r["u"]
+    seed_ref = ray.put(seed_of)
+
+    def init_rank(df: pd.DataFrame) -> pd.DataFrame:
+        seeds = ray.get(seed_ref)
+        sv = df["term"].map(seeds)
+        r = np.where(df["u"].to_numpy() == sv.to_numpy(), MICRO, 0)
+        return pd.DataFrame({"term": df["term"], "node": df["u"],
+                             "r": r.astype("int64")})
+
+    rank_schema = pa.schema([("term", pa.string()),
+                             ("node", pa.string()), ("r", pa.int64())])
+    rank = deg.map_batches(init_rank, batch_format="pandas") \
+        .map_batches(lambda t: t.select(rank_schema.names)
+                     .cast(rank_schema), batch_format="pyarrow") \
+        .materialize()
+
+    for _ in range(rounds):
+        j = hash_join(
+            ed_deg,
+            rank.map_batches(lambda df: df.rename(columns={"node": "u"}),
+                             batch_format="pandas"),
+            on=["term", "u"], num_buckets=num_buckets)
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            c = (df["r"].to_numpy() // df["deg"].to_numpy()) \
+                .astype(np.int64)
+            return pd.DataFrame({"term": df["term"], "node": df["x"],
+                                 "s": c}) \
+                .groupby(["term", "node"], sort=True,
+                         as_index=False).agg(s=("s", "sum"))
+
+        s = bucketed_sum(j.map_batches(contrib, batch_format="pandas"),
+                         ["term", "node"], ["s"],
+                         num_buckets=num_buckets)
+
+        def damp(df: pd.DataFrame) -> pd.DataFrame:
+            seeds = ray.get(seed_ref)
+            sv = df["term"].map(seeds)
+            base = np.where(df["node"].to_numpy() == sv.to_numpy(),
+                            (15 * MICRO) // 100, 0).astype(np.int64)
+            r = base + (85 * df["s"].to_numpy()) // 100
+            return pd.DataFrame({"term": df["term"],
+                                 "node": df["node"],
+                                 "r": r.astype("int64")})
+
+        rank = s.map_batches(damp, batch_format="pandas") \
+            .map_batches(lambda t: t.select(rank_schema.names)
+                         .cast(rank_schema), batch_format="pyarrow") \
+            .materialize()
+
+    return rank.map_batches(
+        lambda t: t.rename_columns(["term", "node", "ppr_micro"]),
+        batch_format="pyarrow")
