@@ -2487,6 +2487,92 @@ def oracle_sql() -> dict[str, str]:
             JOIN nss na ON na.source = agg.sa
             JOIN nss nb ON nb.source = agg.sb
         """,
+        # pipelines/mlstats.doc_length_lognormal: log-normal MoM fit of
+        # doc lengths — micro-nat ln quantisation, one sqrt float chain
+        "doc_length_lognormal": """
+            WITH lnl AS (SELECT CAST(floor(ln(CAST(n_chars AS DOUBLE))
+                                * 1e6 + 0.5) AS BIGINT) AS lm
+                         FROM documents),
+            lmm AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                           SUM(CAST(lm AS HUGEINT)) AS s,
+                           SUM(CAST(lm AS HUGEINT) * lm) AS s2
+                    FROM lnl)
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   CAST(s // n AS BIGINT) AS mu_micro,
+                   CAST(floor(sqrt(CAST(n * s2 - s * s AS DOUBLE)) / n
+                        + 0.5) AS BIGINT) AS sigma_micro
+            FROM lmm
+        """,
+        # pipelines/mlstats.click_purchase_xcorr: lagged Pearson r of
+        # the dense daily click/purchase series — exact int moments per
+        # lag, one shared float chain, NULL on zero variance
+        "click_purchase_xcorr": """
+            WITH xce AS (SELECT date_trunc('day', ts) AS day,
+                                event_type FROM events
+                         WHERE event_type IN ('click', 'purchase')),
+            xdc AS (SELECT day, event_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM xce GROUP BY 1, 2),
+            xbb AS (SELECT min(day) AS d0, max(day) AS d1 FROM xdc),
+            xcal AS (SELECT unnest(generate_series(d0, d1,
+                                INTERVAL 1 DAY)) AS day
+                     FROM xbb),
+            xs AS MATERIALIZED (
+                SELECT xcal.day,
+                       coalesce((SELECT n FROM xdc
+                                 WHERE xdc.day = xcal.day
+                                   AND event_type = 'click'), 0) AS a,
+                       coalesce((SELECT n FROM xdc
+                                 WHERE xdc.day = xcal.day
+                                   AND event_type = 'purchase'), 0)
+                           AS b
+                FROM xcal),
+            xlg AS (SELECT unnest(range(-3, 4)) AS lag),
+            xpp AS (SELECT l.lag, x.a AS x, y.b AS y
+                    FROM xlg l
+                    CROSS JOIN xs x
+                    JOIN xs y ON epoch_us(y.day) = epoch_us(x.day)
+                                 + l.lag * 86400000000),
+            xm AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(x) AS BIGINT) AS sx,
+                          CAST(sum(y) AS BIGINT) AS sy,
+                          CAST(sum(x * x) AS BIGINT) AS sxx,
+                          CAST(sum(y * y) AS BIGINT) AS syy,
+                          CAST(sum(x * y) AS BIGINT) AS sxy
+                   FROM xpp GROUP BY lag)
+            SELECT CAST(lag AS BIGINT) AS lag, n AS n_overlap,
+                   CASE WHEN n < 2 OR n * sxx - sx * sx = 0
+                             OR n * syy - sy * sy = 0 THEN NULL
+                        ELSE CAST(floor(
+                            CAST(n * sxy - sx * sy AS DOUBLE)
+                            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                   * CAST(n * syy - sy * sy
+                                          AS DOUBLE))
+                            * 1e6 + 0.5) AS BIGINT)
+                   END AS r_micro
+            FROM xm
+        """,
+        # pipelines/mlstats.daily_revenue_theilsen: robust Theil-Sen
+        # slope — median of pairwise CAST(int)/int slopes, micro
+        "daily_revenue_theilsen": """
+            WITH tsd AS (SELECT date_trunc('day', o_orderdate) AS day,
+                                CAST(sum(CAST(floor(o_totalprice * 100
+                                     + 0.5) AS BIGINT)) AS BIGINT)
+                                    AS rev
+                         FROM orders GROUP BY 1),
+            tsx AS MATERIALIZED (
+                SELECT epoch_us(day) // 86400000000 AS d, rev
+                FROM tsd),
+            tsl AS (SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.d - a.d)
+                           AS s
+                    FROM tsx a JOIN tsx b ON b.d > a.d)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM tsx)
+                       AS n_days,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(floor(median(s) * 1e6 + 0.5) AS BIGINT)
+                       AS slope_micro
+            FROM tsl
+        """,
         # pipelines/mlstats.source_lang_mi: MI contingency cells with
         # per-cell micro-nat quantisation (exact int products inside
         # the one float division, the KL convention)

@@ -363,3 +363,66 @@ def test_ppr_parity_and_float_band():
         assert abs(sub.loc[n, "ppr_micro"] / 1e6 - r[idx[n]]) < 2e-3
     # mass concentrates at the hub
     assert sub["ppr_micro"].idxmax() == seed
+
+
+def test_lognormal_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import doc_length_lognormal
+    got = _canon(doc_length_lognormal(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["doc_length_lognormal"]))
+    pd.testing.assert_frame_equal(got, exp)
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["n_chars"])
+    lx = np.log(d["n_chars"].to_numpy(dtype=np.float64))
+    r = got.iloc[0]
+    assert r["n_docs"] == len(d)
+    assert abs(r["mu_micro"] / 1e6 - lx.mean()) < 2e-5
+    assert abs(r["sigma_micro"] / 1e6 - lx.std()) < 2e-5
+
+
+def test_xcorr_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import click_purchase_xcorr
+    got = _canon(click_purchase_xcorr(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["click_purchase_xcorr"],
+                       tables=("events",)))
+    got["r_micro"] = got["r_micro"].astype("float64")
+    exp["r_micro"] = exp["r_micro"].astype("float64")
+    pd.testing.assert_frame_equal(got, exp)
+    # numpy recompute at lag 0 and +1
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "event_type"])
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    ev["day"] = ev["ts"].dt.floor("D")
+    piv = ev.groupby(["day", "event_type"]).size().unstack(fill_value=0)
+    days = pd.date_range(piv.index.min(), piv.index.max(), freq="D")
+    piv = piv.reindex(days, fill_value=0)
+    a = piv["click"].to_numpy(dtype=np.float64)
+    b = piv["purchase"].to_numpy(dtype=np.float64)
+    for lag, x, y in ((0, a, b), (1, a[:-1], b[1:])):
+        r = np.corrcoef(x, y)[0, 1]
+        row = got[got["lag"] == lag].iloc[0]
+        assert row["n_overlap"] == len(x)
+        assert abs(row["r_micro"] / 1e6 - r) < 2e-5
+
+
+def test_theilsen_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import daily_revenue_theilsen
+    got = _canon(daily_revenue_theilsen(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["daily_revenue_theilsen"],
+                       tables=("orders",)))
+    pd.testing.assert_frame_equal(got, exp)
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    o["day"] = o["o_orderdate"].dt.floor("D")
+    o["cents"] = np.floor(o["o_totalprice"] * 100 + 0.5).astype(int)
+    g = o.groupby("day")["cents"].sum().sort_index()
+    d = (g.index.astype("datetime64[ns]").astype("int64")
+         // 86_400_000_000_000).to_numpy()
+    y = g.to_numpy(dtype=np.int64)
+    sl = [(y[j] - y[i]) / (d[j] - d[i])
+          for i in range(len(d)) for j in range(i + 1, len(d))]
+    r = got.iloc[0]
+    assert r["n_days"] == len(d)
+    assert r["n_pairs"] == len(sl)
+    assert abs(r["slope_micro"] / 1e6 - np.median(sl)) < 2e-6

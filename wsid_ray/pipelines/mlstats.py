@@ -2335,3 +2335,162 @@ def event_transition_entropy(sf_dir: str) -> pa.Table:
         "h_sum_micro": pa.array([h_sum], pa.int64()),
         "entropy_rate_micro": pa.array([_tdiv(h_sum, n_tot)],
                                        pa.int64())})
+
+
+def doc_length_lognormal(sf_dir: str) -> pa.Table:
+    """Log-normal method-of-moments fit of the document length
+    distribution — web-corpus lengths are classically log-normal
+    (Mitzenmacher 2004), and (μ, σ) of ln(n_chars) is the two-number
+    summary a sampler or curriculum scheduler reads.
+
+    Integer contract: per doc l = floor(ln(n_chars)·1e6 + 0.5)
+    micro-nats; n, Σl, Σl² are exact (int64 per-block partials,
+    Python-int fold — Σl² passes int64 at corpus scale); μ = Σl // n
+    (values positive) and σ = floor(sqrt(n·Σl² − (Σl)²)/n + 0.5) is
+    the ONE float chain, identical HUGEINT→DOUBLE in the mirror.
+
+    Scale: one stateless pruned scan; partials are a row per block."""
+    from ..util import collect_rows
+
+    src = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["n_chars"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(dtype=np.float64)
+        l = np.floor(np.log(x) * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({"n": [np.int64(len(l))],
+                             "s": [np.int64(l.sum())],
+                             "s2": [np.int64((l * l).sum())]})
+
+    n = s = s2 = 0
+    for r in collect_rows(src.map_batches(part,
+                                          batch_format="pandas")):
+        n += int(r["n"]); s += int(r["s"]); s2 += int(r["s2"])
+    x = n * s2 - s * s
+    sigma = int(np.floor(np.sqrt(float(x)) / n + 0.5))
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "mu_micro": pa.array([s // n], pa.int64()),
+        "sigma_micro": pa.array([sigma], pa.int64())})
+
+
+def click_purchase_xcorr(sf_dir: str, max_lag: int = 3) -> pa.Table:
+    """Lagged cross-correlation between the corpus-wide daily click and
+    purchase series — "do purchases follow clicks, and with what
+    delay": Pearson r of (clicks_t, purchases_{t+ℓ}) for ℓ in
+    [−max_lag, max_lag] over the zero-filled day span.
+
+    Integer moments per lag (n, Σx, Σy, Σxy, Σx², Σy² over the
+    overlap), ONE shared float chain (n·Σxy − ΣxΣy) / sqrt(...) at
+    6 dp; NULL on zero variance.
+
+    Scale: per-batch (day, type) partials fold on the span-bounded day
+    key; the lag pass is a single-group fold over the D-row series."""
+    from ..stages.groups import bucketed_group_apply
+    from .analytics import bucketed_sum
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["click", "purchase"])]
+        day = df["ts"].astype("datetime64[us]").dt.floor("D")
+        out = pd.DataFrame({"day": day,
+                            "event_type": df["event_type"]}) \
+            .groupby(["day", "event_type"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return out.astype({"n": "int64"})
+
+    dc = bucketed_sum(ev.map_batches(part, batch_format="pandas"),
+                      ["day", "event_type"], ["n"], num_buckets=4)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["day", "event_type"], as_index=False)["n"] \
+            .sum()
+        days = pd.date_range(df["day"].min(), df["day"].max(),
+                             freq="D", unit="us")
+        piv = df.pivot_table(index="day", columns="event_type",
+                             values="n", fill_value=0, aggfunc="sum") \
+            .reindex(days, fill_value=0)
+        a = (piv["click"] if "click" in piv.columns
+             else pd.Series(0, index=days)).to_numpy(dtype=np.int64)
+        b = (piv["purchase"] if "purchase" in piv.columns
+             else pd.Series(0, index=days)).to_numpy(dtype=np.int64)
+        rows = {"lag": [], "n_overlap": [], "r_micro": []}
+        for lag in range(-max_lag, max_lag + 1):
+            if lag >= 0:
+                x, y = a[:len(a) - lag or None], b[lag:]
+            else:
+                x, y = a[-lag:], b[:len(b) + lag]
+            m = len(x)
+            sx, sy = int(x.sum()), int(y.sum())
+            sxx = int((x * x).sum()); syy = int((y * y).sum())
+            sxy = int((x * y).sum())
+            vx = m * sxx - sx * sx
+            vy = m * syy - sy * sy
+            if m < 2 or vx == 0 or vy == 0:
+                r = None
+            else:
+                r = int(np.floor(
+                    float(m * sxy - sx * sy)
+                    / np.sqrt(float(vx) * float(vy)) * 1e6 + 0.5))
+            rows["lag"].append(lag); rows["n_overlap"].append(m)
+            rows["r_micro"].append(r)
+        return pd.DataFrame({
+            "lag": pd.Series(rows["lag"], dtype="int64"),
+            "n_overlap": pd.Series(rows["n_overlap"], dtype="int64"),
+            "r_micro": pd.Series(rows["r_micro"], dtype="Int64")})
+
+    out_schema = pa.schema([("lag", pa.int64()),
+                            ("n_overlap", pa.int64()),
+                            ("r_micro", pa.int64())])
+    return bucketed_group_apply(
+        dc.map_batches(lambda df: df.assign(
+            g=np.zeros(len(df), dtype=np.int64)),
+            batch_format="pandas"),
+        ["g"], lambda df: fold(df.drop(columns=["g"])),
+        num_buckets=1, out_schema=out_schema)
+
+
+def daily_revenue_theilsen(sf_dir: str) -> pa.Table:
+    """Theil–Sen robust trend of daily order revenue — the median of
+    all pairwise slopes (cents/day), immune to the outlier days an OLS
+    slope chases.  Slopes are the shared float expression
+    CAST(Δcents AS DOUBLE)/Δdays; the median of an identical float
+    multiset interpolates identically in numpy and DuckDB, then
+    quantises half-up to micro.
+
+    Scale: per-batch (day, cents) partials fold on the span-bounded
+    day key; the D² pairwise pass is driver math over the day table."""
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["o_orderdate"].astype("datetime64[us]").dt.floor("D")
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100
+                         + 0.5).astype(np.int64)
+        out = pd.DataFrame({"day": day, "rev": cents}) \
+            .groupby("day", as_index=False)["rev"].sum()
+        return out.astype({"rev": "int64"})
+
+    rows = collect_rows(bucketed_sum(
+        src.map_batches(part, batch_format="pandas"),
+        ["day"], ["rev"], num_buckets=4))
+    acc: dict = {}
+    for r in rows:
+        acc[r["day"]] = acc.get(r["day"], 0) + int(r["rev"])
+    days = sorted(acc)
+    d = np.array([pd.Timestamp(x).value // 86_400_000_000_000
+                  for x in days], dtype=np.int64)
+    y = np.array([acc[x] for x in days], dtype=np.int64)
+    i, j = np.triu_indices(len(d), k=1)
+    slopes = (y[j] - y[i]).astype(np.float64) / (d[j] - d[i])
+    med = float(np.median(slopes))
+    return pa.table({
+        "n_days": pa.array([len(d)], pa.int64()),
+        "n_pairs": pa.array([len(slopes)], pa.int64()),
+        "slope_micro": pa.array(
+            [int(np.floor(med * 1e6 + 0.5))], pa.int64())})

@@ -4501,6 +4501,27 @@ def q_purchase_nearby_clicks(sf_dir: str) -> rd.Dataset:
     return purchase_nearby_clicks(sf_dir)
 
 
+def q_doc_length_lognormal(sf_dir: str) -> "pa.Table":
+    """Log-normal method-of-moments fit of doc lengths — micro-nat ln
+    quantisation, exact integer moments, one sqrt float chain."""
+    from .mlstats import doc_length_lognormal
+    return doc_length_lognormal(sf_dir)
+
+
+def q_click_purchase_xcorr(sf_dir: str) -> rd.Dataset:
+    """Lagged cross-correlation of the daily click/purchase series —
+    exact integer moments per lag, one shared float chain."""
+    from .mlstats import click_purchase_xcorr
+    return click_purchase_xcorr(sf_dir)
+
+
+def q_daily_revenue_theilsen(sf_dir: str) -> "pa.Table":
+    """Theil–Sen robust slope of daily revenue — median of pairwise
+    slopes over the span-bounded day table."""
+    from .mlstats import daily_revenue_theilsen
+    return daily_revenue_theilsen(sf_dir)
+
+
 def q_cooc_ppr(sf_dir: str) -> rd.Dataset:
     """Personalized PageRank per term graph — teleport mass pinned to
     the hub node; integer contract, unrolled CTE mirror."""
@@ -4599,6 +4620,9 @@ QUERIES = {
     "event_transition_entropy": q_event_transition_entropy,
     "cooc_clustering_coef": q_cooc_clustering_coef,
     "cooc_ppr": q_cooc_ppr,
+    "doc_length_lognormal": q_doc_length_lognormal,
+    "click_purchase_xcorr": q_click_purchase_xcorr,
+    "daily_revenue_theilsen": q_daily_revenue_theilsen,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,
