@@ -4177,6 +4177,50 @@ def oracle_sql() -> dict[str, str]:
                    END AS gcc_micro
             FROM wed w LEFT JOIN tri t ON t.term = w.term
         """,
+        # stages/cooc.llr_edges: Dunning 1993 G² collocation
+        # significance + Dice per pruned edge — micro-nat cell terms
+        # over the 2×2 window contingency, exact doubling, integer Dice
+        "cooc_llr": f"""
+            WITH {_sql_cooc_chain(tr, tok, gaz)},
+            lle AS (SELECT term, w, v, n FROM weighted
+                    WHERE npmi > {NPMI_MIN}),
+            llj AS (SELECT e.term, e.w, e.v,
+                           CAST(e.n AS BIGINT) AS n,
+                           CAST(uw.n_w AS BIGINT) AS cw,
+                           CAST(uv.n_w AS BIGINT) AS cv,
+                           CAST(t.nn AS BIGINT) AS nn
+                    FROM lle e
+                    JOIN totcnt t ON t.term = e.term
+                    JOIN unicnt uw ON uw.term = e.term
+                                  AND uw.tok = e.w
+                    JOIN unicnt uv ON uv.term = e.term
+                                  AND uv.tok = e.v)
+            SELECT term, w, v, n,
+                   CAST(2 * (
+                       CASE WHEN n > 0 THEN CAST(floor(n * ln(
+                           (CAST(n AS DOUBLE) * nn)
+                           / (CAST(cw AS DOUBLE) * cv))
+                           * 1e6 + 0.5) AS BIGINT) ELSE 0 END
+                     + CASE WHEN cw - n > 0 THEN CAST(floor(
+                           (cw - n) * ln(
+                           (CAST(cw - n AS DOUBLE) * nn)
+                           / (CAST(cw AS DOUBLE) * (nn - cv)))
+                           * 1e6 + 0.5) AS BIGINT) ELSE 0 END
+                     + CASE WHEN cv - n > 0 THEN CAST(floor(
+                           (cv - n) * ln(
+                           (CAST(cv - n AS DOUBLE) * nn)
+                           / (CAST(nn - cw AS DOUBLE) * cv))
+                           * 1e6 + 0.5) AS BIGINT) ELSE 0 END
+                     + CASE WHEN nn - cw - cv + n > 0 THEN CAST(floor(
+                           (nn - cw - cv + n) * ln(
+                           (CAST(nn - cw - cv + n AS DOUBLE) * nn)
+                           / (CAST(nn - cw AS DOUBLE) * (nn - cv)))
+                           * 1e6 + 0.5) AS BIGINT) ELSE 0 END)
+                       AS BIGINT) AS g2_micro,
+                   CAST((2 * n * 1000000) // (cw + cv) AS BIGINT)
+                       AS dice_micro
+            FROM llj
+        """,
         # stages/pagerank.clustering_coefficients: per-node LOCAL
         # clustering coefficient — triangles explode to member nodes,
         # lcc = (2*T*1e6) // (d*(d-1)), NULL when deg < 2

@@ -426,3 +426,40 @@ def test_theilsen_parity_and_recompute():
     assert r["n_days"] == len(d)
     assert r["n_pairs"] == len(sl)
     assert abs(r["slope_micro"] / 1e6 - np.median(sl)) < 2e-6
+
+
+def test_llr_parity_and_scipy_band():
+    import __ray_entry__ as E
+    from wsid_ray.fixtures import transcripts_dir
+    from wsid_ray.pipelines.queries import q_cooc_llr
+    got = _canon(q_cooc_llr(SF).to_pandas())
+    sql = E.oracle_sql()["cooc_llr"]
+    sql = sql.replace(transcripts_dir("sf0.01"), transcripts_dir(SF))
+    exp = _canon(_duck(sql, tables=()))
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["g2_micro"] >= 0).all() or \
+        (got["g2_micro"] >= -8).all()  # per-cell rounding slack
+    assert got["dice_micro"].between(0, 1_000_000).all()
+    # float G2 recompute on a few edges from the raw window counts
+    from wsid_ray.config import DEFAULT_CONFIG as CFG
+    from wsid_ray.pipelines.flagship import detect_mentions
+    from wsid_ray.pipelines.queries import read_transcripts
+    from wsid_ray.stages.cooc import aggregate_counts, split_counts
+    from wsid_ray.stages.tokenize import tokenize_batch
+    turns = read_transcripts(SF).map_batches(tokenize_batch,
+                                             batch_format="pyarrow")
+    counts = aggregate_counts(detect_mentions(turns, CFG))
+    tot, uni, _ = split_counts(counts)
+    for _, r in got.head(5).iterrows():
+        n, cw, cv = r["n"], uni[(r["term"], r["w"])], \
+            uni[(r["term"], r["v"])]
+        N = tot[r["term"]]
+        g2 = 0.0
+        for o, rt, ct in ((n, cw, cv), (cw - n, cw, N - cv),
+                          (cv - n, N - cw, cv),
+                          (N - cw - cv + n, N - cw, N - cv)):
+            if o > 0:
+                g2 += o * np.log(o * N / (rt * ct))
+        g2 *= 2
+        assert abs(r["g2_micro"] / 1e6 - g2) < 2e-5
+        assert r["dice_micro"] == (2 * n * 1_000_000) // (cw + cv)

@@ -4501,6 +4501,19 @@ def q_purchase_nearby_clicks(sf_dir: str) -> rd.Dataset:
     return purchase_nearby_clicks(sf_dir)
 
 
+def q_cooc_llr(sf_dir: str) -> rd.Dataset:
+    """Dunning G² collocation significance + Dice per pruned NPMI edge
+    — micro-nat cell quantisation over the 2×2 window contingency."""
+    from ..stages.cooc import aggregate_counts, llr_edges
+    from .flagship import detect_mentions
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG)
+    counts = aggregate_counts(mentions).materialize()
+    return llr_edges(counts, CFG.cooc_min_count, CFG.npmi_min)
+
+
 def q_doc_length_lognormal(sf_dir: str) -> "pa.Table":
     """Log-normal method-of-moments fit of doc lengths — micro-nat ln
     quantisation, exact integer moments, one sqrt float chain."""
@@ -4623,6 +4636,7 @@ QUERIES = {
     "doc_length_lognormal": q_doc_length_lognormal,
     "click_purchase_xcorr": q_click_purchase_xcorr,
     "daily_revenue_theilsen": q_daily_revenue_theilsen,
+    "cooc_llr": q_cooc_llr,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,

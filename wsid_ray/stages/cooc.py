@@ -300,3 +300,71 @@ def cooc_edges_from_counts(counts: rd.Dataset, min_count: int,
 
     return pairs.map_batches(weigh, batch_format="pyarrow",
                              batch_size=65536)
+
+
+def llr_edges(counts: rd.Dataset, min_count: int,
+              npmi_min: float) -> rd.Dataset:
+    """Dunning log-likelihood-ratio collocation significance (Dunning
+    1993 G²) + Dice coefficient per pruned NPMI edge — the classic
+    significance test beside the PMI/NPMI weights: G² stays calibrated
+    where PMI inflates rare pairs.
+
+    Per edge the 2×2 window contingency is k11 = n(w,v),
+    k12 = n(w) − k11, k21 = n(v) − k11, k22 = N − n(w) − n(v) + k11;
+    G² = 2·Σ O·ln(O·N / (rt·ct)) over the non-zero cells, with each
+    cell quantised half-up to micro-nats BEFORE the sum (KL-family
+    contract — the ln argument is one CAST(int)·int / CAST(int)·int
+    float division) and the final doubling exact.  Dice rides along:
+    dice_micro = (2·n·1e6) // (n(w) + n(v)), pure integer.
+
+    Scale: same shape as the NPMI weigher — pruned pairs stream
+    through stateless tasks with the vocab-bounded unigram/total dicts
+    broadcast once."""
+    totals, unigrams, _pairs = split_counts(counts)
+    edges = cooc_edges_from_counts(counts, min_count, npmi_min)
+    totals_ref = ray.put(totals)
+    unigrams_ref = ray.put(unigrams)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tot = _cached_get(totals_ref)
+        uni = _cached_get(unigrams_ref)
+        if batch.num_rows == 0:
+            return pa.table({
+                "term": pa.array([], pa.string()),
+                "w": pa.array([], pa.string()),
+                "v": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "g2_micro": pa.array([], pa.int64()),
+                "dice_micro": pa.array([], pa.int64())})
+        terms = batch["term"].to_pylist()
+        ws = batch["w"].to_pylist()
+        vs = batch["v"].to_pylist()
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        N = np.array([tot[t] for t in terms], dtype=np.int64)
+        cw = np.array([uni[(t, w)] for t, w in zip(terms, ws)],
+                      dtype=np.int64)
+        cv = np.array([uni[(t, v)] for t, v in zip(terms, vs)],
+                      dtype=np.int64)
+
+        def cell(o, rt, ct):
+            t = np.zeros(len(o), dtype=np.int64)
+            m = o > 0
+            arg = (o[m].astype(np.float64) * N[m]) \
+                / (rt[m].astype(np.float64) * ct[m])
+            t[m] = np.floor(o[m] * np.log(arg) * 1e6 + 0.5) \
+                .astype(np.int64)
+            return t
+
+        g2 = 2 * (cell(n, cw, cv)
+                  + cell(cw - n, cw, N - cv)
+                  + cell(cv - n, N - cw, cv)
+                  + cell(N - cw - cv + n, N - cw, N - cv))
+        dice = (2 * n * 1_000_000) // (cw + cv)
+        return pa.table({
+            "term": batch["term"], "w": batch["w"], "v": batch["v"],
+            "n": batch["n"],
+            "g2_micro": pa.array(g2, type=pa.int64()),
+            "dice_micro": pa.array(dice, type=pa.int64())})
+
+    return edges.map_batches(score, batch_format="pyarrow",
+                             batch_size=65536)
