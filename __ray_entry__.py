@@ -1103,6 +1103,84 @@ def _sql_cooc_ppr(tr: str, tok: str, gaz: str, rounds: int = 5) -> str:
     """
 
 
+def _sql_term_context_drift(tr: str, tok: str, gaz: str) -> str:
+    """DuckDB mirror of pipelines/queries.q_term_context_drift —
+    mention windows WITH timestamps (single + multi-word spans, same
+    slices as _sql_cooc_chain), midpoint-day split, then the JS
+    micro-nat contract of source_js_divergence per term."""
+    from wsid_ray.config import WINDOW_SIZE
+    W = WINDOW_SIZE
+    multi = "".join(f"""
+            UNION ALL
+            SELECT '{term}' AS term, ts,
+                   list_distinct(list_concat(
+                       list_slice(tokens, greatest(1, p - {W}), p - 1),
+                       list_slice(tokens, p + {m},
+                                  least(len(tokens), p + {m - 1} + {W}))
+                   )) AS wtoks
+            FROM dpos WHERE {conds}"""
+        for conds, m, term in _sql_multi_terms())
+    return f"""
+        WITH dtoks AS (SELECT ts, {tok} AS tokens FROM {tr}),
+        dpos AS (SELECT ts, tokens, unnest(tokens) AS tok,
+                        generate_subscripts(tokens, 1) AS p
+                 FROM dtoks),
+        dwin AS MATERIALIZED (
+            SELECT tok AS term, ts,
+                   list_distinct(list_concat(
+                       list_slice(tokens, greatest(1, p - {W}), p - 1),
+                       list_slice(tokens, p + 1,
+                                  least(len(tokens), p + {W}))
+                   )) AS wtoks
+            FROM dpos WHERE tok IN ({gaz}){multi}),
+        dbb AS (SELECT (min(epoch_us(ts) // 86400000000)
+                        + max(epoch_us(ts) // 86400000000)) // 2
+                       AS mid
+                FROM dwin),
+        dex AS (SELECT term,
+                       CASE WHEN epoch_us(ts) // 86400000000 <= dbb.mid
+                            THEN 'early' ELSE 'late' END AS half,
+                       unnest(wtoks) AS tok
+                FROM dwin, dbb),
+        dst AS MATERIALIZED (
+            SELECT term, half, tok, CAST(count(*) AS BIGINT) AS c
+            FROM dex GROUP BY ALL),
+        dns AS MATERIALIZED (
+            SELECT term, half, CAST(sum(c) AS BIGINT) AS ns
+            FROM dst GROUP BY term, half),
+        dde AS (SELECT term, tok, c FROM dst WHERE half = 'early'),
+        ddl AS (SELECT term, tok, c FROM dst WHERE half = 'late'),
+        dg AS (SELECT coalesce(e.term, l.term) AS term,
+                      coalesce(e.c, 0) AS ca, coalesce(l.c, 0) AS cb
+               FROM dde e FULL JOIN ddl l
+                    ON l.term = e.term AND l.tok = e.tok),
+        dj AS (SELECT g.term, g.ca, g.cb, ne.ns AS na, nl.ns AS nb
+               FROM dg g
+               JOIN dns ne ON ne.term = g.term AND ne.half = 'early'
+               JOIN dns nl ON nl.term = g.term AND nl.half = 'late'),
+        dterms AS (SELECT term, na, nb,
+                       CASE WHEN ca > 0 THEN CAST(floor(ca * ln(
+                           (2 * CAST(ca AS DOUBLE) * nb)
+                           / (CAST(ca AS DOUBLE) * nb
+                              + CAST(cb AS DOUBLE) * na))
+                           * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS ta,
+                       CASE WHEN cb > 0 THEN CAST(floor(cb * ln(
+                           (2 * CAST(cb AS DOUBLE) * na)
+                           / (CAST(ca AS DOUBLE) * nb
+                              + CAST(cb AS DOUBLE) * na))
+                           * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS tb
+                   FROM dj),
+        dagg AS (SELECT term, na, nb,
+                        CAST(sum(ta) AS BIGINT) AS sa,
+                        CAST(sum(tb) AS BIGINT) AS sb
+                 FROM dterms GROUP BY term, na, nb)
+        SELECT term, na AS n_early, nb AS n_late,
+               CAST(sa // (2 * na) + sb // (2 * nb) AS BIGINT)
+                   AS js_micro
+        FROM dagg
+    """
+
+
 def _sql_cooc_kcore(tr: str, tok: str, gaz: str, k: int = 3,
                     rounds: int = 8) -> str:
     """DuckDB mirror of stages/pagerank.kcore — the fixed peel rounds
@@ -4144,6 +4222,8 @@ def oracle_sql() -> dict[str, str]:
         "cooc_hits": _sql_cooc_hits(tr, tok, gaz, rounds=3),
         # stages/pagerank.ppr_micro: personalized PageRank, hub teleport
         "cooc_ppr": _sql_cooc_ppr(tr, tok, gaz, rounds=5),
+        # pipelines/queries.q_term_context_drift: per-term early/late JS
+        "term_context_drift": _sql_term_context_drift(tr, tok, gaz),
         "cooc_pagerank_weighted": _sql_cooc_pagerank(
             tr, tok, gaz, rounds=5, weighted=True),
         # triangles + clustering coefficient (pagerank.triangle_stats):

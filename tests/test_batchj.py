@@ -463,3 +463,50 @@ def test_llr_parity_and_scipy_band():
         g2 *= 2
         assert abs(r["g2_micro"] / 1e6 - g2) < 2e-5
         assert r["dice_micro"] == (2 * n * 1_000_000) // (cw + cv)
+
+
+def test_context_drift_parity_and_bounds():
+    import __ray_entry__ as E
+    from wsid_ray.fixtures import transcripts_dir
+    from wsid_ray.pipelines.queries import q_term_context_drift
+    got = _canon(q_term_context_drift(SF).to_pandas())
+    sql = E.oracle_sql()["term_context_drift"]
+    sql = sql.replace(transcripts_dir("sf0.01"), transcripts_dir(SF))
+    exp = _canon(_duck(sql, tables=()))
+    pd.testing.assert_frame_equal(got, exp)
+    # JS bounded by ln 2 (plus per-token rounding slack)
+    assert got["js_micro"].between(-8, int(np.log(2) * 1e6) + 8).all()
+    assert (got["n_early"] > 0).all() and (got["n_late"] > 0).all()
+    if not len(got):  # tiny fixtures may put every term in one half
+        return
+    # direct float JS recompute for one term from the mention stream
+    from wsid_ray.config import DEFAULT_CONFIG as CFG
+    from wsid_ray.pipelines.flagship import detect_mentions
+    from wsid_ray.pipelines.queries import read_transcripts
+    from wsid_ray.stages.tokenize import tokenize_batch
+    turns = read_transcripts(SF).map_batches(tokenize_batch,
+                                             batch_format="pyarrow")
+    m = detect_mentions(turns, CFG) \
+        .select_columns(["term", "win_tokens", "ts"]).to_pandas()
+    day = (m["ts"].astype("datetime64[us]").astype("int64")
+           // 86_400_000_000)
+    mid = (day.min() + day.max()) // 2
+    term = got["term"].iloc[0]
+    sub = m[m["term"] == term]
+    ce, cl = {}, {}
+    for d, ws in zip(day[sub.index], sub["win_tokens"]):
+        tgt = ce if d <= mid else cl
+        for w in set(ws):
+            tgt[w] = tgt.get(w, 0) + 1
+    na, nb = sum(ce.values()), sum(cl.values())
+    js = 0.0
+    for w in set(ce) | set(cl):
+        p, q = ce.get(w, 0) / na, cl.get(w, 0) / nb
+        mm = (p + q) / 2
+        if p:
+            js += 0.5 * p * np.log(p / mm)
+        if q:
+            js += 0.5 * q * np.log(q / mm)
+    row = got[got["term"] == term].iloc[0]
+    assert row["n_early"] == na and row["n_late"] == nb
+    assert abs(row["js_micro"] / 1e6 - js) < 5e-5

@@ -4514,6 +4514,131 @@ def q_cooc_llr(sf_dir: str) -> rd.Dataset:
     return llr_edges(counts, CFG.cooc_min_count, CFG.npmi_min)
 
 
+def q_term_context_drift(sf_dir: str) -> "pa.Table":
+    """Semantic drift per gazetteer term: Jensen-Shannon divergence
+    between the term's context-word distributions in the EARLY and
+    LATE halves of the corpus timeline (split at the midpoint epoch
+    day) — the "did this entity's meaning/usage shift" monitor a KG
+    pipeline re-induces senses on.
+
+    Same integer contract as source_js_divergence: per (term, token,
+    side) contributions quantise to micro-nats before the exact sums;
+    js_micro = tdiv(S_e, 2·N_e) + tdiv(S_l, 2·N_l) with truncating
+    division.  Context tokens are per-window DISTINCT (the unicnt
+    semantics of the cooc chain); terms mentioned in only one half are
+    omitted (JS against an empty distribution is not informative).
+
+    Scale: ONE pass over the fused mention stream (day bounds fold
+    from per-batch partials first); (term, half, token) counts shuffle
+    once on (term, token); per-(term, half) totals are
+    gazetteer-bounded broadcasts."""
+    from ..stages.groups import bucketed_group_apply
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+    from .flagship import detect_mentions
+    from .mlstats import _tdiv
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG) \
+        .select_columns(["term", "win_tokens", "ts"])
+
+    US_PER_DAY = 86_400_000_000
+
+    def day_part(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["ts"].astype("datetime64[us]").astype("int64")
+             // US_PER_DAY)
+        return pd.DataFrame({"d0": [int(d.min())], "d1": [int(d.max())]})
+
+    parts = collect_rows(mentions.map_batches(day_part,
+                                              batch_format="pandas"))
+    d0 = min(p["d0"] for p in parts)
+    d1 = max(p["d1"] for p in parts)
+    mid = (d0 + d1) // 2
+
+    def tok_part(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("datetime64[us]").astype("int64")
+               // US_PER_DAY).to_numpy()
+        half = np.where(day <= mid, "early", "late")
+        rows = {"term": [], "half": [], "tok": []}
+        for t, h, ws in zip(df["term"], half, df["win_tokens"]):
+            toks = sorted(set(ws))
+            rows["term"].extend([t] * len(toks))
+            rows["half"].extend([h] * len(toks))
+            rows["tok"].extend(toks)
+        g = pd.DataFrame(rows)
+        out = g.groupby(["term", "half", "tok"], as_index=False) \
+            .size().rename(columns={"size": "c"})
+        return out.astype({"c": "int64"})
+
+    st = bucketed_sum(
+        mentions.map_batches(tok_part, batch_format="pandas"),
+        ["term", "half", "tok"], ["c"], num_buckets=8)
+
+    totals = collect_rows(bucketed_sum(
+        st.map_batches(
+            lambda df: df.groupby(["term", "half"], as_index=False)
+            .agg(ns=("c", "sum")).astype({"ns": "int64"}),
+            batch_format="pandas"),
+        ["term", "half"], ["ns"], num_buckets=2))
+    ns_of = {(r["term"], r["half"]): int(r["ns"]) for r in totals}
+    ref = ray.put(ns_of)
+
+    def js_part(df: pd.DataFrame) -> pd.DataFrame:
+        ns = ray.get(ref)
+        df = df.groupby(["term", "half", "tok"], as_index=False)["c"] \
+            .sum()
+        piv = df.pivot_table(index=["term", "tok"], columns="half",
+                             values="c", fill_value=0, aggfunc="sum")
+        for h in ("early", "late"):
+            if h not in piv.columns:
+                piv[h] = 0
+        piv = piv.reset_index()
+        terms = piv["term"].to_numpy()
+        ca = piv["early"].to_numpy().astype(np.int64)
+        cb = piv["late"].to_numpy().astype(np.int64)
+        na = np.array([ns.get((t, "early"), 0) for t in terms],
+                      dtype=np.int64)
+        nb = np.array([ns.get((t, "late"), 0) for t in terms],
+                      dtype=np.int64)
+        keep = (na > 0) & (nb > 0)
+        piv, ca, cb, na, nb = piv[keep], ca[keep], cb[keep], \
+            na[keep], nb[keep]
+        caf, cbf = ca.astype(np.float64), cb.astype(np.float64)
+        den = caf * nb + cbf * na
+        ta = np.zeros(len(ca), dtype=np.int64)
+        tb = np.zeros(len(cb), dtype=np.int64)
+        ma, mb = ca > 0, cb > 0
+        ta[ma] = np.floor(ca[ma] * np.log((2 * caf[ma] * nb[ma])
+                                          / den[ma]) * 1e6 + 0.5) \
+            .astype(np.int64)
+        tb[mb] = np.floor(cb[mb] * np.log((2 * cbf[mb] * na[mb])
+                                          / den[mb]) * 1e6 + 0.5) \
+            .astype(np.int64)
+        out = pd.DataFrame({"term": piv["term"].to_numpy(),
+                            "sa": ta, "sb": tb})
+        return out.groupby("term", as_index=False).sum() \
+            .astype({"sa": "int64", "sb": "int64"})
+
+    out_schema = pa.schema([("term", pa.string()),
+                            ("sa", pa.int64()), ("sb", pa.int64())])
+    sums = collect_rows(bucketed_sum(
+        bucketed_group_apply(st, ["term", "tok"], js_part,
+                             num_buckets=8, out_schema=out_schema),
+        ["term"], ["sa", "sb"], num_buckets=2))
+    sums.sort(key=lambda r: r["term"])
+    return pa.table({
+        "term": pa.array([r["term"] for r in sums], pa.string()),
+        "n_early": pa.array([ns_of[(r["term"], "early")]
+                             for r in sums], pa.int64()),
+        "n_late": pa.array([ns_of[(r["term"], "late")]
+                            for r in sums], pa.int64()),
+        "js_micro": pa.array(
+            [_tdiv(int(r["sa"]), 2 * ns_of[(r["term"], "early")])
+             + _tdiv(int(r["sb"]), 2 * ns_of[(r["term"], "late")])
+             for r in sums], pa.int64())})
+
+
 def q_doc_length_lognormal(sf_dir: str) -> "pa.Table":
     """Log-normal method-of-moments fit of doc lengths — micro-nat ln
     quantisation, exact integer moments, one sqrt float chain."""
@@ -4637,6 +4762,7 @@ QUERIES = {
     "click_purchase_xcorr": q_click_purchase_xcorr,
     "daily_revenue_theilsen": q_daily_revenue_theilsen,
     "cooc_llr": q_cooc_llr,
+    "term_context_drift": q_term_context_drift,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,
