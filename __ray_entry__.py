@@ -2009,6 +2009,11 @@ def oracle_sql() -> dict[str, str]:
         f"({d}, {9 ** (d - 1) * (2520 // d) * 10 ** (ANN_K - d)})"
         for d in range(1, ANN_K + 1))
     rbo_den = 2520 * 10 ** ANN_K
+    burst_multi = "".join(f"""
+            UNION ALL
+            SELECT conv_id, '{term}' AS term
+            FROM tbp WHERE {conds}"""
+        for conds, _m, term in _sql_multi_terms())
     # shared by status_priority_chisq and status_priority_cramers_v
     chisq_sql = """
             WITH c AS (SELECT o_orderstatus AS r,
@@ -4831,6 +4836,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok AS term, count(*) AS n
             FROM pos WHERE tok IN ({gaz})
             GROUP BY tok{multi_counts}
+        """,
+        # pipelines/queries.q_term_burstiness: Church-Gale Fano factor
+        # of per-conv mention counts over the whole conv population
+        "term_burstiness": f"""
+            WITH tbt AS (SELECT conv_id, {tok} AS tokens FROM {tr}),
+            tbp AS (SELECT conv_id, tokens, unnest(tokens) AS tok,
+                           generate_subscripts(tokens, 1) AS p
+                    FROM tbt),
+            tbm AS (SELECT conv_id, tok AS term FROM tbp
+                    WHERE tok IN ({gaz}){burst_multi}),
+            tbc AS (SELECT term, conv_id,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM tbm GROUP BY ALL),
+            tbn AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT)
+                           AS n FROM tbt),
+            tba AS (SELECT term, CAST(count(*) AS BIGINT) AS k,
+                           CAST(sum(c) AS BIGINT) AS s,
+                           CAST(sum(c * c) AS BIGINT) AS s2
+                    FROM tbc GROUP BY term)
+            SELECT term, k AS n_convs_with, s AS n_mentions,
+                   CAST(floor(CAST(tbn.n * s2 - s * s AS DOUBLE)
+                        / CAST(tbn.n * s AS DOUBLE) * 1e6 + 0.5)
+                        AS BIGINT) AS fano_micro
+            FROM tba, tbn
         """,
         # pipelines/queries.q_orders_benford: first-digit forensics
         "orders_benford": """

@@ -510,3 +510,34 @@ def test_context_drift_parity_and_bounds():
     row = got[got["term"] == term].iloc[0]
     assert row["n_early"] == na and row["n_late"] == nb
     assert abs(row["js_micro"] / 1e6 - js) < 5e-5
+
+
+def test_term_burstiness_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.fixtures import transcripts_dir
+    from wsid_ray.pipelines.queries import q_term_burstiness
+    got = _canon(q_term_burstiness(SF).to_pandas())
+    sql = E.oracle_sql()["term_burstiness"]
+    sql = sql.replace(transcripts_dir("sf0.01"), transcripts_dir(SF))
+    exp = _canon(_duck(sql, tables=()))
+    pd.testing.assert_frame_equal(got, exp)
+    # direct recompute via the mention stream (zeros via total convs)
+    from wsid_ray.config import DEFAULT_CONFIG as CFG
+    from wsid_ray.pipelines.flagship import detect_mentions
+    from wsid_ray.pipelines.queries import read_transcripts
+    from wsid_ray.stages.tokenize import tokenize_batch
+    turns = read_transcripts(SF)
+    n_convs = turns.select_columns(["conv_id"]).to_pandas()[
+        "conv_id"].nunique()
+    m = detect_mentions(turns.map_batches(tokenize_batch,
+                                          batch_format="pyarrow"),
+                        CFG).select_columns(["term", "conv_id"]) \
+        .to_pandas()
+    for term, g in m.groupby("term"):
+        c = g.groupby("conv_id").size().to_numpy(dtype=np.float64)
+        full = np.concatenate([c, np.zeros(n_convs - len(c))])
+        fano = full.var() / full.mean()
+        row = got[got["term"] == term].iloc[0]
+        assert row["n_convs_with"] == len(c)
+        assert row["n_mentions"] == int(c.sum())
+        assert abs(row["fano_micro"] / 1e6 - fano) < 2e-5

@@ -4639,6 +4639,75 @@ def q_term_context_drift(sf_dir: str) -> "pa.Table":
              for r in sums], pa.int64())})
 
 
+def q_term_burstiness(sf_dir: str) -> "pa.Table":
+    """Church-Gale term burstiness: the Fano factor (variance-to-mean)
+    of each gazetteer term's per-CONVERSATION mention counts over the
+    WHOLE conv population (silent conversations enter as zeros) —
+    fano ≈ 1 is Poisson scatter, ≫ 1 means mentions clump into few
+    conversations (the bursty, topical entities a sense-induction pass
+    benefits from most).
+
+    Exact integers: per-(term, conv) counts, k/S/S2 moments, the total
+    conv count N; fano_micro = floor((N·S2 − S²)/(N·S)·1e6 + 0.5) is
+    the ONE float division (zeros contribute only through N).
+
+    Scale: mention partials fold once on (term, conv); the conv count
+    is a conv-cardinality fold; the per-term finish is
+    gazetteer-bounded."""
+    from ..stages.groups import bucketed_group_apply
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+    from .flagship import detect_mentions
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG) \
+        .select_columns(["term", "conv_id"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["term", "conv_id"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return out.astype({"c": "int64"})
+
+    tc = bucketed_sum(mentions.map_batches(part, batch_format="pandas"),
+                      ["term", "conv_id"], ["c"], num_buckets=8)
+
+    # total conv count: dedupe on conv_id, then count
+    convs = bucketed_sum(
+        read_transcripts(sf_dir).select_columns(["conv_id"])
+        .map_batches(lambda df: df.drop_duplicates()
+                     .assign(one=np.int64(1)),
+                     batch_format="pandas"),
+        ["conv_id"], ["one"], num_buckets=8)
+    n_convs = sum(
+        int(r["k"]) for r in collect_rows(convs.map_batches(
+            lambda df: pd.DataFrame({"k": [np.int64(len(df))]}),
+            batch_format="pandas")))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["term", "conv_id"], as_index=False)["c"].sum()
+        g = df.groupby("term", as_index=False).agg(
+            k=("c", "size"), s=("c", "sum"),
+            s2=("c", lambda x: int((x.to_numpy() ** 2).sum())))
+        fano = np.floor(
+            (n_convs * g["s2"].to_numpy() - g["s"].to_numpy() ** 2)
+            .astype(np.float64)
+            / (n_convs * g["s"].to_numpy()).astype(np.float64)
+            * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "term": g["term"],
+            "n_convs_with": g["k"].astype("int64"),
+            "n_mentions": g["s"].astype("int64"),
+            "fano_micro": fano})
+
+    out_schema = pa.schema([("term", pa.string()),
+                            ("n_convs_with", pa.int64()),
+                            ("n_mentions", pa.int64()),
+                            ("fano_micro", pa.int64())])
+    return bucketed_group_apply(tc, ["term"], fold, num_buckets=4,
+                                out_schema=out_schema)
+
+
 def q_doc_length_lognormal(sf_dir: str) -> "pa.Table":
     """Log-normal method-of-moments fit of doc lengths — micro-nat ln
     quantisation, exact integer moments, one sqrt float chain."""
@@ -4763,6 +4832,7 @@ QUERIES = {
     "daily_revenue_theilsen": q_daily_revenue_theilsen,
     "cooc_llr": q_cooc_llr,
     "term_context_drift": q_term_context_drift,
+    "term_burstiness": q_term_burstiness,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,
