@@ -2014,6 +2014,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, '{term}' AS term
             FROM tbp WHERE {conds}"""
         for conds, _m, term in _sql_multi_terms())
+    # null-audit SQL generated from the fixture schemas (same shape
+    # at every sf); pipelines/queries.q_table_null_audit
+    import pyarrow.parquet as _pq
+    _audit_parts = []
+    for _tbl in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents",
+                 "embeddings"):
+        _sch = _pq.read_schema(f"/root/testdata/sf0.01/{_tbl}.parquet")
+        for _c in sorted(_sch.names):
+            _audit_parts.append(
+                f"SELECT '{_tbl}' AS tbl, '{_c}' AS col, "
+                f"CAST(count(*) AS BIGINT) AS n_rows, "
+                f"CAST(count(*) - count({_c}) AS BIGINT) AS n_nulls "
+                f"FROM {_tbl}")
+    null_audit_sql = "\nUNION ALL\n".join(_audit_parts)
     # shared by status_priority_chisq and status_priority_cramers_v
     chisq_sql = """
             WITH c AS (SELECT o_orderstatus AS r,
@@ -4861,6 +4876,9 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS fano_micro
             FROM tba, tbn
         """,
+        # pipelines/queries.q_table_null_audit: per-(table, column)
+        # NULL counts across all ten corpus tables (ingest gate)
+        "table_null_audit": null_audit_sql,
         # pipelines/queries.q_orders_benford: first-digit forensics
         "orders_benford": """
             WITH bd AS (SELECT CAST(substr(CAST(CAST(floor(

@@ -541,3 +541,19 @@ def test_term_burstiness_parity_and_recompute():
         assert row["n_convs_with"] == len(c)
         assert row["n_mentions"] == int(c.sum())
         assert abs(row["fano_micro"] / 1e6 - fano) < 2e-5
+
+
+def test_null_audit_parity_and_fixture_clean():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import _AUDIT_TABLES, \
+        q_table_null_audit
+    got = _canon(q_table_null_audit(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["table_null_audit"],
+                       tables=_AUDIT_TABLES))
+    pd.testing.assert_frame_equal(got, exp)
+    # fixtures are clean; row counts match the parquet metadata
+    assert (got["n_nulls"] == 0).all()
+    import pyarrow.parquet as pq
+    for tbl, g in got.groupby("tbl"):
+        md = pq.read_metadata(f"{SF}/{tbl}.parquet")
+        assert (g["n_rows"] == md.num_rows).all()

@@ -4708,6 +4708,49 @@ def q_term_burstiness(sf_dir: str) -> "pa.Table":
                                 out_schema=out_schema)
 
 
+_AUDIT_TABLES = ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents",
+                 "embeddings")
+
+
+def q_table_null_audit(sf_dir: str) -> "pa.Table":
+    """Cross-table NULL audit: for every (table, column) of the ten
+    corpus tables, the row count and NULL count — the ingest
+    data-contract gate beside the primary-key uniqueness report (a
+    clean fixture reads all zeros; any non-zero flags a broken feed).
+
+    Scale: per-block null counts come from Arrow column METADATA
+    (null_count — no data scan beyond the read itself); partials are
+    one row per (block, column) and the fold is driver-small."""
+    from ..util import collect_rows
+
+    out = {"tbl": [], "col": [], "n_rows": [], "n_nulls": []}
+    for tbl in _AUDIT_TABLES:
+        ds = read_parquet_clean(f"{sf_dir}/{tbl}.parquet")
+
+        def part(t: pa.Table, _tbl=tbl) -> pd.DataFrame:
+            return pd.DataFrame({
+                "col": list(t.schema.names),
+                "n_rows": np.int64(t.num_rows),
+                "n_nulls": [np.int64(t.column(c).null_count)
+                            for c in t.schema.names]})
+
+        acc: dict[str, list[int]] = {}
+        for r in collect_rows(ds.map_batches(part,
+                                             batch_format="pyarrow")):
+            a = acc.setdefault(r["col"], [0, 0])
+            a[0] += int(r["n_rows"]); a[1] += int(r["n_nulls"])
+        for c in sorted(acc):
+            out["tbl"].append(tbl); out["col"].append(c)
+            out["n_rows"].append(acc[c][0])
+            out["n_nulls"].append(acc[c][1])
+    return pa.table({
+        "tbl": pa.array(out["tbl"], pa.string()),
+        "col": pa.array(out["col"], pa.string()),
+        "n_rows": pa.array(out["n_rows"], pa.int64()),
+        "n_nulls": pa.array(out["n_nulls"], pa.int64())})
+
+
 def q_doc_length_lognormal(sf_dir: str) -> "pa.Table":
     """Log-normal method-of-moments fit of doc lengths — micro-nat ln
     quantisation, exact integer moments, one sqrt float chain."""
@@ -4833,6 +4876,7 @@ QUERIES = {
     "cooc_llr": q_cooc_llr,
     "term_context_drift": q_term_context_drift,
     "term_burstiness": q_term_burstiness,
+    "table_null_audit": q_table_null_audit,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,
