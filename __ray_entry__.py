@@ -4876,6 +4876,48 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS fano_micro
             FROM tba, tbn
         """,
+        # pipelines/mlstats.user_survival_km: Kaplan-Meier retention
+        # curve in LOG space (per-time ln quantised to nano, exact
+        # cumulative sum, no exp — libm exp is not contract-safe)
+        "user_survival_km": """
+            WITH kme AS (SELECT user_id,
+                                epoch_us(ts) // 86400000000 AS d
+                         FROM events),
+            kms AS (SELECT user_id, min(d) AS d0, max(d) AS d1
+                    FROM kme GROUP BY user_id),
+            kmx AS (SELECT max(d1) AS dmax FROM kms),
+            kml AS (SELECT d1 - d0 AS t,
+                           CASE WHEN kmx.dmax - d1 > 7 THEN 1 ELSE 0
+                           END AS e
+                    FROM kms, kmx),
+            kma AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+                           CAST(sum(1 - e) AS BIGINT) AS c
+                    FROM kml GROUP BY t),
+            kmr AS (SELECT t, d, c,
+                           CAST((SELECT count(*) FROM kml) AS BIGINT)
+                           - CAST(coalesce(sum(d + c) OVER (
+                                 ORDER BY t ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING), 0)
+                                 AS BIGINT) AS n_risk
+                    FROM kma),
+            kmt AS (SELECT t, n_risk, d, c,
+                           CASE WHEN d > 0 AND d < n_risk THEN
+                               CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+                                   / n_risk) * 1e9 + 0.5) AS BIGINT)
+                                WHEN d = 0 THEN 0 END AS term,
+                           max(CASE WHEN d >= n_risk THEN t END)
+                               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW)
+                               AS died_at
+                    FROM kmr)
+            SELECT CAST(t AS BIGINT) AS t, n_risk, d AS n_events,
+                   c AS n_censored,
+                   CASE WHEN died_at IS NOT NULL THEN NULL
+                        ELSE CAST(sum(term) OVER (ORDER BY t)
+                                  AS BIGINT)
+                   END AS log_s_nano
+            FROM kmt
+        """,
         # pipelines/queries.q_table_null_audit: per-(table, column)
         # NULL counts across all ten corpus tables (ingest gate)
         "table_null_audit": null_audit_sql,

@@ -557,3 +557,38 @@ def test_null_audit_parity_and_fixture_clean():
     for tbl, g in got.groupby("tbl"):
         md = pq.read_metadata(f"{SF}/{tbl}.parquet")
         assert (g["n_rows"] == md.num_rows).all()
+
+
+def test_km_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import user_survival_km
+    got = _canon(user_survival_km(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["user_survival_km"],
+                       tables=("events",)))
+    got["log_s_nano"] = got["log_s_nano"].astype("float64")
+    exp["log_s_nano"] = exp["log_s_nano"].astype("float64")
+    pd.testing.assert_frame_equal(got, exp)
+    # direct KM recompute in float
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts"])
+    d = ev["ts"].astype("datetime64[us]").astype("int64") \
+        // 86_400_000_000
+    g = pd.DataFrame({"u": ev["user_id"], "d": d}).groupby("u") \
+        .agg(d0=("d", "min"), d1=("d", "max"))
+    dmax = g["d1"].max()
+    g["t"] = g["d1"] - g["d0"]
+    g["e"] = (dmax - g["d1"]) > 7
+    got = got.sort_values("t", ignore_index=True)
+    at_risk, s = len(g), 1.0
+    for _, row in got.iterrows():
+        sub = g[g["t"] == row["t"]]
+        dn, cn = int(sub["e"].sum()), int((~sub["e"]).sum())
+        assert row["n_risk"] == at_risk
+        assert row["n_events"] == dn and row["n_censored"] == cn
+        if dn < at_risk:
+            s *= (at_risk - dn) / at_risk
+            if not pd.isna(row["log_s_nano"]):
+                assert abs(row["log_s_nano"] / 1e9 - np.log(s)) < 1e-5
+        at_risk -= dn + cn
+    # mass conservation
+    assert got["n_events"].sum() + got["n_censored"].sum() == len(g)

@@ -2494,3 +2494,96 @@ def daily_revenue_theilsen(sf_dir: str) -> pa.Table:
         "n_pairs": pa.array([len(slopes)], pa.int64()),
         "slope_micro": pa.array(
             [int(np.floor(med * 1e6 + 0.5))], pa.int64())})
+
+
+def user_survival_km(sf_dir: str, churn_days: int = 7,
+                     num_buckets: int = 8) -> pa.Table:
+    """Kaplan-Meier survival curve over user lifetimes — per distinct
+    event time t (days from a user's first to last activity): the risk
+    set n_t, churn events d_t, censored exits c_t, and the cumulative
+    log-survival Σ ln(1 − d/n) — retention analysis with correct
+    censoring (users still active within ``churn_days`` of the corpus
+    end are censored, not churned).
+
+    Integer contract: the curve stays in LOG space — per time
+    term_nano = floor(ln((n−d)/n)·1e9 + 0.5) (one CAST(int)/int float
+    ln), the cumulative sum is exact int64, and no exp is taken (libm
+    exp is not contract-safe across engines); d = n (risk set dies)
+    yields NULL from that time on.
+
+    Scale: per-user first/last-day folds on the user key; lifetimes
+    aggregate on the span-bounded day key; the prefix pass is
+    driver-small (≤ span rows)."""
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["ts"].astype("datetime64[us]").astype("int64")
+             // 86_400_000_000)
+        g = pd.DataFrame({"user_id": df["user_id"], "d": d}) \
+            .groupby("user_id", as_index=False) \
+            .agg(d0=("d", "min"), d1=("d", "max"))
+        return g.astype({"d0": "int64", "d1": "int64"})
+
+    # bucketed min/max fold on the user key
+    from ..stages.groups import bucketed_group_apply
+
+    def fold_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False) \
+            .agg(d0=("d0", "min"), d1=("d1", "max"))
+        return g.astype({"d0": "int64", "d1": "int64"})
+
+    user_schema = pa.schema([("user_id", pa.int64()),
+                             ("d0", pa.int64()), ("d1", pa.int64())])
+    spans = bucketed_group_apply(
+        ev.map_batches(part, batch_format="pandas"),
+        ["user_id"], fold_user, num_buckets=num_buckets,
+        out_schema=user_schema)
+
+    # corpus max day: tiny fold
+    dmax = max(int(r["m"]) for r in collect_rows(spans.map_batches(
+        lambda df: pd.DataFrame({"m": [np.int64(df["d1"].max())]}),
+        batch_format="pandas")))
+
+    def life_part(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df["d1"] - df["d0"]).astype("int64")
+        ev_flag = ((dmax - df["d1"]) > churn_days).astype("int64")
+        g = pd.DataFrame({"t": t, "d": ev_flag, "c": 1 - ev_flag}) \
+            .groupby("t", as_index=False).sum()
+        return g.astype({"d": "int64", "c": "int64"})
+
+    rows = collect_rows(bucketed_sum(
+        spans.map_batches(life_part, batch_format="pandas"),
+        ["t"], ["d", "c"], num_buckets=4))
+    acc: dict[int, list[int]] = {}
+    for r in rows:
+        a = acc.setdefault(int(r["t"]), [0, 0])
+        a[0] += int(r["d"]); a[1] += int(r["c"])
+    times = sorted(acc)
+    total = sum(d + c for d, c in acc.values())
+    out = {"t": [], "n_risk": [], "n_events": [], "n_censored": [],
+           "log_s_nano": []}
+    at_risk, cum, dead = total, 0, False
+    for t in times:
+        d, c = acc[t]
+        out["t"].append(t); out["n_risk"].append(at_risk)
+        out["n_events"].append(d); out["n_censored"].append(c)
+        if dead or d >= at_risk:
+            cum_v = None
+            dead = dead or d >= at_risk
+        else:
+            if d > 0:
+                cum += int(np.floor(np.log(
+                    float(at_risk - d) / at_risk) * 1e9 + 0.5))
+            cum_v = cum
+        out["log_s_nano"].append(cum_v)
+        at_risk -= d + c
+    return pa.table({
+        "t": pa.array(out["t"], pa.int64()),
+        "n_risk": pa.array(out["n_risk"], pa.int64()),
+        "n_events": pa.array(out["n_events"], pa.int64()),
+        "n_censored": pa.array(out["n_censored"], pa.int64()),
+        "log_s_nano": pa.array(out["log_s_nano"], pa.int64())})

@@ -4713,6 +4713,13 @@ _AUDIT_TABLES = ("region", "nation", "customer", "supplier", "part",
                  "embeddings")
 
 
+def q_user_survival_km(sf_dir: str) -> "pa.Table":
+    """Kaplan-Meier retention curve over user lifetimes with censoring
+    — log-space integer contract, no exp."""
+    from .mlstats import user_survival_km
+    return user_survival_km(sf_dir)
+
+
 def q_table_null_audit(sf_dir: str) -> "pa.Table":
     """Cross-table NULL audit: for every (table, column) of the ten
     corpus tables, the row count and NULL count — the ingest
@@ -4877,6 +4884,7 @@ QUERIES = {
     "term_context_drift": q_term_context_drift,
     "term_burstiness": q_term_burstiness,
     "table_null_audit": q_table_null_audit,
+    "user_survival_km": q_user_survival_km,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,
