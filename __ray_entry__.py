@@ -4876,6 +4876,51 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS fano_micro
             FROM tba, tbn
         """,
+        # pipelines/mlstats.order_price_psi: PSI drift panel between
+        # order-timeline halves — equal-width cents bins, one float
+        # chain per bin over exact integer cross products
+        "order_price_psi": """
+            WITH psb AS (SELECT epoch_us(o_orderdate) // 86400000000
+                                    AS day,
+                                CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) AS cents
+                         FROM orders),
+            psx AS (SELECT (min(day) + max(day)) // 2 AS mid,
+                           min(cents) AS mn,
+                           max(cents) - min(cents) + 1 AS width
+                    FROM psb),
+            psh AS (SELECT CASE WHEN day <= psx.mid THEN 'early'
+                                ELSE 'late' END AS half,
+                           1 + ((cents - psx.mn) * 10) // psx.width
+                               AS bin
+                    FROM psb, psx),
+            psc AS (SELECT half, bin, CAST(count(*) AS BIGINT) AS n
+                    FROM psh GROUP BY ALL),
+            pst AS (SELECT CAST(sum(CASE WHEN half = 'early' THEN n
+                                    ELSE 0 END) AS BIGINT) AS na,
+                           CAST(sum(CASE WHEN half = 'late' THEN n
+                                    ELSE 0 END) AS BIGINT) AS nb
+                    FROM psc),
+            psg AS (SELECT b.bin,
+                           CAST(coalesce(e.n, 0) AS BIGINT) AS a,
+                           CAST(coalesce(l.n, 0) AS BIGINT) AS c
+                    FROM (SELECT unnest(range(1, 11)) AS bin) b
+                    LEFT JOIN psc e ON e.bin = b.bin
+                                   AND e.half = 'early'
+                    LEFT JOIN psc l ON l.bin = b.bin
+                                   AND l.half = 'late')
+            SELECT CAST(g.bin AS BIGINT) AS bin, g.a AS n_early,
+                   g.c AS n_late,
+                   CASE WHEN g.a = 0 OR g.c = 0 THEN NULL
+                        ELSE CAST(floor(
+                            CAST(g.a * t.nb - g.c * t.na AS DOUBLE)
+                            / (CAST(t.na AS DOUBLE) * t.nb)
+                            * ln((CAST(g.a AS DOUBLE) * t.nb)
+                                 / (CAST(g.c AS DOUBLE) * t.na))
+                            * 1e6 + 0.5) AS BIGINT)
+                   END AS psi_term_micro
+            FROM psg g, pst t
+        """,
         # pipelines/mlstats.user_survival_km: Kaplan-Meier retention
         # curve in LOG space (per-time ln quantised to nano, exact
         # cumulative sum, no exp — libm exp is not contract-safe)

@@ -592,3 +592,39 @@ def test_km_parity_and_recompute():
         at_risk -= dn + cn
     # mass conservation
     assert got["n_events"].sum() + got["n_censored"].sum() == len(g)
+
+
+def test_psi_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import order_price_psi
+    got = _canon(order_price_psi(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["order_price_psi"],
+                       tables=("orders",)))
+    got["psi_term_micro"] = got["psi_term_micro"].astype("float64")
+    exp["psi_term_micro"] = exp["psi_term_micro"].astype("float64")
+    pd.testing.assert_frame_equal(got, exp)
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    day = o["o_orderdate"].astype("datetime64[us]").astype("int64") \
+        // 86_400_000_000
+    cents = np.floor(o["o_totalprice"] * 100 + 0.5).astype(int)
+    mid = (day.min() + day.max()) // 2
+    mn, mx = cents.min(), cents.max()
+    b = 1 + ((cents - mn) * 10) // (mx - mn + 1)
+    early = b[day <= mid].value_counts()
+    late = b[day > mid].value_counts()
+    na, nb = early.sum(), late.sum()
+    assert got["n_early"].sum() == na and got["n_late"].sum() == nb
+    psi = 0.0
+    for bb in range(1, 11):
+        a, c = early.get(bb, 0), late.get(bb, 0)
+        row = got[got["bin"] == bb].iloc[0]
+        assert row["n_early"] == a and row["n_late"] == c
+        if a and c:
+            p, q = a / na, c / nb
+            term = (p - q) * np.log(p / q)
+            assert abs(row["psi_term_micro"] / 1e6 - term) < 2e-6
+            psi += term
+        else:
+            assert pd.isna(row["psi_term_micro"])
+    assert psi >= 0

@@ -2587,3 +2587,81 @@ def user_survival_km(sf_dir: str, churn_days: int = 7,
         "n_events": pa.array(out["n_events"], pa.int64()),
         "n_censored": pa.array(out["n_censored"], pa.int64()),
         "log_s_nano": pa.array(out["log_s_nano"], pa.int64())})
+
+
+def order_price_psi(sf_dir: str, n_bins: int = 10) -> pa.Table:
+    """Population Stability Index panel for order-price drift between
+    the EARLY and LATE halves of the order timeline (midpoint-day
+    split) — the model-monitoring standard for "did the input
+    distribution move" (PSI < 0.1 stable, > 0.25 shifted).
+
+    Bins are ``n_bins`` equal-width cents intervals over the global
+    [min, max] — value-based and exactly mirrorable, unlike NTILE
+    binning whose tie-splitting is row-order-dependent:
+    bin = 1 + ((x − mn)·B) // (mx − mn + 1).  Per bin the PSI term
+    (a/Na − b/Nb)·ln((a·Nb)/(b·Na)) quantises via ONE float chain
+    (exact integer cross products inside), NULL when either side is
+    empty.
+
+    Scale: one min/max fold + one (half, bin) count fold — B×2 rows;
+    the finish is B-row driver math."""
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["o_orderdate"].astype("datetime64[us]")
+               .astype("int64") // 86_400_000_000)
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100
+                         + 0.5).astype(np.int64)
+        return pd.DataFrame({"day": day, "cents": cents})
+
+    pr = src.map_batches(pre, batch_format="pandas")
+
+    bounds = collect_rows(pr.map_batches(
+        lambda df: pd.DataFrame({
+            "d0": [int(df["day"].min())], "d1": [int(df["day"].max())],
+            "c0": [int(df["cents"].min())],
+            "c1": [int(df["cents"].max())]}),
+        batch_format="pandas"))
+    d0 = min(b["d0"] for b in bounds); d1 = max(b["d1"] for b in bounds)
+    mn = min(b["c0"] for b in bounds); mx = max(b["c1"] for b in bounds)
+    mid = (d0 + d1) // 2
+    width = mx - mn + 1
+
+    def bin_part(df: pd.DataFrame) -> pd.DataFrame:
+        half = np.where(df["day"].to_numpy() <= mid, "early", "late")
+        b = 1 + ((df["cents"].to_numpy() - mn) * n_bins) // width
+        out = pd.DataFrame({"half": half, "bin": b.astype("int64")}) \
+            .groupby(["half", "bin"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return out.astype({"n": "int64"})
+
+    rows = collect_rows(bucketed_sum(
+        pr.map_batches(bin_part, batch_format="pandas"),
+        ["half", "bin"], ["n"], num_buckets=2))
+    cnt = {("early", b): 0 for b in range(1, n_bins + 1)}
+    cnt.update({("late", b): 0 for b in range(1, n_bins + 1)})
+    for r in rows:
+        cnt[(r["half"], int(r["bin"]))] += int(r["n"])
+    na = sum(v for (h, _b), v in cnt.items() if h == "early")
+    nb = sum(v for (h, _b), v in cnt.items() if h == "late")
+    out = {"bin": [], "n_early": [], "n_late": [], "psi_term_micro": []}
+    for b in range(1, n_bins + 1):
+        a, c = cnt[("early", b)], cnt[("late", b)]
+        if a == 0 or c == 0:
+            t = None
+        else:
+            t = int(np.floor(
+                float(a * nb - c * na) / (float(na) * nb)
+                * np.log((float(a) * nb) / (float(c) * na))
+                * 1e6 + 0.5))
+        out["bin"].append(b); out["n_early"].append(a)
+        out["n_late"].append(c); out["psi_term_micro"].append(t)
+    return pa.table({
+        "bin": pa.array(out["bin"], pa.int64()),
+        "n_early": pa.array(out["n_early"], pa.int64()),
+        "n_late": pa.array(out["n_late"], pa.int64()),
+        "psi_term_micro": pa.array(out["psi_term_micro"], pa.int64())})

@@ -4713,6 +4713,13 @@ _AUDIT_TABLES = ("region", "nation", "customer", "supplier", "part",
                  "embeddings")
 
 
+def q_order_price_psi(sf_dir: str) -> "pa.Table":
+    """PSI drift panel for order prices between timeline halves —
+    equal-width integer bins, one float chain per bin."""
+    from .mlstats import order_price_psi
+    return order_price_psi(sf_dir)
+
+
 def q_user_survival_km(sf_dir: str) -> "pa.Table":
     """Kaplan-Meier retention curve over user lifetimes with censoring
     — log-space integer contract, no exp."""
@@ -4885,6 +4892,7 @@ QUERIES = {
     "term_burstiness": q_term_burstiness,
     "table_null_audit": q_table_null_audit,
     "user_survival_km": q_user_survival_km,
+    "order_price_psi": q_order_price_psi,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,
