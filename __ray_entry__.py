@@ -4641,6 +4641,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "triples": _sql_triples(linked_sel),
         "triple_support": _sql_triple_support(linked_sel),
+        # pipelines/queries.q_kg_growth_daily: distinct-triple growth
+        # curve (new per first_ts day + cumulative KG size)
+        "kg_growth_daily": f"""
+            WITH kgs AS ({_sql_triple_support(linked_sel)}),
+            kgd AS (SELECT date_trunc('day', first_ts) AS day,
+                           CAST(count(*) AS BIGINT) AS n_new
+                    FROM kgs GROUP BY 1)
+            SELECT day, n_new,
+                   CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_triples
+            FROM kgd
+        """,
         # pipelines/queries.q_triple_conflicts: functional-predicate
         # contradiction list over the deduped triples
         "triple_conflicts": f"""

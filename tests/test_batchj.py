@@ -628,3 +628,25 @@ def test_psi_parity_and_recompute():
         else:
             assert pd.isna(row["psi_term_micro"])
     assert psi >= 0
+
+
+def test_kg_growth_parity_and_identities():
+    import __ray_entry__ as E
+    from wsid_ray.artifacts import ensure
+    from wsid_ray.pipelines.queries import (q_kg_growth_daily,
+                                            q_triple_support)
+    got = _canon(q_kg_growth_daily(SF).to_pandas())
+    sql = E.oracle_sql()["kg_growth_daily"]
+    # swap the sf0.01 artifact paths for SF's
+    a01, aSF = ensure("sf0.01"), ensure(SF)
+    for k in ("inventory", "kb"):
+        sql = sql.replace(a01[k], aSF[k])
+    from wsid_ray.fixtures import transcripts_dir
+    sql = sql.replace(transcripts_dir("sf0.01"), transcripts_dir(SF))
+    exp = _canon(_duck(sql, tables=()))
+    pd.testing.assert_frame_equal(got, exp)
+    sup = q_triple_support(SF).to_pandas()
+    # total growth equals the distinct-triple count, curve is monotone
+    assert got["n_new"].sum() == len(sup)
+    assert got["cum_triples"].iloc[-1] == len(sup)
+    assert got.sort_values("day")["cum_triples"].is_monotonic_increasing

@@ -4713,6 +4713,55 @@ _AUDIT_TABLES = ("region", "nation", "customer", "supplier", "part",
                  "embeddings")
 
 
+def q_kg_growth_daily(sf_dir: str) -> rd.Dataset:
+    """KG growth curve: per calendar day, the number of DISTINCT
+    canonical triples first observed that day plus the cumulative KG
+    size — the Heaps-style saturation signal that tells a pipeline
+    whether more transcripts still buy new knowledge.
+
+    Rides the triple-support panel's exact first_ts (min over the
+    pre-dedup stream), so "new" is well-defined under re-mention;
+    all-integer counts, prefix sum in one span-bounded fold.
+
+    Scale: the support fold is triple-keyed (KG-shaped); day partials
+    and the prefix pass are span-bounded."""
+    import numpy as np
+
+    from ..stages.groups import bucketed_group_apply
+    from .analytics import bucketed_sum
+
+    sup = q_triple_support(sf_dir)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["first_ts"].astype("datetime64[us]").dt.floor("D")
+        out = pd.DataFrame({"day": day}).groupby(
+            "day", as_index=False).size() \
+            .rename(columns={"size": "n_new"})
+        return out.astype({"n_new": "int64"})
+
+    dc = bucketed_sum(sup.map_batches(part, batch_format="pandas"),
+                      ["day"], ["n_new"], num_buckets=4)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby("day", as_index=False)["n_new"].sum() \
+            .sort_values("day", kind="mergesort", ignore_index=True)
+        return pd.DataFrame({
+            "day": df["day"],
+            "n_new": df["n_new"].astype("int64"),
+            "cum_triples": np.cumsum(df["n_new"].to_numpy())
+            .astype("int64")})
+
+    out_schema = pa.schema([("day", pa.timestamp("us")),
+                            ("n_new", pa.int64()),
+                            ("cum_triples", pa.int64())])
+    return bucketed_group_apply(
+        dc.map_batches(lambda df: df.assign(
+            g=np.zeros(len(df), dtype=np.int64)),
+            batch_format="pandas"),
+        ["g"], lambda df: fold(df.drop(columns=["g"])),
+        num_buckets=1, out_schema=out_schema)
+
+
 def q_order_price_psi(sf_dir: str) -> "pa.Table":
     """PSI drift panel for order prices between timeline halves —
     equal-width integer bins, one float chain per bin."""
@@ -4893,6 +4942,7 @@ QUERIES = {
     "table_null_audit": q_table_null_audit,
     "user_survival_km": q_user_survival_km,
     "order_price_psi": q_order_price_psi,
+    "kg_growth_daily": q_kg_growth_daily,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,
