@@ -4888,6 +4888,44 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS fano_micro
             FROM tba, tbn
         """,
+        # pipelines/relational_ext.nation_revenue_share: percent-of-
+        # parent rollup with in-region rank (exact // shares)
+        "nation_revenue_share": """
+            WITH nrs AS (SELECT n_name, r_name,
+                                CAST(SUM(CAST(floor(l_extendedprice
+                                     * 100 + 0.5) AS BIGINT))
+                                     AS BIGINT) AS revenue_cents
+                         FROM lineitem
+                         JOIN orders   ON l_orderkey  = o_orderkey
+                         JOIN customer ON o_custkey   = c_custkey
+                         JOIN nation   ON c_nationkey = n_nationkey
+                         JOIN region   ON n_regionkey = r_regionkey
+                         GROUP BY n_name, r_name)
+            SELECT r_name, n_name, revenue_cents,
+                   CAST(revenue_cents * 1000000
+                        // sum(revenue_cents) OVER (PARTITION BY r_name)
+                        AS BIGINT) AS share_micro,
+                   CAST(row_number() OVER (PARTITION BY r_name
+                        ORDER BY revenue_cents DESC, n_name)
+                        AS BIGINT) AS rnk
+            FROM nrs
+        """,
+        # pipelines/sequences.customer_interorder_gap_median: reorder
+        # cadence (int-or-half median of whole-day gaps)
+        "customer_interorder_gap_median": """
+            WITH iog AS (SELECT o_custkey,
+                                epoch_us(o_orderdate) // 86400000000
+                                    AS d
+                         FROM orders),
+            iol AS (SELECT o_custkey,
+                           d - lag(d) OVER (PARTITION BY o_custkey
+                                            ORDER BY d) AS gap
+                    FROM iog)
+            SELECT o_custkey AS c_custkey,
+                   CAST(count(*) + 1 AS BIGINT) AS n_orders,
+                   CAST(median(gap) AS DOUBLE) AS med_gap_days
+            FROM iol WHERE gap IS NOT NULL GROUP BY o_custkey
+        """,
         # pipelines/mlstats.order_price_psi: PSI drift panel between
         # order-timeline halves — equal-width cents bins, one float
         # chain per bin over exact integer cross products

@@ -650,3 +650,45 @@ def test_kg_growth_parity_and_identities():
     assert got["n_new"].sum() == len(sup)
     assert got["cum_triples"].iloc[-1] == len(sup)
     assert got.sort_values("day")["cum_triples"].is_monotonic_increasing
+
+
+def test_nation_share_parity_and_mass():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.relational_ext import nation_revenue_share
+    got = _canon(nation_revenue_share(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["nation_revenue_share"],
+                       tables=("lineitem", "orders", "customer",
+                               "nation", "region")))
+    pd.testing.assert_frame_equal(got, exp)
+    # shares within a region sum to ~1e6 (minus truncation slack)
+    for _, g in got.groupby("r_name"):
+        assert 1_000_000 - len(g) <= g["share_micro"].sum() <= 1_000_000
+        assert sorted(g["rnk"]) == list(range(1, len(g) + 1))
+
+
+def test_interorder_gap_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.sequences import \
+        customer_interorder_gap_median
+    got = _canon(customer_interorder_gap_median(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["customer_interorder_gap_median"],
+                       tables=("orders",)))
+    pd.testing.assert_frame_equal(got, exp)
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate"])
+    d = o["o_orderdate"].astype("datetime64[us]").astype("int64") \
+        // 86_400_000_000
+    checked = 0
+    for ck, g in pd.DataFrame({"c": o["o_custkey"], "d": d}) \
+            .groupby("c"):
+        if len(g) < 2:
+            assert ck not in set(got["c_custkey"])
+            continue
+        gaps = np.diff(np.sort(g["d"].to_numpy()))
+        row = got[got["c_custkey"] == ck].iloc[0]
+        assert row["n_orders"] == len(g)
+        assert row["med_gap_days"] == np.median(gaps)
+        checked += 1
+        if checked >= 50:
+            break
+    assert checked == 50

@@ -4762,6 +4762,20 @@ def q_kg_growth_daily(sf_dir: str) -> rd.Dataset:
         num_buckets=1, out_schema=out_schema)
 
 
+def q_nation_revenue_share(sf_dir: str) -> "pa.Table":
+    """Percent-of-parent revenue rollup: nation revenue, its integer
+    micro-share of the region total, and rank within region."""
+    from .relational_ext import nation_revenue_share
+    return nation_revenue_share(sf_dir)
+
+
+def q_customer_interorder_gap_median(sf_dir: str) -> rd.Dataset:
+    """Median whole-day gap between consecutive orders per customer
+    (≥ 2 orders) — int-or-dyadic-half exact on both sides."""
+    from .sequences import customer_interorder_gap_median
+    return customer_interorder_gap_median(sf_dir)
+
+
 def q_order_price_psi(sf_dir: str) -> "pa.Table":
     """PSI drift panel for order prices between timeline halves —
     equal-width integer bins, one float chain per bin."""
@@ -4943,6 +4957,8 @@ QUERIES = {
     "user_survival_km": q_user_survival_km,
     "order_price_psi": q_order_price_psi,
     "kg_growth_daily": q_kg_growth_daily,
+    "nation_revenue_share": q_nation_revenue_share,
+    "customer_interorder_gap_median": q_customer_interorder_gap_median,
     "lineitem_group_ols": q_lineitem_group_ols,
     "event_value_outliers": q_event_value_outliers,
     "knn_label_accuracy": q_knn_label_accuracy,

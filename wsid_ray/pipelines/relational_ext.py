@@ -1024,3 +1024,90 @@ def orders_scd2_history(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
     return bucketed_group_apply(u, ["o_orderkey"], fold,
                                 num_buckets=num_buckets,
                                 out_schema=out_schema)
+
+
+def nation_revenue_share(sf_dir: str) -> "pa.Table":
+    """Percent-of-parent rollup: revenue per NATION with its integer
+    micro-share of the parent REGION's total and its rank within the
+    region — the hierarchical drill-down panel (share-of-parent is the
+    number a regional dashboard sorts by).
+
+    Reuses the Q5-shape discipline: the fact stream re-aggregates to
+    one row per join key before every hop; nation/region dimensions
+    apply as broadcast lookups; the share/rank finish is
+    nations-bounded driver math (25 rows), shares exact //."""
+    import ray
+
+    from ..stages.joins import hash_join
+    from ..util import collect_rows
+
+    li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice"])
+
+    def li_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"o_orderkey": df["l_orderkey"],
+                          "revenue_cents": _cents(df["l_extendedprice"]
+                                                  .to_numpy())})
+        return g.groupby("o_orderkey", sort=True, as_index=False).sum()
+
+    by_order = bucketed_sum(
+        li.map_batches(li_part, batch_format="pandas"),
+        ["o_orderkey"], ["revenue_cents"], num_buckets=16)
+
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    j1 = hash_join(by_order, orders, on=["o_orderkey"], num_buckets=16)
+
+    by_cust = bucketed_sum(
+        j1.map_batches(lambda df: df.groupby(
+            "o_custkey", sort=True, as_index=False)
+            [["revenue_cents"]].sum(), batch_format="pandas"),
+        ["o_custkey"], ["revenue_cents"], num_buckets=16)
+
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda df: df.rename(
+            columns={"c_custkey": "o_custkey"}), batch_format="pandas")
+    j2 = hash_join(by_cust, cust, on=["o_custkey"], num_buckets=16)
+
+    n2name = {r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+              for r in collect_rows(read_parquet_clean(
+                  f"{sf_dir}/nation.parquet",
+                  columns=["n_nationkey", "n_name", "n_regionkey"]))}
+    r2name = {r["r_regionkey"]: r["r_name"]
+              for r in collect_rows(read_parquet_clean(
+                  f"{sf_dir}/region.parquet",
+                  columns=["r_regionkey", "r_name"]))}
+
+    rows = collect_rows(bucketed_sum(
+        j2.map_batches(lambda df: df.groupby(
+            "c_nationkey", sort=True, as_index=False)
+            [["revenue_cents"]].sum(), batch_format="pandas"),
+        ["c_nationkey"], ["revenue_cents"], num_buckets=4))
+    per_n: dict[int, int] = {}
+    for r in rows:
+        per_n[int(r["c_nationkey"])] = per_n.get(
+            int(r["c_nationkey"]), 0) + int(r["revenue_cents"])
+    reg_tot: dict[int, int] = {}
+    for nk, rev in per_n.items():
+        reg_tot[n2name[nk][1]] = reg_tot.get(n2name[nk][1], 0) + rev
+    recs = sorted(
+        ((r2name[n2name[nk][1]], n2name[nk][1], n2name[nk][0], rev)
+         for nk, rev in per_n.items()),
+        key=lambda x: (x[0], -x[3], x[2]))
+    out = {"r_name": [], "n_name": [], "revenue_cents": [],
+           "share_micro": [], "rnk": []}
+    rk, prev_r = 0, None
+    for r_name, rkey, n_name, rev in recs:
+        rk = rk + 1 if r_name == prev_r else 1
+        prev_r = r_name
+        out["r_name"].append(r_name); out["n_name"].append(n_name)
+        out["revenue_cents"].append(rev)
+        out["share_micro"].append(rev * 1_000_000 // reg_tot[rkey])
+        out["rnk"].append(rk)
+    return pa.table({
+        "r_name": pa.array(out["r_name"], pa.string()),
+        "n_name": pa.array(out["n_name"], pa.string()),
+        "revenue_cents": pa.array(out["revenue_cents"], pa.int64()),
+        "share_micro": pa.array(out["share_micro"], pa.int64()),
+        "rnk": pa.array(out["rnk"], pa.int64())})

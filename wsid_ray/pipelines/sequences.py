@@ -597,3 +597,53 @@ def daily_volume_cusum(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
             batch_format="pandas"),
         ["g"], lambda df: fold(df.drop(columns=["g"])),
         num_buckets=1, out_schema=out_schema)
+
+
+def customer_interorder_gap_median(sf_dir: str,
+                                   num_buckets: int = 16) -> rd.Dataset:
+    """Inter-purchase cadence: per customer with ≥ 2 orders, the MEDIAN
+    gap in whole days between consecutive orders — the reorder-cycle
+    panel next to the event-level user_median_gap.
+
+    Exactness: gaps are integer day differences of the sorted order-day
+    multiset (same-day orders gap 0), so the median is an int or a
+    dyadic half — exactly representable in float64 on both sides.
+
+    Scale: (customer, day) rows shuffle once on the customer key; the
+    sort/diff/median fold is vectorised per customer series."""
+    import numpy as np
+
+    from ..stages.groups import bucketed_group_apply
+
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["o_orderdate"].astype("datetime64[us]")
+             .astype("int64") // 86_400_000_000)
+        return pd.DataFrame({"c_custkey": df["o_custkey"],
+                             "d": d.astype("int64")})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"c_custkey": [], "n_orders": [], "med_gap_days": []}
+        for ck, g in df.groupby("c_custkey", sort=True):
+            d = np.sort(g["d"].to_numpy())
+            if len(d) < 2:
+                continue
+            gaps = np.diff(d)
+            rows["c_custkey"].append(int(ck))
+            rows["n_orders"].append(len(d))
+            rows["med_gap_days"].append(float(np.median(gaps)))
+        return pd.DataFrame({
+            "c_custkey": pd.Series(rows["c_custkey"], dtype="int64"),
+            "n_orders": pd.Series(rows["n_orders"], dtype="int64"),
+            "med_gap_days": pd.Series(rows["med_gap_days"],
+                                      dtype="float64")})
+
+    out_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("n_orders", pa.int64()),
+                            ("med_gap_days", pa.float64())])
+    return bucketed_group_apply(
+        src.map_batches(pre, batch_format="pandas"),
+        ["c_custkey"], fold, num_buckets=num_buckets,
+        out_schema=out_schema)
