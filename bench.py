@@ -141,6 +141,16 @@ def run_bench() -> dict:
         side["doc_winnowing"] = q_doc_winnowing
         side["winnow_overlap_pairs"] = q_winnow_overlap_pairs
         side["doc_ppl_buckets"] = q_doc_ppl_buckets
+    # r5 batch-J additions (corpus/graph-heavy new operators — first
+    # baselines)
+    from wsid_ray.pipelines.queries import (q_cooc_hits, q_cooc_llr,
+                                            q_source_js_divergence,
+                                            q_term_context_drift)
+    if side:
+        side["cooc_hits"] = q_cooc_hits
+        side["cooc_llr"] = q_cooc_llr
+        side["term_context_drift"] = q_term_context_drift
+        side["source_js_divergence"] = q_source_js_divergence
     for name, fn in side.items():
         t0 = time.time()
         res = fn(sf_dir)
