@@ -6460,6 +6460,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = s.s_nationkey
             GROUP BY s.s_nationkey, n.n_name
         """,
+        # pipelines/mlstats.corpus_lexical_panel: Yule's K / Simpson's
+        # D / TTR / hapax over document whitespace tokens — pure-integer
+        # truncating divisions, HUGEINT lifts
+        "corpus_lexical_panel": r"""
+            WITH lxw AS (SELECT list_filter(
+                                    regexp_split_to_array(text, '\s+'),
+                                    x -> x <> '') AS ws
+                         FROM documents),
+            lxt AS (SELECT unnest(ws) AS tok FROM lxw),
+            lxc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                    FROM lxt GROUP BY tok),
+            lxa AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+                           CAST(count(*) AS HUGEINT) AS v,
+                           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                                AS HUGEINT) AS v1,
+                           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                                AS HUGEINT) AS v2,
+                           SUM(CAST(c AS HUGEINT) * c) AS s2,
+                           SUM(CAST(c AS HUGEINT) * (c - 1)) AS ss
+                    FROM lxc)
+            SELECT CAST(n AS BIGINT) AS n_tokens,
+                   CAST(v AS BIGINT) AS n_types,
+                   CAST(v1 AS BIGINT) AS hapax,
+                   CAST(v2 AS BIGINT) AS dis_legomena,
+                   CAST(v * 1000000 // n AS BIGINT) AS ttr_micro,
+                   CAST(v1 * 1000000 // v AS BIGINT) AS hapax_micro,
+                   CAST((s2 - n) * 10000000000 // (n * n) AS BIGINT)
+                       AS yule_k_micro,
+                   CAST(ss * 1000000 // (n * (n - 1)) AS BIGINT)
+                       AS simpson_micro
+            FROM lxa
+        """,
         # stages/knn.dequantize_batch + knn_topk: the int8-at-rest ANN
         # path, hit lists hash-checked (deterministic quantization)
         "knn_quantized_topk": _SQL_KNN_QUANT_TOPK,

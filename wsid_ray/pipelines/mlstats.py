@@ -2665,3 +2665,68 @@ def order_price_psi(sf_dir: str, n_bins: int = 10) -> pa.Table:
         "n_early": pa.array(out["n_early"], pa.int64()),
         "n_late": pa.array(out["n_late"], pa.int64()),
         "psi_term_micro": pa.array(out["psi_term_micro"], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# corpus lexical-statistics panel (Yule 1944 / Simpson 1949 / Herdan TTR)
+# ---------------------------------------------------------------------------
+
+def corpus_lexical_panel(sf_dir: str) -> pa.Table:
+    """One-row vocabulary-richness panel over the document corpus's
+    whitespace tokens: token/type mass, hapax & dis legomena, type-token
+    ratio, Yule's characteristic K (Yule 1944) and Simpson's repeat rate
+    D (Simpson 1949) — the repetitiveness / lexical-diversity gates a
+    corpus-quality dashboard reads before mixing a new source in.
+
+    Exact integers end-to-end: global token counts fold once on the
+    token key (the same partial + bucketed_sum shape as unigram
+    counting); each reduced block then contributes a SIX-int partial
+    (n, v, v1, v2, s2, ss) and the driver sums python bignums, so
+    nothing overflows.  Every reported ratio is one truncating integer
+    division lifted to micro units; Yule's K keeps its conventional 1e4
+    scale, k_micro = (S2 - N) * 10^10 // N^2 with S2 = sum c^2, and
+    Simpson's D = sum c(c-1) // N(N-1).
+
+    Scale: the only shuffle is the token-keyed count fold; the finish
+    moves six ints per reduced block to the driver."""
+    from ..stages.lm import doc_term_counts
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    cnts = bucketed_sum(
+        docs.map_batches(doc_term_counts, batch_format="pyarrow")
+        .select_columns(["token", "tf"]),
+        ["token"], ["tf"], num_buckets=16)
+
+    def blockstats(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["tf"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "n": [int(c.sum())], "v": [len(c)],
+            "v1": [int((c == 1).sum())], "v2": [int((c == 2).sum())],
+            "s2": [int((c.astype(object) * c).sum())],
+            "ss": [int((c.astype(object) * (c - 1)).sum())]}) \
+            .astype("int64")
+
+    rows = collect_rows(cnts.map_batches(blockstats,
+                                         batch_format="pandas"))
+    n = sum(int(r["n"]) for r in rows)
+    v = sum(int(r["v"]) for r in rows)
+    v1 = sum(int(r["v1"]) for r in rows)
+    v2 = sum(int(r["v2"]) for r in rows)
+    s2 = sum(int(r["s2"]) for r in rows)
+    ss = sum(int(r["ss"]) for r in rows)
+    return pa.table({
+        "n_tokens": pa.array([n], pa.int64()),
+        "n_types": pa.array([v], pa.int64()),
+        "hapax": pa.array([v1], pa.int64()),
+        "dis_legomena": pa.array([v2], pa.int64()),
+        "ttr_micro": pa.array(
+            [v * 1_000_000 // n if n else None], pa.int64()),
+        "hapax_micro": pa.array(
+            [v1 * 1_000_000 // v if v else None], pa.int64()),
+        "yule_k_micro": pa.array(
+            [(s2 - n) * 10_000_000_000 // (n * n) if n else None],
+            pa.int64()),
+        "simpson_micro": pa.array(
+            [ss * 1_000_000 // (n * (n - 1)) if n > 1 else None],
+            pa.int64())})

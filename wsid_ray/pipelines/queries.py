@@ -4790,6 +4790,13 @@ def q_user_survival_km(sf_dir: str) -> "pa.Table":
     return user_survival_km(sf_dir)
 
 
+def q_corpus_lexical_panel(sf_dir: str) -> "pa.Table":
+    """Vocabulary-richness panel (Yule's K, Simpson's D, TTR, hapax /
+    dis legomena) over the document corpus — exact-integer contract."""
+    from .mlstats import corpus_lexical_panel
+    return corpus_lexical_panel(sf_dir)
+
+
 def q_table_null_audit(sf_dir: str) -> "pa.Table":
     """Cross-table NULL audit: for every (table, column) of the ten
     corpus tables, the row count and NULL count — the ingest
@@ -4954,6 +4961,7 @@ QUERIES = {
     "term_context_drift": q_term_context_drift,
     "term_burstiness": q_term_burstiness,
     "table_null_audit": q_table_null_audit,
+    "corpus_lexical_panel": q_corpus_lexical_panel,
     "user_survival_km": q_user_survival_km,
     "order_price_psi": q_order_price_psi,
     "kg_growth_daily": q_kg_growth_daily,
