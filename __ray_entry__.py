@@ -6492,6 +6492,44 @@ def oracle_sql() -> dict[str, str]:
                        AS simpson_micro
             FROM lxa
         """,
+        # pipelines/mlstats.status_price_skewkurt: g1/g2 from exact
+        # HUGEINT power sums of hectodollar prices; shared float chains
+        "status_price_skewkurt": """
+            WITH skh AS (SELECT o_orderstatus,
+                                CAST(floor(o_totalprice / 100.0)
+                                     AS BIGINT) AS h
+                         FROM orders),
+            sks AS (SELECT o_orderstatus,
+                           CAST(count(*) AS HUGEINT) AS n,
+                           SUM(CAST(h AS HUGEINT)) AS s1,
+                           SUM(CAST(h AS HUGEINT) * h) AS s2,
+                           SUM(CAST(h AS HUGEINT) * h * h) AS s3,
+                           SUM(CAST(h AS HUGEINT) * h * h * h) AS s4
+                    FROM skh GROUP BY o_orderstatus),
+            ska AS (SELECT o_orderstatus, n,
+                           n * s2 - s1 * s1 AS a2,
+                           n * n * s3 - 3 * n * s1 * s2
+                               + 2 * s1 * s1 * s1 AS a3,
+                           n * n * n * s4 - 4 * n * n * s1 * s3
+                               + 6 * n * s1 * s1 * s2
+                               - 3 * s1 * s1 * s1 * s1 AS a4
+                    FROM sks)
+            SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
+                   CAST(a2 * 1000000 // (n * n) AS BIGINT) AS m2_micro,
+                   CASE WHEN n < 2 OR a2 = 0 THEN NULL
+                        ELSE CAST(floor(CAST(a3 AS DOUBLE)
+                             / (CAST(a2 AS DOUBLE)
+                                * sqrt(CAST(a2 AS DOUBLE)))
+                             * 1e6 + 0.5) AS BIGINT)
+                   END AS skew_micro,
+                   CASE WHEN n < 2 OR a2 = 0 THEN NULL
+                        ELSE CAST(floor((CAST(a4 AS DOUBLE)
+                             / (CAST(a2 AS DOUBLE)
+                                * CAST(a2 AS DOUBLE)) - 3.0)
+                             * 1e6 + 0.5) AS BIGINT)
+                   END AS kurt_micro
+            FROM ska
+        """,
         # stages/knn.dequantize_batch + knn_topk: the int8-at-rest ANN
         # path, hit lists hash-checked (deterministic quantization)
         "knn_quantized_topk": _SQL_KNN_QUANT_TOPK,

@@ -51,3 +51,29 @@ def test_lexical_panel_parity_and_recompute():
     assert abs(r["simpson_micro"] / 1e6 - simpson) < 2e-6
     assert 0 < r["ttr_micro"] <= 1_000_000
     assert 0 <= r["hapax_micro"] <= 1_000_000
+
+
+def test_skewkurt_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import status_price_skewkurt
+    got = _canon(status_price_skewkurt(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["status_price_skewkurt"],
+                       tables=("orders",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # textbook population moments over the quantised values
+    o = pd.read_parquet(f"{SF}/orders.parquet",
+                        columns=["o_orderstatus", "o_totalprice"])
+    o["h"] = np.floor(o["o_totalprice"].to_numpy(np.float64) / 100.0)
+    for s, g in o.groupby("o_orderstatus"):
+        x = g["h"].to_numpy(np.float64)
+        r = got[got["o_orderstatus"] == s].iloc[0]
+        assert r["n"] == len(x)
+        m2 = ((x - x.mean()) ** 2).mean()
+        assert abs(r["m2_micro"] / 1e6 - m2) < 1.5  # truncating //
+        if len(x) < 2 or m2 == 0:
+            assert pd.isna(r["skew_micro"])
+            continue
+        g1 = ((x - x.mean()) ** 3).mean() / m2 ** 1.5
+        g2 = ((x - x.mean()) ** 4).mean() / m2 ** 2 - 3.0
+        assert abs(r["skew_micro"] / 1e6 - g1) < 2e-5
+        assert abs(r["kurt_micro"] / 1e6 - g2) < 2e-5

@@ -2730,3 +2730,81 @@ def corpus_lexical_panel(sf_dir: str) -> pa.Table:
         "simpson_micro": pa.array(
             [ss * 1_000_000 // (n * (n - 1)) if n > 1 else None],
             pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# grouped skewness / excess kurtosis from exact integer power sums
+# ---------------------------------------------------------------------------
+
+def status_price_skewkurt(sf_dir: str) -> pa.Table:
+    """Higher-moment shape panel per order status: population skewness
+    g1 and excess kurtosis g2 of order value, from EXACT integer power
+    sums S1..S4 of hectodollar-quantised prices (h = floor(p / 100.0) —
+    coarse enough that S4 and every lifted numerator stays inside
+    DuckDB's HUGEINT; the engine folds python bignums so it has no
+    ceiling).
+
+    Integer identities (n^k-lifted central moments, no mean subtraction
+    anywhere):  A2 = n*S2 - S1^2,  A3 = n^2*S3 - 3n*S1*S2 + 2*S1^3,
+    A4 = n^3*S4 - 4n^2*S1*S3 + 6n*S1^2*S2 - 3*S1^4; then
+    g1 = A3 / A2^1.5 and g2 = A4 / A2^2 - 3 — ONE shared float chain
+    each, micro-rounded; NULL when the group is degenerate (A2 == 0 or
+    n < 2).  m2_micro = A2 * 1e6 // n^2 is reported exactly.
+
+    Scale: per-batch partials are one row per (block, status) with
+    S3/S4 carried as decimal STRINGS (they pass int64 at corpus scale);
+    the finish folds statuses-by-blocks rows on the driver with python
+    ints — no raw row ever shuffles."""
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderstatus", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.floor(df["o_totalprice"].to_numpy(np.float64) / 100.0) \
+            .astype(np.int64)
+        g = pd.DataFrame({"s": df["o_orderstatus"].to_numpy(), "h": h}) \
+            .groupby("s", sort=False)["h"]
+        rows = []
+        for s, hv in g:
+            xs = [int(x) for x in hv.to_numpy()]
+            rows.append({
+                "o_orderstatus": s, "n": len(xs),
+                "s1": sum(xs), "s2": sum(x * x for x in xs),
+                "s3": str(sum(x ** 3 for x in xs)),
+                "s4": str(sum(x ** 4 for x in xs))})
+        out = pd.DataFrame(rows)
+        return out.astype({"n": "int64", "s1": "int64", "s2": "int64"})
+
+    rows = collect_rows(src.map_batches(part, batch_format="pandas"))
+    acc: dict[str, list[int]] = {}
+    for r in rows:
+        a = acc.setdefault(r["o_orderstatus"], [0, 0, 0, 0, 0])
+        a[0] += int(r["n"]); a[1] += int(r["s1"]); a[2] += int(r["s2"])
+        a[3] += int(r["s3"]); a[4] += int(r["s4"])
+    out = {"o_orderstatus": [], "n": [], "m2_micro": [],
+           "skew_micro": [], "kurt_micro": []}
+    for s in sorted(acc):
+        n, s1, s2, s3, s4 = acc[s]
+        a2 = n * s2 - s1 * s1
+        a3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        a4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        out["o_orderstatus"].append(s)
+        out["n"].append(n)
+        if n < 2 or a2 == 0:
+            out["m2_micro"].append(a2 * 1_000_000 // (n * n)
+                                   if n else None)
+            out["skew_micro"].append(None)
+            out["kurt_micro"].append(None)
+            continue
+        out["m2_micro"].append(a2 * 1_000_000 // (n * n))
+        a2f = float(a2)
+        out["skew_micro"].append(int(np.floor(
+            float(a3) / (a2f * np.sqrt(a2f)) * 1e6 + 0.5)))
+        out["kurt_micro"].append(int(np.floor(
+            (float(a4) / (a2f * a2f) - 3.0) * 1e6 + 0.5)))
+    return pa.table({
+        "o_orderstatus": pa.array(out["o_orderstatus"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "m2_micro": pa.array(out["m2_micro"], pa.int64()),
+        "skew_micro": pa.array(out["skew_micro"], pa.int64()),
+        "kurt_micro": pa.array(out["kurt_micro"], pa.int64())})

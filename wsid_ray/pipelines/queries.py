@@ -4797,6 +4797,13 @@ def q_corpus_lexical_panel(sf_dir: str) -> "pa.Table":
     return corpus_lexical_panel(sf_dir)
 
 
+def q_status_price_skewkurt(sf_dir: str) -> "pa.Table":
+    """Skewness / excess-kurtosis shape panel per order status — exact
+    HUGEINT-liftable power sums, one float chain per statistic."""
+    from .mlstats import status_price_skewkurt
+    return status_price_skewkurt(sf_dir)
+
+
 def q_table_null_audit(sf_dir: str) -> "pa.Table":
     """Cross-table NULL audit: for every (table, column) of the ten
     corpus tables, the row count and NULL count — the ingest
@@ -4962,6 +4969,7 @@ QUERIES = {
     "term_burstiness": q_term_burstiness,
     "table_null_audit": q_table_null_audit,
     "corpus_lexical_panel": q_corpus_lexical_panel,
+    "status_price_skewkurt": q_status_price_skewkurt,
     "user_survival_km": q_user_survival_km,
     "order_price_psi": q_order_price_psi,
     "kg_growth_daily": q_kg_growth_daily,
