@@ -6530,6 +6530,59 @@ def oracle_sql() -> dict[str, str]:
                    END AS kurt_micro
             FROM ska
         """,
+        # pipelines/mlstats.nb_lang_eval: multinomial Naive Bayes
+        # langid + resubstitution accuracy — micro-nat integer weights,
+        # argmax ties to smallest lang
+        "nb_lang_eval": r"""
+            WITH nbw AS (SELECT doc_id, lang,
+                                list_filter(regexp_split_to_array(
+                                    text, '\s+'), x -> x <> '') AS ws
+                         FROM documents),
+            nbt AS (SELECT doc_id, lang, unnest(ws) AS tok FROM nbw),
+            nbtf AS (SELECT doc_id, lang, tok,
+                            CAST(count(*) AS BIGINT) AS tf
+                     FROM nbt GROUP BY ALL),
+            nbc AS (SELECT lang AS cand, tok,
+                           CAST(sum(tf) AS BIGINT) AS c
+                    FROM nbtf GROUP BY ALL),
+            nbn AS (SELECT cand, CAST(sum(c) AS BIGINT) AS ntok
+                    FROM nbc GROUP BY cand),
+            nbv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+                    FROM nbtf),
+            nbp AS (SELECT lang AS cand,
+                           CAST(count(*) AS BIGINT) AS nd
+                    FROM documents GROUP BY lang),
+            nbd AS (SELECT CAST(count(*) AS BIGINT) AS nd
+                    FROM documents),
+            nbs AS (SELECT t.doc_id, t.lang AS actual, p.cand,
+                           SUM(t.tf * CAST(floor(ln(
+                               CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                               / CAST(n.ntok + nbv.v AS DOUBLE))
+                               * 1e6 + 0.5) AS BIGINT)) AS s
+                    FROM nbtf t
+                    CROSS JOIN nbp p
+                    JOIN nbn n ON n.cand = p.cand
+                    CROSS JOIN nbv
+                    LEFT JOIN nbc c ON c.cand = p.cand
+                                   AND c.tok = t.tok
+                    GROUP BY ALL),
+            nbx AS (SELECT nbs.doc_id, nbs.actual, nbs.cand,
+                           nbs.s + CAST(floor(ln(CAST(p.nd AS DOUBLE)
+                               / CAST(d.nd AS DOUBLE)) * 1e6 + 0.5)
+                               AS BIGINT) AS score
+                    FROM nbs JOIN nbp p ON p.cand = nbs.cand
+                    CROSS JOIN nbd d),
+            nbpred AS (SELECT doc_id, actual, cand AS pred,
+                              row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand ASC) AS rk
+                       FROM nbx QUALIFY rk = 1)
+            SELECT actual AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct,
+                   CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END)
+                        * 1000000 // count(*) AS BIGINT) AS acc_micro
+            FROM nbpred GROUP BY actual
+        """,
         # stages/knn.dequantize_batch + knn_topk: the int8-at-rest ANN
         # path, hit lists hash-checked (deterministic quantization)
         "knn_quantized_topk": _SQL_KNN_QUANT_TOPK,

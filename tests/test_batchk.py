@@ -77,3 +77,45 @@ def test_skewkurt_parity_and_recompute():
         g2 = ((x - x.mean()) ** 4).mean() / m2 ** 2 - 3.0
         assert abs(r["skew_micro"] / 1e6 - g1) < 2e-5
         assert abs(r["kurt_micro"] / 1e6 - g2) < 2e-5
+
+
+def test_nb_lang_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import nb_lang_eval
+    got = _canon(nb_lang_eval(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["nb_lang_eval"]))
+    pd.testing.assert_frame_equal(got, exp)
+    # independent float NB recompute (no quantisation) must agree with
+    # the integer-contract predictions on a large majority of docs AND
+    # the classifier must beat chance on the fixture's real lang labels
+    from collections import Counter, defaultdict
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    cls = defaultdict(Counter)
+    for _, r in docs.iterrows():
+        cls[r["lang"]].update(r["text"].split())
+    vocab = set()
+    for c in cls.values():
+        vocab |= set(c)
+    v = len(vocab)
+    langs = sorted(cls)
+    nd = docs["lang"].value_counts()
+    n_ok = 0
+    n_all = 0
+    for _, r in docs.iterrows():
+        toks = Counter(r["text"].split())
+        if not toks:
+            continue
+        best = max(
+            langs,
+            key=lambda s: (sum(tf * np.log((cls[s][t] + 1)
+                                           / (sum(cls[s].values()) + v))
+                               for t, tf in toks.items())
+                           + np.log(nd[s] / len(docs)), s))
+        n_all += 1
+        n_ok += best == r["lang"]
+    total_correct = got["n_correct"].sum()
+    assert abs(total_correct - n_ok) <= max(2, n_all // 50)
+    assert got["n_docs"].sum() == n_all
+    # better than the majority-class baseline => the model is live
+    assert total_correct > nd.max()

@@ -18,7 +18,8 @@ import ray.data as rd
 from ..sources.pqclean import read_parquet_clean
 from ..stages.groups import bucketed_group_apply
 from ..util import collect_rows
-from .analytics import bucketed_sum, exact_partitioned_ranks
+from .analytics import (bucketed_sum, exact_partitioned_ranks,
+                        partial_count)
 
 
 def _micro(x: np.ndarray) -> np.ndarray:
@@ -2808,3 +2809,120 @@ def status_price_skewkurt(sf_dir: str) -> pa.Table:
         "m2_micro": pa.array(out["m2_micro"], pa.int64()),
         "skew_micro": pa.array(out["skew_micro"], pa.int64()),
         "kurt_micro": pa.array(out["kurt_micro"], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes language classifier + resubstitution eval
+# ---------------------------------------------------------------------------
+
+def nb_lang_eval(sf_dir: str) -> pa.Table:
+    """Multinomial Naive Bayes (McCallum & Nigam 1998) over document
+    whitespace tokens predicting the language label, evaluated by
+    resubstitution: per language, document count, correct predictions
+    and truncating micro accuracy — the third langid model beside the
+    marker heuristic (stages/textstats.langid_batch) and the trained
+    trigram profile (stages/profile.py), and the classic
+    counts-only-training classifier of the text-pipeline literature.
+
+    Integer contract: Laplace alpha=1 token log-likelihoods
+    w(tok,lang) = floor(ln((c+1)/(N_lang+V))*1e6+0.5) and priors
+    floor(ln(n_docs_lang/n_docs)*1e6+0.5) are int64 micro-nats (the
+    ln argument is ONE double quotient, same op order as the SQL
+    mirror); a doc's class score is the exact integer
+    prior + sum tf*w, argmax with ties to the lexicographically
+    smallest language.  Docs with zero tokens score nowhere and are
+    excluded on both sides.
+
+    Scale: training is ONE (token, lang)-keyed count fold — the model
+    is vocab x langs bounded (a model, not data; an open vocabulary
+    would swap in the hashing trick of doc_feature_hash); scoring
+    broadcasts the weight matrix once via ray.put and streams docs
+    through a vectorised take/segment-sum, folding (lang, n, correct)
+    partials."""
+    from ..stages.lm import doc_term_counts
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"])
+
+    def count_part(t: pa.Table) -> pa.Table:
+        tf = doc_term_counts(t).to_pandas()
+        lang_of = dict(zip(t["doc_id"].to_pylist(),
+                           t["lang"].to_pylist()))
+        tf["lang"] = tf["doc_id"].map(lang_of)
+        out = tf.groupby(["token", "lang"], as_index=False)["tf"].sum() \
+            .rename(columns={"tf": "c"})
+        return pa.Table.from_pandas(out.astype({"c": "int64"}),
+                                    preserve_index=False)
+
+    cls_rows = collect_rows(bucketed_sum(
+        docs.map_batches(count_part, batch_format="pyarrow"),
+        ["token", "lang"], ["c"], num_buckets=16))
+
+    langs = sorted({r["lang"] for r in cls_rows})
+    vocab = sorted({r["token"] for r in cls_rows})
+    tok_idx = {t: i for i, t in enumerate(vocab)}
+    lang_idx = {s: j for j, s in enumerate(langs)}
+    v = len(vocab)
+    n_lang_tok = [0] * len(langs)
+    cmat = np.zeros((v, len(langs)), dtype=np.int64)
+    for r in cls_rows:
+        j = lang_idx[r["lang"]]
+        cmat[tok_idx[r["token"]], j] += int(r["c"])
+        n_lang_tok[j] += int(r["c"])
+    wmat = np.empty_like(cmat)
+    for j in range(len(langs)):
+        q = (cmat[:, j] + 1).astype(np.float64) \
+            / np.float64(n_lang_tok[j] + v)
+        wmat[:, j] = np.floor(np.log(q) * 1e6 + 0.5).astype(np.int64)
+
+    prior_rows = collect_rows(partial_count(
+        docs.select_columns(["lang"]), ["lang"], out_name="nd"))
+    nd_of = {r["lang"]: int(r["nd"]) for r in prior_rows}
+    n_docs = sum(nd_of.values())
+    priors = np.array(
+        [int(np.floor(np.log(np.float64(nd_of[s])
+                             / np.float64(n_docs)) * 1e6 + 0.5))
+         for s in langs], dtype=np.int64)
+
+    w_ref = ray.put((wmat, priors, tok_idx, langs))
+
+    def score_part(t: pa.Table) -> pd.DataFrame:
+        wm, pri, tix, lgs = ray.get(w_ref)
+        tf = doc_term_counts(t).to_pandas()
+        if not len(tf):
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "correct": pd.Series([],
+                                                      dtype="int64")})
+        lang_of = dict(zip(t["doc_id"].to_pylist(),
+                           t["lang"].to_pylist()))
+        codes = tf["token"].map(tix).to_numpy(dtype=np.int64)
+        did, drow = np.unique(tf["doc_id"].to_numpy(),
+                              return_inverse=True)
+        scores = np.zeros((len(did), len(lgs)), dtype=np.int64)
+        np.add.at(scores, drow,
+                  tf["tf"].to_numpy(np.int64)[:, None] * wm[codes])
+        scores += pri[None, :]
+        pred = np.argmax(scores, axis=1)  # first max = smallest lang
+        actual = pd.Series(did).map(lang_of).to_numpy()
+        ok = np.array([lgs[p] for p in pred]) == actual
+        out = pd.DataFrame({"lang": actual, "ok": ok.astype(np.int64)})
+        g = out.groupby("lang", as_index=False).agg(
+            n=("ok", "size"), correct=("ok", "sum"))
+        return g.astype({"n": "int64", "correct": "int64"})
+
+    parts = collect_rows(docs.map_batches(score_part,
+                                          batch_format="pyarrow"))
+    acc: dict[str, list[int]] = {}
+    for r in parts:
+        a = acc.setdefault(r["lang"], [0, 0])
+        a[0] += int(r["n"]); a[1] += int(r["correct"])
+    out_langs = sorted(acc)
+    return pa.table({
+        "lang": pa.array(out_langs, pa.string()),
+        "n_docs": pa.array([acc[s][0] for s in out_langs], pa.int64()),
+        "n_correct": pa.array([acc[s][1] for s in out_langs],
+                              pa.int64()),
+        "acc_micro": pa.array(
+            [acc[s][1] * 1_000_000 // acc[s][0] for s in out_langs],
+            pa.int64())})

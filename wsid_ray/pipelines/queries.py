@@ -4804,6 +4804,13 @@ def q_status_price_skewkurt(sf_dir: str) -> "pa.Table":
     return status_price_skewkurt(sf_dir)
 
 
+def q_nb_lang_eval(sf_dir: str) -> "pa.Table":
+    """Multinomial Naive Bayes langid + resubstitution accuracy —
+    micro-nat integer weights, exact integer class scores."""
+    from .mlstats import nb_lang_eval
+    return nb_lang_eval(sf_dir)
+
+
 def q_table_null_audit(sf_dir: str) -> "pa.Table":
     """Cross-table NULL audit: for every (table, column) of the ten
     corpus tables, the row count and NULL count — the ingest
@@ -4970,6 +4977,7 @@ QUERIES = {
     "table_null_audit": q_table_null_audit,
     "corpus_lexical_panel": q_corpus_lexical_panel,
     "status_price_skewkurt": q_status_price_skewkurt,
+    "nb_lang_eval": q_nb_lang_eval,
     "user_survival_km": q_user_survival_km,
     "order_price_psi": q_order_price_psi,
     "kg_growth_daily": q_kg_growth_daily,
