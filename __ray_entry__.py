@@ -4387,6 +4387,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM ({_sql_triples(linked_sel)}) GROUP BY 1, 2
         """,
+        # pipelines/kg.kg_inverse_preds: inverse/symmetric predicate
+        # mining — reversed-endpoint self-join over the triple chain,
+        # full pred grid with integer inversehood scores
+        "kg_inverse_preds": f"""
+            WITH kit AS MATERIALIZED (
+                SELECT subj, pred, obj
+                FROM ({_sql_triples(linked_sel)})),
+            kib AS (SELECT pred, CAST(count(*) AS BIGINT) AS n
+                    FROM kit GROUP BY pred),
+            kip AS (SELECT a.pred AS pred_a, b.pred AS pred_b,
+                           CAST(count(*) AS BIGINT) AS n_pairs
+                    FROM kit a JOIN kit b ON b.subj = a.obj
+                                         AND b.obj = a.subj
+                    GROUP BY ALL)
+            SELECT ba.pred AS pred_a, bb.pred AS pred_b,
+                   CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   ba.n AS n_a,
+                   CAST(coalesce(p.n_pairs, 0) * 1000000 // ba.n
+                        AS BIGINT) AS inv_score_micro
+            FROM kib ba CROSS JOIN kib bb
+            LEFT JOIN kip p ON p.pred_a = ba.pred
+                           AND p.pred_b = bb.pred
+        """,
         "sense_inventory_hyperlex": _sql_sense_inventory(
             tr, tok, gaz, algo="hyperlex"),
         "doc_langid": _sql_doc_langid(),

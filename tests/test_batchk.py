@@ -119,3 +119,29 @@ def test_nb_lang_parity_and_recompute():
     assert got["n_docs"].sum() == n_all
     # better than the majority-class baseline => the model is live
     assert total_correct > nd.max()
+
+
+def test_kg_inverse_preds_recompute():
+    from wsid_ray.pipelines.queries import _flagship
+    from wsid_ray.pipelines.kg import kg_inverse_preds
+    art = _flagship(SF)
+    got = _canon(kg_inverse_preds(art.triples).to_pandas())
+    tr = art.triples.to_pandas()[["subj", "pred", "obj"]]
+    # brute-force reversed-endpoint pair count per ordered pred pair
+    import itertools
+    rows = list(tr.itertuples(index=False))
+    fwd = {}
+    for s, p, o in rows:
+        fwd.setdefault((s, o), []).append(p)
+    preds = sorted(tr["pred"].unique())
+    for p, q in itertools.product(preds, preds):
+        n_pairs = sum(
+            qq == q
+            for s, pp, o in rows if pp == p
+            for qq in fwd.get((o, s), []))
+        r = got[(got["pred_a"] == p) & (got["pred_b"] == q)].iloc[0]
+        assert r["n_pairs"] == n_pairs
+        n_a = (tr["pred"] == p).sum()
+        assert r["n_a"] == n_a
+        assert r["inv_score_micro"] == n_pairs * 1_000_000 // n_a
+    assert len(got) == len(preds) ** 2

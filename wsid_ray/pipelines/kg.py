@@ -227,3 +227,87 @@ def kg_pred_cooc(triples: rd.Dataset, num_buckets: int = 8) -> rd.Dataset:
                               ("n_subjects", pa.int64())]))
     return bucketed_sum(partials, ["pred_a", "pred_b"], ["n_subjects"],
                         num_buckets=4)
+
+
+def kg_inverse_preds(triples: rd.Dataset,
+                     num_buckets: int = 8) -> pa.Table:
+    """Inverse/symmetric predicate detection over the deduped store
+    (the RDFS/OWL `owl:inverseOf` mining signal): for every ORDERED
+    predicate pair (p, q), the number of triple pairs where (s, p, o)
+    and (o, q, s) both exist, the support base n_a = |triples with
+    pred p|, and inv_score_micro = n_pairs * 1e6 // n_a — the diagonal
+    (p == q) scores predicate SYMMETRY, off-diagonal cells score
+    inversehood.  The full pred x pred grid is emitted (zeros
+    included) so the result set is deterministic.
+
+    Distributed shape: both sides of the reversed-endpoint self-join
+    shuffle ONCE, bucketed on the unordered endpoint key; within a
+    bucket the per-(s,o) pred-pair cross product is degree-bounded
+    (the store is deduped on (s,p,o)); (pred_a, pred_b) partials fold
+    to a preds^2-bounded finish on the driver."""
+    from ..pipelines.analytics import partial_count
+    from ..util import collect_rows
+
+    def side_fn(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            sides = pa.array(np.full(t.num_rows, side, dtype=np.int64))
+            if side == 0:
+                return pa.table({"k1": t["subj"], "k2": t["obj"],
+                                 "side": sides, "pred": t["pred"]})
+            return pa.table({"k1": t["obj"], "k2": t["subj"],
+                             "side": sides, "pred": t["pred"]})
+        return fn
+
+    tagged = triples.map_batches(side_fn(0), batch_format="pyarrow") \
+        .union(triples.map_batches(side_fn(1), batch_format="pyarrow"))
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby(["k1", "k2"], sort=False):
+            pa_ = g.loc[g["side"] == 0, "pred"]
+            pb_ = g.loc[g["side"] == 1, "pred"]
+            if pa_.empty or pb_.empty:
+                continue
+            prod = pd.MultiIndex.from_product(
+                [pa_.to_numpy(), pb_.to_numpy()],
+                names=["pred_a", "pred_b"]).to_frame(index=False)
+            outs.append(prod)
+        if not outs:
+            return pd.DataFrame({"pred_a": pd.Series(dtype=object),
+                                 "pred_b": pd.Series(dtype=object),
+                                 "n_pairs": pd.Series(dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        out = out.groupby(["pred_a", "pred_b"], as_index=False).size() \
+            .rename(columns={"size": "n_pairs"})
+        return out.astype({"n_pairs": "int64"})
+
+    from ..stages.groups import bucketed_group_apply
+    pair_rows = collect_rows(bucketed_sum(
+        bucketed_group_apply(
+            tagged, ["k1", "k2"], expand, num_buckets=num_buckets,
+            out_schema=pa.schema([("pred_a", pa.string()),
+                                  ("pred_b", pa.string()),
+                                  ("n_pairs", pa.int64())])),
+        ["pred_a", "pred_b"], ["n_pairs"], num_buckets=2))
+    base_rows = collect_rows(partial_count(
+        triples.select_columns(["pred"]), ["pred"], out_name="n"))
+
+    n_of = {r["pred"]: int(r["n"]) for r in base_rows}
+    pairs = {(r["pred_a"], r["pred_b"]): int(r["n_pairs"])
+             for r in pair_rows}
+    preds = sorted(n_of)
+    out = {"pred_a": [], "pred_b": [], "n_pairs": [], "n_a": [],
+           "inv_score_micro": []}
+    for p in preds:
+        for q in preds:
+            k = pairs.get((p, q), 0)
+            out["pred_a"].append(p); out["pred_b"].append(q)
+            out["n_pairs"].append(k); out["n_a"].append(n_of[p])
+            out["inv_score_micro"].append(k * 1_000_000 // n_of[p])
+    return pa.table({
+        "pred_a": pa.array(out["pred_a"], pa.string()),
+        "pred_b": pa.array(out["pred_b"], pa.string()),
+        "n_pairs": pa.array(out["n_pairs"], pa.int64()),
+        "n_a": pa.array(out["n_a"], pa.int64()),
+        "inv_score_micro": pa.array(out["inv_score_micro"],
+                                    pa.int64())})

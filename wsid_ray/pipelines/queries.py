@@ -4215,6 +4215,14 @@ def q_kg_two_hop_paths(sf_dir: str) -> rd.Dataset:
     return kg_two_hop_paths(_flagship(sf_dir).triples)
 
 
+def q_kg_inverse_preds(sf_dir: str) -> "pa.Table":
+    """Inverse/symmetric predicate mining over the deduped triple
+    store: full ordered pred-pair grid with reversed-endpoint match
+    counts and integer inversehood scores."""
+    from .kg import kg_inverse_preds
+    return kg_inverse_preds(_flagship(sf_dir).triples)
+
+
 def q_kg_entity_degree(sf_dir: str) -> rd.Dataset:
     """Per-entity KG degree profile: outgoing triples, distinct
     predicates, incoming co-mentions, distinct neighbours."""
@@ -4978,6 +4986,7 @@ QUERIES = {
     "corpus_lexical_panel": q_corpus_lexical_panel,
     "status_price_skewkurt": q_status_price_skewkurt,
     "nb_lang_eval": q_nb_lang_eval,
+    "kg_inverse_preds": q_kg_inverse_preds,
     "user_survival_km": q_user_survival_km,
     "order_price_psi": q_order_price_psi,
     "kg_growth_daily": q_kg_growth_daily,
