@@ -2987,6 +2987,39 @@ def oracle_sql() -> dict[str, str]:
                         // {rbo_den} AS BIGINT) AS rbo_micro
             FROM rov GROUP BY method, query_id
         """,
+        # pipelines/mlstats.ann_rrf: reciprocal-rank fusion of the
+        # IVF/LSH lists (Cormack 2009) — 1e9 // (60+r) nano weights,
+        # pure integer, exact-membership flag
+        "ann_rrf": f"""
+            WITH rra AS (
+                SELECT 'ivf' AS method, query_id, vec_id, score
+                FROM read_parquet('{art["ivf_topk"]}')
+                UNION ALL
+                SELECT 'lsh', query_id, vec_id, score
+                FROM read_parquet('{art["lsh_topk"]}')),
+            rrr AS (SELECT method, query_id, vec_id,
+                           row_number() OVER (
+                               PARTITION BY method, query_id
+                               ORDER BY score DESC, vec_id) AS r
+                    FROM rra),
+            rrs AS (SELECT query_id, vec_id,
+                           CAST(sum(1000000000 // (60 + r)) AS BIGINT)
+                               AS rrf_nano
+                    FROM rrr GROUP BY ALL),
+            rrk AS (SELECT query_id, vec_id, rrf_nano,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_nano DESC, vec_id) AS rank
+                    FROM rrs),
+            rre AS (SELECT query_id, vec_id
+                    FROM ({_SQL_KNN_EXACT}))
+            SELECT k.query_id, k.vec_id, k.rrf_nano,
+                   CAST(k.rank AS BIGINT) AS rank,
+                   CAST(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0
+                        END AS BIGINT) AS in_exact
+            FROM rrk k LEFT JOIN rre e ON e.query_id = k.query_id
+                                      AND e.vec_id = k.vec_id
+            WHERE k.rank <= 10
+        """,
         # pipelines/mlstats.qty_price_spearman: exact Spearman via
         # average-rank integers (2r+cnt−1), HUGEINT moments, one float
         "qty_price_spearman": """

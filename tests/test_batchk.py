@@ -145,3 +145,33 @@ def test_kg_inverse_preds_recompute():
         assert r["n_a"] == n_a
         assert r["inv_score_micro"] == n_pairs * 1_000_000 // n_a
     assert len(got) == len(preds) ** 2
+
+
+def test_ann_rrf_recompute():
+    import pyarrow.parquet as pq
+    from wsid_ray.artifacts import ensure
+    from wsid_ray.pipelines.mlstats import ann_rrf
+    got = ann_rrf(SF).to_pandas()
+    paths = ensure(SF)
+    # float RRF recompute over the same two artifact lists
+    from collections import defaultdict
+    fscores = defaultdict(float)
+    for m in ("ivf", "lsh"):
+        t = pq.read_table(paths[f"{m}_topk"]).to_pandas()
+        t = t.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        t["r"] = t.groupby("query_id").cumcount() + 1
+        for r in t.itertuples():
+            fscores[(int(r.query_id), int(r.vec_id))] += \
+                1.0 / (60 + int(r.r))
+    for r in got.itertuples():
+        f = fscores[(int(r.query_id), int(r.vec_id))]
+        assert abs(r.rrf_nano / 1e9 - f) < 2e-9
+    # per query: exactly 10 rows (or all candidates), ranks dense from 1
+    for qid, g in got.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 10
+        # fused consensus should overlap the exact list somewhere
+    assert got["in_exact"].sum() > 0
+    assert got["in_exact"].isin((0, 1)).all()

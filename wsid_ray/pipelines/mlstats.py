@@ -2926,3 +2926,62 @@ def nb_lang_eval(sf_dir: str) -> pa.Table:
         "acc_micro": pa.array(
             [acc[s][1] * 1_000_000 // acc[s][0] for s in out_langs],
             pa.int64())})
+
+
+def ann_rrf(sf_dir: str, k0: int = 60) -> pa.Table:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the IVF and LSH
+    ANN hit lists into one consensus ranking, flagged against the exact
+    brute-force top-k — the standard no-tuning rank-ensemble step of a
+    retrieval pipeline (fusing cheap approximate indexes often recovers
+    what either misses alone).
+
+    Pure-integer contract: each list ranks (score DESC, vec_id) — the
+    same deterministic order the hash-green hit lists pin — and a rank
+    r contributes w = 10^9 // (k0 + r) nano-units (EXACT floor
+    division, no float anywhere); fused candidates order by
+    (rrf_nano DESC, vec_id) and the top-10 per query are kept, with
+    in_exact marking membership in the exact top-k.
+
+    Scale: rides the bounded query set — both artifact lists are
+    queries x k rows; the exact side is the distributed scorer; fusion
+    is driver math over 2qk rows."""
+    import pyarrow.parquet as pq
+
+    from ..artifacts import ANN_K, ann_queries, ensure
+    from ..stages.knn import knn_topk, read_embeddings
+    from ..util import collect_table
+
+    paths = ensure(sf_dir)
+    q = ann_queries(sf_dir)
+    et = collect_table(
+        knn_topk(read_embeddings(sf_dir), q, k=ANN_K)).to_pandas()
+    exact = set(zip(et["query_id"].astype(int),
+                    et["vec_id"].astype(int)))
+
+    scores: dict[tuple[int, int], int] = {}
+    for method in ("ivf", "lsh"):
+        t = pq.read_table(paths[f"{method}_topk"]).to_pandas()
+        t = t.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        t["r"] = t.groupby("query_id").cumcount() + 1
+        for r in t.itertuples():
+            key = (int(r.query_id), int(r.vec_id))
+            scores[key] = scores.get(key, 0) \
+                + 1_000_000_000 // (k0 + int(r.r))
+
+    rows = []
+    by_q: dict[int, list] = {}
+    for (qid, vid), s in scores.items():
+        by_q.setdefault(qid, []).append((s, vid))
+    for qid in sorted(by_q):
+        lst = sorted(by_q[qid], key=lambda sv: (-sv[0], sv[1]))[:10]
+        for rank, (s, vid) in enumerate(lst, 1):
+            rows.append((qid, vid, s, rank,
+                         1 if (qid, vid) in exact else 0))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+        "rrf_nano": pa.array([r[2] for r in rows], pa.int64()),
+        "rank": pa.array([r[3] for r in rows], pa.int64()),
+        "in_exact": pa.array([r[4] for r in rows], pa.int64())})

@@ -4819,6 +4819,13 @@ def q_nb_lang_eval(sf_dir: str) -> "pa.Table":
     return nb_lang_eval(sf_dir)
 
 
+def q_ann_rrf(sf_dir: str) -> "pa.Table":
+    """Reciprocal-rank fusion of the IVF/LSH hit lists — pure-integer
+    nano-unit weights, exact-top-k membership flag."""
+    from .mlstats import ann_rrf
+    return ann_rrf(sf_dir)
+
+
 def q_table_null_audit(sf_dir: str) -> "pa.Table":
     """Cross-table NULL audit: for every (table, column) of the ten
     corpus tables, the row count and NULL count — the ingest
@@ -4987,6 +4994,7 @@ QUERIES = {
     "status_price_skewkurt": q_status_price_skewkurt,
     "nb_lang_eval": q_nb_lang_eval,
     "kg_inverse_preds": q_kg_inverse_preds,
+    "ann_rrf": q_ann_rrf,
     "user_survival_km": q_user_survival_km,
     "order_price_psi": q_order_price_psi,
     "kg_growth_daily": q_kg_growth_daily,
