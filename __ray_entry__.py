@@ -3764,6 +3764,26 @@ def oracle_sql() -> dict[str, str]:
         # pipelines/sequences.daily_volume_cusum: all-integer CUSUM
         # change-point panel over corpus daily volume (dev = n*cum -
         # rank*S, peak at argmax |dev| with earliest-day ties)
+        # pipelines/sequences.daily_volume_seasonal_naive: lag-7
+        # forecasting baseline over the dense daily calendar, integer
+        # errors (Hyndman & Athanasopoulos 2018 seasonal naive)
+        "daily_volume_seasonal_naive": """
+            WITH snc AS (SELECT date_trunc('day', ts) AS day,
+                                CAST(count(*) AS BIGINT) AS n
+                         FROM events GROUP BY 1),
+            snsp AS (SELECT min(day) AS d0, max(day) AS d1 FROM snc),
+            sncal AS (SELECT unnest(generate_series(
+                                 d0, d1, INTERVAL 1 DAY)) AS day
+                      FROM snsp),
+            snd AS (SELECT sncal.day,
+                           CAST(coalesce(snc.n, 0) AS BIGINT)
+                               AS actual
+                    FROM sncal LEFT JOIN snc ON snc.day = sncal.day)
+            SELECT a.day, a.actual, b.actual AS forecast,
+                   CAST(a.actual - b.actual AS BIGINT) AS err,
+                   CAST(abs(a.actual - b.actual) AS BIGINT) AS abs_err
+            FROM snd a JOIN snd b ON b.day = a.day - INTERVAL 7 DAY
+        """,
         "daily_volume_cusum": """
             WITH dc AS (SELECT date_trunc('day', ts) AS day,
                                CAST(count(*) AS BIGINT) AS n_events

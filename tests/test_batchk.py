@@ -175,3 +175,25 @@ def test_ann_rrf_recompute():
         # fused consensus should overlap the exact list somewhere
     assert got["in_exact"].sum() > 0
     assert got["in_exact"].isin((0, 1)).all()
+
+
+def test_seasonal_naive_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.sequences import daily_volume_seasonal_naive
+    got = _canon(daily_volume_seasonal_naive(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["daily_volume_seasonal_naive"],
+                       tables=("events",)))
+    got["day"] = pd.to_datetime(got["day"])
+    exp["day"] = pd.to_datetime(exp["day"])
+    pd.testing.assert_frame_equal(got, exp)
+    # direct recompute from the raw event stream
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    byd = ev["ts"].dt.floor("D").value_counts().sort_index()
+    days = pd.date_range(byd.index.min(), byd.index.max(), freq="D")
+    dense = byd.reindex(days, fill_value=0).to_numpy(np.int64)
+    assert len(got) == max(0, len(dense) - 7)
+    for i, r in enumerate(got.sort_values("day").itertuples()):
+        assert r.actual == dense[i + 7]
+        assert r.forecast == dense[i]
+        assert r.err == dense[i + 7] - dense[i]
+        assert r.abs_err == abs(r.err)

@@ -4826,6 +4826,13 @@ def q_ann_rrf(sf_dir: str) -> "pa.Table":
     return ann_rrf(sf_dir)
 
 
+def q_daily_volume_seasonal_naive(sf_dir: str) -> "pa.Table":
+    """Seasonal-naive (lag-7) backtest panel over dense daily event
+    volume — exact integer errors."""
+    from .sequences import daily_volume_seasonal_naive
+    return daily_volume_seasonal_naive(sf_dir)
+
+
 def q_table_null_audit(sf_dir: str) -> "pa.Table":
     """Cross-table NULL audit: for every (table, column) of the ten
     corpus tables, the row count and NULL count — the ingest
@@ -4995,6 +5002,7 @@ QUERIES = {
     "nb_lang_eval": q_nb_lang_eval,
     "kg_inverse_preds": q_kg_inverse_preds,
     "ann_rrf": q_ann_rrf,
+    "daily_volume_seasonal_naive": q_daily_volume_seasonal_naive,
     "user_survival_km": q_user_survival_km,
     "order_price_psi": q_order_price_psi,
     "kg_growth_daily": q_kg_growth_daily,

@@ -647,3 +647,61 @@ def customer_interorder_gap_median(sf_dir: str,
         src.map_batches(pre, batch_format="pandas"),
         ["c_custkey"], fold, num_buckets=num_buckets,
         out_schema=out_schema)
+
+
+def daily_volume_seasonal_naive(sf_dir: str,
+                                num_buckets: int = 8) -> pa.Table:
+    """Seasonal-naive backtest over the corpus-wide daily event volume
+    (the standard forecasting baseline, Hyndman & Athanasopoulos 2018):
+    each day's forecast is the observed volume exactly 7 days earlier
+    on the DENSE calendar (zero-filled gaps), and the panel reports per
+    evaluable day the actual, the forecast and the exact integer
+    signed/absolute error — the drift screen a capacity planner reads
+    before trusting any fancier model.
+
+    All-integer; no rounding contract needed.
+
+    Scale: per-batch day partials fold on the day key; the densify +
+    lag-7 finish is span-bounded driver math over D rows (the corpus
+    reaches it only as D counts)."""
+    import numpy as np
+
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+
+    ds = _events(sf_dir, ["ts"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].astype("datetime64[us]").dt.floor("D")
+        out = pd.DataFrame({"day": day}).groupby(
+            "day", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return out.astype({"n": "int64"})
+
+    rows = collect_rows(bucketed_sum(
+        ds.map_batches(part, batch_format="pandas"),
+        ["day", ], ["n"], num_buckets=num_buckets))
+    cnt: dict = {}
+    for r in rows:
+        d = pd.Timestamp(r["day"])
+        cnt[d] = cnt.get(d, 0) + int(r["n"])
+    if not cnt:
+        return pa.table({
+            "day": pa.array([], pa.timestamp("us")),
+            "actual": pa.array([], pa.int64()),
+            "forecast": pa.array([], pa.int64()),
+            "err": pa.array([], pa.int64()),
+            "abs_err": pa.array([], pa.int64())})
+    d0, d1 = min(cnt), max(cnt)
+    days = pd.date_range(d0, d1, freq="D")
+    dense = np.array([cnt.get(d, 0) for d in days], dtype=np.int64)
+    actual = dense[7:]
+    forecast = dense[:-7]
+    err = actual - forecast
+    return pa.table({
+        "day": pa.array(days[7:].to_numpy().astype("datetime64[us]"),
+                        pa.timestamp("us")),
+        "actual": pa.array(actual, pa.int64()),
+        "forecast": pa.array(forecast, pa.int64()),
+        "err": pa.array(err, pa.int64()),
+        "abs_err": pa.array(np.abs(err), pa.int64())})
