@@ -1904,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
                                  PRED_CO_MENTION, STOPWORDS)
     from wsid_ray.fixtures import generate, transcripts_dir
     from wsid_ray.pipelines.queries import _HLL_ALPHA_M2
+    from wsid_ray.stages.dbscan import DBSCAN_EPS_MILLI, DBSCAN_MIN_PTS
 
     generate("sf0.01")
     art = ensure("sf0.01")
@@ -6457,6 +6458,67 @@ def oracle_sql() -> dict[str, str]:
         # pipelines/mlstats.embedding_silhouette: simplified silhouette
         # (centroid form, squared distances) under a MILLI-unit integer
         # contract; all divisions truncate toward zero (DuckDB //)
+        # stages/dbscan.dbscan: exact DBSCAN (Ester 1996) — milli-int
+        # distances, recursive-CTE core components, min-cluster border
+        # attachment, -1 noise
+        "embedding_dbscan": f"""
+            WITH RECURSIVE dbq AS (
+                SELECT vec_id,
+                       CAST(generate_subscripts(embedding, 1)
+                            AS BIGINT) AS i,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000 + 0.5) AS BIGINT) AS x
+                FROM embeddings),
+            dbe AS MATERIALIZED (
+                SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM dbq a JOIN dbq b ON b.i = a.i
+                                     AND b.vec_id > a.vec_id
+                GROUP BY a.vec_id, b.vec_id
+                HAVING sum((a.x - b.x) * (a.x - b.x))
+                       <= {DBSCAN_EPS_MILLI ** 2}),
+            dbdeg AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS deg
+                      FROM (SELECT va AS vec_id FROM dbe
+                            UNION ALL SELECT vb FROM dbe)
+                      GROUP BY vec_id),
+            dbcore AS MATERIALIZED (
+                SELECT e.vec_id
+                FROM embeddings e
+                LEFT JOIN dbdeg d ON d.vec_id = e.vec_id
+                WHERE coalesce(d.deg, 0) + 1 >= {DBSCAN_MIN_PTS}),
+            dbce AS MATERIALIZED (
+                SELECT va AS u, vb AS v FROM dbe
+                WHERE va IN (SELECT vec_id FROM dbcore)
+                  AND vb IN (SELECT vec_id FROM dbcore)
+                UNION
+                SELECT vb, va FROM dbe
+                WHERE va IN (SELECT vec_id FROM dbcore)
+                  AND vb IN (SELECT vec_id FROM dbcore)),
+            dbreach AS (
+                SELECT vec_id AS node, vec_id AS r FROM dbcore
+                UNION
+                SELECT e.u AS node, dbreach.r
+                FROM dbce e JOIN dbreach ON dbreach.node = e.v),
+            dbcomp AS MATERIALIZED (
+                SELECT node, CAST(min(r) AS BIGINT) AS cluster
+                FROM dbreach GROUP BY node),
+            dbborder AS (
+                SELECT n.x AS vec_id,
+                       CAST(min(c.cluster) AS BIGINT) AS cluster
+                FROM (SELECT va AS x, vb AS y FROM dbe
+                      UNION ALL SELECT vb, va FROM dbe) n
+                JOIN dbcomp c ON c.node = n.y
+                WHERE n.x NOT IN (SELECT vec_id FROM dbcore)
+                GROUP BY n.x)
+            SELECT e.vec_id,
+                   CASE WHEN cp.node IS NOT NULL THEN 'core'
+                        WHEN bo.vec_id IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   CAST(coalesce(cp.cluster, bo.cluster, -1)
+                        AS BIGINT) AS cluster
+            FROM embeddings e
+            LEFT JOIN dbcomp cp ON cp.node = e.vec_id
+            LEFT JOIN dbborder bo ON bo.vec_id = e.vec_id
+        """,
         "embedding_silhouette": """
             WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
                               CAST(generate_subscripts(embedding, 1)

@@ -197,3 +197,55 @@ def test_seasonal_naive_parity_and_recompute():
         assert r.forecast == dense[i]
         assert r.err == dense[i + 7] - dense[i]
         assert r.abs_err == abs(r.err)
+
+
+def test_dbscan_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.stages.dbscan import (DBSCAN_EPS_MILLI,
+                                        DBSCAN_MIN_PTS, dbscan)
+    got = _canon(dbscan(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["embedding_dbscan"],
+                       tables=("embeddings",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # brute-force reference DBSCAN on the quantised coordinates
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    emb = emb.sort_values("vec_id", ignore_index=True)
+    X = np.floor(np.stack(emb["embedding"].to_numpy())
+                 .astype(np.float64) * 1000.0 + 0.5)
+    D2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(2)
+    n = len(X)
+    adj = (D2 <= DBSCAN_EPS_MILLI ** 2) & ~np.eye(n, dtype=bool)
+    core = adj.sum(1) + 1 >= DBSCAN_MIN_PTS
+    vid = emb["vec_id"].to_numpy(np.int64)
+    # components of the core-core graph by min-label propagation
+    lab = vid.copy()
+    cadj = adj & core[:, None] & core[None, :]
+    for _ in range(n):
+        new = lab.copy()
+        for i in range(n):
+            nb = np.nonzero(cadj[i])[0]
+            if len(nb):
+                new[i] = min(lab[i], lab[nb].min())
+        if (new == lab).all():
+            break
+        lab = new
+    got_by = got.set_index("vec_id")
+    n_core = n_border = 0
+    for i in range(n):
+        r = got_by.loc[vid[i]]
+        if core[i]:
+            assert r["role"] == "core"
+            assert r["cluster"] == lab[i]
+            n_core += 1
+        else:
+            nb_core = np.nonzero(adj[i] & core)[0]
+            if len(nb_core):
+                assert r["role"] == "border"
+                assert r["cluster"] == lab[nb_core].min()
+                n_border += 1
+            else:
+                assert r["role"] == "noise"
+                assert r["cluster"] == -1
+    assert n_core > 0 and n_border > 0          # fixture is non-trivial
+    assert (got["role"] == "noise").any()

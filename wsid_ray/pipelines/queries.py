@@ -4833,6 +4833,13 @@ def q_daily_volume_seasonal_naive(sf_dir: str) -> "pa.Table":
     return daily_volume_seasonal_naive(sf_dir)
 
 
+def q_embedding_dbscan(sf_dir: str) -> "pa.Table":
+    """Exact DBSCAN over the embedding table — milli-int distance
+    contract, block-pair eps-graph, hash-to-min core components."""
+    from ..stages.dbscan import dbscan
+    return dbscan(sf_dir)
+
+
 def q_table_null_audit(sf_dir: str) -> "pa.Table":
     """Cross-table NULL audit: for every (table, column) of the ten
     corpus tables, the row count and NULL count — the ingest
@@ -5003,6 +5010,7 @@ QUERIES = {
     "kg_inverse_preds": q_kg_inverse_preds,
     "ann_rrf": q_ann_rrf,
     "daily_volume_seasonal_naive": q_daily_volume_seasonal_naive,
+    "embedding_dbscan": q_embedding_dbscan,
     "user_survival_km": q_user_survival_km,
     "order_price_psi": q_order_price_psi,
     "kg_growth_daily": q_kg_growth_daily,
