@@ -1932,6 +1932,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT conv_id, '{term}' AS term
                 FROM apos WHERE {conds}"""
         for conds, _m, term in _sql_multi_terms())
+    branch_multi = "".join(f"""
+                UNION ALL
+                SELECT '{term}' AS term, 'left' AS side,
+                       tokens[p - 1] AS nb
+                FROM bpos WHERE {conds} AND p > 1
+                UNION ALL
+                SELECT '{term}', 'right', tokens[p + {m}]
+                FROM bpos WHERE {conds} AND p + {m} <= len(tokens)"""
+        for conds, m, term in _sql_multi_terms())
     # shared by user_sessions and session_length_histogram
     sessions_sql = """
             WITH flagged AS (
@@ -4940,6 +4949,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok AS term, count(*) AS n
             FROM pos WHERE tok IN ({gaz})
             GROUP BY tok{multi_counts}
+        """,
+        # pipelines/queries.q_term_branching_entropy: Harris-style
+        # left/right successor entropy per gazetteer term — KL-family
+        # micro-nat cells, (−S)//N floor finish
+        "term_branching_entropy": f"""
+            WITH bts AS (SELECT {tok} AS tokens FROM {tr}),
+            bpos AS (SELECT tokens, unnest(tokens) AS tok,
+                            generate_subscripts(tokens, 1) AS p
+                     FROM bts),
+            bn0 AS (
+                SELECT tok AS term, 'left' AS side,
+                       tokens[p - 1] AS nb
+                FROM bpos WHERE tok IN ({gaz}) AND p > 1
+                UNION ALL
+                SELECT tok, 'right', tokens[p + 1]
+                FROM bpos WHERE tok IN ({gaz})
+                  AND p + 1 <= len(tokens){branch_multi}
+            ),
+            bnc AS (SELECT term, side, nb,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM bn0 GROUP BY ALL),
+            bnn AS (SELECT term, side, CAST(sum(c) AS BIGINT) AS n,
+                           CAST(count(*) AS BIGINT) AS n_distinct
+                    FROM bnc GROUP BY term, side),
+            bns AS (SELECT bnc.term, bnc.side,
+                           CAST(sum(CAST(floor(bnc.c
+                               * ln(CAST(bnc.c AS DOUBLE)
+                                    / CAST(bnn.n AS DOUBLE))
+                               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+                    FROM bnc JOIN bnn ON bnn.term = bnc.term
+                                     AND bnn.side = bnc.side
+                    GROUP BY bnc.term, bnc.side)
+            SELECT bnn.term, bnn.side, bnn.n, bnn.n_distinct,
+                   CAST((-bns.s) // bnn.n AS BIGINT) AS h_micro
+            FROM bnn JOIN bns ON bns.term = bnn.term
+                             AND bns.side = bnn.side
         """,
         # pipelines/queries.q_term_burstiness: Church-Gale Fano factor
         # of per-conv mention counts over the whole conv population

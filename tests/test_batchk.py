@@ -249,3 +249,43 @@ def test_dbscan_parity_and_recompute():
                 assert r["cluster"] == -1
     assert n_core > 0 and n_border > 0          # fixture is non-trivial
     assert (got["role"] == "noise").any()
+
+
+def test_branching_entropy_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.fixtures import transcripts_dir
+    from wsid_ray.pipelines.queries import q_term_branching_entropy
+    got = _canon(q_term_branching_entropy(SF).to_pandas())
+    # the oracle embeds the sf0.01 transcripts path; swap in SF's
+    sql = E.oracle_sql()["term_branching_entropy"].replace(
+        transcripts_dir("sf0.01"), transcripts_dir(SF))
+    exp = _canon(_duck(sql, tables=()))
+    pd.testing.assert_frame_equal(got, exp)
+    # direct float recompute from the raw transcripts for one side
+    from collections import Counter, defaultdict
+    from wsid_ray.config import GAZETTEER
+    from wsid_ray.fixtures import transcripts_dir
+    from wsid_ray.stages.tokenize import tokenize_column
+    import pyarrow.parquet as pq
+    import glob
+    singles = {g for g in GAZETTEER if " " not in g}
+    nb = defaultdict(Counter)
+    for f in glob.glob(f"{transcripts_dir(SF)}/*.parquet"):
+        t = pq.read_table(f, columns=["text"])
+        toks = tokenize_column(t["text"])
+        for row in toks.to_pylist():
+            for i, tk in enumerate(row):
+                if tk in singles:
+                    if i > 0:
+                        nb[(tk, "left")][row[i - 1]] += 1
+                    if i + 1 < len(row):
+                        nb[(tk, "right")][row[i + 1]] += 1
+    checked = 0
+    for (term, side), cnt in nb.items():
+        n = sum(cnt.values())
+        h = -sum(c / n * np.log(c / n) for c in cnt.values())
+        r = got[(got["term"] == term) & (got["side"] == side)].iloc[0]
+        assert r["n"] == n and r["n_distinct"] == len(cnt)
+        assert abs(r["h_micro"] / 1e6 - h) < 2e-5
+        checked += 1
+    assert checked >= 8

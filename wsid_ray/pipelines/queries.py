@@ -4840,6 +4840,115 @@ def q_embedding_dbscan(sf_dir: str) -> "pa.Table":
     return dbscan(sf_dir)
 
 
+def q_term_branching_entropy(sf_dir: str) -> "pa.Table":
+    """Left/right branching entropy per gazetteer term (Harris 1955
+    letter-successor variety, the termhood signal of unsupervised term
+    extraction): the Shannon entropy of the distribution of the token
+    IMMEDIATELY before / after each mention span within its turn —
+    high both sides means the span is a free-standing unit, low means
+    it is glued into a larger expression.
+
+    Integer contract (KL-family): per (term, side, neighbour) count c
+    with side total N the cell quantises to floor(c·ln(c/N)·1e6+0.5)
+    micro-nats; the exact (negative) sum S finishes as
+    h_micro = (−S) // N — a floor division on a non-negative numerator,
+    identical in Python and DuckDB.  Boundary occurrences (span at
+    turn start/end) contribute nothing on that side; multi-word spans
+    use the token before span-start / after span-end.
+
+    Scale: ONE pass over the fused tokenize stream emitting
+    (term, side, neighbour) partials, one bucketed count fold, then a
+    gazetteer-bounded entropy finish."""
+    from ..stages.groups import bucketed_group_apply
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+
+    singles = sorted(g for g in GAZETTEER if " " not in g)
+    multis = [(g, g.split()) for g in sorted(GAZETTEER) if " " in g]
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+
+    def nb_part(t: pa.Table) -> pd.DataFrame:
+        toks = t["tokens"].combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        if not len(flat):
+            return pd.DataFrame({
+                "term": pd.Series(dtype=object),
+                "side": pd.Series(dtype=object),
+                "nb": pd.Series(dtype=object),
+                "c": pd.Series(dtype="int64")})
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        p_in_row = np.arange(len(flat)) - starts[row_of]
+        rows = {"term": [], "side": [], "nb": []}
+
+        def emit(hit_idx: np.ndarray, term_of, m: int) -> None:
+            # left neighbour: token before span start, same row
+            lmask = p_in_row[hit_idx] > 0
+            li = hit_idx[lmask]
+            rows["term"].extend(term_of(li))
+            rows["side"].extend(["left"] * len(li))
+            rows["nb"].extend(flat[li - 1])
+            # right neighbour: token after span end, same row
+            rmask = (p_in_row[hit_idx] + m) \
+                < lens[row_of[hit_idx]]
+            ri = hit_idx[rmask]
+            rows["term"].extend(term_of(ri))
+            rows["side"].extend(["right"] * len(ri))
+            rows["nb"].extend(flat[ri + m])
+
+        s_idx = np.nonzero(np.isin(flat, singles))[0]
+        if len(s_idx):
+            emit(s_idx, lambda ix: flat[ix], 1)
+        for g, seq in multis:
+            m = len(seq)
+            cand = np.nonzero(flat == seq[0])[0]
+            cand = cand[cand + m - 1 < len(flat)]
+            cand = cand[row_of[cand] == row_of[
+                np.minimum(cand + m - 1, len(flat) - 1)]]
+            for j in range(1, m):
+                cand = cand[flat[cand + j] == seq[j]]
+            if len(cand):
+                emit(cand, lambda ix: [g] * len(ix), m)
+
+        g = pd.DataFrame(rows)
+        if not len(g):
+            g = pd.DataFrame({"term": [], "side": [], "nb": []})
+        out = g.groupby(["term", "side", "nb"], as_index=False) \
+            .size().rename(columns={"size": "c"})
+        return out.astype({"c": "int64"})
+
+    bc = bucketed_sum(
+        turns.map_batches(nb_part, batch_format="pyarrow"),
+        ["term", "side", "nb"], ["c"], num_buckets=8)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["term", "side", "nb"],
+                        as_index=False)["c"].sum()
+        outs = []
+        for (term, side), g in df.groupby(["term", "side"],
+                                          sort=False):
+            c = g["c"].to_numpy(np.int64)
+            n = int(c.sum())
+            s = int(np.floor(c * np.log(c.astype(np.float64) / n)
+                             * 1e6 + 0.5).astype(np.int64).sum())
+            outs.append({"term": term, "side": side, "n": n,
+                         "n_distinct": len(c),
+                         "h_micro": (-s) // n})
+        return pd.DataFrame(outs)
+
+    out_schema = pa.schema([("term", pa.string()),
+                            ("side", pa.string()),
+                            ("n", pa.int64()),
+                            ("n_distinct", pa.int64()),
+                            ("h_micro", pa.int64())])
+    return bucketed_group_apply(bc, ["term", "side"], fold,
+                                num_buckets=4, out_schema=out_schema)
+
+
 def q_table_null_audit(sf_dir: str) -> "pa.Table":
     """Cross-table NULL audit: for every (table, column) of the ten
     corpus tables, the row count and NULL count — the ingest
@@ -5011,6 +5120,7 @@ QUERIES = {
     "ann_rrf": q_ann_rrf,
     "daily_volume_seasonal_naive": q_daily_volume_seasonal_naive,
     "embedding_dbscan": q_embedding_dbscan,
+    "term_branching_entropy": q_term_branching_entropy,
     "user_survival_km": q_user_survival_km,
     "order_price_psi": q_order_price_psi,
     "kg_growth_daily": q_kg_growth_daily,
