@@ -2870,6 +2870,58 @@ def oracle_sql() -> dict[str, str]:
                         // (2 * n_a * n_b) AS BIGINT) AS auc_micro
             FROM mwt
         """,
+        # pipelines/mlstats.order_value_kruskal: tie-corrected
+        # Kruskal–Wallis H from pooled 2·avgrank integers, one
+        # HUGEINT rational quantised to micro
+        "order_value_kruskal": """
+            WITH kwb AS (
+                SELECT o_orderstatus AS st,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS yc
+                FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')),
+            kwv AS (SELECT yc, CAST(count(*) AS BIGINT) AS ct
+                    FROM kwb GROUP BY yc),
+            kwu AS (SELECT yc, ct,
+                           2 * coalesce(sum(ct) OVER (ORDER BY yc
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) + ct + 1 AS u
+                    FROM kwv),
+            kwg AS (SELECT st, yc, CAST(count(*) AS BIGINT) AS c
+                    FROM kwb GROUP BY 1, 2),
+            kwr AS (SELECT st, CAST(sum(c) AS BIGINT) AS ng,
+                           CAST(sum(CAST(c AS HUGEINT) * u) AS HUGEINT)
+                               AS su
+                    FROM kwg JOIN kwu USING (yc) GROUP BY st),
+            kwt AS (SELECT CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct)
+                                AS HUGEINT) AS t,
+                           CAST(sum(ct) AS BIGINT) AS n
+                    FROM kwu),
+            kwp AS (SELECT
+                coalesce(MAX(CASE WHEN st = 'F' THEN ng END), 0) AS nf,
+                coalesce(MAX(CASE WHEN st = 'O' THEN ng END), 0) AS no_,
+                coalesce(MAX(CASE WHEN st = 'P' THEN ng END), 0) AS np_,
+                coalesce(MAX(CASE WHEN st = 'F' THEN su END), 0) AS sf,
+                coalesce(MAX(CASE WHEN st = 'O' THEN su END), 0) AS so,
+                coalesce(MAX(CASE WHEN st = 'P' THEN su END), 0) AS sp
+                FROM kwr),
+            kwh AS (SELECT nf, no_, np_, n, t,
+                           sf * sf * (CAST(no_ AS HUGEINT) * np_)
+                           + so * so * (CAST(nf AS HUGEINT) * np_)
+                           + sp * sp * (CAST(nf AS HUGEINT) * no_) AS s,
+                           CAST(nf AS HUGEINT) * no_ * np_ AS p
+                    FROM kwp, kwt)
+            SELECT nf AS n_f, no_ AS n_o, np_ AS n_p,
+                   CAST(CASE WHEN p > 0 AND
+                             CAST(n AS HUGEINT) * n * n - n - t > 0
+                        THEN floor(
+                            CAST(3 * (s - p * n * (n + 1) * (n + 1))
+                                 * (n - 1) AS DOUBLE)
+                            / CAST(p * (CAST(n AS HUGEINT) * n * n
+                                        - n - t) AS DOUBLE)
+                            * 1e6 + 0.5)
+                        END AS BIGINT) AS h_micro
+            FROM kwh
+        """,
         # pipelines/mlstats.dup_quality_auc: exact integer AUC via
         # distinct-score counts over the near-dup drop list
         "dup_quality_auc": f"""

@@ -690,3 +690,29 @@ def test_event_outliers_parity_and_fences():
         (200 * vm > 2 * row["q3_centi"] + 3 * iqr).sum())
     # outliers are a strict subset
     assert row["n_low"] + row["n_high"] < n
+
+
+def test_order_value_kruskal_parity_and_scipy_free_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import order_value_kruskal
+    got = _canon(order_value_kruskal(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["order_value_kruskal"],
+                       tables=("orders",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # independent recompute: textbook tie-corrected H from pandas ranks
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderstatus", "o_totalprice"])
+    yc = np.floor(od["o_totalprice"].to_numpy() * 100 + 0.5)
+    r = pd.Series(yc).rank(method="average").to_numpy()
+    n = len(yc)
+    h = 0.0
+    for s in ("F", "O", "P"):
+        m = (od["o_orderstatus"] == s).to_numpy()
+        h += r[m].sum() ** 2 / m.sum()
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, cnt = np.unique(yc, return_counts=True)
+    t = float((cnt.astype(np.float64) ** 3 - cnt).sum())
+    h_c = h / (1.0 - t / (n ** 3 - n))
+    row = got.iloc[0]
+    assert row["n_f"] + row["n_o"] + row["n_p"] == n
+    assert abs(row["h_micro"] / 1e6 - h_c) < 1e-4

@@ -2985,3 +2985,97 @@ def ann_rrf(sf_dir: str, k0: int = 60) -> pa.Table:
         "rrf_nano": pa.array([r[2] for r in rows], pa.int64()),
         "rank": pa.array([r[3] for r in rows], pa.int64()),
         "in_exact": pa.array([r[4] for r in rows], pa.int64())})
+
+def _order_rank_moments(sf_dir: str, statuses: tuple[str, ...],
+                        bin_cents: int, num_buckets: int):
+    """Shared EXACT pooled-rank moments for the nonparametric tests:
+    one distributed rank pass over order value (cents) restricted to
+    ``statuses``, returning per-status (n_g, Σu_g) with u = 2·avgrank
+    (always integer: 2·below + cnt + 1) plus the pooled tie sum
+    T = Σ(t³−t).
+
+    Rides ``exact_partitioned_ranks`` — ties co-locate because equal
+    cents land in one value bin, so per-(partition, bin) ``np.unique``
+    average-ranks and tie cubes are globally correct.  Partial Σu are
+    decimal-string Python ints (rank sums pass int64 at 10^12 rows);
+    tie cubes fold through ``_pairsum`` so per-element (c²−1)·c stays
+    int64-safe for tie groups < 2.1M rows (a single price value at one
+    cent granularity — far past any fixture)."""
+    from .analytics import _cents, exact_partitioned_ranks
+
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderstatus", "o_totalprice"])
+    keep = set(statuses)
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderstatus"].isin(keep)]
+        return pd.DataFrame({
+            "pk": pd.Series(["all"] * len(df), dtype="string"),
+            "yc": _cents(df["o_totalprice"].to_numpy()),
+            "st": df["o_orderstatus"].astype("string")})
+
+    pr = src.map_batches(base, batch_format="pandas")
+    part_schema = pa.schema([("st", pa.string()), ("ng", pa.int64()),
+                             ("su", pa.string()), ("ties", pa.string())])
+
+    def emit(g: pd.DataFrame, start: int, n: int) -> pd.DataFrame:
+        yc = g["yc"].to_numpy()
+        _, first, cnt = np.unique(yc, return_index=True,
+                                  return_counts=True)
+        u = np.repeat(2 * (start + first) + cnt + 1, cnt)
+        ties = _pairsum(cnt * cnt - 1, cnt)
+        st = g["st"].to_numpy()
+        rows = [("", 0, "0", str(ties))]
+        for s in sorted(set(st)):
+            m = st == s
+            rows.append((str(s), int(m.sum()),
+                         str(_chunk_int_sum(u[m])), "0"))
+        return pd.DataFrame(rows, columns=["st", "ng", "su", "ties"])
+
+    parts = collect_rows(exact_partitioned_ranks(
+        pr, "pk", "yc", "st", bin_cents, emit, part_schema,
+        num_buckets=num_buckets))
+    ng: dict[str, int] = {}
+    su: dict[str, int] = {}
+    ties = 0
+    for r in parts:
+        if r["st"] == "":
+            ties += int(r["ties"])
+        else:
+            ng[r["st"]] = ng.get(r["st"], 0) + int(r["ng"])
+            su[r["st"]] = su.get(r["st"], 0) + int(r["su"])
+    return ng, su, ties
+
+
+def order_value_kruskal(sf_dir: str, bin_cents: int = 100_000,
+                        num_buckets: int = 16) -> pa.Table:
+    """Distributed EXACT Kruskal–Wallis H across the three order
+    statuses (F/O/P) — the k-sample extension of the rank-sum test
+    (Kruskal & Wallis 1952), tie-corrected.
+
+    With Σu_g = 2·R_g integers, P = n_F·n_O·n_P and
+    S = Σ_g (Σu_g)²·(P/n_g), the tie-corrected statistic reduces to
+    the single exact rational H_c = 3·(S − P·n·(n+1)²)·(n−1) /
+    (P·(n³−n−T)) — all-integer numerator/denominator (HUGEINT in the
+    oracle; safe to ~sf0.3 of the fixture, noted), one double
+    division quantised to micro."""
+    import math
+
+    ng, su, T = _order_rank_moments(sf_dir, ("F", "O", "P"), bin_cents,
+                                    num_buckets)
+    sts = ("F", "O", "P")
+    n = sum(ng.get(s, 0) for s in sts)
+    h_micro = None
+    if all(ng.get(s, 0) > 0 for s in sts) and n ** 3 - n - T > 0:
+        P = 1
+        for s in sts:
+            P *= ng[s]
+        S = sum(su.get(s, 0) ** 2 * (P // ng[s]) for s in sts)
+        num = 3 * (S - P * n * (n + 1) ** 2) * (n - 1)
+        den = P * (n ** 3 - n - T)
+        h_micro = int(math.floor(float(num) / float(den) * 1e6 + 0.5))
+    return pa.table({
+        "n_f": pa.array([ng.get("F", 0)], pa.int64()),
+        "n_o": pa.array([ng.get("O", 0)], pa.int64()),
+        "n_p": pa.array([ng.get("P", 0)], pa.int64()),
+        "h_micro": pa.array([h_micro], pa.int64())})

@@ -4293,6 +4293,13 @@ def q_priority_price_mwu(sf_dir: str) -> "pa.Table":
     return priority_price_mwu(sf_dir)
 
 
+def q_order_value_kruskal(sf_dir: str) -> "pa.Table":
+    """Kruskal–Wallis H across order statuses — exact pooled-rank
+    integers, tie-corrected single-rational finish."""
+    from .mlstats import order_value_kruskal
+    return order_value_kruskal(sf_dir)
+
+
 def q_dup_quality_auc(sf_dir: str) -> "pa.Table":
     """AUC of the quality score vs near-dup membership — exact
     distinct-score-count identity, score-cardinality-bounded finish."""
@@ -5161,6 +5168,7 @@ QUERIES = {
     "session_type_pmi": q_session_type_pmi,
     "dup_source_matrix": q_dup_source_matrix,
     "priority_price_mwu": q_priority_price_mwu,
+    "order_value_kruskal": q_order_value_kruskal,
     "dup_quality_auc": q_dup_quality_auc,
     "lang_source_hhi": q_lang_source_hhi,
     "doc_edit_pairs": q_doc_edit_pairs,
