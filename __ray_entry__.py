@@ -1255,6 +1255,58 @@ def _sql_cooc_bfs(tr: str, tok: str, gaz: str, rounds: int = 4) -> str:
     """
 
 
+def _sql_cooc_stress(tr: str, tok: str, gaz: str) -> str:
+    """DuckDB mirror of stages/pagerank.stress_centrality — the ≤3-hop
+    shortest-pairs table (dist, σ) built by the unrolled BFS-count
+    recurrence (σ_d(s,t) = Σ_mid σ_{d−1}(s,mid) over mids adjacent to
+    t, masked to first reach), then stress(v) = Σ σ_sv·σ_vt over leg
+    pairs whose dist sum hits the pair's shortest dist — enforced by
+    joining the pairs table (one row per pair, at its shortest dist)
+    on c.dist = a.dist + b.dist.  All-integer; a.s < b.t
+    canonicalises each unordered (s,t) once."""
+    from wsid_ray.config import NPMI_MIN
+    return f"""
+        WITH {_sql_cooc_chain(tr, tok, gaz)},
+        st_ed AS (SELECT term, w, v FROM weighted
+                  WHERE npmi > {NPMI_MIN}),
+        st_un AS MATERIALIZED (
+            SELECT term, w AS s, v AS t FROM st_ed
+            UNION ALL SELECT term, v, w FROM st_ed),
+        sp1 AS MATERIALIZED (
+            SELECT term, s, t, CAST(1 AS BIGINT) AS dist,
+                   CAST(1 AS HUGEINT) AS sig FROM st_un),
+        sp2 AS MATERIALIZED (
+            SELECT p.term, p.s, e.t, CAST(2 AS BIGINT) AS dist,
+                   SUM(p.sig) AS sig
+            FROM sp1 p JOIN st_un e ON e.term = p.term AND e.s = p.t
+            WHERE e.t <> p.s AND NOT EXISTS (
+                SELECT 1 FROM sp1 q
+                WHERE q.term = p.term AND q.s = p.s AND q.t = e.t)
+            GROUP BY p.term, p.s, e.t),
+        sp3 AS MATERIALIZED (
+            SELECT p.term, p.s, e.t, CAST(3 AS BIGINT) AS dist,
+                   SUM(p.sig) AS sig
+            FROM sp2 p JOIN st_un e ON e.term = p.term AND e.s = p.t
+            WHERE e.t <> p.s
+              AND NOT EXISTS (SELECT 1 FROM sp1 q
+                  WHERE q.term = p.term AND q.s = p.s AND q.t = e.t)
+              AND NOT EXISTS (SELECT 1 FROM sp2 q
+                  WHERE q.term = p.term AND q.s = p.s AND q.t = e.t)
+            GROUP BY p.term, p.s, e.t),
+        spa AS MATERIALIZED (
+            SELECT * FROM sp1 UNION ALL SELECT * FROM sp2
+            UNION ALL SELECT * FROM sp3)
+        SELECT a.term, a.t AS node,
+               CAST(SUM(a.sig * b.sig) AS BIGINT) AS stress
+        FROM spa a
+        JOIN spa b ON b.term = a.term AND b.s = a.t
+        JOIN spa c ON c.term = a.term AND c.s = a.s AND c.t = b.t
+                  AND c.dist = a.dist + b.dist
+        WHERE a.s < b.t AND a.t <> a.s AND a.t <> b.t
+        GROUP BY a.term, a.t
+    """
+
+
 def _sql_embedding_pca(rounds: int = 8) -> str:
     """DuckDB mirror of stages/pca.pca_projection — micro-unit
     quantisation, the exact HUGEINT Gram matrix, and the FIXED power
@@ -2358,6 +2410,9 @@ def oracle_sql() -> dict[str, str]:
         # stages/pagerank.kcore: 8 bounded peel rounds, k = 3
         "cooc_kcore": _sql_cooc_kcore(tr, tok, gaz),
         "cooc_bfs_hops": _sql_cooc_bfs(tr, tok, gaz),
+        # stages/pagerank.stress_centrality: ≤3-hop Shimbel stress —
+        # integer shortest-path counts through each interior node
+        "cooc_stress": _sql_cooc_stress(tr, tok, gaz),
         # stages/pca.pca_projection: integer-contract power-iteration
         # principal direction + per-vector projections, 8 fixed rounds
         "embedding_pca_projection": _sql_embedding_pca(),

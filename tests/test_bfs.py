@@ -39,3 +39,65 @@ def test_bfs_multiple_terms_independent():
            for r in bfs_hops(_edges(rows), rounds=2).take_all()}
     assert got == {("t1", "a"): 0, ("t1", "b"): 1, ("t1", "c"): 1,
                    ("t2", "x"): 0, ("t2", "y"): 1}
+
+
+def _brute_stress(rows, max_d=3):
+    """All-pairs BFS path enumeration (exponential, tiny graphs only):
+    stress(v) = # shortest paths (d ≤ max_d) with v interior."""
+    import itertools
+    adj = {}
+    for _, u, x in rows:
+        adj.setdefault(u, set()).add(x)
+        adj.setdefault(x, set()).add(u)
+    nodes = sorted(adj)
+    stress = {v: 0 for v in nodes}
+    for s, t in itertools.combinations(nodes, 2):
+        # enumerate all simple paths s->t up to max_d edges
+        best, paths = None, []
+        stack = [(s, (s,))]
+        while stack:
+            cur, path = stack.pop()
+            if cur == t:
+                d = len(path) - 1
+                if best is None or d < best:
+                    best, paths = d, [path]
+                elif d == best:
+                    paths.append(path)
+                continue
+            if len(path) - 1 >= max_d:
+                continue
+            for nb in adj[cur]:
+                if nb not in path:
+                    stack.append((nb, path + (nb,)))
+        if best is not None:
+            for p in paths:
+                for v in p[1:-1]:
+                    stress[v] += 1
+    return {v: c for v, c in stress.items() if c > 0}
+
+
+def test_stress_centrality_planted_graph():
+    from wsid_ray.stages.pagerank import stress_centrality
+    # barbell: triangle a-b-c, bridge c-d, triangle d-e-f, plus tail f-g
+    rows = [("t", "a", "b"), ("t", "a", "c"), ("t", "b", "c"),
+            ("t", "c", "d"), ("t", "d", "e"), ("t", "d", "f"),
+            ("t", "e", "f"), ("t", "f", "g")]
+    got = {r["node"]: r["stress"]
+           for r in stress_centrality(_edges(rows)).take_all()}
+    assert got == _brute_stress(rows)
+    # the bridge endpoints carry the load; triangle corners carry none
+    assert "a" not in got and "b" not in got and "e" not in got
+    assert got["c"] > 0 and got["d"] > 0 and got["f"] > 0
+
+
+def test_stress_centrality_sigma_multiplicity():
+    from wsid_ray.stages.pagerank import stress_centrality
+    # two parallel 2-hop routes a-{m1,m2}-b then b-c: sigma(a,b)=2,
+    # so b carries both a->c shortest paths (d=3): stress(b) = 2
+    rows = [("t", "a", "m1"), ("t", "a", "m2"), ("t", "m1", "b"),
+            ("t", "m2", "b"), ("t", "b", "c")]
+    got = {r["node"]: r["stress"]
+           for r in stress_centrality(_edges(rows)).take_all()}
+    assert got == _brute_stress(rows)
+    # b interior to: m1-m2 (1), m1-c (1), m2-c (1), a-c via m1/m2 (2)
+    assert got["b"] == 5

@@ -3931,6 +3931,13 @@ def q_cooc_kcore(sf_dir: str) -> rd.Dataset:
     return kcore(_cooc_edge_stream(sf_dir))
 
 
+def q_cooc_stress(sf_dir: str) -> rd.Dataset:
+    """Bounded-hop (≤3) Shimbel stress centrality per ego graph —
+    exact integer shortest-path counts through each interior node."""
+    from ..stages.pagerank import stress_centrality
+    return stress_centrality(_cooc_edge_stream(sf_dir))
+
+
 def q_cooc_bfs_hops(sf_dir: str) -> rd.Dataset:
     """Hop distance from each term graph's hub node within 4 BFS
     rounds (stages/pagerank.bfs_hops) — the 6th bounded-iteration
@@ -5192,6 +5199,7 @@ QUERIES = {
     "orders_profile": q_orders_profile,
     "user_event_unpivot": q_user_event_unpivot,
     "cooc_bfs_hops": q_cooc_bfs_hops,
+    "cooc_stress": q_cooc_stress,
     "doc_minhash_est": q_doc_minhash_est,
     "doc_lsh_bucket_stats": q_doc_lsh_bucket_stats,
     "orders_above_cust_avg": q_orders_above_cust_avg,

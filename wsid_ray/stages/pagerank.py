@@ -935,3 +935,72 @@ def ppr_micro(edges: rd.Dataset, rounds: int = 5,
     return rank.map_batches(
         lambda t: t.rename_columns(["term", "node", "ppr_micro"]),
         batch_format="pyarrow")
+
+
+def stress_centrality(edges: rd.Dataset, num_buckets: int = 8) -> rd.Dataset:
+    """Bounded-hop (≤3) stress centrality per term ego graph: for every
+    interior node v, the COUNT of shortest paths passing through it —
+    stress(v) = Σ_{s<t, d(s,t)≤3} σ_st(v) (Shimbel 1953; the integer
+    sibling of Brandes betweenness, exact with no float fractions).
+
+    Contract: shortest-path counts σ_d(s,t) come from the standard BFS
+    recurrence σ_d = σ_{d−1}·A masked to the round-d frontier —
+    expansion-order-free, so the result is deterministic with no
+    tie-break pins; pair (s,t) contributes σ_sv·σ_vt exactly when
+    d(s,v)+d(v,t)=d(s,t), which the mirror enforces by joining the
+    shortest-pairs table on dist = d1+d2 (one row per pair at its
+    shortest distance).  All-integer; zero-stress nodes are absent
+    from the output in both engines.
+
+    Physical plan: each term's undirected edge set co-locates in one
+    bucket task (model-shaped, vocab-bounded — the kcore/bfs_hops scale
+    argument); per term the σ matrices are three int64 matmuls over the
+    bounded adjacency, and the s,t-fold is one einsum per leg pair —
+    no Python loop over nodes, no driver collect."""
+    from ..stages.groups import bucketed_group_apply
+
+    def undirect(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"term": t["term"], "u": t["w"], "x": t["v"]}),
+            pa.table({"term": t["term"], "u": t["v"], "x": t["w"]})])
+
+    und = edges.map_batches(undirect, batch_format="pyarrow")
+    out_schema = pa.schema([("term", pa.string()), ("node", pa.string()),
+                            ("stress", pa.int64())])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for term, g in df.groupby("term", sort=True):
+            names = np.unique(np.concatenate(
+                [g["u"].to_numpy(), g["x"].to_numpy()]))
+            idx = {nm: i for i, nm in enumerate(names)}
+            n = len(names)
+            A = np.zeros((n, n), dtype=np.int64)
+            A[g["u"].map(idx).to_numpy(np.int64),
+              g["x"].map(idx).to_numpy(np.int64)] = 1
+            eye = np.eye(n, dtype=bool)
+            S1 = A
+            R1 = A.astype(bool) | eye
+            T2 = S1 @ A
+            F2 = (T2 > 0) & ~R1
+            S2 = np.where(F2, T2, 0)
+            # dist-3 frontier: only its indicator is needed (dist-3
+            # legs never occur inside a ≤3-hop shortest pair)
+            F3 = (S2 @ A > 0) & ~(R1 | F2)
+            M2 = F2.astype(np.int64)
+            M3 = F3.astype(np.int64)
+            # ordered (s,t) double-counts each unordered pair → // 2
+            tot = (np.einsum("sv,st,vt->v", S1, M2, S1)
+                   + np.einsum("sv,st,vt->v", S1, M3, S2)
+                   + np.einsum("sv,st,vt->v", S2, M3, S1)) // 2
+            nz = np.nonzero(tot)[0]
+            if len(nz):
+                outs.append(pd.DataFrame({
+                    "term": term, "node": names[nz], "stress": tot[nz]}))
+        if not outs:
+            return out_schema.empty_table().to_pandas()
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_apply(und, ["term"], per_bucket,
+                                num_buckets=num_buckets,
+                                out_schema=out_schema)
