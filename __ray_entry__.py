@@ -1255,6 +1255,47 @@ def _sql_cooc_bfs(tr: str, tok: str, gaz: str, rounds: int = 4) -> str:
     """
 
 
+def _sql_cooc_hub_paths(tr: str, tok: str, gaz: str,
+                        rounds: int = 4) -> str:
+    """DuckDB mirror of stages/pagerank.hub_cheapest_paths — weighted
+    Bellman–Ford from the bfs_hops seed, fixed synchronous rounds
+    unrolled as candidate/min CTE pairs over integer NPMI costs
+    (1e6 − wq, the weighted-PageRank quantisation).  7th
+    bounded-iteration mirror; the min fold needs no tie-break pins."""
+    from wsid_ray.config import NPMI_MIN
+    ctes, prev = "", "wd0"
+    for i in range(1, rounds + 1):
+        ctes += f""",
+        wc{i} AS (SELECT e.term, e.x AS node,
+                         MIN(d.dist + e.cost) AS dist
+                  FROM wp_un e
+                  JOIN {prev} d ON d.term = e.term AND d.node = e.u
+                  GROUP BY e.term, e.x),
+        wd{i} AS MATERIALIZED (
+            SELECT term, node, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM (SELECT * FROM {prev}
+                  UNION ALL SELECT * FROM wc{i})
+            GROUP BY term, node)"""
+        prev = f"wd{i}"
+    return f"""
+        WITH {_sql_cooc_chain(tr, tok, gaz)},
+        wp_ed AS (SELECT term, w, v,
+                         1000000 - CAST(floor(npmi * 1e6 + 0.5)
+                                        AS BIGINT) AS cost
+                  FROM weighted WHERE npmi > {NPMI_MIN}),
+        wp_un AS MATERIALIZED (
+            SELECT term, w AS u, v AS x, cost FROM wp_ed
+            UNION ALL SELECT term, v, w, cost FROM wp_ed),
+        wp_dg AS (SELECT term, u, CAST(count(*) AS BIGINT) AS d
+                  FROM wp_un GROUP BY term, u),
+        wd0 AS (SELECT term, u AS node, CAST(0 AS BIGINT) AS dist
+                FROM (SELECT term, u, row_number() OVER (
+                          PARTITION BY term ORDER BY d DESC, u) AS rk
+                      FROM wp_dg) WHERE rk = 1){ctes}
+        SELECT term, node, dist FROM {prev}
+    """
+
+
 def _sql_cooc_stress(tr: str, tok: str, gaz: str) -> str:
     """DuckDB mirror of stages/pagerank.stress_centrality — the ≤3-hop
     shortest-pairs table (dist, σ) built by the unrolled BFS-count
@@ -2413,6 +2454,9 @@ def oracle_sql() -> dict[str, str]:
         # stages/pagerank.stress_centrality: ≤3-hop Shimbel stress —
         # integer shortest-path counts through each interior node
         "cooc_stress": _sql_cooc_stress(tr, tok, gaz),
+        # stages/pagerank.hub_cheapest_paths: bounded-round weighted
+        # Bellman–Ford from the hub over integer NPMI costs
+        "cooc_hub_paths": _sql_cooc_hub_paths(tr, tok, gaz, rounds=4),
         # stages/pca.pca_projection: integer-contract power-iteration
         # principal direction + per-vector projections, 8 fixed rounds
         "embedding_pca_projection": _sql_embedding_pca(),

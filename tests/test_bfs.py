@@ -101,3 +101,38 @@ def test_stress_centrality_sigma_multiplicity():
     assert got == _brute_stress(rows)
     # b interior to: m1-m2 (1), m1-c (1), m2-c (1), a-c via m1/m2 (2)
     assert got["b"] == 5
+
+
+def _wedges(rows):
+    return rd.from_arrow(pa.table({
+        "term": [r[0] for r in rows], "w": [r[1] for r in rows],
+        "v": [r[2] for r in rows],
+        "npmi": pa.array([r[3] for r in rows], pa.float64())}))
+
+
+def test_hub_cheapest_paths_prefers_strong_edges():
+    from wsid_ray.stages.pagerank import hub_cheapest_paths
+    # hub 'a' (deg 3).  Direct a-d is weak (npmi 0.1 → cost 900000);
+    # the 2-hop route a-b-d is strong (0.9+0.9 → cost 200000): the
+    # weighted relaxation must take the longer-but-cheaper route.
+    rows = [("t", "a", "b", 0.9), ("t", "b", "d", 0.9),
+            ("t", "a", "d", 0.1), ("t", "a", "c", 0.5)]
+    got = {r["node"]: r["dist"]
+           for r in hub_cheapest_paths(_wedges(rows)).take_all()}
+    assert got == {"a": 0, "b": 100000, "d": 200000, "c": 500000}
+
+
+def test_hub_cheapest_paths_bounded_rounds_and_isolation():
+    from wsid_ray.stages.pagerank import hub_cheapest_paths
+    # chain hub-n1-..-n5: with rounds=2 only 2 hops out are priced;
+    # second term's component stays independent
+    rows = [("t", "h", "n1", 0.5), ("t", "n1", "n2", 0.5),
+            ("t", "n2", "n3", 0.5), ("t", "n3", "n4", 0.5),
+            ("u", "p", "q", 0.25)]
+    got = {(r["term"], r["node"]): r["dist"]
+           for r in hub_cheapest_paths(_wedges(rows),
+                                       rounds=2).take_all()}
+    # seed of 't' = n1 or n2 (deg 2 tie → lexicographic: n1)
+    assert got[("t", "n1")] == 0 and got[("t", "n3")] == 1000000
+    assert ("t", "n4") not in got   # 3 hops from n1 > rounds
+    assert got[("u", "p")] == 0 and got[("u", "q")] == 750000

@@ -3931,6 +3931,20 @@ def q_cooc_kcore(sf_dir: str) -> rd.Dataset:
     return kcore(_cooc_edge_stream(sf_dir))
 
 
+def q_cooc_hub_paths(sf_dir: str) -> rd.Dataset:
+    """Bounded-round weighted Bellman–Ford from each ego-graph hub over
+    integer NPMI costs (1e6 − wq) — cheapest ≤4-edge paths."""
+    from ..stages.cooc import cooc_edges
+    from ..stages.pagerank import hub_cheapest_paths
+    from .flagship import detect_mentions
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG)
+    edges = cooc_edges(mentions, CFG.cooc_min_count, CFG.npmi_min)
+    return hub_cheapest_paths(edges, rounds=4)
+
+
 def q_cooc_stress(sf_dir: str) -> rd.Dataset:
     """Bounded-hop (≤3) Shimbel stress centrality per ego graph —
     exact integer shortest-path counts through each interior node."""
@@ -5200,6 +5214,7 @@ QUERIES = {
     "user_event_unpivot": q_user_event_unpivot,
     "cooc_bfs_hops": q_cooc_bfs_hops,
     "cooc_stress": q_cooc_stress,
+    "cooc_hub_paths": q_cooc_hub_paths,
     "doc_minhash_est": q_doc_minhash_est,
     "doc_lsh_bucket_stats": q_doc_lsh_bucket_stats,
     "orders_above_cust_avg": q_orders_above_cust_avg,

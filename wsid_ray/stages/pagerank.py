@@ -1004,3 +1004,96 @@ def stress_centrality(edges: rd.Dataset, num_buckets: int = 8) -> rd.Dataset:
     return bucketed_group_apply(und, ["term"], per_bucket,
                                 num_buckets=num_buckets,
                                 out_schema=out_schema)
+
+
+def hub_cheapest_paths(edges: rd.Dataset, rounds: int = 4,
+                       num_buckets: int = 8) -> rd.Dataset:
+    """Bounded-round weighted single-source cheapest paths per term ego
+    graph: synchronous Bellman–Ford relaxation from the hub (max
+    degree, ties to the lexicographically smallest name — the bfs_hops
+    seed rule) over integer NPMI costs, cost(u,x) = 1_000_000 − wq
+    with wq = floor(npmi·1e6 + 0.5) (the weighted-PageRank
+    quantisation) — stronger association = cheaper hop, cost ≥ 0
+    because npmi ≤ 1.  d_k(v) = min cost over ≤k-edge paths; the min
+    fold is expansion-order-free, so the fixed-round synchronous
+    relaxation is deterministic with no tie-break pins beyond the
+    seed.  7th bounded-iteration mirror (k-means / CW / PageRank /
+    k-core / PCA / BFS precedents) — the SQL oracle unrolls the same
+    rounds as candidate/min CTE pairs.
+
+    Physical plan: the quantised undirected cost stream is pinned
+    once; each round is ONE map over it with the current distance map
+    broadcast via ray.put, per-batch partial (term, node) mins, and a
+    model-shaped driver fold (node sets are vocabulary-bounded per
+    term — the kcore/bfs scale argument)."""
+    from ..pipelines.analytics import bucketed_sum
+    from ..stages.groups import bucketed_group_apply
+    from ..util import collect_rows
+
+    def undirect(t: pa.Table) -> pa.Table:
+        wq = np.floor(t["npmi"].to_numpy(zero_copy_only=False)
+                      * 1e6 + 0.5).astype(np.int64)
+        cost = pa.array(1_000_000 - wq, type=pa.int64())
+        return pa.concat_tables([
+            pa.table({"term": t["term"], "u": t["w"], "x": t["v"],
+                      "cost": cost}),
+            pa.table({"term": t["term"], "u": t["v"], "x": t["w"],
+                      "cost": cost})])
+
+    und = edges.map_batches(undirect, batch_format="pyarrow") \
+               .materialize()
+
+    def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["term", "u"], sort=True).size() \
+              .rename("d").reset_index()
+        g["d"] = g["d"].astype("int64")
+        return g
+
+    deg = bucketed_sum(und.map_batches(deg_part, batch_format="pandas"),
+                       ["term", "u"], ["d"], num_buckets=num_buckets)
+
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "d", "u"],
+                            ascending=[True, False, True],
+                            kind="mergesort", ignore_index=True)
+        return df.drop_duplicates("term", keep="first")
+
+    seeds = collect_rows(bucketed_group_apply(deg, ["term"], top1,
+                                              num_buckets=num_buckets))
+    out_schema = pa.schema([("term", pa.string()), ("node", pa.string()),
+                            ("dist", pa.int64())])
+    dist: dict[tuple, int] = {(r["term"], r["u"]): 0 for r in seeds}
+
+    for _ in range(rounds):
+        if not dist:
+            break
+        d_ref = ray.put(dist)
+
+        def relax(df: pd.DataFrame) -> pd.DataFrame:
+            d = ray.get(d_ref)
+            src = pd.Series(d).reindex(
+                pd.MultiIndex.from_arrays([df["term"], df["u"]]))
+            cand = src.to_numpy(np.float64) \
+                + df["cost"].to_numpy(np.float64)
+            out = pd.DataFrame({"term": df["term"].to_numpy(),
+                                "x": df["x"].to_numpy(), "nd": cand})
+            out = out[np.isfinite(cand)]
+            return out.groupby(["term", "x"], sort=False,
+                               as_index=False)["nd"].min()
+
+        changed = False
+        for r in collect_rows(und.map_batches(relax,
+                                              batch_format="pandas")):
+            k, nd = (r["term"], r["x"]), int(r["nd"])
+            if nd < dist.get(k, 1 << 62):
+                dist[k] = nd
+                changed = True
+        if not changed:
+            break
+
+    if not dist:
+        return rd.from_arrow(out_schema.empty_table())
+    ks = sorted(dist)
+    return rd.from_arrow(pa.table({
+        "term": [k[0] for k in ks], "node": [k[1] for k in ks],
+        "dist": [dist[k] for k in ks]}).cast(out_schema))
