@@ -2457,6 +2457,32 @@ def oracle_sql() -> dict[str, str]:
         # stages/pagerank.hub_cheapest_paths: bounded-round weighted
         # Bellman–Ford from the hub over integer NPMI costs
         "cooc_hub_paths": _sql_cooc_hub_paths(tr, tok, gaz, rounds=4),
+        # pipelines/queries.q_term_profile_cosine: second-order term
+        # similarity — cosine over micro-share context profiles
+        "term_profile_cosine": f"""
+            WITH {_sql_cooc_chain(tr, tok, gaz)},
+            tpq AS MATERIALIZED (
+                SELECT u.term, u.tok,
+                       (CAST(u.n_w AS BIGINT) * 1000000) // t.nn AS wq
+                FROM unicnt u JOIN totcnt t ON t.term = u.term),
+            tpp AS MATERIALIZED (
+                SELECT a.term AS term_a, b.term AS term_b,
+                       CAST(SUM(a.wq * b.wq) AS BIGINT) AS dot
+                FROM tpq a JOIN tpq b ON b.tok = a.tok
+                                      AND a.term <= b.term
+                WHERE a.wq > 0 AND b.wq > 0
+                GROUP BY 1, 2),
+            tpn AS (SELECT term_a AS term, dot FROM tpp
+                    WHERE term_a = term_b)
+            SELECT p.term_a, p.term_b, p.dot,
+                   CAST(floor(CAST(p.dot AS DOUBLE)
+                        / sqrt(CAST(na.dot AS DOUBLE)
+                               * CAST(nb.dot AS DOUBLE))
+                        * 1e6 + 0.5) AS BIGINT) AS cos_micro
+            FROM tpp p JOIN tpn na ON na.term = p.term_a
+                       JOIN tpn nb ON nb.term = p.term_b
+            WHERE p.term_a < p.term_b
+        """,
         # stages/pca.pca_projection: integer-contract power-iteration
         # principal direction + per-vector projections, 8 fixed rounds
         "embedding_pca_projection": _sql_embedding_pca(),

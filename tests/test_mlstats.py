@@ -716,3 +716,22 @@ def test_order_value_kruskal_parity_and_scipy_free_recompute():
     row = got.iloc[0]
     assert row["n_f"] + row["n_o"] + row["n_p"] == n
     assert abs(row["h_micro"] / 1e6 - h_c) < 1e-4
+
+
+def test_term_profile_cosine_parity_and_bounds():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.queries import q_term_profile_cosine
+    got = _canon(q_term_profile_cosine(SF).to_pandas())
+    con = duckdb.connect()
+    try:
+        # the oracle embeds the sf0.01 transcripts path (same note as
+        # test_graphx) — retarget it at this test's corpus
+        exp = _canon(con.sql(E.oracle_sql()["term_profile_cosine"]
+                             .replace("sf0.01", "sf0.001")).df())
+    finally:
+        con.close()
+    pd.testing.assert_frame_equal(got, exp)
+    # cosine bounds, canonical pair order, no self pairs
+    assert (got["cos_micro"] > 0).all()
+    assert (got["cos_micro"] <= 1_000_000).all()
+    assert (got["term_a"] < got["term_b"]).all()

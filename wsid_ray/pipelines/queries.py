@@ -3931,6 +3931,82 @@ def q_cooc_kcore(sf_dir: str) -> rd.Dataset:
     return kcore(_cooc_edge_stream(sf_dir))
 
 
+def q_term_profile_cosine(sf_dir: str, num_buckets: int = 8) -> "pa.Table":
+    """Second-order distributional similarity between gazetteer terms
+    (Schütze 1998): cosine over each term's context-window unigram
+    profile, weights quantised to micro-share wq = (n_w·1e6)//nn
+    (truncating // — the DuckDB-native tdiv contract), zero-share
+    rows dropped in both engines.
+
+    Physical plan: the window/unary/total counts come from the SAME
+    distributed partial-combine pass the flagship fit uses
+    (stages/cooc.aggregate_counts, materialised once here and read
+    twice); totals are gazetteer-bounded and broadcast; the pairwise
+    dot is a token-keyed posting-list self-join expanding to
+    |gaz|²-bounded partial products (the source_profile_cosine
+    shape), folded in one bucketed sum; norms are the diagonal.  One
+    float chain per pair at 6 dp, identical HUGEINT→DOUBLE op order
+    in the oracle."""
+    from ..stages.cooc import aggregate_counts
+    from ..stages.groups import bucketed_group_apply
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+    from .flagship import detect_mentions
+
+    turns = read_transcripts(sf_dir).map_batches(tokenize_batch,
+                                                 batch_format="pyarrow")
+    mentions = detect_mentions(turns, CFG)
+    counts = aggregate_counts(mentions).materialize()
+
+    def tot_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["w"] == "", ["term", "n"]]
+
+    nn = {r["term"]: int(r["n"]) for r in collect_rows(
+        counts.map_batches(tot_part, batch_format="pandas"))}
+    nn_ref = ray.put(nn)
+
+    def profile(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(nn_ref)
+        df = df[(df["v"] == "") & (df["w"] != "")]
+        wq = (df["n"].to_numpy(np.int64) * 1_000_000) \
+            // df["term"].map(d).to_numpy(np.int64)
+        out = pd.DataFrame({"term": df["term"].to_numpy(),
+                            "tok": df["w"].to_numpy(), "wq": wq})
+        return out[out["wq"] > 0]
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="tok")
+        m = m[m["term_x"] <= m["term_y"]]
+        m["dot"] = m["wq_x"] * m["wq_y"]
+        return m.groupby(["term_x", "term_y"], as_index=False)["dot"] \
+            .sum().rename(columns={"term_x": "term_a",
+                                   "term_y": "term_b"}) \
+            .astype({"dot": "int64"})
+
+    part_schema = pa.schema([("term_a", pa.string()),
+                             ("term_b", pa.string()),
+                             ("dot", pa.int64())])
+    folded = collect_rows(bucketed_sum(
+        bucketed_group_apply(
+            counts.map_batches(profile, batch_format="pandas"),
+            ["tok"], pairs, num_buckets=num_buckets,
+            out_schema=part_schema),
+        ["term_a", "term_b"], ["dot"], num_buckets=4))
+    norm = {r["term_a"]: int(r["dot"]) for r in folded
+            if r["term_a"] == r["term_b"]}
+    rows = sorted((r for r in folded if r["term_a"] < r["term_b"]),
+                  key=lambda r: (r["term_a"], r["term_b"]))
+    cos = [int(np.floor(float(int(r["dot"]))
+                        / np.sqrt(float(norm[r["term_a"]])
+                                  * float(norm[r["term_b"]]))
+                        * 1e6 + 0.5)) for r in rows]
+    return pa.table({
+        "term_a": pa.array([r["term_a"] for r in rows], pa.string()),
+        "term_b": pa.array([r["term_b"] for r in rows], pa.string()),
+        "dot": pa.array([int(r["dot"]) for r in rows], pa.int64()),
+        "cos_micro": pa.array(cos, pa.int64())})
+
+
 def q_cooc_hub_paths(sf_dir: str) -> rd.Dataset:
     """Bounded-round weighted Bellman–Ford from each ego-graph hub over
     integer NPMI costs (1e6 − wq) — cheapest ≤4-edge paths."""
@@ -5215,6 +5291,7 @@ QUERIES = {
     "cooc_bfs_hops": q_cooc_bfs_hops,
     "cooc_stress": q_cooc_stress,
     "cooc_hub_paths": q_cooc_hub_paths,
+    "term_profile_cosine": q_term_profile_cosine,
     "doc_minhash_est": q_doc_minhash_est,
     "doc_lsh_bucket_stats": q_doc_lsh_bucket_stats,
     "orders_above_cust_avg": q_orders_above_cust_avg,
