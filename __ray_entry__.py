@@ -2995,6 +2995,78 @@ def oracle_sql() -> dict[str, str]:
                         // (2 * n_a * n_b) AS BIGINT) AS auc_micro
             FROM mwt
         """,
+        # pipelines/mlstats.user_churn_logrank: Mantel–Cox log-rank
+        # between click-first and other cohorts — nano-quantised
+        # integer E/V terms (the KM no-float-accumulation rule)
+        "user_churn_logrank": """
+            WITH lre AS (SELECT user_id, epoch_us(ts) AS tu,
+                                epoch_us(ts) // 86400000000 AS d,
+                                event_type
+                         FROM events),
+            lrm AS (SELECT user_id, min(tu) AS t0,
+                           CAST(min(d) AS BIGINT) AS d0,
+                           CAST(max(d) AS BIGINT) AS d1
+                    FROM lre GROUP BY user_id),
+            lrg AS (SELECT m.user_id, m.d0, m.d1,
+                           CASE WHEN min(e.event_type) = 'click'
+                                THEN 1 ELSE 0 END AS g1
+                    FROM lrm m JOIN lre e ON e.user_id = m.user_id
+                                          AND e.tu = m.t0
+                    GROUP BY m.user_id, m.d0, m.d1),
+            lrx AS (SELECT max(d1) AS dmax FROM lrg),
+            lrl AS (SELECT g1, d1 - d0 AS t,
+                           CASE WHEN lrx.dmax - d1 > 0 THEN 1 ELSE 0
+                           END AS e
+                    FROM lrg, lrx),
+            lra AS (SELECT t,
+                       CAST(coalesce(sum(e) FILTER (g1 = 1), 0)
+                            AS BIGINT) AS d1,
+                       CAST(coalesce(sum(1 - e) FILTER (g1 = 1), 0)
+                            AS BIGINT) AS c1,
+                       CAST(sum(e) AS BIGINT) AS dt,
+                       CAST(sum(1 - e) AS BIGINT) AS ct
+                    FROM lrl GROUP BY t),
+            lrr AS (SELECT t, d1, dt,
+                       CAST((SELECT count(*) FROM lrl WHERE g1 = 1)
+                            AS BIGINT)
+                       - CAST(coalesce(sum(d1 + c1) OVER w, 0)
+                              AS BIGINT) AS n1,
+                       CAST((SELECT count(*) FROM lrl) AS BIGINT)
+                       - CAST(coalesce(sum(dt + ct) OVER w, 0)
+                              AS BIGINT) AS nt
+                    FROM lra
+                    WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING)),
+            lrt AS (SELECT
+                CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+                CAST(coalesce(sum(
+                    (2 * CAST(dt AS HUGEINT) * n1 * 1000000000 + nt)
+                    // (2 * CAST(nt AS HUGEINT))), 0) AS HUGEINT)
+                    AS e1n,
+                CAST(coalesce(sum(CASE WHEN nt > 1 THEN
+                    (2 * CAST(dt AS HUGEINT) * n1 * (nt - n1)
+                         * (nt - dt) * 1000000000
+                     + CAST(nt AS HUGEINT) * nt * (nt - 1))
+                    // (2 * CAST(nt AS HUGEINT) * nt * (nt - 1))
+                    ELSE 0 END), 0) AS HUGEINT) AS vn
+                FROM lrr WHERE dt > 0 AND nt > 0)
+            SELECT
+                CAST((SELECT count(*) FROM lrl WHERE g1 = 1)
+                     AS BIGINT) AS n_click,
+                CAST((SELECT count(*) FROM lrl WHERE g1 = 0)
+                     AS BIGINT) AS n_other,
+                o1,
+                CAST(e1n AS VARCHAR) AS e1_nano,
+                CAST(vn AS VARCHAR) AS v_nano,
+                CAST(CASE WHEN vn > 0 THEN floor(
+                    CAST(CAST(o1 AS HUGEINT) * 1000000000 - e1n
+                         AS DOUBLE)
+                    * CAST(CAST(o1 AS HUGEINT) * 1000000000 - e1n
+                           AS DOUBLE)
+                    / (CAST(vn AS DOUBLE) * 1e9) * 1e6 + 0.5)
+                    END AS BIGINT) AS chi_micro
+            FROM lrt
+        """,
         # pipelines/mlstats.order_value_kruskal: tie-corrected
         # Kruskal–Wallis H from pooled 2·avgrank integers, one
         # HUGEINT rational quantised to micro

@@ -735,3 +735,48 @@ def test_term_profile_cosine_parity_and_bounds():
     assert (got["cos_micro"] > 0).all()
     assert (got["cos_micro"] <= 1_000_000).all()
     assert (got["term_a"] < got["term_b"]).all()
+
+
+def test_user_churn_logrank_parity_and_textbook_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import user_churn_logrank
+    got = _canon(user_churn_logrank(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["user_churn_logrank"],
+                       tables=("events",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # textbook float Mantel–Cox recompute from raw events
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    ev["tu"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["d"] = ev["tu"] // 86_400_000_000
+    sp = ev.groupby("user_id").agg(d0=("d", "min"), d1=("d", "max"),
+                                   t0=("tu", "min"))
+    first = ev.sort_values(["user_id", "tu", "event_type"],
+                           kind="mergesort").drop_duplicates("user_id") \
+        .set_index("user_id")["event_type"]
+    sp["g1"] = (first == "click").astype(int)
+    dmax = sp["d1"].max()
+    sp["t"] = sp["d1"] - sp["d0"]
+    sp["e"] = ((dmax - sp["d1"]) > 0).astype(int)
+    n1, nt = int(sp["g1"].sum()), len(sp)
+    o1 = e1 = v = 0.0
+    for t in sorted(sp["t"].unique()):
+        at = sp[sp["t"] == t]
+        d1t = int(at.loc[at["g1"] == 1, "e"].sum())
+        dt = int(at["e"].sum())
+        if dt > 0:
+            o1 += d1t
+            e1 += dt * n1 / nt
+            if nt > 1:
+                v += dt * n1 * (nt - n1) * (nt - dt) \
+                    / (nt * nt * (nt - 1))
+        n1 -= int((at["g1"] == 1).sum())
+        nt -= len(at)
+    row = got.iloc[0]
+    assert row["n_click"] + row["n_other"] == len(sp)
+    assert row["o1"] == int(o1)
+    if v > 0:
+        chi = (o1 - e1) ** 2 / v
+        assert abs(row["chi_micro"] / 1e6 - chi) < 1e-4
+    else:
+        assert pd.isna(row["chi_micro"])

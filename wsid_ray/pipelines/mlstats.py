@@ -3079,3 +3079,113 @@ def order_value_kruskal(sf_dir: str, bin_cents: int = 100_000,
         "n_o": pa.array([ng.get("O", 0)], pa.int64()),
         "n_p": pa.array([ng.get("P", 0)], pa.int64()),
         "h_micro": pa.array([h_micro], pa.int64())})
+
+
+def user_churn_logrank(sf_dir: str, churn_days: int = 0,
+                       num_buckets: int = 8) -> pa.Table:
+    """Log-rank (Mantel–Cox) test between two user cohorts' churn
+    curves — users whose deterministic FIRST event (min event time,
+    ties to the lexicographically smallest type) is a 'click' vs all
+    others — the hypothesis-test companion of the Kaplan–Meier curve
+    (user_survival_km; same lifetimes).  Censoring follows the standard
+    convention: a user still active within ``churn_days`` (default 0,
+    i.e. on the corpus's last day) is censored, anyone who stopped
+    earlier is a churn event — the fixture's users are near-uniformly
+    active to the end, so the KM query's 7-day rule would leave zero
+    events and a degenerate test.
+
+    Integer contract: at each event time with dt > 0 churn events, the
+    expected-count and hypergeometric-variance terms quantise to nano
+    as exact integer rationals — e1_t = (2·dt·n1·1e9 + nt)//(2·nt),
+    v_t = (2·dt·n1·(nt−n1)·(nt−dt)·1e9 + nt²(nt−1))//(2·nt²(nt−1)) —
+    then fold by exact integer sums (the KM no-float-accumulation
+    rule); χ² = (O1·1e9 − E1n)²/(Vn·1e9) is ONE double chain at 6 dp,
+    identical HUGEINT→DOUBLE op order in the oracle.
+
+    Scale: per-user (first-day, last-day, first-event) folds on the
+    user key; cohort lifetimes aggregate on the span-bounded (g, t)
+    key; the prefix pass is driver-small (≤ 2·span rows)."""
+    from ..stages.groups import bucketed_group_apply
+    from ..util import collect_rows
+    from .analytics import bucketed_sum
+
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        tu = df["ts"].astype("datetime64[us]").astype("int64")
+        b = pd.DataFrame({"user_id": df["user_id"], "tu": tu,
+                          "d": tu // 86_400_000_000,
+                          "ft": df["event_type"]})
+        agg = b.groupby("user_id", as_index=False) \
+            .agg(d0=("d", "min"), d1=("d", "max"), t0=("tu", "min"))
+        first = b.sort_values(["user_id", "tu", "ft"],
+                              kind="mergesort") \
+            .drop_duplicates("user_id")[["user_id", "ft"]]
+        g = agg.merge(first, on="user_id")
+        return g.astype({"d0": "int64", "d1": "int64", "t0": "int64"})
+
+    def fold_user(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("user_id", as_index=False) \
+            .agg(d0=("d0", "min"), d1=("d1", "max"))
+        first = df.sort_values(["user_id", "t0", "ft"],
+                               kind="mergesort") \
+            .drop_duplicates("user_id")[["user_id", "t0", "ft"]]
+        return agg.merge(first, on="user_id")
+
+    user_schema = pa.schema([
+        ("user_id", pa.int64()), ("d0", pa.int64()), ("d1", pa.int64()),
+        ("t0", pa.int64()), ("ft", pa.string())])
+    spans = bucketed_group_apply(
+        ev.map_batches(part, batch_format="pandas"),
+        ["user_id"], fold_user, num_buckets=num_buckets,
+        out_schema=user_schema).materialize()
+
+    dmax = max(int(r["m"]) for r in collect_rows(spans.map_batches(
+        lambda df: pd.DataFrame({"m": [np.int64(df["d1"].max())]}),
+        batch_format="pandas")))
+
+    def life_part(df: pd.DataFrame) -> pd.DataFrame:
+        e = ((dmax - df["d1"]) > churn_days).astype("int64")
+        g = pd.DataFrame({
+            "g1": (df["ft"] == "click").astype("int64"),
+            "t": (df["d1"] - df["d0"]).astype("int64"),
+            "d": e, "c": 1 - e}) \
+            .groupby(["g1", "t"], as_index=False).sum()
+        return g.astype({"d": "int64", "c": "int64"})
+
+    rows = collect_rows(bucketed_sum(
+        spans.map_batches(life_part, batch_format="pandas"),
+        ["g1", "t"], ["d", "c"], num_buckets=4))
+    acc: dict[int, list[int]] = {}
+    for r in rows:
+        a = acc.setdefault(int(r["t"]), [0, 0, 0, 0])
+        if int(r["g1"]) == 1:
+            a[0] += int(r["d"]); a[1] += int(r["c"])
+        a[2] += int(r["d"]); a[3] += int(r["c"])
+    n1 = sum(a[0] + a[1] for a in acc.values())
+    nt = sum(a[2] + a[3] for a in acc.values())
+    n_click, n_other = n1, nt - n1
+    o1, e1n, vn = 0, 0, 0
+    for t in sorted(acc):
+        d1t, c1t, dt, ct = acc[t]
+        if dt > 0 and nt > 0:
+            o1 += d1t
+            e1n += (2 * dt * n1 * 10 ** 9 + nt) // (2 * nt)
+            if nt > 1:
+                num = dt * n1 * (nt - n1) * (nt - dt)
+                den = nt * nt * (nt - 1)
+                vn += (2 * num * 10 ** 9 + den) // (2 * den)
+        n1 -= d1t + c1t
+        nt -= dt + ct
+    a = o1 * 10 ** 9 - e1n
+    chi_micro = (None if vn <= 0 else
+                 int(np.floor(float(a) * float(a)
+                              / (float(vn) * 1e9) * 1e6 + 0.5)))
+    return pa.table({
+        "n_click": pa.array([n_click], pa.int64()),
+        "n_other": pa.array([n_other], pa.int64()),
+        "o1": pa.array([o1], pa.int64()),
+        "e1_nano": pa.array([str(e1n)], pa.string()),
+        "v_nano": pa.array([str(vn)], pa.string()),
+        "chi_micro": pa.array([chi_micro], pa.int64())})

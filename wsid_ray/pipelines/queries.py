@@ -4390,6 +4390,13 @@ def q_priority_price_mwu(sf_dir: str) -> "pa.Table":
     return priority_price_mwu(sf_dir)
 
 
+def q_user_churn_logrank(sf_dir: str) -> "pa.Table":
+    """Log-rank test between click-first and other user cohorts'
+    churn curves — exact integer-quantised E/V terms, one χ² chain."""
+    from .mlstats import user_churn_logrank
+    return user_churn_logrank(sf_dir)
+
+
 def q_order_value_kruskal(sf_dir: str) -> "pa.Table":
     """Kruskal–Wallis H across order statuses — exact pooled-rank
     integers, tie-corrected single-rational finish."""
@@ -5266,6 +5273,7 @@ QUERIES = {
     "dup_source_matrix": q_dup_source_matrix,
     "priority_price_mwu": q_priority_price_mwu,
     "order_value_kruskal": q_order_value_kruskal,
+    "user_churn_logrank": q_user_churn_logrank,
     "dup_quality_auc": q_dup_quality_auc,
     "lang_source_hhi": q_lang_source_hhi,
     "doc_edit_pairs": q_doc_edit_pairs,
