@@ -2995,6 +2995,58 @@ def oracle_sql() -> dict[str, str]:
                         // (2 * n_a * n_b) AS BIGINT) AS auc_micro
             FROM mwt
         """,
+        # pipelines/mlstats.order_value_median_test: Mood's median
+        # test — pooled lower median + nano-quantised χ² cell terms
+        "order_value_median_test": """
+            WITH mmb AS (SELECT o_orderstatus AS st,
+                                CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) AS yc
+                         FROM orders),
+            mmn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mmb),
+            mmr AS (SELECT yc,
+                           row_number() OVER (ORDER BY yc) AS rn
+                    FROM mmb),
+            mmm AS (SELECT yc AS m FROM mmr, mmn
+                    WHERE rn = (n + 1) // 2),
+            mmc AS (SELECT st,
+                       CAST(count(*) FILTER (yc > m) AS BIGINT) AS a,
+                       CAST(count(*) AS BIGINT) AS tot
+                    FROM mmb, mmm GROUP BY st),
+            mmt AS (SELECT CAST(sum(a) AS BIGINT) AS ca FROM mmc),
+            mmx AS (SELECT CAST(sum(
+                        (2 * (CAST(c.a AS HUGEINT) * n - c.tot * t.ca)
+                             * (CAST(c.a AS HUGEINT) * n - c.tot * t.ca)
+                             * 1000000000
+                         + CAST(n AS HUGEINT) * c.tot * t.ca)
+                        // (2 * CAST(n AS HUGEINT) * c.tot * t.ca)
+                        + (2 * (CAST(c.tot - c.a AS HUGEINT) * n
+                                - c.tot * (n - t.ca))
+                             * (CAST(c.tot - c.a AS HUGEINT) * n
+                                - c.tot * (n - t.ca)) * 1000000000
+                           + CAST(n AS HUGEINT) * c.tot * (n - t.ca))
+                        // (2 * CAST(n AS HUGEINT) * c.tot
+                            * (n - t.ca))) AS HUGEINT) AS chi
+                    FROM mmc c, mmt t, mmn
+                    GROUP BY t.ca, n)
+            SELECT n,
+                   (SELECT m FROM mmm) AS m_cents,
+                   coalesce((SELECT tot FROM mmc WHERE st = 'F'), 0)
+                       AS n_f,
+                   coalesce((SELECT a FROM mmc WHERE st = 'F'), 0)
+                       AS a_f,
+                   coalesce((SELECT tot FROM mmc WHERE st = 'O'), 0)
+                       AS n_o,
+                   coalesce((SELECT a FROM mmc WHERE st = 'O'), 0)
+                       AS a_o,
+                   coalesce((SELECT tot FROM mmc WHERE st = 'P'), 0)
+                       AS n_p,
+                   coalesce((SELECT a FROM mmc WHERE st = 'P'), 0)
+                       AS a_p,
+                   CASE WHEN t.ca > 0 AND t.ca < n
+                        THEN CAST((SELECT chi FROM mmx) AS VARCHAR)
+                        END AS chi_nano
+            FROM mmn, mmt t
+        """,
         # pipelines/mlstats.user_churn_logrank: Mantel–Cox log-rank
         # between click-first and other cohorts — nano-quantised
         # integer E/V terms (the KM no-float-accumulation rule)

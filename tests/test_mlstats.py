@@ -780,3 +780,36 @@ def test_user_churn_logrank_parity_and_textbook_recompute():
         assert abs(row["chi_micro"] / 1e6 - chi) < 1e-4
     else:
         assert pd.isna(row["chi_micro"])
+
+
+def test_order_value_median_test_parity_and_recompute():
+    import __ray_entry__ as E
+    from wsid_ray.pipelines.mlstats import order_value_median_test
+    got = _canon(order_value_median_test(SF).to_pandas())
+    exp = _canon(_duck(E.oracle_sql()["order_value_median_test"],
+                       tables=("orders",)))
+    pd.testing.assert_frame_equal(got, exp)
+    # direct recompute: pooled lower median + textbook chi-square
+    od = pd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderstatus", "o_totalprice"])
+    yc = np.sort(np.floor(od["o_totalprice"].to_numpy() * 100 + 0.5)
+                 .astype("int64"))
+    n = len(yc)
+    m = int(yc[(n + 1) // 2 - 1])
+    row = got.iloc[0]
+    assert row["n"] == n and row["m_cents"] == m
+    chi = 0.0
+    ca = int((np.floor(od["o_totalprice"].to_numpy() * 100 + 0.5)
+              .astype("int64") > m).sum())
+    for s in ("F", "O", "P"):
+        sel = np.floor(od.loc[od["o_orderstatus"] == s,
+                              "o_totalprice"].to_numpy() * 100
+                       + 0.5).astype("int64")
+        a, tot = int((sel > m).sum()), len(sel)
+        assert row[f"a_{s.lower()}"] == a and row[f"n_{s.lower()}"] == tot
+        for o, col in ((a, ca), (tot - a, n - ca)):
+            e = tot * col / n
+            chi += (o - e) ** 2 / e
+    assert abs(int(row["chi_nano"]) / 1e9 - chi) < 1e-4
+    # exactly half-or-more at or below the median
+    assert ca <= n // 2

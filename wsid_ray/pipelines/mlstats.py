@@ -3189,3 +3189,96 @@ def user_churn_logrank(sf_dir: str, churn_days: int = 0,
         "e1_nano": pa.array([str(e1n)], pa.string()),
         "v_nano": pa.array([str(vn)], pa.string()),
         "chi_micro": pa.array([chi_micro], pa.int64())})
+
+
+def order_value_median_test(sf_dir: str, bin_cents: int = 100_000,
+                            num_buckets: int = 8) -> pa.Table:
+    """Mood's median test across the three order statuses: split every
+    order at the POOLED lower median (the value at 1-based rank
+    ⌈N/2⌉ = (N+1)//2 under the cents sort) and test the 3×2
+    above/at-or-below table against independence — the
+    median-robust sibling of the Kruskal–Wallis panel.
+
+    Integer contract: the pooled median comes from a two-pass exact
+    selection with NO global sort — a mergeable fixed-width histogram
+    locates the rank-k bin, then only that bin's values (bin-bounded)
+    reach the driver; the χ² fold quantises each cell term
+    (O·N − r·c)²/(N·r·c) to nano as an exact integer rational and
+    sums integers (the KM/log-rank no-float-accumulation rule), so no
+    float leaves a cell.  chi_nano is a decimal string (cell terms
+    scale with N past int64 at 10^12 rows)."""
+    from ..util import collect_rows
+    from .analytics import _cents, bucketed_sum
+
+    src = read_parquet_clean(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderstatus", "o_totalprice"])
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "st": df["o_orderstatus"].astype("string"),
+            "yc": _cents(df["o_totalprice"].to_numpy())})
+
+    pr = src.map_batches(base, batch_format="pandas").materialize()
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"b": df["yc"].to_numpy() // bin_cents}) \
+            .groupby("b", as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return g.astype({"c": "int64"})
+
+    bins = sorted(collect_rows(bucketed_sum(
+        pr.map_batches(hist, batch_format="pandas"),
+        ["b"], ["c"], num_buckets=4)), key=lambda r: int(r["b"]))
+    n = sum(int(r["c"]) for r in bins)
+    k = (n + 1) // 2
+    below, target = 0, None
+    for r in bins:
+        c = int(r["c"])
+        if below + c >= k:
+            target = int(r["b"])
+            break
+        below += c
+
+    def in_bin(df: pd.DataFrame) -> pd.DataFrame:
+        yc = df["yc"].to_numpy()
+        return pd.DataFrame({"yc": yc[yc // bin_cents == target]})
+
+    vals = np.sort(np.array(
+        [int(r["yc"]) for r in collect_rows(
+            pr.map_batches(in_bin, batch_format="pandas"))],
+        dtype=np.int64))
+    m = int(vals[k - below - 1])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"st": df["st"],
+                          "a": (df["yc"].to_numpy() > m)
+                          .astype(np.int64), "tot": 1}) \
+            .groupby("st", as_index=False).sum()
+        return g.astype({"a": "int64", "tot": "int64"})
+
+    acc: dict[str, list[int]] = {}
+    for r in collect_rows(bucketed_sum(
+            pr.map_batches(counts, batch_format="pandas"),
+            ["st"], ["a", "tot"], num_buckets=4)):
+        a = acc.setdefault(str(r["st"]), [0, 0])
+        a[0] += int(r["a"]); a[1] += int(r["tot"])
+    ca = sum(a for a, _ in acc.values())
+    chi = 0
+    degenerate = ca == 0 or ca == n
+    if not degenerate:
+        for st in sorted(acc):
+            a, tot = acc[st]
+            for o, col in ((a, ca), (tot - a, n - ca)):
+                num = 2 * (o * n - tot * col) ** 2 * 10 ** 9 \
+                    + n * tot * col
+                chi += num // (2 * n * tot * col)
+    sts = ("F", "O", "P")
+    cols = {"n": n, "m_cents": m}
+    for s in sts:
+        a, tot = acc.get(s, (0, 0))
+        cols[f"n_{s.lower()}"] = tot
+        cols[f"a_{s.lower()}"] = a
+    return pa.table({
+        **{c: pa.array([v], pa.int64()) for c, v in cols.items()},
+        "chi_nano": pa.array([None if degenerate else str(chi)],
+                             pa.string())})

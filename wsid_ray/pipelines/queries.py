@@ -4390,6 +4390,13 @@ def q_priority_price_mwu(sf_dir: str) -> "pa.Table":
     return priority_price_mwu(sf_dir)
 
 
+def q_order_value_median_test(sf_dir: str) -> "pa.Table":
+    """Mood's median test across order statuses — pooled exact median
+    by two-pass selection, nano-quantised integer χ² cell terms."""
+    from .mlstats import order_value_median_test
+    return order_value_median_test(sf_dir)
+
+
 def q_user_churn_logrank(sf_dir: str) -> "pa.Table":
     """Log-rank test between click-first and other user cohorts'
     churn curves — exact integer-quantised E/V terms, one χ² chain."""
@@ -5274,6 +5281,7 @@ QUERIES = {
     "priority_price_mwu": q_priority_price_mwu,
     "order_value_kruskal": q_order_value_kruskal,
     "user_churn_logrank": q_user_churn_logrank,
+    "order_value_median_test": q_order_value_median_test,
     "dup_quality_auc": q_dup_quality_auc,
     "lang_source_hhi": q_lang_source_hhi,
     "doc_edit_pairs": q_doc_edit_pairs,
